@@ -1,0 +1,85 @@
+"""Sampling operators (SURVEY §2.6).
+
+The reference shuffles with an *unseeded* ``RandomState().permutation``
+(tile.py:215-225) and takes the first N indices per class
+(tile.py:228-284) — non-reproducible by design. This engine seeds
+everything; with ``order_col`` set, sampling is fully deterministic and
+oracle-checkable.
+
+Scale notes: the per-class caps come from a tiny aggregated statistics
+DataFrame (≤ num_classes rows) and are broadcast; the fact table is
+shuffled once, by label, for the row_number window. For heavily skewed
+labels, ``sampleBy`` (approximate mode) avoids the single-reducer
+hotspot of a huge class partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .stats import label_statistics
+
+
+def randomize(df: DataFrame, seed: int = 42) -> DataFrame:
+    """Seeded row shuffle (reference ``randomize`` tile.py:215-225)."""
+    return df.orderBy(F.rand(seed))
+
+
+def class_targets(df: DataFrame, label_col: str,
+                  target_samples: int, class_min: int,
+                  class_max: int) -> DataFrame:
+    """Per-class sample budget: ceil(target * pct) clipped to
+    [class_min, class_max] (tile.py:242-284; defaults
+    blackmagic/__init__.py:17-19)."""
+    stats = label_statistics(df, label_col)
+    return stats.select(
+        label_col,
+        F.least(
+            F.greatest(F.ceil(F.lit(target_samples) * F.col("pct")),
+                       F.lit(class_min)),
+            F.lit(class_max),
+        ).alias("cap"))
+
+
+def stratified_sample(df: DataFrame, label_col: str,
+                      target_samples: int, class_min: int, class_max: int,
+                      seed: int = 42,
+                      order_col: str | None = None) -> DataFrame:
+    """Per-class capped/floored sample — reference ``sample``
+    (tile.py:228-284; unit test test_B_tile.py:255-274).
+
+    row_number over (partition by label order by rand(seed)) ≤ cap.
+    With ``order_col``, ordering is by that column instead — exactly
+    reproducible in any engine.
+    """
+    caps = class_targets(df, label_col, target_samples, class_min, class_max)
+    order = F.col(order_col) if order_col else F.rand(seed)
+    w = Window.partitionBy(label_col).orderBy(order)
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .join(F.broadcast(caps), on=label_col)
+              .filter(F.col("__rn") <= F.col("cap"))
+              .drop("__rn", "cap"))
+
+
+def stratified_sample_approx(df: DataFrame, label_col: str,
+                             target_samples: int, class_min: int,
+                             class_max: int, seed: int = 42) -> DataFrame:
+    """Approximate mode for skewed scale: per-class Bernoulli fractions
+    via ``sampleBy`` — no window, no per-class single-partition sort."""
+    counts = {r[label_col]: r["cnt"]
+              for r in label_statistics(df, label_col).collect()}
+    total = sum(counts.values())
+    fractions = {}
+    for lbl, n in counts.items():
+        want = min(max(-(-target_samples * n // total), class_min), class_max)
+        fractions[lbl] = min(1.0, want / n)
+    return df.sampleBy(label_col, fractions, seed=seed)
+
+
+def train_test_split(df: DataFrame, test_size: float = 0.2,
+                     seed: int = 42) -> tuple[DataFrame, DataFrame]:
+    """Seeded holdout split (reference tile.py:297-299,
+    test_size blackmagic/__init__.py:14)."""
+    train, test = df.randomSplit([1.0 - test_size, test_size], seed=seed)
+    return train, test

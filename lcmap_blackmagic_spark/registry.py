@@ -1,0 +1,456 @@
+"""Query registry — one entry per implemented operator family from
+SURVEY.md §2, expressed over the driver-provided synthetic tables.
+
+Each entry pairs a Spark DataFrame implementation (built from this
+package's operators) with an equivalent ANSI-SQL oracle that DuckDB can
+run on the same parquet. Column names are aliased identically on both
+sides; float aggregates are rounded (2 dp for money sums, 6 dp for
+ratios) so double summation order across engines cannot flip the hash.
+
+Determinism rules used throughout:
+- no unseeded randomness; sampling orders by a key column,
+- LIMIT always paired with a total deterministic ORDER BY,
+- hashes via md5 (identical hex in Spark and DuckDB).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.dates import date_from_ordinal, ordinal_from_date, prediction_dates_array
+from .operators.filters import segments_filter
+from .operators.joins import last_wins
+from .operators.sampling import stratified_sample
+from .operators.stats import label_statistics
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS) which the vectorized
+        # parquet reader rejects; read nanos as long and truncate to
+        # micros (same truncation DuckDB applies on read).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------- A1 --
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan + filter + hash aggregate with partial
+    (map-side) combine — the headline agg benchmark query."""
+    l = _t(spark, sf_dir, "lineitem")
+    # Money arithmetic in DECIMAL: the source values are 2-decimal, so
+    # the decimal products/sums are exact and engine-independent; a
+    # final cast to double is deterministic. (Rounding raw doubles
+    # diverges between engines at half-way products like x.xxx5.)
+    dep = F.col("l_extendedprice").cast("decimal(18,2)")
+    dd = F.col("l_discount").cast("decimal(18,2)")
+    dt = F.col("l_tax").cast("decimal(18,2)")
+    disc_price = dep * (F.lit(1) - dd)
+    charge = disc_price * (F.lit(1) + dt)
+    return (
+        l.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").cast("double").alias("sum_qty"),
+             F.sum(dep).cast("double").alias("sum_base_price"),
+             F.sum(disc_price).cast("double").alias("sum_disc_price"),
+             F.sum(charge).cast("double").alias("sum_charge"),
+             F.round(F.sum("l_quantity") / F.count(F.lit(1)), 6).alias("avg_qty"),
+             F.round(F.sum(dd).cast("double") / F.count(F.lit(1)), 6).alias("avg_disc"),
+             F.count(F.lit(1)).alias("count_order"))
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS DOUBLE)                            AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)  AS sum_charge,
+       ROUND(SUM(l_quantity) / COUNT(*), 6)                       AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
+                                                                  AS avg_disc,
+       CAST(COUNT(*) AS BIGINT)                                   AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_label_histogram(spark, sf_dir):
+    """A1 ``statistics`` (tile.py:191-212): distinct labels with count
+    and pct-of-total via window over the aggregated (tiny) result."""
+    e = _t(spark, sf_dir, "embeddings")
+    stats = label_statistics(e, "label")
+    return stats.select("label", F.col("cnt").alias("cnt"),
+                        F.round("pct", 6).alias("pct"))
+
+
+SQL_LABEL_HISTOGRAM = """
+SELECT label, CAST(COUNT(*) AS BIGINT) AS cnt,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 6) AS pct
+FROM embeddings GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------- P3 --
+
+def q_interval_filter(spark, sf_dir):
+    """P3 ``segments_filter`` (tile.py:77-85): closed-interval
+    containment of a literal date, pushed down to the scan."""
+    o = _t(spark, sf_dir, "orders")
+    seg = (o.withColumn("sday", F.col("o_orderdate").cast("date"))
+             .withColumn("eday", F.date_add(F.col("o_orderdate").cast("date"), 60)))
+    return (segments_filter(seg, "1995-06-15")
+            .select("o_orderkey", "sday", "eday"))
+
+
+SQL_INTERVAL_FILTER = """
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE)      AS sday,
+       CAST(o_orderdate AS DATE) + 60 AS eday
+FROM orders
+WHERE DATE '1995-06-15' >= CAST(o_orderdate AS DATE)
+  AND DATE '1995-06-15' <= CAST(o_orderdate AS DATE) + 60
+"""
+
+
+# ---------------------------------------------------------------- J1 --
+
+def q_combine_join(spark, sf_dir):
+    """J1 ``combine`` (segaux.py:113-126): inner broadcast hash join,
+    build side deduplicated last-wins per key before joining."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    dim = last_wins(s.select("s_suppkey", "s_name", "s_acctbal"),
+                    ["s_suppkey"], order_col="s_acctbal")
+    return (l.join(F.broadcast(dim.select("s_suppkey", "s_name")),
+                   l.l_suppkey == dim.s_suppkey, "inner")
+            .select("l_orderkey", "l_linenumber", "s_name",
+                    F.col("l_extendedprice").alias("price")))
+
+
+SQL_COMBINE_JOIN = """
+SELECT l.l_orderkey, l.l_linenumber, s.s_name,
+       l.l_extendedprice AS price
+FROM lineitem l
+JOIN (SELECT s_suppkey, s_name FROM (
+        SELECT s_suppkey, s_name,
+               ROW_NUMBER() OVER (PARTITION BY s_suppkey
+                                  ORDER BY s_acctbal DESC) AS rn
+        FROM supplier) WHERE rn = 1) s
+  ON l.l_suppkey = s.s_suppkey
+"""
+
+
+# ---------------------------------------------------------------- F1 --
+
+def q_ordinal_roundtrip(spark, sf_dir):
+    """F1 ordinal⇄date (segment.py:68-70, segaux.py:194): proleptic
+    Gregorian ordinal from a date and back, all JVM-side."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        ordinal_from_date(d).alias("ord"),
+        date_from_ordinal(ordinal_from_date(d)).alias("roundtrip"),
+    )
+
+
+SQL_ORDINAL_ROUNDTRIP = """
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) - DATE '0001-01-01' + 1 AS ord,
+       DATE '0001-01-01' + CAST(CAST(o_orderdate AS DATE) - DATE '0001-01-01'
+                                AS INTEGER) AS roundtrip
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------- F2 --
+
+def q_prediction_dates(spark, sf_dir):
+    """F2/F4 annual-date explode (segaux.py:129-163): for each row,
+    one output row per in-interval July-1 — the reference's only
+    row-multiplying operator."""
+    o = _t(spark, sf_dir, "orders")
+    seg = (o.withColumn("sday", F.col("o_orderdate").cast("date"))
+             .withColumn("eday", F.add_months(F.col("o_orderdate").cast("date"), 36)))
+    dates = prediction_dates_array("sday", "eday", 7, 1)
+    return (seg.withColumn("pday", F.explode(dates))
+               .select("o_orderkey", "pday"))
+
+
+SQL_PREDICTION_DATES = """
+SELECT o_orderkey, make_date(y, 7, 1) AS pday
+FROM (
+  SELECT o_orderkey,
+         CAST(o_orderdate AS DATE) AS sday,
+         CAST(CAST(o_orderdate AS DATE) + INTERVAL 36 MONTH AS DATE) AS eday,
+         UNNEST(generate_series(YEAR(CAST(o_orderdate AS DATE)),
+                                YEAR(CAST(CAST(o_orderdate AS DATE) + INTERVAL 36 MONTH AS DATE)))) AS y
+  FROM orders)
+WHERE make_date(y, 7, 1) >= sday AND make_date(y, 7, 1) <= eday
+"""
+
+
+# ---------------------------------------------------------------- F7 --
+
+def q_linear_projection(spark, sf_dir):
+    """F7 average-reflectance-shaped arithmetic (segaux.py:189-209):
+    row-level linear expression, whole-stage codegen, no UDF."""
+    l = _t(spark, sf_dir, "lineitem")
+    dep = F.col("l_extendedprice").cast("decimal(18,2)")
+    dd = F.col("l_discount").cast("decimal(18,2)")
+    dt = F.col("l_tax").cast("decimal(18,2)")
+    return l.select(
+        "l_orderkey", "l_linenumber",
+        (dep * (F.lit(1) - dd) * (F.lit(1) + dt))
+        .cast("double").alias("charge"))
+
+
+SQL_LINEAR_PROJECTION = """
+SELECT l_orderkey, l_linenumber,
+       CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (1 - CAST(l_discount AS DECIMAL(18,2)))
+            * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS charge
+FROM lineitem
+"""
+
+
+# --------------------------------------------------------------- SM2 --
+
+def q_stratified_sample(spark, sf_dir):
+    """SM2 stratified cap/floor sampler (tile.py:228-284) in its
+    deterministic mode: per-class budget ceil(target*pct) clipped to
+    [min,max], first N per class by key order."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = stratified_sample(e, "label", target_samples=150, class_min=5,
+                            class_max=40, order_col="vec_id")
+    return out.select("vec_id", "label")
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH stats AS (SELECT label, COUNT(*) AS cnt FROM embeddings GROUP BY label),
+tot  AS (SELECT SUM(cnt) AS t FROM stats),
+caps AS (SELECT label, LEAST(GREATEST(CEIL(150 * cnt / t), 5), 40) AS cap
+         FROM stats, tot),
+rn   AS (SELECT vec_id, label,
+                ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+         FROM embeddings)
+SELECT rn.vec_id, rn.label
+FROM rn JOIN caps USING (label)
+WHERE rn.rn <= caps.cap
+"""
+
+
+# ------------------------------------------------------------ U2/U3 --
+
+def q_split_union(spark, sf_dir):
+    """U3 group_data + U2 default_predictions shape
+    (prediction.py:165-173, 234-242): split on a sentinel predicate,
+    process branches differently, unionByName back."""
+    o = _t(spark, sf_dir, "orders")
+    defaults = (o.filter(F.col("o_orderstatus") == "F")
+                 .select("o_orderkey",
+                         F.lit("default").alias("grp"),
+                         F.lit(0).alias("prob_len")))
+    data = (o.filter(F.col("o_orderstatus") != "F")
+             .select("o_orderkey",
+                     F.lit("data").alias("grp"),
+                     F.lit(9).alias("prob_len")))
+    return defaults.unionByName(data)
+
+
+SQL_SPLIT_UNION = """
+SELECT o_orderkey, 'default' AS grp, 0 AS prob_len
+FROM orders WHERE o_orderstatus = 'F'
+UNION ALL
+SELECT o_orderkey, 'data' AS grp, 9 AS prob_len
+FROM orders WHERE o_orderstatus <> 'F'
+"""
+
+
+# ------------------------------------------------------------- top-k --
+
+def q_topk_customers(spark, sf_dir):
+    """Sort + limit top-k with a total deterministic order
+    (revenue desc, key asc) so ties cannot change the result set."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (o.groupBy("o_custkey")
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .cast("double").alias("revenue")))
+    return (rev.join(F.broadcast(c.select("c_custkey", "c_name")),
+                     rev.o_custkey == c.c_custkey)
+            .select(F.col("c_custkey"), F.col("c_name"), F.col("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+            .limit(10))
+
+
+SQL_TOPK_CUSTOMERS = """
+SELECT c.c_custkey, c.c_name, r.revenue
+FROM (SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY o_custkey) r
+JOIN customer c ON r.o_custkey = c.c_custkey
+ORDER BY r.revenue DESC, c.c_custkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------- flagship --
+
+def q_revenue_by_nation(spark, sf_dir):
+    """Flagship: multi-join star query (customer⋈orders⋈lineitem with
+    broadcast nation/region dims) + hash agg — the plan Catalyst should
+    broadcast the two dimension tables for."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    revenue = (F.col("l_extendedprice").cast("decimal(18,2)")
+               * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)")))
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+             .join(c, o.o_custkey == c.c_custkey)
+             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+             .groupBy("r_name", "n_name")
+             .agg(F.sum(revenue).cast("double").alias("revenue"),
+                  F.count(F.lit(1)).alias("n_items")))
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT r.r_name, n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+"""
+
+
+# ------------------------------------------------------- events/json --
+
+def q_events_tumbling(spark, sf_dir):
+    """Tumbling-window aggregation (batch form of the Structured
+    Streaming hourly rollup in streaming/jobs.py)."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"),
+                      "event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.col("value").cast("decimal(18,2)"))
+                  .cast("double").alias("total_value")))
+
+
+SQL_EVENTS_TUMBLING = """
+SELECT date_trunc('hour', ts) AS bucket, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_json(spark, sf_dir):
+    """Semi-structured projection: JSON field extraction from the
+    events props column (JVM-side get_json_object, no UDF)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"))
+
+
+SQL_EVENTS_JSON = """
+SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k FROM events
+"""
+
+
+# ----------------------------------------------------------- text/llm --
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash (hash-groupBy): canonical doc id per
+    distinct text, duplicate count."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
+             .agg(F.min("doc_id").alias("keep_id"),
+                  F.count(F.lit(1)).alias("n_dups")))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS h, MIN(doc_id) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_text_stats(spark, sf_dir):
+    """Text quality scoring: token count, mean token length, stopword
+    ratio — all built-in array/string functions."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    stop = F.filter(toks, lambda t: t.isin("the", "a", "of", "and"))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(F.aggregate(toks, F.lit(0).cast("double"),
+                            lambda acc, t: acc + F.length(t))
+                / F.size(toks), 6).alias("mean_token_len"),
+        F.round(F.size(stop) / F.size(toks), 6).alias("stopword_ratio"),
+    )
+
+
+SQL_TEXT_STATS = """
+SELECT doc_id,
+       len(string_split(trim(text), ' ')) AS n_tokens,
+       ROUND(list_sum(list_transform(string_split(trim(text), ' '),
+                                     t -> length(t))) * 1.0
+             / len(string_split(trim(text), ' ')), 6) AS mean_token_len,
+       ROUND(len(list_filter(string_split(trim(text), ' '),
+                             t -> t IN ('the', 'a', 'of', 'and'))) * 1.0
+             / len(string_split(trim(text), ' ')), 6) AS stopword_ratio
+FROM documents
+"""
+
+
+# ------------------------------------------------------------ registry --
+
+QUERIES: dict[str, dict] = {
+    "pricing_summary":   {"fn": q_pricing_summary,   "sql": SQL_PRICING_SUMMARY},
+    "label_histogram":   {"fn": q_label_histogram,   "sql": SQL_LABEL_HISTOGRAM},
+    "interval_filter":   {"fn": q_interval_filter,   "sql": SQL_INTERVAL_FILTER},
+    "combine_join":      {"fn": q_combine_join,      "sql": SQL_COMBINE_JOIN},
+    "ordinal_roundtrip": {"fn": q_ordinal_roundtrip, "sql": SQL_ORDINAL_ROUNDTRIP},
+    "prediction_dates":  {"fn": q_prediction_dates,  "sql": SQL_PREDICTION_DATES},
+    "linear_projection": {"fn": q_linear_projection, "sql": SQL_LINEAR_PROJECTION},
+    "stratified_sample": {"fn": q_stratified_sample, "sql": SQL_STRATIFIED_SAMPLE},
+    "split_union":       {"fn": q_split_union,       "sql": SQL_SPLIT_UNION},
+    "topk_customers":    {"fn": q_topk_customers,    "sql": SQL_TOPK_CUSTOMERS},
+    "revenue_by_nation": {"fn": q_revenue_by_nation, "sql": SQL_REVENUE_BY_NATION},
+    "events_tumbling":   {"fn": q_events_tumbling,   "sql": SQL_EVENTS_TUMBLING},
+    "events_json":       {"fn": q_events_json,       "sql": SQL_EVENTS_JSON},
+    "dedup_exact":       {"fn": q_dedup_exact,       "sql": SQL_DEDUP_EXACT},
+    "text_stats":        {"fn": q_text_stats,        "sql": SQL_TEXT_STATS},
+}
+
+
+def queries() -> dict[str, Callable]:
+    return {name: spec["fn"] for name, spec in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec["sql"].strip() for name, spec in QUERIES.items()
+            if spec.get("sql")}
