@@ -1,0 +1,70 @@
+"""Benchmark harness: runs the headline registry queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is fully materialized via the no-op sink (measures the
+whole plan — scan, shuffle, agg — without driver collect overhead).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lcmap_blackmagic_spark.registry import QUERIES
+from lcmap_blackmagic_spark.session import get_session
+
+# Headline set: the scan/agg, join, explode, window, and text-heavy
+# queries — the shapes that dominate at scale.
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "combine_join",
+    "prediction_dates",
+    "stratified_sample",
+    "topk_customers",
+    "events_tumbling",
+    "dedup_exact",
+    "text_stats",
+    "linear_projection",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_session("lcmap-blackmagic-spark-bench")
+
+    # Warm the JVM/codegen path once on a trivial plan so q1 doesn't
+    # pay session startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = QUERIES[name]["fn"]
+        t0 = time.perf_counter()
+        materialize(fn(spark, sf_dir))
+        dt = round(time.perf_counter() - t0, 3)
+        per_query[name] = dt
+        total += dt
+
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
