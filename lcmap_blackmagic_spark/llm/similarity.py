@@ -1,0 +1,103 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk``: brute-force cosine top-k — the exact baseline.
+  Query set × corpus join; all arithmetic JVM-side (zip_with +
+  aggregate), summation in index order so any engine reproduces the
+  same doubles bit-for-bit.
+- ``lsh_ann_topk``: the scale path — random-hyperplane (sign) LSH.
+  Hyperplane weights are ±1 derived deterministically from md5, so
+  the bucketing is reproducible anywhere. Candidates share ≥1 of
+  ``n_tables`` bucket keys; exact cosine is computed on candidates
+  only. At 100 TB the corpus is bucketed once (narrow shuffle on the
+  bucket key) and each query probes its buckets instead of the full
+  corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _nibble
+
+DIM = 64
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_topk(emb: DataFrame, query_filter: Column, k: int = 5,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k neighbors by cosine for every row matching
+    ``query_filter``. Output: (qid, nid, cosine) — k rows per query,
+    deterministic tie-break by neighbor id."""
+    from pyspark.sql import Window
+    corpus = emb.select(F.col(id_col).alias("nid"),
+                        _as_double(F.col(vec_col)).alias("nvec"))
+    queries = (emb.filter(query_filter)
+               .select(F.col(id_col).alias("qid"),
+                       _as_double(F.col(vec_col)).alias("qvec")))
+    cos = _dot(F.col("qvec"), F.col("nvec")) / (
+        F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
+        * F.sqrt(_dot(F.col("nvec"), F.col("nvec"))))
+    scored = (queries.join(F.broadcast(corpus), F.col("qid") != F.col("nid"))
+              .select("qid", "nid", F.round(cos, 6).alias("cosine")))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
+                                          F.col("nid"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") <= k).drop("rn"))
+
+
+def _sign_bits(vec_col: Column, table: int, n_planes: int, dim: int) -> Column:
+    """Bucket key for one LSH table: n_planes sign bits. Plane p's
+    weight on dim d is +1 iff bit 0 of md5('t:p:d') is 1."""
+    bits = []
+    for p in range(n_planes):
+        terms = []
+        for d in range(dim):
+            w = _nibble(F.md5(F.lit(f"{table}:{p}:{d}").cast("binary")), 0)
+            terms.append((w * 2 - 1).cast("double")
+                         * F.element_at(vec_col, d + 1))
+        s = terms[0]
+        for t in terms[1:]:
+            s = s + t
+        bits.append(F.when(s >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_ann_topk(emb: DataFrame, query_filter: Column, k: int = 5,
+                 n_tables: int = 4, n_planes: int = 8,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket in ≥1 table;
+    exact cosine on candidates only. Same output shape as
+    ``cosine_topk`` (fewer than k rows possible for sparse buckets)."""
+    from pyspark.sql import Window
+    vec = _as_double(F.col(vec_col))
+    keyed = emb.select(
+        F.col(id_col), vec.alias("vec"),
+        F.posexplode(F.array(*[
+            _sign_bits(vec, t, n_planes, DIM) for t in range(n_tables)
+        ])).alias("tbl", "bucket"))
+    q = (keyed.join(emb.filter(query_filter).select(F.col(id_col)), id_col)
+         .withColumnsRenamed({id_col: "qid", "vec": "qvec"}))
+    c = keyed.withColumnsRenamed({id_col: "nid", "vec": "nvec"})
+    cand = (q.join(c, ["tbl", "bucket"])
+             .filter(F.col("qid") != F.col("nid"))
+             .select("qid", "qvec", "nid", "nvec")
+             .dropDuplicates(["qid", "nid"]))
+    cos = _dot(F.col("qvec"), F.col("nvec")) / (
+        F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
+        * F.sqrt(_dot(F.col("nvec"), F.col("nvec"))))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
+                                          F.col("nid"))
+    return (cand.select("qid", "nid", F.round(cos, 6).alias("cosine"))
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= k).drop("rn"))

@@ -1,0 +1,83 @@
+"""Text analysis over a document table — all built-in JVM expressions
+(no Python UDFs): tokenization, quality scoring, n-gram-marker
+language ID, content fingerprinting.
+
+Tokenization contract (shared with dedup + the SQL oracles):
+``split(lower(trim(text)), ' ')`` — single-space word split of the
+lowercased, trimmed text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+# Marker tokens per language for the n-gram-heuristic language ID.
+# Real corpora would use character n-gram profiles; the marker-set
+# argmax is the same plan shape (explode → match → score → argmax).
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "das", "und"),
+    "fr": ("le", "la", "les", "et"),
+    "es": ("el", "los", "las", "y"),
+    "zh": ("de5", "shi4", "le5", "he2"),
+}
+
+
+def tokens(text_col: Column | str = "text") -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.lower(F.trim(c)), " ")
+
+
+def token_count(text_col: Column | str = "text") -> Column:
+    return F.size(tokens(text_col))
+
+
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/punctuation/stopword quality features per document."""
+    toks = tokens(text_col)
+    stop = F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    n_punct = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), "[.,;:!?]", ""))
+    return df.withColumns({
+        "n_tokens": F.size(toks),
+        "n_chars_obs": F.length(F.col(text_col)),
+        "mean_token_len": F.round(
+            F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t))
+            / F.size(toks), 6),
+        "stopword_ratio": F.round(F.size(stop) / F.size(toks), 6),
+        "punct_ratio": F.round(n_punct / F.length(F.col(text_col)), 6),
+    })
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-token language ID: score each language by marker hits,
+    argmax with deterministic tie-break (score desc, lang asc);
+    'und' when no marker fires."""
+    toks = tokens(text_col)
+    scored = df.withColumns({
+        f"score_{lang}": F.size(F.filter(toks, lambda t: t.isin(*marks)))
+        for lang, marks in LANG_MARKERS.items()
+    })
+    # argmax via greatest + case chain in asc-lang order (deterministic)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.when(best == 0, F.lit("und"))
+    for lg in langs:
+        pred = pred.when(F.col(f"score_{lg}") == best, F.lit(lg))
+    return scored.withColumn("pred_lang", pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprints: full-text md5 plus a winnowed shingle
+    fingerprint (min md5 over 3-word shingles — a rolling-hash-style
+    document signature stable under small edits at the margins)."""
+    from .dedup import shingles
+    sh = shingles(text_col, 3)
+    return df.withColumns({
+        "fp_md5": F.md5(F.col(text_col).cast("binary")),
+        "fp_shingle": F.array_min(
+            F.transform(sh, lambda s: F.md5(s.cast("binary")))),
+    })

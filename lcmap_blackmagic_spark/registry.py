@@ -447,6 +447,13 @@ QUERIES: dict[str, dict] = {
 }
 
 
+# LLM-pipeline operator queries (dedup, similarity, text analysis) —
+# imported at the bottom so registry_llm can reuse _t.
+from .registry_llm import QUERIES_LLM  # noqa: E402
+
+QUERIES.update(QUERIES_LLM)
+
+
 def queries() -> dict[str, Callable]:
     return {name: spec["fn"] for name, spec in QUERIES.items()}
 
