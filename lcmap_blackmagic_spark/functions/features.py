@@ -20,7 +20,7 @@ def spectral_slope(coef_col: Column | str) -> Column:
     """First harmonic coefficient, or 0.0 when the segment has no model
     (default segments carry empty/null coef arrays — segaux.py:176-186)."""
     c = F.col(coef_col) if isinstance(coef_col, str) else coef_col
-    return F.coalesce(F.element_at(c, 1), F.lit(0.0))
+    return F.coalesce(F.try_element_at(c, F.lit(1)), F.lit(0.0))
 
 
 def average_reflectance(df: DataFrame, date_col: str = "date") -> DataFrame:
@@ -39,7 +39,7 @@ def average_reflectance(df: DataFrame, date_col: str = "date") -> DataFrame:
 def _coef_slot(band: str, i: int) -> Column:
     # Missing/short coef arrays read as 0.0 — default segments have no
     # coefficients but still occupy matrix rows (segaux.py:176-186).
-    return F.coalesce(F.element_at(F.col(f"{band}coef"), i + 1),
+    return F.coalesce(F.try_element_at(F.col(f"{band}coef"), F.lit(i + 1)),
                       F.lit(0.0)).cast("double")
 
 

@@ -1,0 +1,75 @@
+"""UD3 — broadcast-model batch inference
+(blackmagic/blueprints/prediction.py:186-231).
+
+The reference documents why inference must be batched: the per-row
+worker method took ~970 s/chip (prediction.py:203-207). Here the model
+bytes are broadcast once and ``mapInPandas`` applies them per Arrow
+batch — no shuffle, no positional re-zip (the probability vector is
+computed in-row)."""
+
+from __future__ import annotations
+
+import pickle
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..schemas import NUM_CLASSES
+from .train import HAVE_XGBOOST
+
+
+def _load(model_bytes: bytes):
+    if HAVE_XGBOOST:
+        try:
+            import xgboost as xgb
+            booster = xgb.Booster()
+            booster.load_model(bytearray(model_bytes))
+            return booster
+        except Exception:
+            pass
+    return pickle.loads(model_bytes)
+
+
+def _predict_matrix(model, X: np.ndarray) -> np.ndarray:
+    if HAVE_XGBOOST and not isinstance(model, dict):
+        import xgboost as xgb
+        return model.predict(xgb.DMatrix(X))
+    # nearest-centroid fallback: softmax over negative distances;
+    # classes absent at train time get probability 0.
+    c = model["centroids"]
+    d = np.linalg.norm(X[:, None, :] - c[None, :, :], axis=2)
+    z = -d / (d.std() + 1e-9)
+    z[:, ~model["seen"]] = -np.inf
+    e = np.exp(z - z.max(axis=1, keepdims=True))
+    return e / e.sum(axis=1, keepdims=True)
+
+
+def predict_probabilities(df: DataFrame, model_bytes: bytes,
+                          features_col: str = "independent") -> DataFrame:
+    """Append ``prob array<float>`` (NUM_CLASSES entries) to every row.
+    Input rows must carry a fixed-length feature array."""
+    from ..session import ensure_worker_imports
+    spark = df.sparkSession
+    ensure_worker_imports(spark)
+    bc = spark.sparkContext.broadcast(model_bytes)
+    out_schema = T.StructType(
+        df.schema.fields
+        + [T.StructField("prob", T.ArrayType(T.FloatType()))])
+    in_cols = [f.name for f in df.schema.fields]
+
+    def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = _load(bc.value)
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(prob=pd.Series(dtype=object))
+                continue
+            X = np.vstack(pdf[features_col].to_numpy()).astype(np.float32)
+            probs = _predict_matrix(model, X).astype(np.float32)
+            pdf = pdf[in_cols].copy()
+            pdf["prob"] = list(probs)
+            yield pdf
+
+    return df.mapInPandas(infer, schema=out_schema)

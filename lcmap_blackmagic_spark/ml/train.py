@@ -1,0 +1,104 @@
+"""UD2 — the training boundary (blackmagic/blueprints/tile.py:287-331).
+
+The reference collects the (stratified-sampled, already bounded ≤
+target_samples) matrix and runs one XGBoost fit on the driver — that
+stays the design here: sampling/stats/shuffles are distributed, the
+fit itself is a driver-local step on the bounded sample.
+
+XGBoost (pinned in the reference at setup.py:34) is not available in
+this environment, so the trainer is pluggable: with xgboost importable
+it uses the reference's exact params (multi:softprob, num_class 9,
+hist, depth 8, 500 rounds, early-stop 10 — blackmagic/__init__.py:13-26);
+otherwise a deterministic nearest-centroid classifier with softmax
+probabilities keeps every downstream contract testable (model bytes →
+broadcast → batch predict → 9-prob vectors).
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import NUM_CLASSES
+
+# Reference parameters (blackmagic/__init__.py:13-26).
+XGB_PARAMS = {
+    "objective": "multi:softprob",
+    "num_class": NUM_CLASSES,
+    "max_depth": 8,
+    "tree_method": "hist",
+    "eval_metric": "mlogloss",
+}
+NUM_ROUND = 500
+EARLY_STOPPING_ROUNDS = 10
+TEST_SIZE = 0.2
+
+try:
+    import xgboost as xgb
+    HAVE_XGBOOST = True
+except ImportError:  # environment without the pinned dep
+    xgb = None
+    HAVE_XGBOOST = False
+
+
+def _collect_matrix(df: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """label+features DataFrame → (X float32, y int8). The sample is
+    bounded by the stratified sampler before this point."""
+    rows = df.select("label", "features").collect()
+    y = np.array([r["label"] for r in rows], dtype=np.int8)
+    X = np.array([r["features"] for r in rows], dtype=np.float32)
+    return X, y
+
+
+def _train_xgboost(train_df: DataFrame, test_df: DataFrame) -> bytes:
+    Xtr, ytr = _collect_matrix(train_df)
+    Xte, yte = _collect_matrix(test_df)
+    dtrain = xgb.DMatrix(Xtr, label=ytr)
+    dtest = xgb.DMatrix(Xte, label=yte)
+    booster = xgb.train(XGB_PARAMS, dtrain, NUM_ROUND,
+                        evals=[(dtrain, "train"), (dtest, "eval")],
+                        early_stopping_rounds=EARLY_STOPPING_ROUNDS,
+                        verbose_eval=False)
+    return booster.save_raw()
+
+
+def _train_centroid(train_df: DataFrame) -> bytes:
+    """Distributed per-class centroids: posexplode the feature array,
+    aggregate mean per (label, slot) — no driver-side matrix at all.
+    The model is tiny (num_class × n_features)."""
+    agg = (train_df
+           .select("label", F.posexplode("features").alias("slot", "v"))
+           .groupBy("label", "slot").agg(F.avg("v").alias("mu")))
+    rows = agg.collect()
+    n_slots = max(r["slot"] for r in rows) + 1
+    centroids = np.zeros((NUM_CLASSES, n_slots), dtype=np.float64)
+    seen = np.zeros(NUM_CLASSES, dtype=bool)
+    for r in rows:
+        centroids[r["label"], r["slot"]] = r["mu"]
+        seen[r["label"]] = True
+    return pickle.dumps({"kind": "centroid", "centroids": centroids,
+                         "seen": seen})
+
+
+def train_model(train_df: DataFrame, test_df: DataFrame | None = None) -> bytes:
+    """Fit on label+features rows; returns opaque model bytes
+    (hex-encodable for byte-parity with tile.py:334-356)."""
+    if HAVE_XGBOOST:
+        return _train_xgboost(train_df, test_df if test_df is not None
+                              else train_df)
+    return _train_centroid(train_df)
+
+
+def evaluate(model_bytes: bytes, df: DataFrame) -> float:
+    """Multiclass log-loss on a label+features DataFrame (the
+    reference's watchlist metric, tile.py:303-310)."""
+    from .predict import _load, _predict_matrix
+    model = _load(model_bytes)
+    X, y = _collect_matrix(df)
+    probs = _predict_matrix(model, X)
+    eps = 1e-15
+    return float(-np.mean(np.log(np.clip(probs[np.arange(len(y)), y],
+                                         eps, 1.0))))

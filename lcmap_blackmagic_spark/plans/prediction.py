@@ -47,3 +47,19 @@ def prediction_inputs(segments: DataFrame, aux: DataFrame,
         F.slice(standard_format_array(include_label=False), 1, 68)
          .alias("independent"),
     )
+
+
+def prediction_pipeline(segments: DataFrame, aux: DataFrame,
+                        model_bytes: bytes, month: int, day: int) -> DataFrame:
+    """End-to-end /prediction (prediction.py:331-345): features →
+    defaults/data split (U3) → broadcast batch inference (UD3) →
+    defaults rejoin with prob=[] (U2). Output matches the
+    PREDICTIONS schema."""
+    from ..ml.predict import predict_probabilities
+    from ..operators.unions import default_predictions, group_data
+
+    inputs = prediction_inputs(segments, aux, month, day)
+    defaults, data = group_data(inputs)
+    predicted = (predict_probabilities(data, model_bytes, "independent")
+                 .drop("independent"))
+    return default_predictions(defaults.drop("independent"), predicted)

@@ -1,0 +1,174 @@
+"""The /segment pipeline (blackmagic/blueprints/segment.py:253-264):
+raster time series → per-pixel assembly → change detection → 38-col
+segment records + chip/pixel side outputs.
+
+Reference shape: merlin assembles 10,000 pixel time series per chip
+(segment.py:109-116), a multiprocessing Pool maps PyCCD over pixels
+(segment.py:188-195, __init__.py:29-30), ``format()`` flattens results
+(segment.py:61-104).
+
+Spark shape:
+- A2 assembly: posexplode of the chip raster → (pixel, acquisition)
+  rows → pivot bands → one shuffle keyed (px, py), sorted arrays.
+- UD1 detection: ``applyInPandas`` over (cx, cy, px, py) groups —
+  the Pool boundary becomes the executor task boundary; one chip is
+  one (or a few) partitions, a tile run is 2500 chips in one job.
+- P1 projection: plain select; defaults handled by the detector
+  contract (a pixel with no fitted model yields one default segment,
+  sday=eday=bday=0001-01-01 — segment.py:52-53, 68-70).
+
+The detector is pluggable: ``stub_detector`` is a deterministic
+linear-fit stand-in (the pinned lcmap-pyccd==2018.10.17 isn't in this
+environment); a PyCCD adapter drops in with the same signature.
+"""
+
+from __future__ import annotations
+
+import datetime
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import BANDS, SEGMENTS
+from ..sources.fixtures import PIXEL_M, QA_CLEAR, UBID_BANDS
+
+# spectral order used by the detector contract (merlin's parallel
+# arrays at segment.py:109-116): blues greens reds nirs swir1s swir2s
+# thermals; BANDS maps to short names bl gr ni re s1 s2 th.
+SPECTRA = ("blue", "green", "red", "nir", "swir1", "swir2", "thermal")
+SPEC_TO_SHORT = {"blue": "bl", "green": "gr", "nir": "ni", "red": "re",
+                 "swir1": "s1", "swir2": "s2", "thermal": "th"}
+
+
+def pixel_timeseries(ard: DataFrame, side: int = 100,
+                     ubid_bands: dict[str, str] = UBID_BANDS) -> DataFrame:
+    """A2: chip rasters → one row per pixel with aligned per-band
+    arrays sorted by date (duplicate same-day acquisitions dropped,
+    as merlin does).
+
+    Output: cx, cy, px, py, dates array<int> (ordinals), one
+    array<int> per spectral band + qas.
+    """
+    band_expr = F.create_map(*[x for u, b in ubid_bands.items()
+                               for x in (F.lit(u), F.lit(b))])
+    px = F.col("cx") + (F.col("pos") % side) * PIXEL_M
+    py = F.col("cy") - F.floor(F.col("pos") / side) * PIXEL_M
+    cells = (ard
+             .withColumn("band", band_expr[F.col("ubid")])
+             .withColumn("ordinal",
+                         F.datediff(F.to_date("acquired"),
+                                    F.to_date(F.lit("0001-01-01"))) + 1)
+             .select("cx", "cy", "band", "ordinal",
+                     F.posexplode("data").alias("pos", "val"))
+             .withColumn("px", px).withColumn("py", py)
+             .dropDuplicates(["px", "py", "band", "ordinal"]))
+    pivoted = (cells.groupBy("cx", "cy", "px", "py", "ordinal")
+               .pivot("band", list(dict.fromkeys(ubid_bands.values())))
+               .agg(F.first("val")))
+    per_pixel = (pivoted.groupBy("cx", "cy", "px", "py")
+                 .agg(F.sort_array(F.collect_list(F.struct(
+                     "ordinal", *SPECTRA, "qa"))).alias("obs")))
+    return per_pixel.select(
+        "cx", "cy", "px", "py",
+        F.col("obs.ordinal").alias("dates"),
+        *[F.col(f"obs.{s}").alias(f"{s}s") for s in SPECTRA],
+        F.col("obs.qa").alias("qas"))
+
+
+def stub_detector(dates: np.ndarray, bands: dict[str, np.ndarray],
+                  qas: np.ndarray) -> list[dict]:
+    """Deterministic change-detection stand-in with PyCCD's contract:
+    given one pixel's time series, return segment dicts (possibly
+    empty → caller emits a default segment). Fits one linear model
+    per band over clear observations; requires ≥ 12 clear points
+    (PyCCD's minimum window)."""
+    clear = qas == QA_CLEAR
+    if clear.sum() < 12:
+        return []
+    d = dates[clear].astype(np.float64)
+    seg: dict = {
+        "sday": int(d.min()), "eday": int(d.max()), "bday": int(d.max()),
+        "chprob": 0.0, "curqa": int(QA_CLEAR),
+    }
+    for spec, short in SPEC_TO_SHORT.items():
+        y = bands[spec][clear].astype(np.float64)
+        slope, intercept = np.polyfit(d, y, 1)
+        resid = y - (intercept + slope * d)
+        seg[short] = {
+            "magnitude": 0.0,
+            "rmse": float(np.sqrt(np.mean(resid ** 2))),
+            "intercept": float(intercept),
+            "coefficients": [float(slope)] + [0.0] * 6,
+        }
+    return [seg]
+
+
+def detect(timeseries: DataFrame,
+           detector: Callable = stub_detector) -> DataFrame:
+    """UD1: run the detector per pixel via applyInPandas. A pixel
+    whose detector returns no models yields one default segment
+    (segment.py:52-53 defaults())."""
+    default_day = datetime.date(1, 1, 1).isoformat()
+
+    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for row in pdf.itertuples(index=False):
+            dates = np.asarray(row.dates)
+            bands = {s: np.asarray(getattr(row, f"{s}s")) for s in SPECTRA}
+            qas = np.asarray(row.qas)
+            segs = detector(dates, bands, qas) or [{}]
+            for s in segs:
+                rec = {
+                    "cx": row.cx, "cy": row.cy, "px": row.px, "py": row.py,
+                    "sday": _iso(s.get("sday")), "eday": _iso(s.get("eday")),
+                    "bday": _iso(s.get("bday")),
+                    "chprob": float(s.get("chprob", 0.0)),
+                    "curqa": int(s.get("curqa", 0)),
+                }
+                for spec, short in SPEC_TO_SHORT.items():
+                    b = s.get(short, {})
+                    rec[f"{short}mag"] = float(b.get("magnitude", 0.0))
+                    rec[f"{short}rmse"] = float(b.get("rmse", 0.0))
+                    rec[f"{short}int"] = float(b.get("intercept", 0.0))
+                    rec[f"{short}coef"] = list(b.get("coefficients", []))
+                out.append(rec)
+        cols = [f.name for f in SEGMENTS.fields]
+        return pd.DataFrame(out, columns=cols)
+
+    def _iso(ordinal):
+        # ordinal→ISO with the reference's default-1 sentinel
+        # (segment.py:68-70: missing dates default to ordinal 1).
+        return datetime.date.fromordinal(int(ordinal or 1)).isoformat()
+
+    from ..session import ensure_worker_imports
+    ensure_worker_imports(timeseries.sparkSession)
+    return (timeseries
+            .groupBy("cx", "cy", "px", "py")
+            .applyInPandas(run_group, schema=SEGMENTS))
+
+
+def chip_record(detections: DataFrame) -> DataFrame:
+    """S6: one {cx, cy, dates} row per chip (ceph.py:150-161) — the
+    distinct observation dates of the chip."""
+    return (detections.groupBy("cx", "cy")
+            .agg(F.sort_array(F.collect_set("sday")).alias("dates")))
+
+
+def pixel_records(timeseries: DataFrame) -> DataFrame:
+    """S7: per-pixel {cx,cy,px,py,mask} (ceph.py:163-176) — the
+    processing mask is 1 where the QA value is clear."""
+    mask = F.transform(F.col("qas"),
+                       lambda q: (q == QA_CLEAR).cast("int"))
+    return timeseries.select("cx", "cy", "px", "py", mask.alias("mask"))
+
+
+def segment_pipeline(ard: DataFrame, side: int = 100,
+                     detector: Callable = stub_detector) -> DataFrame:
+    """End-to-end /segment: assembly → detection. Returns the 38-col
+    segments DataFrame (callers persist via storage.overwrite_partitions
+    and derive chip/pixel records)."""
+    ts = pixel_timeseries(ard, side)
+    return detect(ts, detector)

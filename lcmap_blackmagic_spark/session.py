@@ -33,6 +33,38 @@ def get_session(app_name: str = "lcmap-blackmagic-spark",
     return spark
 
 
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Pandas-UDF closures (detect, predict, multimodal) reference
+    module-level symbols, which cloudpickle serializes *by reference*
+    — the worker must be able to ``import lcmap_blackmagic_spark``.
+    That holds only by luck when the driver process happens to run
+    from the repo root; shipping a zip via ``addPyFile`` makes it hold
+    everywhere (including a cluster). Idempotent per session.
+    """
+    flag = "spark.lcmap_blackmagic_spark.pyfilesShipped"
+    try:
+        if spark.conf.get(flag, None):
+            return
+    except Exception:
+        pass
+    import tempfile
+    import zipfile
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(tempfile.gettempdir(),
+                         "lcmap_blackmagic_spark_pyfiles.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    spark.sparkContext.addPyFile(zpath)
+    spark.conf.set(flag, "true")
+
+
 def tables(spark: SparkSession, sf_dir: str) -> dict:
     """Load the driver-provided synthetic tables as DataFrames."""
     names = ["region", "nation", "customer", "supplier", "part", "orders",

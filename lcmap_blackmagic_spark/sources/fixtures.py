@@ -1,0 +1,137 @@
+"""Deterministic synthetic fixtures shaped like the reference's data
+(FIXTURES.md; Chipmunk /chips + /registry responses recorded in the
+reference's deps/nginxcache/).
+
+A chip is ``side × side`` pixels at 30 m pitch with origin (cx, cy) at
+the upper-left (px grows east, py grows *south*, i.e. decreasing y —
+blackmagic/blueprints/segment.py:64-67). Tests use side=10 for speed;
+the real grid is side=100 (10,000 pixels — test_A_segment.py:51).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import ARD, AUX, BANDS, DEFAULT_DAY
+
+PIXEL_M = 30
+
+# ubid → canonical band name for one mission (Landsat-8 style; the
+# reference's registry lists LT04/LT05/LE07/LC08 SRB*/BTB*/PIXELQA).
+UBID_BANDS = {
+    "LC08_SRB2": "blue",
+    "LC08_SRB3": "green",
+    "LC08_SRB4": "red",
+    "LC08_SRB5": "nir",
+    "LC08_SRB6": "swir1",
+    "LC08_SRB7": "swir2",
+    "LC08_BTB10": "thermal",
+    "LC08_PIXELQA": "qa",
+}
+
+QA_CLEAR = 66  # PyCCD-accepted clear-land code
+QA_CLOUD = 322
+
+
+def synth_ard(spark: SparkSession, cx: int = -2061585, cy: int = 1922805,
+              side: int = 10, n_acq: int = 40, seed: int = 42) -> DataFrame:
+    """One chip of raster time series: a row per (ubid, acquisition),
+    ``data`` = row-major side×side values. Values follow a linear
+    trend + noise per pixel so the stub detector recovers non-trivial
+    slopes; ~15% of acquisitions are cloudy per pixel."""
+    rng = np.random.RandomState(seed)
+    n_px = side * side
+    # acquisition dates across 1984-2018, deterministic spacing
+    days = np.sort(rng.choice(np.arange(0, 12400), size=n_acq, replace=False))
+    base_ord = 724276  # 1984-01-01 proleptic ordinal
+    slope = rng.uniform(-0.05, 0.05, size=(len(UBID_BANDS) - 1, n_px))
+    intercept = rng.uniform(500, 3000, size=(len(UBID_BANDS) - 1, n_px))
+    cloudy = rng.rand(n_acq, n_px) < 0.15
+
+    rows = []
+    for a, day in enumerate(days):
+        for b, ubid in enumerate(UBID_BANDS):
+            if UBID_BANDS[ubid] == "qa":
+                data = np.where(cloudy[a], QA_CLOUD, QA_CLEAR)
+            else:
+                noise = rng.normal(0, 20, size=n_px)
+                data = intercept[b] + slope[b] * day + noise
+            rows.append({
+                "ubid": ubid, "cx": cx, "cy": cy,
+                "acquired": pd.Timestamp.fromordinal(base_ord + int(day)),
+                "data": data.astype(np.int32).tolist(),
+            })
+    return spark.createDataFrame(pd.DataFrame(rows), schema=ARD)
+
+
+def synth_aux(spark: SparkSession, cx: int = -2061585, cy: int = 1922805,
+              side: int = 10, seed: int = 43,
+              dup_fraction: float = 0.0) -> DataFrame:
+    """Static per-pixel aux layers; ~70% of pixels labeled
+    (nlcdtrn ≠ 0 — FIXTURES.md §2). ``dup_fraction`` injects
+    duplicate keys to exercise the last-wins dedupe of J1."""
+    rng = np.random.RandomState(seed)
+    recs = []
+    for r in range(side):
+        for c in range(side):
+            recs.append({
+                "cx": cx, "cy": cy,
+                "px": cx + c * PIXEL_M, "py": cy - r * PIXEL_M,
+                "nlcdtrn": int(rng.randint(1, 9)) if rng.rand() < 0.7 else 0,
+                "nlcd": int(rng.randint(11, 95)),
+                "aspect": int(rng.randint(0, 360)),
+                "posidex": float(rng.rand() * 10),
+                "slope": float(rng.rand() * 45),
+                "mpw": int(rng.randint(0, 100)),
+                "dem": float(rng.rand() * 3000),
+            })
+    if dup_fraction > 0:
+        n_dup = int(len(recs) * dup_fraction)
+        for rec in recs[:n_dup]:
+            clone = dict(rec)
+            clone["nlcdtrn"] = (rec["nlcdtrn"] % 8) + 1
+            recs.append(clone)
+    return spark.createDataFrame(pd.DataFrame(recs), schema=AUX)
+
+
+def synth_segments(spark: SparkSession, cx: int = -2061585,
+                   cy: int = 1922805, side: int = 10,
+                   seed: int = 44, default_fraction: float = 0.08,
+                   training_date: str = "2001-07-01") -> DataFrame:
+    """Segments table with the randomized-coefficient recipe of
+    test/test_D_prediction.py:32-63: 1-3 segments per pixel, ~8%
+    default segments, intervals that mostly span ``training_date``."""
+    from ..schemas import SEGMENTS
+    rng = np.random.RandomState(seed)
+    recs = []
+    for r in range(side):
+        for c in range(side):
+            px, py = cx + c * PIXEL_M, cy - r * PIXEL_M
+            if rng.rand() < default_fraction:
+                rec = {"cx": cx, "cy": cy, "px": px, "py": py,
+                       "sday": DEFAULT_DAY, "eday": DEFAULT_DAY,
+                       "bday": DEFAULT_DAY, "chprob": 0.0, "curqa": 0}
+                for b in BANDS:
+                    rec |= {f"{b}mag": 0.0, f"{b}rmse": 0.0,
+                            f"{b}int": 0.0, f"{b}coef": []}
+                recs.append(rec)
+                continue
+            n_seg = rng.randint(1, 4)
+            bounds = sorted(rng.choice(np.arange(1985, 2018), size=n_seg + 1,
+                                       replace=False))
+            for s in range(n_seg):
+                rec = {"cx": cx, "cy": cy, "px": px, "py": py,
+                       "sday": f"{bounds[s]}-03-01",
+                       "eday": f"{bounds[s + 1]}-11-01",
+                       "bday": f"{bounds[s + 1]}-11-01",
+                       "chprob": float(rng.rand()),
+                       "curqa": int(rng.randint(0, 50))}
+                for b in BANDS:
+                    rec |= {f"{b}mag": float(rng.rand()),
+                            f"{b}rmse": float(rng.rand()),
+                            f"{b}int": float(rng.rand() * 90),
+                            f"{b}coef": [float(x) for x in rng.rand(7)]}
+                recs.append(rec)
+    return spark.createDataFrame(pd.DataFrame(recs), schema=SEGMENTS)

@@ -1,0 +1,3 @@
+from .jobs import work_queue, hourly_rollup, events_stream
+
+__all__ = ["work_queue", "hourly_rollup", "events_stream"]

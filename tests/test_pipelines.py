@@ -1,0 +1,174 @@
+"""End-to-end pipeline tests mirroring the reference's golden-count
+contract (test_A_segment → test_B_tile → test_D_prediction): counts,
+schemas, sentinel semantics, and the positional feature contract."""
+
+import datetime
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lcmap_blackmagic_spark.ml.train import train_model
+from lcmap_blackmagic_spark.plans.prediction import (prediction_inputs,
+                                                     prediction_pipeline)
+from lcmap_blackmagic_spark.plans.segment import (pixel_records,
+                                                  pixel_timeseries,
+                                                  segment_pipeline)
+from lcmap_blackmagic_spark.plans.tile import tile_pipeline
+from lcmap_blackmagic_spark.plans.training import training_data
+from lcmap_blackmagic_spark.schemas import DEFAULT_DAY, SEGMENTS
+from lcmap_blackmagic_spark.sources.fixtures import (synth_ard, synth_aux,
+                                                     synth_segments)
+
+SIDE = 10  # 100 pixels per test chip (real grid: 100 → 10,000)
+
+
+@pytest.fixture(scope="module")
+def ard(spark):
+    return synth_ard(spark, side=SIDE).cache()
+
+
+@pytest.fixture(scope="module")
+def aux(spark):
+    return synth_aux(spark, side=SIDE).cache()
+
+
+@pytest.fixture(scope="module")
+def segments(spark):
+    return synth_segments(spark, side=SIDE).cache()
+
+
+# ---- /segment (golden counts per test_A_segment.py:50-52) ----------
+
+def test_pixel_timeseries_assembly(ard):
+    ts = pixel_timeseries(ard, side=SIDE)
+    rows = ts.collect()
+    assert len(rows) == SIDE * SIDE  # one row per pixel
+    r = rows[0]
+    n = len(r["dates"])
+    assert n == 40  # one entry per acquisition
+    assert list(r["dates"]) == sorted(r["dates"])
+    for band in ["blues", "greens", "reds", "nirs", "swir1s", "swir2s",
+                 "thermals", "qas"]:
+        assert len(r[band]) == n
+
+
+def test_segment_pipeline_counts_and_schema(ard):
+    segs = segment_pipeline(ard, side=SIDE)
+    assert segs.schema == SEGMENTS
+    rows = segs.collect()
+    # stub detector: 1 segment per pixel (default or fitted)
+    assert len(rows) == SIDE * SIDE
+    fitted = [r for r in rows if r["sday"] != DEFAULT_DAY]
+    assert len(fitted) > 0.8 * SIDE * SIDE  # ~15% cloud → most pixels fit
+    # fitted segments carry 7 coefficients with the linear slope first
+    assert all(len(r["blcoef"]) == 7 for r in fitted)
+
+
+def test_segment_pipeline_default_sentinels(ard):
+    # force everything to default by requiring impossible clear count
+    segs = segment_pipeline(ard, side=SIDE,
+                            detector=lambda d, b, q: [])
+    rows = segs.collect()
+    assert len(rows) == SIDE * SIDE
+    assert all(r["sday"] == r["eday"] == r["bday"] == DEFAULT_DAY
+               for r in rows)
+    assert all(r["blcoef"] == [] for r in rows)
+
+
+def test_pixel_records_mask(ard):
+    ts = pixel_timeseries(ard, side=SIDE)
+    pr = pixel_records(ts).collect()
+    assert len(pr) == SIDE * SIDE
+    assert set(v for r in pr for v in r["mask"]) <= {0, 1}
+
+
+# ---- /tile training data (tile.py:88-109 semantics) ----------------
+
+def test_training_data_contract(segments, aux):
+    date = "2001-07-01"
+    td = training_data(segments, aux, date)
+    rows = td.collect()
+    assert len(rows) > 0
+    assert all(len(r["features"]) == 68 for r in rows)
+    assert all(1 <= r["label"] <= 8 for r in rows)  # nlcdtrn=0 filtered
+
+
+def test_training_data_average_reflectance_golden(spark, segments, aux):
+    """Feature slots 12 (blar) must equal blint + blcoef[0]*ordinal —
+    the reference's average_reflectance (segaux.py:189-209), checked
+    against an independent numpy computation."""
+    date = "2001-07-01"
+    td = training_data(segments, aux, date, keep_keys=True)
+    row = td.filter("label is not null").limit(1).collect()[0]
+    seg = (segments.filter((F.col("px") == row["px"])
+                           & (F.col("py") == row["py"])
+                           & (F.col("sday") <= date) & (F.col("eday") >= date))
+           .collect()[0])
+    ordinal = datetime.date(2001, 7, 1).toordinal()
+    expect_blar = seg["blint"] + seg["blcoef"][0] * ordinal
+    # slots: [aspect posidex slope mpw dem] then bl: coef0..6, rmse, ar
+    got_blar = row["features"][5 + 8]
+    assert got_blar == pytest.approx(expect_blar, rel=1e-9)
+    assert row["features"][5 + 7] == pytest.approx(seg["blrmse"], rel=1e-9)
+    assert row["features"][5 + 0] == pytest.approx(seg["blcoef"][0], rel=1e-9)
+
+
+def test_training_data_last_wins_dedupe(spark):
+    """Duplicate aux keys must not multiply joined rows (J1 dict
+    semantics, segaux.py:89-102)."""
+    aux_dup = synth_aux(spark, side=SIDE, dup_fraction=0.5)
+    segs = synth_segments(spark, side=SIDE)
+    td = training_data(segs, aux_dup, "2001-07-01", keep_keys=True)
+    counts = (td.groupBy("px", "py").count().collect())
+    segs_per_pixel = {(r["px"], r["py"]): r["count"] for r in
+                      (segs.filter((F.col("sday") <= "2001-07-01")
+                                   & (F.col("eday") >= "2001-07-01"))
+                       .groupBy("px", "py").count().collect())}
+    for r in counts:
+        assert r["count"] <= segs_per_pixel[(r["px"], r["py"])]
+
+
+# ---- /tile train + /prediction e2e ---------------------------------
+
+@pytest.fixture(scope="module")
+def model(segments, aux):
+    model_bytes, stats = tile_pipeline(
+        segments, aux, "2001-07-01",
+        target_samples=200, class_min=5, class_max=40, seed=42)
+    return model_bytes
+
+
+def test_tile_pipeline_trains(model):
+    assert isinstance(model, bytes) and len(model) > 0
+
+
+def test_prediction_inputs_explode(segments, aux):
+    pi = prediction_inputs(segments, aux, 7, 1)
+    rows = pi.collect()
+    # every non-default row: pday is an in-interval July 1
+    for r in rows:
+        if r["sday"] == DEFAULT_DAY:
+            assert r["pday"] == DEFAULT_DAY
+        else:
+            assert r["sday"] <= r["pday"] <= r["eday"]
+            assert r["pday"][5:] == "07-01"
+    assert all(len(r["independent"]) == 68 for r in rows)
+
+
+def test_prediction_pipeline_e2e(segments, aux, model):
+    preds = prediction_pipeline(segments, aux, model, 7, 1)
+    rows = preds.collect()
+    assert len(rows) > 0
+    defaults = [r for r in rows if r["pday"] == DEFAULT_DAY]
+    data = [r for r in rows if r["pday"] != DEFAULT_DAY]
+    # U2/U3: defaults carry empty prob, data carries 9 probs summing 1
+    assert len(defaults) > 0 and len(data) > 0
+    assert all(r["prob"] == [] for r in defaults)
+    for r in data[:50]:
+        assert len(r["prob"]) == 9
+        assert abs(sum(r["prob"]) - 1.0) < 1e-5
+    # row count: one per (joined segment × in-interval annual date),
+    # plus one per default segment
+    pi = prediction_inputs(segments, aux, 7, 1)
+    assert len(rows) == pi.count()
