@@ -35,8 +35,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # micros (same truncation DuckDB applies on read).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        # integer `div`, not `/`: nano timestamps exceed double's 2^53
+        # mantissa, so float division is off by ~1 µs.
         return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
@@ -447,11 +449,14 @@ QUERIES: dict[str, dict] = {
 }
 
 
-# LLM-pipeline operator queries (dedup, similarity, text analysis) —
-# imported at the bottom so registry_llm can reuse _t.
+# Extension registries — imported at the bottom so they can reuse _t.
 from .registry_llm import QUERIES_LLM  # noqa: E402
+from .registry_ext import QUERIES_EXT  # noqa: E402
+from .registry_pipelines import QUERIES_PIPELINES  # noqa: E402
 
 QUERIES.update(QUERIES_LLM)
+QUERIES.update(QUERIES_EXT)
+QUERIES.update(QUERIES_PIPELINES)
 
 
 def queries() -> dict[str, Callable]:

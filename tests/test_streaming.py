@@ -20,8 +20,8 @@ def events_dir(spark, sf_dir):
     out = tempfile.mkdtemp(prefix="events_stream_")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-          .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000)
-                                               .cast("long")))).cache()
+          .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+          ).cache()
     # time-ordered file batches (the file source processes in mtime
     # order): each quartile of the time range lands in its own file,
     # so the watermark advances monotonically like a live ingest.
