@@ -323,6 +323,11 @@ def q_revenue_by_nation(spark, sf_dir):
     r = _t(spark, sf_dir, "region")
     revenue = (F.col("l_extendedprice").cast("decimal(18,2)")
                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)")))
+    # orders/customer are fact-sized: shuffle-hash join (at 100 TB a
+    # broadcast of either is impossible; locally the broadcast build
+    # is also slower than the shuffle). nation/region stay broadcast.
+    o = o.hint("shuffle_hash")
+    c = c.hint("shuffle_hash")
     return (l.join(o, l.l_orderkey == o.o_orderkey)
              .join(c, o.o_custkey == c.c_custkey)
              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
