@@ -55,6 +55,29 @@ def cosine_topk(emb: DataFrame, query_filter: Column, k: int = 5,
                   .filter(F.col("rn") <= k).drop("rn"))
 
 
+def cosine_neardup_pairs(emb: DataFrame, threshold: float,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with
+    cosine ≥ threshold. This exact all-pairs form is the oracle
+    baseline; at 100 TB the same verification runs only on LSH-bucket
+    candidates (``lsh_ann_topk``'s bucketing — sign-LSH collision
+    probability is monotone in cosine, so banding bounds recall
+    exactly as MinHash banding does for Jaccard). The filter is on the
+    UNROUNDED cosine so the threshold decision is identical in any
+    engine; rounding happens only on output."""
+    a = emb.select(F.col(id_col).alias("id_a"),
+                   _as_double(F.col(vec_col)).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"),
+                   _as_double(F.col(vec_col)).alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va")))
+        * F.sqrt(_dot(F.col("vb"), F.col("vb"))))
+    return (a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+             .filter(cos >= threshold)
+             .select("id_a", "id_b", F.round(cos, 6).alias("cosine")))
+
+
 def _sign_bits(vec_col: Column, table: int, n_planes: int, dim: int) -> Column:
     """Bucket key for one LSH table: n_planes sign bits. Plane p's
     weight on dim d is +1 iff bit 0 of md5('t:p:d') is 1."""

@@ -1,0 +1,181 @@
+"""Second extension wave: embedding near-dup, BPE-ish token counting,
+CUBE, INTERSECT/EXCEPT, PIVOT, and RANGE-frame windows.
+
+Same determinism contract as the rest of the registry: money/quantity
+sums in DECIMAL with one final double cast, threshold filters on
+unrounded values, every output column aliased identically in Spark
+and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .llm.similarity import cosine_neardup_pairs
+from .registry import _t
+
+# ---------------------------------------------- embedding near-dup --
+
+NEARDUP_THRESHOLD = 0.42  # synthetic vectors have no true dups; this
+                          # exercises the operator on a non-empty set
+
+
+def q_embed_neardup(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(e, threshold=NEARDUP_THRESHOLD)
+
+
+_DOT = ("list_sum(list_transform(generate_series(1, 64), "
+        "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))")
+_COS = (f"{_DOT.format(a='a.embedding', b='b.embedding')} / "
+        f"(sqrt({_DOT.format(a='a.embedding', b='a.embedding')}) * "
+        f"sqrt({_DOT.format(a='b.embedding', b='b.embedding')}))")
+
+SQL_EMBED_NEARDUP = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_COS}, 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_COS} >= {NEARDUP_THRESHOLD}
+"""
+
+
+# -------------------------------------------------- token counting --
+
+# GPT-2-ish coarse pretokenizer: letter runs, single digits, single
+# non-alphanumeric marks. Same semantics in Java regex and RE2.
+BPE_PATTERN = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"
+
+
+def q_token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.trim(F.col("text"))), " ")
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0))
+    return d.select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("ws_tokens"),
+        F.size(bpe).cast("bigint").alias("bpe_tokens"),
+        F.length("text").cast("bigint").alias("chars"))
+
+
+SQL_TOKEN_COUNT = f"""
+SELECT doc_id,
+       CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) AS bpe_tokens,
+       CAST(length(text) AS BIGINT) AS chars
+FROM documents
+"""
+
+
+# --------------------------------------------------------- CUBE -----
+
+def q_cube_agg(spark, sf_dir):
+    """CUBE over (returnflag, linestatus): all 4 grouping sets in one
+    pass — Spark plans this as a single expand + hash aggregate, so
+    the fact table is scanned once however many sets there are."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (l.cube("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_qty"),
+                 F.grouping_id().cast("bigint").alias("gid")))
+
+
+SQL_CUBE_AGG = """
+SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# --------------------------------------------- INTERSECT / EXCEPT ---
+
+def q_intersect_except(spark, sf_dir):
+    """Customers active in both 1995 and 1996 (INTERSECT) vs only
+    1995 (EXCEPT), tagged and unioned. Spark plans both as hash
+    left-semi/left-anti joins on the distinct key sets."""
+    o = _t(spark, sf_dir, "orders")
+    y95 = (o.filter(F.year("o_orderdate") == 1995)
+           .select("o_custkey").distinct())
+    y96 = (o.filter(F.year("o_orderdate") == 1996)
+           .select("o_custkey").distinct())
+    both = y95.intersect(y96).select(F.lit("both").alias("tag"), "o_custkey")
+    only95 = (y95.subtract(y96)
+              .select(F.lit("only_1995").alias("tag"), "o_custkey"))
+    return both.unionByName(only95)
+
+
+SQL_INTERSECT_EXCEPT = """
+WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE year(o_orderdate) = 1995),
+     y96 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE year(o_orderdate) = 1996)
+SELECT 'both' AS tag, o_custkey
+FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+UNION ALL
+SELECT 'only_1995' AS tag, o_custkey
+FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+"""
+
+
+# -------------------------------------------------------- PIVOT -----
+
+def q_pivot_agg(spark, sf_dir):
+    """Pivot linestatus into columns. The pivot values are declared
+    explicitly so the plan is a single-pass conditional aggregation —
+    no values-discovery pre-query, mandatory at scale."""
+    l = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    return (l.groupBy("l_returnflag")
+            .pivot("l_linestatus", ["F", "O"])
+            .agg(F.sum(qty))
+            .select("l_returnflag",
+                    F.col("F").cast("double").alias("qty_f"),
+                    F.col("O").cast("double").alias("qty_o")))
+
+
+SQL_PIVOT_AGG = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'F'
+                     THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+       CAST(SUM(CASE WHEN l_linestatus = 'O'
+                     THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ------------------------------------------------ RANGE-frame window
+
+def q_trailing_spend(spark, sf_dir):
+    """Per-customer trailing-30-day spend: a RANGE frame over the
+    order date (value-based, so duplicate dates are peers — identical
+    frame semantics in any engine, no tie-break needed for the SUM)."""
+    o = _t(spark, sf_dir, "orders")
+    day = F.unix_date(F.col("o_orderdate").cast("date"))
+    w = (Window.partitionBy("o_custkey").orderBy(day)
+         .rangeBetween(-30, 0))
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.col("o_orderdate").cast("date").alias("o_day"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+        .cast("double").alias("trailing_30d"))
+
+
+SQL_TRAILING_SPEND = """
+SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_day,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+            RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+        AS DOUBLE) AS trailing_30d
+FROM orders
+"""
+
+
+QUERIES_EXT2: dict[str, dict] = {
+    "llm_embed_neardup": {"fn": q_embed_neardup,    "sql": SQL_EMBED_NEARDUP},
+    "llm_token_count":   {"fn": q_token_count,      "sql": SQL_TOKEN_COUNT},
+    "cube_agg":          {"fn": q_cube_agg,         "sql": SQL_CUBE_AGG},
+    "intersect_except":  {"fn": q_intersect_except, "sql": SQL_INTERSECT_EXCEPT},
+    "pivot_agg":         {"fn": q_pivot_agg,        "sql": SQL_PIVOT_AGG},
+    "trailing_spend":    {"fn": q_trailing_spend,   "sql": SQL_TRAILING_SPEND},
+}
