@@ -70,6 +70,91 @@ def events_stream(spark: SparkSession, events_dir: str,
             .parquet(events_dir))
 
 
+SESSION_OUT = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_start", T.TimestampType()),
+    T.StructField("session_end", T.TimestampType()),
+    T.StructField("n_events", T.LongType()),
+])
+
+SESSION_STATE = T.StructType([
+    T.StructField("start_us", T.LongType()),
+    T.StructField("end_us", T.LongType()),
+    T.StructField("n", T.LongType()),
+])
+
+
+def session_windows(events: DataFrame, gap_minutes: int = 30,
+                    watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization via
+    ``applyInPandasWithState`` — the streaming twin of the batch
+    ``registry_ext.q_sessionize`` (same 30-min inactivity rule).
+
+    State per user is one open session (start, end, count) — O(1) per
+    key regardless of stream length. A session is emitted when a later
+    event opens a new one, or when the event-time timeout (watermark
+    passing session_end + gap) proves no in-order event can extend it.
+    At 100 TB-scale ingest the state store shards by user_id across
+    executors; per-key state is 24 bytes.
+    """
+    import pandas as pd  # noqa: F401 — documents the UDF contract
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdf_iter, state):
+        user_id = key[0]
+        if state.hasTimedOut:
+            start_us, end_us, n = state.get
+            state.remove()
+            yield _session_pdf(user_id, [(start_us, end_us, n)])
+            return
+        cur = state.getOption  # (start_us, end_us, n) or None
+        closed = []
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            ts_us = (pdf["ts"].astype("datetime64[ns]").astype("int64")
+                     // 1000).sort_values()
+            for t in ts_us:
+                t = int(t)
+                if cur is None:
+                    cur = (t, t, 1)
+                elif t - cur[1] > gap_us:
+                    closed.append(cur)
+                    cur = (t, t, 1)
+                else:
+                    cur = (cur[0], max(cur[1], t), cur[2] + 1)
+        if cur is not None:
+            state.update(cur)
+            # timeout must sit above the current watermark; if the
+            # watermark already passed session_end+gap the timeout
+            # fires on the next micro-batch, which is the earliest
+            # legal flush anyway.
+            state.setTimeoutTimestamp(
+                max((cur[1] + gap_us) // 1000 + 1,
+                    state.getCurrentWatermarkMs() + 1))
+        if closed:
+            yield _session_pdf(user_id, closed)
+
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(fn, SESSION_OUT, SESSION_STATE,
+                                    "append",
+                                    GroupStateTimeout.EventTimeTimeout))
+
+
+def _session_pdf(user_id, sessions):
+    import pandas as pd
+    return pd.DataFrame({
+        "user_id": [user_id] * len(sessions),
+        "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in sessions],
+        "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in sessions],
+        "n_events": [n for _, _, n in sessions],
+    })
+
+
 def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window rollup — the streaming twin of
     registry.q_events_tumbling. Late events beyond the watermark are

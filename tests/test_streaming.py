@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from lcmap_blackmagic_spark.streaming.jobs import (events_stream,
                                                    hourly_rollup,
+                                                   session_windows,
                                                    work_queue)
 
 
@@ -55,6 +56,38 @@ def test_hourly_rollup_matches_batch(spark, events_dir):
     # windows must have been emitted.
     assert got <= want
     assert len(got) >= 0.9 * len(want)
+
+
+def test_session_windows_match_batch(spark, events_dir):
+    """Stateful sessionization (applyInPandasWithState) must emit
+    exactly the sessions its batch twin computes, modulo the tail kept
+    open by the watermark."""
+    stream = events_stream(spark, events_dir, max_files_per_trigger=1)
+    sess = session_windows(stream, gap_minutes=30, watermark="30 minutes")
+    q = (sess.writeStream.format("memory").queryName("sessions")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    from pyspark.sql import Window
+    e = spark.read.parquet(events_dir)
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_micros(F.col("ts"))
+           - F.unix_micros(F.lag("ts").over(order)))
+    new_sess = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1) \
+        .otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    batch = (e.withColumn("sid", F.sum(new_sess).over(run))
+             .groupBy("user_id", "sid")
+             .agg(F.min("ts").alias("session_start"),
+                  F.max("ts").alias("session_end"),
+                  F.count(F.lit(1)).alias("n_events"))
+             .drop("sid"))
+
+    got = {tuple(r) for r in spark.table("sessions").collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got <= want
+    assert len(got) >= 0.8 * len(want)
 
 
 def test_work_queue_drives_batch_pipeline(spark, tmp_path):
