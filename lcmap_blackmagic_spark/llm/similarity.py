@@ -55,6 +55,67 @@ def cosine_topk(emb: DataFrame, query_filter: Column, k: int = 5,
                   .filter(F.col("rn") <= k).drop("rn"))
 
 
+def ivf_ann_topk(emb: DataFrame, query_filter: Column, k: int = 5,
+                 n_cells: int = 16, n_probe: int = 4, seed: int = 42,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbors: partition
+    the corpus into ``n_cells`` Voronoi cells (seeded k-means), then
+    answer each query by probing only its ``n_probe`` nearest cells.
+
+    Scale shape: the corpus is clustered/assigned ONCE (in production
+    the cell id is a persisted partition column, so a probe is a
+    partition-pruned scan); per query the candidate set shrinks by
+    ~n_probe/n_cells. The centroid table is tiny (n_cells × dim) and
+    broadcast. Exact cosine is computed on candidates only — identical
+    arithmetic to ``cosine_topk``, so recall is the only difference.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    vec = _as_double(F.col(vec_col))
+    base = emb.select(F.col(id_col), vec.alias("vec"),
+                      array_to_vector(vec).alias("features"))
+    km = KMeans(k=n_cells, seed=seed, maxIter=20)
+    model = km.fit(base)
+    corpus = (model.transform(base)
+              .select(F.col(id_col).alias("nid"),
+                      F.col("vec").alias("nvec"),
+                      F.col(km.getPredictionCol()).alias("cell")))
+
+    # centroid lookup table (n_cells rows) — crossJoin is broadcastable
+    spark = emb.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in
+         enumerate(model.clusterCenters())], "cell int, cvec array<double>")
+
+    q = (emb.filter(query_filter)
+         .select(F.col(id_col).alias("qid"), vec.alias("qvec")))
+    d2 = F.aggregate(F.zip_with(F.col("qvec"), F.col("cvec"),
+                                lambda x, y: (x - y) * (x - y)),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    wc = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("cell"))
+    probes = (q.crossJoin(F.broadcast(cents))
+              .select("qid", "qvec", "cell", d2.alias("d2"))
+              .withColumn("rn", F.row_number().over(wc))
+              .filter(F.col("rn") <= n_probe)
+              .select("qid", "qvec", "cell"))
+
+    cand = (probes.join(corpus, "cell")
+            .filter(F.col("qid") != F.col("nid")))
+    cos = _dot(F.col("qvec"), F.col("nvec")) / (
+        F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
+        * F.sqrt(_dot(F.col("nvec"), F.col("nvec"))))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
+                                          F.col("nid"))
+    # each corpus vector lives in exactly one cell, so (qid, nid) is
+    # already unique — no dedup shuffle needed (unlike multi-table LSH)
+    return (cand.select("qid", "nid", F.round(cos, 6).alias("cosine"))
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= k).drop("rn"))
+
+
 def cosine_neardup_pairs(emb: DataFrame, threshold: float,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding") -> DataFrame:

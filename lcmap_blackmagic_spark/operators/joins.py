@@ -36,6 +36,32 @@ def last_wins(df: DataFrame, keys: Sequence[str],
               .filter(F.col("__rn") == 1).drop("__rn"))
 
 
+def salted_join(big: DataFrame, small: DataFrame,
+                keys: Sequence[str], how: str = "inner",
+                n_salts: int = 16, seed: int = 42) -> DataFrame:
+    """Skew-mitigating equi-join for when one join key is hot enough
+    that AQE's skew splitting isn't available (e.g. inside a streaming
+    foreachBatch, or a hot key above the split threshold).
+
+    The big side gets a uniform random salt in [0, n_salts); the small
+    side is replicated n_salts times; the join key becomes
+    (keys..., salt), spreading the hot key over n_salts reducers. The
+    result set is identical to the unsalted join for any salt
+    assignment — correctness does not depend on the RNG.
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter",
+                   "left_semi", "leftsemi", "left_anti", "leftanti"):
+        # right/full would emit one row per replica for unmatched
+        # small-side rows — semantics diverge, so refuse.
+        raise ValueError(f"salted_join preserves only the big side: {how}")
+    salted_big = big.withColumn(
+        "__salt", (F.rand(seed) * n_salts).cast("int"))
+    salted_small = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    out = salted_big.join(salted_small, on=[*keys, "__salt"], how=how)
+    return out.drop("__salt")
+
+
 def combine(segments: DataFrame, aux: DataFrame,
             keys: Sequence[str] = CHIP_KEYS,
             dedupe_aux: bool = True,

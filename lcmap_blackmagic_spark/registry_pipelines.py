@@ -48,6 +48,14 @@ def q_llm_ann_topk(spark, sf_dir):
     return lsh_ann_topk(e, F.col("vec_id") % 50 == 0, k=5)
 
 
+def q_llm_ann_ivf(spark, sf_dir):
+    """IVF approximate nearest neighbors (k-means cells, n_probe
+    probing) — the partition-pruned scale path; recall < 1 by design."""
+    from .llm.similarity import ivf_ann_topk
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(e, F.col("vec_id") % 50 == 0, k=5)
+
+
 def q_mm_extract_features(spark, sf_dir):
     """Multimodal decode→feature plumbing over binary payloads
     (deterministic fake decoder; real codecs are a marked stub)."""
@@ -69,6 +77,7 @@ QUERIES_PIPELINES: dict[str, dict] = {
     "lcmap_segment_detect": {"fn": q_lcmap_segment_detect, "sql": None},
     "lcmap_prediction":     {"fn": q_lcmap_prediction,     "sql": None},
     "llm_ann_topk":         {"fn": q_llm_ann_topk,         "sql": None},
+    "llm_ann_ivf":          {"fn": q_llm_ann_ivf,          "sql": None},
     "mm_extract_features":  {"fn": q_mm_extract_features,  "sql": None},
     "mm_frame_sample":      {"fn": q_mm_frame_sample,      "sql": None},
 }
