@@ -31,6 +31,11 @@ HEADLINE = [
     "dedup_exact",
     "text_stats",
     "linear_projection",
+    "sessionize",
+    "cube_agg",
+    "trailing_spend",
+    "llm_minhash_pairs",
+    "llm_cosine_topk",
 ]
 
 

@@ -44,31 +44,70 @@ def shingles(text_col: Column | str = "text", n: int = 3) -> Column:
         F.array().cast("array<string>"))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Guarantee CPU-bound hashing stages use the full cluster: a
+    single-file table scans as one task under the default split size,
+    which would serialize the md5 work on one core. A round-robin
+    repartition of the narrow input (ids + text) is cheap next to the
+    hashing it parallelizes; on a many-file 100 TB table the scan
+    already has enough splits and this is a no-op cost-wise."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def minhash_signature(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
                       bands: int = N_BANDS) -> DataFrame:
-    """(id, band, minh): per band b, min over shingles of
-    md5('b:' || shingle). One row per (doc, band)."""
-    sh = shingles(text_col, n)
+    """(id, band, minh): per band b, a 32-bit (8-hex-char) minwise
+    hash over the doc's shingles. One row per (doc, band).
 
-    def band_hasher(b: int):
-        # NB: must be a single-argument lambda — PySpark dispatches on
-        # lambda arity, so `lambda s, b=b` would receive (element, index).
-        prefix = f"{b}:"
-        return lambda s: F.md5(F.concat(F.lit(prefix), s).cast("binary"))
+    Band hashes are SLICED from wide digests rather than computed
+    per-band: shingle s gets md5(s) || md5('1:'||s) (2 md5 calls),
+    and band b reads hex chars [8b, 8b+8) — 4 independent 32-bit
+    hashes per digest, the standard trick for cheap hash families.
+    Fixed-width lowercase hex makes lexicographic min = numeric min
+    identically in every engine."""
+    n_digests = (bands + 3) // 4
 
-    sig = F.array(*[F.array_min(F.transform(sh, band_hasher(b)))
-                    for b in range(bands)])
-    return (df.select(F.col(id_col), F.posexplode(sig).alias("band", "minh"))
-              .filter(F.col("minh").isNotNull()))
+    def wide(s: Column) -> Column:
+        parts = [F.md5(s.cast("binary"))]
+        for r in range(1, n_digests):
+            parts.append(F.md5(F.concat(F.lit(f"{r}:"), s).cast("binary")))
+        return F.concat(*parts) if len(parts) > 1 else parts[0]
+
+    # explode + hash-aggregate instead of array higher-order functions:
+    # per shingle row the work is n_digests md5s + `bands` substrings
+    # feeding partial MINs (map-side combined to one row per doc before
+    # the shuffle) — everything stays in whole-stage codegen, and no
+    # per-doc intermediate array of 64-char digests is ever built.
+    ex = (_spread(df.select(F.col(id_col), shingles(text_col, n).alias("sh")))
+          .filter(F.size("sh") > 0)
+          .select(F.col(id_col), F.explode("sh").alias("s"))
+          .select(F.col(id_col), wide(F.col("s")).alias("h")))
+    mins = ex.groupBy(id_col).agg(*[
+        F.min(F.substring("h", 8 * b + 1, 8)).alias(f"m{b}")
+        for b in range(bands)])
+    sig = F.array(*[F.col(f"m{b}") for b in range(bands)])
+    return mins.select(F.col(id_col),
+                       F.posexplode(sig).alias("band", "minh"))
 
 
 def minhash_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", n: int = 3,
                   bands: int = N_BANDS,
-                  threshold: float = 0.5) -> DataFrame:
+                  threshold: float = 0.5,
+                  broadcast_docs: bool = True) -> DataFrame:
     """LSH candidate pairs (share ≥1 band minhash) verified by exact
-    shingle Jaccard ≥ threshold. Output: (id_a, id_b, jaccard)."""
+    shingle Jaccard ≥ threshold. Output: (id_a, id_b, jaccard).
+
+    ``broadcast_docs`` broadcasts the (id, shingles) table to the
+    verify join so the candidate pairs never shuffle their shingle
+    arrays. Right at chip/corpus-partition granularity; at full
+    100 TB corpus scale set False — the verify becomes a shuffle join
+    on ids, moving each doc's shingles once per side instead of per
+    candidate pair."""
     sig = minhash_signature(df, id_col, text_col, n, bands)
     a = sig.alias("a")
     b = sig.alias("b")
@@ -78,7 +117,9 @@ def minhash_pairs(df: DataFrame, id_col: str = "doc_id",
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"))
             .distinct())
-    docs = df.select(F.col(id_col), shingles(text_col, n).alias("sh"))
+    docs = _spread(df.select(F.col(id_col), shingles(text_col, n).alias("sh")))
+    if broadcast_docs:
+        docs = F.broadcast(docs)
     j = (cand
          .join(docs.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
          .join(docs.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b"))
@@ -102,8 +143,9 @@ def simhash_bits(df: DataFrame, id_col: str = "doc_id",
     """(id, simhash) where simhash is a `bits`-char '0'/'1' string:
     bit j is the sign of sum over token occurrences of ±1 according
     to bit j of md5(token)."""
-    tok = (df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-             .withColumn("h", F.md5(F.col("tok").cast("binary"))))
+    tok = (_spread(df.select(F.col(id_col), tokens(text_col).alias("toks")))
+           .select(F.col(id_col), F.explode("toks").alias("tok"))
+           .withColumn("h", F.md5(F.col("tok").cast("binary"))))
     aggs = [F.sum(_nibble(F.col("h"), j) * 2 - 1).alias(f"s{j}")
             for j in range(bits)]
     summed = tok.groupBy(id_col).agg(*aggs)
@@ -149,8 +191,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     """Exact n-gram Jaccard over all pairs *within a block* — the
     quadratic baseline, bounded by blocking. Output:
     (id_a, id_b, jaccard ≥ threshold)."""
-    docs = df.select(F.col(id_col), F.col(block_col).alias("blk"),
-                     shingles(text_col, n).alias("sh"))
+    docs = _spread(df.select(F.col(id_col), F.col(block_col).alias("blk"),
+                             shingles(text_col, n).alias("sh")))
     a, b = docs.alias("a"), docs.alias("b")
     pairs = (a.join(b, (F.col("a.blk") == F.col("b.blk"))
                     & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))

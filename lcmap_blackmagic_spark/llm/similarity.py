@@ -18,14 +18,24 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _nibble
+from .dedup import _nibble, _spread
 
 DIM = 64
 
 
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, x: acc + x)
+def _dot(a: Column, b: Column, dim: int = DIM) -> Column:
+    """Fixed-dimension UNROLLED dot product: 2·dim element_at calls
+    stay inside whole-stage codegen, unlike aggregate/zip_with
+    higher-order functions which fall back to interpreted eval and
+    build an intermediate array per row. Summation is left-to-right in
+    index order — bit-identical to the lambda form and to the oracle's
+    list_sum."""
+    terms = [F.element_at(a, i + 1) * F.element_at(b, i + 1)
+             for i in range(dim)]
+    s = terms[0]
+    for t in terms[1:]:
+        s = s + t
+    return s
 
 
 def _as_double(col: Column) -> Column:
@@ -37,16 +47,26 @@ def cosine_topk(emb: DataFrame, query_filter: Column, k: int = 5,
                 vec_col: str = "embedding") -> DataFrame:
     """Exact top-k neighbors by cosine for every row matching
     ``query_filter``. Output: (qid, nid, cosine) — k rows per query,
-    deterministic tie-break by neighbor id."""
+    deterministic tie-break by neighbor id.
+
+    Plan shape: norms are computed ONCE per row before the join (not
+    per pair), the corpus is broadcast, and the small query side is
+    spread across the cluster so pair scoring parallelizes — with a
+    handful of query rows in one scan partition the whole
+    |Q|×|corpus| scoring would otherwise run in a single task."""
     from pyspark.sql import Window
     corpus = emb.select(F.col(id_col).alias("nid"),
                         _as_double(F.col(vec_col)).alias("nvec"))
-    queries = (emb.filter(query_filter)
-               .select(F.col(id_col).alias("qid"),
-                       _as_double(F.col(vec_col)).alias("qvec")))
+    corpus = corpus.withColumn(
+        "nnorm", F.sqrt(_dot(F.col("nvec"), F.col("nvec"))))
+    queries = _spread(
+        emb.filter(query_filter)
+        .select(F.col(id_col).alias("qid"),
+                _as_double(F.col(vec_col)).alias("qvec")))
+    queries = queries.withColumn(
+        "qnorm", F.sqrt(_dot(F.col("qvec"), F.col("qvec"))))
     cos = _dot(F.col("qvec"), F.col("nvec")) / (
-        F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
-        * F.sqrt(_dot(F.col("nvec"), F.col("nvec"))))
+        F.col("qnorm") * F.col("nnorm"))
     scored = (queries.join(F.broadcast(corpus), F.col("qid") != F.col("nid"))
               .select("qid", "nid", F.round(cos, 6).alias("cosine")))
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
@@ -103,10 +123,11 @@ def ivf_ann_topk(emb: DataFrame, query_filter: Column, k: int = 5,
               .select("qid", "qvec", "cell"))
 
     cand = (probes.join(corpus, "cell")
-            .filter(F.col("qid") != F.col("nid")))
+            .filter(F.col("qid") != F.col("nid"))
+            .withColumn("qnorm", F.sqrt(_dot(F.col("qvec"), F.col("qvec"))))
+            .withColumn("nnorm", F.sqrt(_dot(F.col("nvec"), F.col("nvec")))))
     cos = _dot(F.col("qvec"), F.col("nvec")) / (
-        F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
-        * F.sqrt(_dot(F.col("nvec"), F.col("nvec"))))
+        F.col("qnorm") * F.col("nnorm"))
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
                                           F.col("nid"))
     # each corpus vector lives in exactly one cell, so (qid, nid) is
@@ -127,13 +148,13 @@ def cosine_neardup_pairs(emb: DataFrame, threshold: float,
     exactly as MinHash banding does for Jaccard). The filter is on the
     UNROUNDED cosine so the threshold decision is identical in any
     engine; rounding happens only on output."""
-    a = emb.select(F.col(id_col).alias("id_a"),
-                   _as_double(F.col(vec_col)).alias("va"))
+    a = _spread(emb.select(F.col(id_col).alias("id_a"),
+                           _as_double(F.col(vec_col)).alias("va")))
+    a = a.withColumn("na", F.sqrt(_dot(F.col("va"), F.col("va"))))
     b = emb.select(F.col(id_col).alias("id_b"),
                    _as_double(F.col(vec_col)).alias("vb"))
-    cos = _dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(_dot(F.col("va"), F.col("va")))
-        * F.sqrt(_dot(F.col("vb"), F.col("vb"))))
+    b = b.withColumn("nb", F.sqrt(_dot(F.col("vb"), F.col("vb"))))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
              .filter(cos >= threshold)
              .select("id_a", "id_b", F.round(cos, 6).alias("cosine")))
@@ -176,10 +197,11 @@ def lsh_ann_topk(emb: DataFrame, query_filter: Column, k: int = 5,
     cand = (q.join(c, ["tbl", "bucket"])
              .filter(F.col("qid") != F.col("nid"))
              .select("qid", "qvec", "nid", "nvec")
-             .dropDuplicates(["qid", "nid"]))
+             .dropDuplicates(["qid", "nid"])
+             .withColumn("qnorm", F.sqrt(_dot(F.col("qvec"), F.col("qvec"))))
+             .withColumn("nnorm", F.sqrt(_dot(F.col("nvec"), F.col("nvec")))))
     cos = _dot(F.col("qvec"), F.col("nvec")) / (
-        F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
-        * F.sqrt(_dot(F.col("nvec"), F.col("nvec"))))
+        F.col("qnorm") * F.col("nnorm"))
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
                                           F.col("nid"))
     return (cand.select("qid", "nid", F.round(cos, 6).alias("cosine"))
