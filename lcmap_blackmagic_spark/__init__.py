@@ -44,4 +44,7 @@ ENGINE_CONF = {
     # dynamic partition overwrite = the reference's delete-then-write
     # idempotency (ceph.py:250-263) without a separate delete pass.
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # let Python DataSources (sources/chipmunk.py) receive pushed
+    # filters — off by default in Spark 4.1
+    "spark.sql.python.filterPushdown.enabled": "true",
 }

@@ -56,6 +56,21 @@ def q_llm_ann_ivf(spark, sf_dir):
     return ivf_ann_topk(e, F.col("vec_id") % 50 == 0, k=5)
 
 
+def q_src_chipmunk(spark, sf_dir):
+    """S1 as a Spark 4 Python DataSource: chip-grain partitions with
+    (cx, cy) filter pushdown. Output: per-chip acquisition counts."""
+    from .session import ensure_worker_imports
+    from .sources.chipmunk import ChipmunkDataSource
+    ensure_worker_imports(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(ChipmunkDataSource)
+    df = (spark.read.format("chipmunk")
+          .options(nx=2, ny=2, side=10, n_acq=20).load())
+    return (df.groupBy("cx", "cy", "ubid")
+            .agg(F.count(F.lit(1)).alias("n_acq"))
+            .orderBy("cx", "cy", "ubid"))
+
+
 def q_mm_extract_features(spark, sf_dir):
     """Multimodal decode→feature plumbing over binary payloads
     (deterministic fake decoder; real codecs are a marked stub)."""
@@ -78,6 +93,7 @@ QUERIES_PIPELINES: dict[str, dict] = {
     "lcmap_prediction":     {"fn": q_lcmap_prediction,     "sql": None},
     "llm_ann_topk":         {"fn": q_llm_ann_topk,         "sql": None},
     "llm_ann_ivf":          {"fn": q_llm_ann_ivf,          "sql": None},
+    "src_chipmunk":         {"fn": q_src_chipmunk,         "sql": None},
     "mm_extract_features":  {"fn": q_mm_extract_features,  "sql": None},
     "mm_frame_sample":      {"fn": q_mm_frame_sample,      "sql": None},
 }

@@ -66,6 +66,36 @@ def synth_ard(spark: SparkSession, cx: int = -2061585, cy: int = 1922805,
     return spark.createDataFrame(pd.DataFrame(rows), schema=ARD)
 
 
+def synth_chip_rows(cx: int, cy: int, side: int = 10, n_acq: int = 40,
+                    base_seed: int = 42):
+    """Row-generator form of ``synth_ard`` for the chipmunk
+    DataSource: yields (ubid, cx, cy, acquired, data) tuples for ONE
+    chip, deterministically seeded by the chip key so any executor
+    reading the same chip produces identical rows."""
+    rng = np.random.RandomState(
+        (base_seed + (cx // PIXEL_M) * 1_000_003 + cy // PIXEL_M)
+        % (2 ** 31 - 1))
+    n_px = side * side
+    days = np.sort(rng.choice(np.arange(0, 12400), size=n_acq, replace=False))
+    base_ord = 724276
+    slope = rng.uniform(-0.05, 0.05, size=(len(UBID_BANDS) - 1, n_px))
+    intercept = rng.uniform(500, 3000, size=(len(UBID_BANDS) - 1, n_px))
+    cloudy = rng.rand(n_acq, n_px) < 0.15
+    for a, day in enumerate(days):
+        for b, ubid in enumerate(UBID_BANDS):
+            if UBID_BANDS[ubid] == "qa":
+                data = np.where(cloudy[a], QA_CLOUD, QA_CLEAR)
+            else:
+                noise = rng.normal(0, 20, size=n_px)
+                data = intercept[b] + slope[b] * day + noise
+            # plain datetime, not pd.Timestamp: the DataSource row
+            # converter rejects tz-naive pandas timestamps
+            import datetime as _dt
+            yield (ubid, cx, cy,
+                   _dt.datetime.fromordinal(base_ord + int(day)),
+                   [int(v) for v in data.astype(np.int32)])
+
+
 def synth_aux(spark: SparkSession, cx: int = -2061585, cy: int = 1922805,
               side: int = 10, seed: int = 43,
               dup_fraction: float = 0.0) -> DataFrame:
