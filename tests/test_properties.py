@@ -1,0 +1,87 @@
+"""Property-based tests (hypothesis) for the pure relational helpers —
+the reference has only example tests (SURVEY §5); properties pin the
+full input domain. Each example batches its cases into one DataFrame
+so the Spark round-trip cost is paid once per example, and example
+counts stay small (Spark evaluation, not the generator, is the cost).
+"""
+
+import datetime
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from lcmap_blackmagic_spark.functions.dates import (date_from_ordinal,
+                                                    ordinal_from_date,
+                                                    prediction_dates_array)
+from lcmap_blackmagic_spark.operators.sampling import (class_targets,
+                                                       stratified_sample)
+
+SETTINGS = settings(max_examples=8, deadline=None,
+                    suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+@SETTINGS
+@given(st.lists(st.integers(min_value=1, max_value=1_000_000),
+                min_size=1, max_size=50, unique=True))
+def test_ordinal_date_roundtrip(spark, ordinals):
+    df = spark.createDataFrame([(o,) for o in ordinals], "o int")
+    out = df.select(
+        "o",
+        ordinal_from_date(date_from_ordinal(F.col("o"))).alias("back"),
+        date_from_ordinal(F.col("o")).alias("d")).collect()
+    for r in out:
+        assert r["back"] == r["o"]
+        # parity with python's proleptic calendar
+        assert r["d"] == datetime.date.fromordinal(r["o"])
+
+
+@SETTINGS
+@given(st.lists(
+    st.tuples(st.integers(min_value=700_000, max_value=730_000),
+              st.integers(min_value=0, max_value=15_000),
+              st.integers(min_value=1, max_value=12),
+              st.integers(min_value=1, max_value=28)),
+    min_size=1, max_size=20))
+def test_prediction_dates_properties(spark, cases):
+    rows = []
+    for i, (s_ord, span, month, day) in enumerate(cases):
+        s = datetime.date.fromordinal(s_ord)
+        e = datetime.date.fromordinal(s_ord + span)
+        rows.append((i, s.isoformat(), e.isoformat(), month, day))
+    df = spark.createDataFrame(
+        rows, "i int, sday string, eday string, m int, d int")
+    for r in df.collect():
+        got = (df.filter(F.col("i") == r["i"])
+               .select(prediction_dates_array(
+                   "sday", "eday", r["m"], r["d"]).alias("ds"))
+               .first()["ds"])
+        s = datetime.date.fromisoformat(r["sday"])
+        e = datetime.date.fromisoformat(r["eday"])
+        want = [datetime.date(y, r["m"], r["d"])
+                for y in range(s.year, e.year + 1)
+                if s <= datetime.date(y, r["m"], r["d"]) <= e]
+        assert got == want
+
+
+@SETTINGS
+@given(st.dictionaries(st.integers(min_value=0, max_value=5),
+                       st.integers(min_value=1, max_value=60),
+                       min_size=1, max_size=6),
+       st.integers(min_value=1, max_value=100),
+       st.integers(min_value=0, max_value=5),
+       st.integers(min_value=5, max_value=40))
+def test_stratified_sample_respects_caps(spark, hist, target, cmin, cmax):
+    rows = [(label, i) for label, n in hist.items() for i in range(n)]
+    df = spark.createDataFrame(rows, "label int, rid int")
+    total = len(rows)
+    got = (stratified_sample(df, "label", target, cmin, cmax,
+                             order_col="rid")
+           .groupBy("label").count().collect())
+    counts = {r["label"]: r["count"] for r in got}
+    for label, n in hist.items():
+        cap = min(max(math.ceil(target * (n / total)), cmin), cmax)
+        # never more than the cap, and exactly min(cap, available)
+        assert counts.get(label, 0) == min(cap, n)
