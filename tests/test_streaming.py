@@ -90,6 +90,45 @@ def test_session_windows_match_batch(spark, events_dir):
     assert len(got) >= 0.8 * len(want)
 
 
+def test_work_queue_runs_segment_jobs_end_to_end(spark, tmp_path):
+    """Full ingestion path: streamed work items drive the /segment
+    job per micro-batch; both chips' partitions land in storage and
+    re-delivery is idempotent (dynamic partition overwrite)."""
+    from lcmap_blackmagic_spark import storage
+    from lcmap_blackmagic_spark.api import run_segment_job
+
+    qdir, ckpt = str(tmp_path / "q"), str(tmp_path / "ckpt")
+    root = str(tmp_path / "store")
+    os.makedirs(qdir)
+    items = [
+        {"kind": "segment", "cx": 0, "cy": 0, "acquired": "1980/2019"},
+        {"kind": "segment", "cx": 3000, "cy": 0, "acquired": "1980/2019"},
+    ]
+    pd.DataFrame(items).to_json(os.path.join(qdir, "w1.json"),
+                                orient="records", lines=True)
+
+    def process(batch_df, batch_id):
+        for r in batch_df.collect():
+            run_segment_job(spark, {"cx": r["cx"], "cy": r["cy"],
+                                    "acquired": r["acquired"]},
+                            root, side=5)
+
+    q = work_queue(spark, qdir, process, ckpt, available_now=True)
+    q.awaitTermination(180)
+    seg = storage.read(spark, root, "segment")
+    assert seg.count() == 2 * 25
+    assert sorted(r["cx"] for r in
+                  seg.select("cx").distinct().collect()) == [0, 3000]
+
+    # re-deliver chip (0,0): counts unchanged (idempotent overwrite)
+    pd.DataFrame(items[:1]).to_json(os.path.join(qdir, "w2.json"),
+                                    orient="records", lines=True)
+    q2 = work_queue(spark, qdir, process, str(tmp_path / "ckpt2"),
+                    available_now=True)
+    q2.awaitTermination(180)
+    assert storage.read(spark, root, "segment").count() == 2 * 25
+
+
 def test_work_queue_drives_batch_pipeline(spark, tmp_path):
     """Work items dropped as JSON files are processed per micro-batch
     by the provided batch pipeline (here: counting sink)."""
