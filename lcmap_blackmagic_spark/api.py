@@ -171,6 +171,107 @@ def run_segment_job(spark, params: dict, storage_root: str,
     return respond(p)
 
 
+def run_tile_job(spark, params: dict, storage_root: str,
+                 segments=None, aux=None,
+                 target_samples: int = 200, class_min: int = 5,
+                 class_max: int = 100,
+                 test_exception: str | None = None) -> dict:
+    """/tile as a job (tile.py:391-404): validate → training data ⋈
+    stats → stratified sample → split → fit → model sink (1-row tile
+    record, hex model — ceph.py:137-148). Sampling budgets default to
+    fixture scale; production passes the reference's 2e7/6e5/8e6."""
+    from pyspark.sql import functions as F
+
+    from . import storage
+    from .plans.tile import tile_pipeline
+    from .sources.fixtures import synth_aux, synth_segments
+
+    p = validate_tile_params(params)
+
+    def load(ctx):
+        cx, cy = p["chips"][0]
+        s = segments if segments is not None else synth_segments(
+            spark, cx=cx, cy=cy, side=8)
+        a = aux if aux is not None else synth_aux(
+            spark, cx=cx, cy=cy, side=8)
+        return {"segments": s, "aux": a}
+
+    def train(ctx):
+        model, stats = tile_pipeline(
+            ctx["segments"], ctx["aux"], p["date"], chips=p["chips"],
+            target_samples=target_samples, class_min=class_min,
+            class_max=class_max)
+        ctx["model"] = model
+        return ctx
+
+    def save(ctx):
+        row = spark.createDataFrame(
+            [(p["tx"], p["ty"], ctx["model"].hex())],
+            "tx long, ty long, model string")
+        storage.overwrite_partitions(row, storage_root, "tile")
+        return ctx
+
+    try:
+        run_stages(None, [("load", load), ("train", train),
+                          ("save", save)], test_exception)
+    except StageError as e:
+        return respond(p | {"chips": len(p["chips"])}, e)
+    return respond(p | {"chips": len(p["chips"])})
+
+
+def run_prediction_job(spark, params: dict, storage_root: str,
+                       segments=None, aux=None,
+                       test_exception: str | None = None) -> dict:
+    """/prediction as a job (prediction.py:331-345): validate → load
+    model (hex→bytes, S4) → join/explode/infer → union defaults →
+    prediction sink (overwrite, S10/S11)."""
+    from . import storage
+    from .plans.prediction import prediction_pipeline
+    from .sources.fixtures import synth_aux, synth_segments
+
+    p = validate_prediction_params(params)
+
+    def load_model(ctx):
+        row = (storage.read_partition(spark, storage_root, "tile",
+                                      tx=p["tx"], ty=p["ty"])
+               .select("model").first())
+        if row is None:
+            raise ValueError(f"no model for tile ({p['tx']}, {p['ty']})")
+        return {"model": bytes.fromhex(row["model"])}
+
+    def load_data(ctx):
+        ctx["segments"] = segments if segments is not None else \
+            synth_segments(spark, cx=p["cx"], cy=p["cy"], side=8)
+        ctx["aux"] = aux if aux is not None else \
+            synth_aux(spark, cx=p["cx"], cy=p["cy"], side=8)
+        return ctx
+
+    def predict(ctx):
+        ctx["preds"] = prediction_pipeline(
+            ctx["segments"], ctx["aux"], ctx["model"],
+            p["month"], p["day"])
+        return ctx
+
+    def save(ctx):
+        storage.overwrite_partitions(ctx["preds"], storage_root,
+                                     "prediction")
+        return ctx
+
+    try:
+        run_stages(None, [("load_model", load_model),
+                          ("load_data", load_data),
+                          ("predict", predict), ("save", save)],
+                   test_exception)
+    except StageError as e:
+        return respond(p, e)
+    return respond(p)
+
+
+def health() -> dict:
+    """GET /health parity (blueprints/health.py:6-8)."""
+    return {"status": RESPONSE_OK}
+
+
 def respond(params: dict, error: Exception | None = None) -> dict:
     """Response shape parity: echo of params + status (+message)."""
     if error is None:

@@ -30,8 +30,11 @@ def chips_predicate(chips: Sequence[tuple[int, int]] | None):
     (tile.py:151-170). None = whole extent."""
     if not chips:
         return F.lit(True)
+    # literal structs must match the key columns' BIGINT type — a bare
+    # Python int literal makes an INT struct, which isin() rejects
     return F.struct(F.col("cx"), F.col("cy")).isin(
-        [F.struct(F.lit(cx), F.lit(cy)) for (cx, cy) in chips])
+        [F.struct(F.lit(cx).cast("bigint"), F.lit(cy).cast("bigint"))
+         for (cx, cy) in chips])
 
 
 def training_data(segments: DataFrame, aux: DataFrame, date: str,

@@ -94,6 +94,44 @@ def test_segment_job_failure_leaves_no_partial_writes(spark, tmp_path,
         assert not os.path.exists(os.path.join(root, entity))
 
 
+def test_tile_then_prediction_jobs(spark, tmp_path):
+    """The /tile → /prediction composition: model persisted as a hex
+    1-row tile record, then loaded, broadcast, and applied."""
+    from lcmap_blackmagic_spark.api import (health, run_prediction_job,
+                                            run_tile_job)
+    root = str(tmp_path / "store")
+    tp = {"tx": -9000, "ty": 9000, "acquired": "1980/2019",
+          "date": "2001-07-01", "chips": [(0, 0)]}
+    r = run_tile_job(spark, tp, root)
+    assert r["status"] == 200
+    assert storage.read(spark, root, "tile").count() == 1
+
+    pp = {"tx": -9000, "ty": 9000, "cx": 0, "cy": 0,
+          "acquired": "1980/2019", "month": 7, "day": 1}
+    r2 = run_prediction_job(spark, pp, root)
+    assert r2["status"] == 200
+    preds = storage.read(spark, root, "prediction")
+    assert preds.count() > 0
+    # default segments carry empty prob arrays; predicted carry 9
+    from pyspark.sql import functions as F
+    sizes = {r[0] for r in
+             preds.select(F.size("prob")).distinct().collect()}
+    assert sizes <= {0, 9} and 9 in sizes
+
+    assert health() == {"status": 200}
+
+
+def test_prediction_job_without_model_500(spark, tmp_path):
+    from lcmap_blackmagic_spark.api import run_prediction_job
+    root = str(tmp_path / "empty")
+    os.makedirs(os.path.join(root, "tile"))
+    pp = {"tx": 1, "ty": 2, "cx": 0, "cy": 0,
+          "acquired": "1980/2019", "month": 7, "day": 1}
+    r = run_prediction_job(spark, pp, root)
+    assert r["status"] == 500 and "load_model" in r["message"]
+    assert not os.path.exists(os.path.join(root, "prediction"))
+
+
 # ------------------------------------------------------- gzip sink --
 
 def test_write_json_gzip_roundtrip(spark, tmp_path):
