@@ -1,0 +1,72 @@
+"""Physical-plan regression guards: the scale-critical plan
+properties SCALE.md documents must hold structurally, not by luck —
+pushdown reaching the scan, dimensions broadcast, facts never
+broadcast, codegen covering the hot expressions."""
+
+import re
+
+import pytest
+
+from lcmap_blackmagic_spark.registry import QUERIES
+
+
+def fmt_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def simple_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    def run(name):
+        return QUERIES[name]["fn"](spark, sf_dir)
+    return run
+
+
+def test_pricing_summary_pushdown_and_pruning(q):
+    plan = fmt_plan(q("pricing_summary"))
+    assert "PushedFilters: [" in plan and "LessThan" in plan
+    # 16-column table pruned to the used columns only
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) <= 7
+    assert "HashAggregate" in plan
+
+
+def test_combine_join_broadcasts_dimension(q):
+    plan = fmt_plan(q("combine_join"))
+    assert "BroadcastHashJoin" in plan
+    # exactly one broadcast (the deduped dim side; its last-wins
+    # window may shuffle INSIDE the broadcast subtree — that's the
+    # tiny side), and the fact side streams straight into the join
+    assert plan.count("BroadcastExchange (") == 1
+    assert re.search(r"BroadcastHashJoin[^\n]*\n\s*:- (Filter|Project|Scan)",
+                     plan)
+
+
+def test_revenue_by_nation_never_broadcasts_facts(q):
+    plan = fmt_plan(q("revenue_by_nation"))
+    # nation/region broadcast; orders/customer shuffle-hash — a fact
+    # broadcast would OOM at 100 TB
+    assert "ShuffledHashJoin" in plan
+    assert plan.count("BroadcastExchange (") == 2
+
+
+def test_cube_single_expand(q):
+    plan = fmt_plan(q("cube_agg"))
+    # one Expand node in the tree: one pass, not one scan per set
+    assert plan.count("Expand (") == 1
+
+
+def test_stratified_sample_broadcasts_caps(q):
+    plan = fmt_plan(q("stratified_sample"))
+    assert "BroadcastHashJoin" in plan  # caps table is tiny
+
+
+def test_cosine_topk_no_interpreted_hof(q):
+    # the dot product must be unrolled arithmetic, not
+    # aggregate()/zip_with() higher-order functions (interpreted)
+    plan = simple_plan(q("llm_cosine_topk"))
+    assert "aggregate(" not in plan and "zip_with" not in plan
