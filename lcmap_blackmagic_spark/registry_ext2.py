@@ -171,6 +171,70 @@ FROM orders
 """
 
 
+# ---------------------------------------------- ranking functions ---
+
+def q_window_ranks(spark, sf_dir):
+    """The full ranking-function family in one pass: rank, dense_rank,
+    percent_rank, ntile, cume_dist — one window spec, so Spark plans a
+    single sort+shuffle for all five."""
+    o = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")))
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"))
+
+
+SQL_WINDOW_RANKS = """
+SELECT o_orderkey, o_custkey,
+       CAST(rank() OVER w AS INT) AS rnk,
+       CAST(dense_rank() OVER w AS INT) AS drnk,
+       ROUND(percent_rank() OVER w, 6) AS prnk,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       ROUND(cume_dist() OVER w, 6) AS cdist
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
+# ----------------------------------------------- string functions ---
+
+def q_string_funcs(spark, sf_dir):
+    """String-function family over customer names: case, substring,
+    padding, reverse, char ops, edit distance — all JVM-side."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.lpad("c_name", 22, "#").alias("padded"),
+        F.reverse(F.col("c_name")).alias("rev"),
+        F.length("c_name").cast("int").alias("len"),
+        F.ascii("c_name").alias("first_code"),
+        F.levenshtein(F.col("c_name"), F.lit("Customer#000000001"))
+        .cast("int").alias("edit_dist"),
+        F.translate("c_name", "0", "_").alias("translated"))
+
+
+SQL_STRING_FUNCS = """
+SELECT c_custkey,
+       upper(c_name) AS up,
+       substr(c_name, 1, 8) AS prefix,
+       lpad(c_name, 22, '#') AS padded,
+       reverse(c_name) AS rev,
+       CAST(length(c_name) AS INT) AS len,
+       ascii(c_name) AS first_code,
+       CAST(levenshtein(c_name, 'Customer#000000001') AS INT) AS edit_dist,
+       replace(c_name, '0', '_') AS translated
+FROM customer
+"""
+
+
 QUERIES_EXT2: dict[str, dict] = {
     "llm_embed_neardup": {"fn": q_embed_neardup,    "sql": SQL_EMBED_NEARDUP},
     "llm_token_count":   {"fn": q_token_count,      "sql": SQL_TOKEN_COUNT},
@@ -178,4 +242,6 @@ QUERIES_EXT2: dict[str, dict] = {
     "intersect_except":  {"fn": q_intersect_except, "sql": SQL_INTERSECT_EXCEPT},
     "pivot_agg":         {"fn": q_pivot_agg,        "sql": SQL_PIVOT_AGG},
     "trailing_spend":    {"fn": q_trailing_spend,   "sql": SQL_TRAILING_SPEND},
+    "window_ranks":      {"fn": q_window_ranks,     "sql": SQL_WINDOW_RANKS},
+    "string_funcs":      {"fn": q_string_funcs,     "sql": SQL_STRING_FUNCS},
 }
