@@ -1,4 +1,5 @@
-from .jobs import work_queue, hourly_rollup, events_stream, session_windows
+from .jobs import (work_queue, hourly_rollup, events_stream,
+                   session_windows, dedup_stream)
 
 __all__ = ["work_queue", "hourly_rollup", "events_stream",
-           "session_windows"]
+           "session_windows", "dedup_stream"]

@@ -155,6 +155,18 @@ def _session_pdf(user_id, sessions):
     })
 
 
+def dedup_stream(events: DataFrame, keys: list[str] | None = None,
+                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact-dedup: drop re-deliveries of the same event id
+    within the watermark horizon (built-in stateful dropDuplicates —
+    state is one entry per key, expired as the watermark passes).
+    The stream-time twin of the batch ``dedup_exact`` operator: at
+    ingest time this is how a 100 TB/day feed sheds duplicate
+    deliveries before they reach storage."""
+    return (events.withWatermark("ts", watermark)
+            .dropDuplicates(keys or ["event_id"]))
+
+
 def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window rollup — the streaming twin of
     registry.q_events_tumbling. Late events beyond the watermark are

@@ -8,7 +8,8 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from lcmap_blackmagic_spark.streaming.jobs import (events_stream,
+from lcmap_blackmagic_spark.streaming.jobs import (dedup_stream,
+                                                   events_stream,
                                                    hourly_rollup,
                                                    session_windows,
                                                    work_queue)
@@ -88,6 +89,63 @@ def test_session_windows_match_batch(spark, events_dir):
     want = {tuple(r) for r in batch.collect()}
     assert got <= want
     assert len(got) >= 0.8 * len(want)
+
+
+def test_dedup_stream_drops_redeliveries(spark, tmp_path):
+    """The same events delivered twice (two files) come out once."""
+    import shutil
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+    df = spark.createDataFrame(
+        [(i, f"2020-01-01 00:{i:02d}:00", i % 3, "click", 1.0, "{}")
+         for i in range(30)],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string").selectExpr(
+            "event_id", "cast(ts as timestamp) ts", "user_id",
+            "event_type", "value", "props")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "f1"))
+    # duplicate delivery: copy the same part file in twice
+    part = [f for f in os.listdir(str(tmp_path / "f1"))
+            if f.endswith(".parquet")][0]
+    shutil.copy(os.path.join(str(tmp_path / "f1"), part),
+                os.path.join(src, "a.parquet"))
+    shutil.copy(os.path.join(str(tmp_path / "f1"), part),
+                os.path.join(src, "b.parquet"))
+
+    deduped = dedup_stream(events_stream(spark, src,
+                                         max_files_per_trigger=1))
+    q = (deduped.writeStream.format("memory").queryName("dedup")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("dedup").select("event_id").collect()
+    assert len(got) == 30
+    assert len({r[0] for r in got}) == 30
+
+
+def test_work_queue_resumes_from_checkpoint(spark, tmp_path):
+    """Exactly-once over restarts: a second run with the SAME
+    checkpoint processes only files added since the first drain."""
+    qdir, ckpt = str(tmp_path / "q"), str(tmp_path / "ckpt")
+    os.makedirs(qdir)
+    seen = []
+
+    def process(batch_df, batch_id):
+        seen.extend(r["cx"] for r in batch_df.collect())
+
+    pd.DataFrame([{"kind": "segment", "cx": 1, "cy": 0,
+                   "acquired": "1980/2019"}]).to_json(
+        os.path.join(qdir, "w1.json"), orient="records", lines=True)
+    q1 = work_queue(spark, qdir, process, ckpt, available_now=True)
+    q1.awaitTermination(120)
+    assert seen == [1]
+
+    pd.DataFrame([{"kind": "segment", "cx": 2, "cy": 0,
+                   "acquired": "1980/2019"}]).to_json(
+        os.path.join(qdir, "w2.json"), orient="records", lines=True)
+    q2 = work_queue(spark, qdir, process, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    # w1 NOT reprocessed — the checkpoint's file-source log skips it
+    assert seen == [1, 2]
 
 
 def test_work_queue_runs_segment_jobs_end_to_end(spark, tmp_path):
