@@ -235,6 +235,74 @@ FROM customer
 """
 
 
+# ------------------------------------------------- date functions ---
+
+def q_date_funcs(spark, sf_dir):
+    """Date-function family: truncation, month arithmetic (with
+    end-of-month clamping), calendar parts, diffs."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.add_months(d, 3).alias("plus3m"),
+        F.last_day(d).alias("eom"),
+        F.weekday(d).cast("int").alias("wd"),       # 0 = Monday
+        F.quarter(d).cast("int").alias("qtr"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d)
+        .cast("int").alias("days_to_2002"))
+
+
+SQL_DATE_FUNCS = """
+SELECT o_orderkey,
+       date_trunc('month', CAST(o_orderdate AS DATE)) AS month_start,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+       last_day(CAST(o_orderdate AS DATE)) AS eom,
+       CAST(isodow(CAST(o_orderdate AS DATE)) - 1 AS INT) AS wd,
+       CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS qtr,
+       CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+            AS INT) AS days_to_2002
+FROM orders
+"""
+
+
+# ------------------------------------------------ array functions ---
+
+def q_array_funcs(spark, sf_dir):
+    """Array-function family over the embedding column: indexing,
+    slicing, extrema, sort, containment — all JVM-side, exact element
+    values (no float arithmetic)."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.element_at(v, 1).alias("first"),
+        F.element_at(v, -1).alias("last"),
+        F.slice(v, 3, 4).alias("mid4"),
+        F.array_max(v).alias("vmax"),
+        F.array_min(v).alias("vmin"),
+        F.sort_array(F.slice(v, 1, 5)).alias("sorted5"),
+        F.reverse(F.slice(v, 1, 3)).alias("rev3"))
+
+
+SQL_ARRAY_FUNCS = """
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings)
+SELECT vec_id,
+       CAST(len(v) AS INT) AS dim,
+       v[1] AS first,
+       v[-1] AS last,
+       v[3:6] AS mid4,
+       list_max(v) AS vmax,
+       list_min(v) AS vmin,
+       list_sort(v[1:5]) AS sorted5,
+       list_reverse(v[1:3]) AS rev3
+FROM e
+"""
+
+
 QUERIES_EXT2: dict[str, dict] = {
     "llm_embed_neardup": {"fn": q_embed_neardup,    "sql": SQL_EMBED_NEARDUP},
     "llm_token_count":   {"fn": q_token_count,      "sql": SQL_TOKEN_COUNT},
@@ -244,4 +312,6 @@ QUERIES_EXT2: dict[str, dict] = {
     "trailing_spend":    {"fn": q_trailing_spend,   "sql": SQL_TRAILING_SPEND},
     "window_ranks":      {"fn": q_window_ranks,     "sql": SQL_WINDOW_RANKS},
     "string_funcs":      {"fn": q_string_funcs,     "sql": SQL_STRING_FUNCS},
+    "date_funcs":        {"fn": q_date_funcs,       "sql": SQL_DATE_FUNCS},
+    "array_funcs":       {"fn": q_array_funcs,      "sql": SQL_ARRAY_FUNCS},
 }
