@@ -56,6 +56,22 @@ def q_llm_ann_ivf(spark, sf_dir):
     return ivf_ann_topk(e, F.col("vec_id") % 50 == 0, k=5)
 
 
+def q_approx_sketches(spark, sf_dir):
+    """Sketch aggregates — the 100 TB substitute for exact distinct
+    counts and exact percentiles (one pass, bounded memory, mergeable
+    across partitions). Rows-only: HLL/GK sketch internals differ
+    across engines, so no hash oracle exists; the tolerance contract
+    is pinned by tests/test_sketches.py instead."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (l.groupBy("l_returnflag")
+            .agg(F.approx_count_distinct("l_orderkey", rsd=0.02)
+                 .alias("approx_orders"),
+                 F.percentile_approx("l_extendedprice", F.lit(0.5),
+                                     F.lit(10000)).alias("approx_median"),
+                 F.count(F.lit(1)).alias("n_rows"))
+            .orderBy("l_returnflag"))
+
+
 def q_src_chipmunk(spark, sf_dir):
     """S1 as a Spark 4 Python DataSource: chip-grain partitions with
     (cx, cy) filter pushdown. Output: per-chip acquisition counts."""
@@ -94,6 +110,7 @@ QUERIES_PIPELINES: dict[str, dict] = {
     "llm_ann_topk":         {"fn": q_llm_ann_topk,         "sql": None},
     "llm_ann_ivf":          {"fn": q_llm_ann_ivf,          "sql": None},
     "src_chipmunk":         {"fn": q_src_chipmunk,         "sql": None},
+    "approx_sketches":      {"fn": q_approx_sketches,      "sql": None},
     "mm_extract_features":  {"fn": q_mm_extract_features,  "sql": None},
     "mm_frame_sample":      {"fn": q_mm_frame_sample,      "sql": None},
 }
