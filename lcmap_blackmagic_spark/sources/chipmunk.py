@@ -24,9 +24,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader, EqualTo,
-                                    GreaterThan, GreaterThanOrEqual, In,
-                                    InputPartition, LessThan,
-                                    LessThanOrEqual)
+                                    In, InputPartition,
+                                    SimpleDataSourceStreamReader)
 
 GRID_M = 3000  # chip pitch in projection meters (3 km — SURVEY §1.1)
 
@@ -57,6 +56,9 @@ class ChipmunkDataSource(DataSource):
 
     def reader(self, schema) -> "ChipmunkReader":
         return ChipmunkReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "ChipmunkStreamReader":
+        return ChipmunkStreamReader(self.options)
 
 
 class ChipmunkReader(DataSourceReader):
@@ -108,3 +110,48 @@ class ChipmunkReader(DataSourceReader):
         from .fixtures import synth_chip_rows
         yield from synth_chip_rows(partition.cx, partition.cy,
                                    side=self.side, n_acq=self.n_acq)
+
+
+class ChipmunkStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the chipmunk feed: the offset is the number
+    of chips ingested so far (row-major over the grid), each
+    micro-batch pulls up to ``chips_per_batch`` new chips. Replay
+    (``readBetweenOffsets``) re-generates the same deterministic rows,
+    so checkpoint recovery is exact — the property a live Chipmunk
+    poller gets from acquisition timestamps. Drives the work-queue
+    pipelines without a file drop-box (streaming/jobs.work_queue
+    remains the file-based alternative)."""
+
+    def __init__(self, options):
+        self.cx0 = int(options.get("cx0", -2061585))
+        self.cy0 = int(options.get("cy0", 1922805))
+        self.nx = int(options.get("nx", 2))
+        self.ny = int(options.get("ny", 2))
+        self.side = int(options.get("side", 10))
+        self.n_acq = int(options.get("n_acq", 40))
+        self.per_batch = int(options.get("chips_per_batch", 1))
+
+    def initialOffset(self) -> dict:
+        return {"chips": 0}
+
+    def _chip(self, i: int) -> tuple[int, int]:
+        return (self.cx0 + (i % self.nx) * GRID_M,
+                self.cy0 - (i // self.nx) * GRID_M)
+
+    def _rows(self, start: int, end: int):
+        from .fixtures import synth_chip_rows
+        for i in range(start, end):
+            cx, cy = self._chip(i)
+            yield from synth_chip_rows(cx, cy, side=self.side,
+                                       n_acq=self.n_acq)
+
+    def read(self, start: dict):
+        total = self.nx * self.ny
+        lo = start["chips"]
+        hi = min(lo + self.per_batch, total)
+        # materialized list, not a generator: the batch is pickled to
+        # the driver's prefetch cache
+        return list(self._rows(lo, hi)), {"chips": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return list(self._rows(start["chips"], end["chips"]))

@@ -62,6 +62,33 @@ def test_filtered_read_returns_single_chip(registered):
     assert df.count() == 56
 
 
+def test_stream_reader_drains_grid(registered, tmp_path):
+    """readStream over the chip grid: offsets advance one chip per
+    micro-batch and availableNow drains exactly the whole grid."""
+    import time
+    stream = (registered.readStream.format("chipmunk")
+              .options(cx0=CX0, cy0=CY0, nx=2, ny=2, side=4, n_acq=3)
+              .load())
+    # Python stream sources don't support availableNow — run
+    # continuous micro-batches (1 chip each) and stop when drained
+    q = (stream.writeStream.format("memory").queryName("chips_stream")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    want = 4 * 8 * 3  # chips × ubids × acquisitions
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if registered.table("chips_stream").count() >= want:
+            break
+        time.sleep(1)
+    q.stop()
+    got = registered.table("chips_stream")
+    assert got.count() == want
+    chips = {(r["cx"], r["cy"]) for r in
+             got.select("cx", "cy").distinct().collect()}
+    assert chips == {(CX0, CY0), (CX0 + GRID_M, CY0),
+                     (CX0, CY0 - GRID_M), (CX0 + GRID_M, CY0 - GRID_M)}
+
+
 def test_deterministic_across_reads(registered):
     opts = dict(cx0=CX0, cy0=CY0, nx=1, ny=1, side=4, n_acq=5)
     a = (registered.read.format("chipmunk").options(**opts).load()
