@@ -202,22 +202,45 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", block_col: str = "lang",
-                        n: int = 3, threshold: float = 0.2) -> DataFrame:
+                        n: int = 3, threshold: float = 0.2,
+                        n_groups: int = 8) -> DataFrame:
     """Exact n-gram Jaccard over all pairs *within a block* — the
     quadratic baseline, bounded by blocking. Output:
-    (id_a, id_b, jaccard ≥ threshold)."""
+    (id_a, id_b, jaccard ≥ threshold).
+
+    Triangle grouping: a plain self-join on the block key gets one
+    reducer per block (a handful of langs → a handful of tasks, each
+    quadratic). Instead each doc is hashed into one of ``n_groups``
+    groups and the join runs over the upper-triangle grid of group
+    pairs — G(G+1)/2 join cells per block, so parallelism scales with
+    G² instead of #blocks. An unordered doc pair {x, y} appears in
+    exactly one cell: (g(x), g(y)) sorted; off-diagonal cells take
+    the pair in whichever id order it arrives (then canonicalized),
+    the diagonal cell dedupes with id_a < id_b."""
     docs = (_spread_cols(df, F.col(id_col), F.col(block_col),
                          F.col(text_col))
             .select(F.col(id_col), F.col(block_col).alias("blk"),
-                    shingles(text_col, n).alias("sh")))
-    a, b = docs.alias("a"), docs.alias("b")
-    pairs = (a.join(b, (F.col("a.blk") == F.col("b.blk"))
-                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-             .select(F.col(f"a.{id_col}").alias("id_a"),
-                     F.col(f"b.{id_col}").alias("id_b"),
-                     F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b")))
+                    shingles(text_col, n).alias("sh"))
+            .withColumn("g", F.pmod(F.hash(F.col(id_col)), n_groups)))
+    spark = df.sparkSession
+    grid = spark.createDataFrame(
+        [(ga, gb) for ga in range(n_groups) for gb in range(n_groups)
+         if ga <= gb], "ga int, gb int")
+    a = docs.withColumnsRenamed(
+        {id_col: "id_a", "sh": "sh_a", "g": "ga"})
+    b = docs.withColumnsRenamed(
+        {id_col: "id_b", "sh": "sh_b", "g": "gb"})
+    pairs = (a.join(F.broadcast(grid), "ga")
+             .join(b, ["blk", "gb"])
+             .filter(((F.col("ga") < F.col("gb"))
+                      & (F.col("id_a") != F.col("id_b")))
+                     | ((F.col("ga") == F.col("gb"))
+                        & (F.col("id_a") < F.col("id_b"))))
+             .select("id_a", "id_b", "sh_a", "sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return (pairs.select("id_a", "id_b",
-                         F.round(inter / union, 6).alias("jaccard"))
-                 .filter(F.col("jaccard") >= threshold))
+    return (pairs
+            .select(F.least("id_a", "id_b").alias("id_a"),
+                    F.greatest("id_a", "id_b").alias("id_b"),
+                    F.round(inter / union, 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
