@@ -97,6 +97,49 @@ def extract_features(media: DataFrame, n_features: int = 16,
     return media.mapInPandas(run, schema=FEATURES)
 
 
+def resize_images(media: DataFrame, out_h: int = 8, out_w: int = 8,
+                  decoder: Callable = fake_decoder) -> DataFrame:
+    """Resize plumbing for image/video rasters: decode → area
+    (block-mean) downsample to (out_h, out_w) → row-major pixel
+    array. Pure numpy inside mapInPandas (no codec dependency), so
+    the real resize swaps in with the real decoder. Non-raster rows
+    (audio) are dropped."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("pixels", T.ArrayType(T.FloatType())),
+    ])
+
+    from ..session import ensure_worker_imports
+    ensure_worker_imports(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                if row.kind not in ("image", "video"):
+                    continue
+                img = decoder(bytes(row.payload), row.kind)
+                ih, iw = img.shape
+                # area resize: split into out_h×out_w blocks and mean
+                ys = np.linspace(0, ih, out_h + 1).astype(int)
+                xs = np.linspace(0, iw, out_w + 1).astype(int)
+                small = np.array([
+                    [img[ys[r]:max(ys[r + 1], ys[r] + 1),
+                         xs[c]:max(xs[c + 1], xs[c] + 1)].mean()
+                     for c in range(out_w)] for r in range(out_h)])
+                out.append({"media_id": row.media_id, "kind": row.kind,
+                            "h": out_h, "w": out_w,
+                            "pixels": small.ravel().astype(np.float32)
+                            .tolist()})
+            yield pd.DataFrame(
+                out, columns=["media_id", "kind", "h", "w", "pixels"])
+
+    return media.mapInPandas(run, schema=schema)
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000,
                  decoder: Callable = fake_decoder) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled

@@ -96,6 +96,14 @@ def q_mm_extract_features(spark, sf_dir):
     return extract_features(media, n_features=16)
 
 
+def q_mm_resize(spark, sf_dir):
+    """Raster resize plumbing: decode → area-downsample to 8×8."""
+    from .llm.multimodal import attach_payloads, resize_images
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_payloads(docs.filter(F.col("doc_id") < 120))
+    return resize_images(media, out_h=8, out_w=8)
+
+
 def q_mm_frame_sample(spark, sf_dir):
     """Video frame-sampling plumbing: one row per sampled frame."""
     from .llm.multimodal import attach_payloads, frame_sample
@@ -112,5 +120,6 @@ QUERIES_PIPELINES: dict[str, dict] = {
     "src_chipmunk":         {"fn": q_src_chipmunk,         "sql": None},
     "approx_sketches":      {"fn": q_approx_sketches,      "sql": None},
     "mm_extract_features":  {"fn": q_mm_extract_features,  "sql": None},
+    "mm_resize":            {"fn": q_mm_resize,            "sql": None},
     "mm_frame_sample":      {"fn": q_mm_frame_sample,      "sql": None},
 }

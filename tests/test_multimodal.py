@@ -42,6 +42,20 @@ def test_frame_sample_only_video(media):
     assert all(len(r["feat"]) == 16 for r in rows)
 
 
+def test_resize_shape_and_determinism(media):
+    from lcmap_blackmagic_spark.llm.multimodal import resize_images
+    out = resize_images(media, out_h=4, out_w=6)
+    rows = out.collect()
+    assert rows, "expected raster rows"
+    assert all(r["h"] == 4 and r["w"] == 6 and len(r["pixels"]) == 24
+               for r in rows)
+    assert {r["kind"] for r in rows} <= {"image", "video"}
+    again = {r["media_id"]: r["pixels"]
+             for r in resize_images(media, out_h=4, out_w=6).collect()}
+    for r in rows:
+        assert again[r["media_id"]] == r["pixels"]
+
+
 def test_library_decoder_is_marked_stub():
     with pytest.raises(NotImplementedError):
         library_decoder(b"bytes", "image")
