@@ -303,6 +303,34 @@ FROM e
 """
 
 
+# ------------------------------------------- correlated subquery ----
+
+def q_scalar_subquery(spark, sf_dir):
+    """Correlated scalar subquery (orders above the customer's own
+    average) — Catalyst decorrelates this into an aggregate + join;
+    no per-row re-execution. The average is computed in DECIMAL so
+    the comparison is exact in any engine."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql("""
+        SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM v_orders o
+        WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
+              (SELECT AVG(CAST(i.o_totalprice AS DECIMAL(18,2)))
+               FROM v_orders i WHERE i.o_custkey = o.o_custkey)
+    """).withColumn("price", F.col("price").cast("double"))
+
+
+SQL_SCALAR_SUBQUERY = """
+SELECT o_orderkey, o_custkey,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+FROM orders o
+WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
+      (SELECT AVG(CAST(i.o_totalprice AS DECIMAL(18,2)))
+       FROM orders i WHERE i.o_custkey = o.o_custkey)
+"""
+
+
 QUERIES_EXT2: dict[str, dict] = {
     "llm_embed_neardup": {"fn": q_embed_neardup,    "sql": SQL_EMBED_NEARDUP},
     "llm_token_count":   {"fn": q_token_count,      "sql": SQL_TOKEN_COUNT},
@@ -314,4 +342,5 @@ QUERIES_EXT2: dict[str, dict] = {
     "string_funcs":      {"fn": q_string_funcs,     "sql": SQL_STRING_FUNCS},
     "date_funcs":        {"fn": q_date_funcs,       "sql": SQL_DATE_FUNCS},
     "array_funcs":       {"fn": q_array_funcs,      "sql": SQL_ARRAY_FUNCS},
+    "scalar_subquery":   {"fn": q_scalar_subquery,  "sql": SQL_SCALAR_SUBQUERY},
 }
