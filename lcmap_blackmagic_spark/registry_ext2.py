@@ -331,6 +331,59 @@ WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
 """
 
 
+# ------------------------------------------------ lateral explode ---
+
+def q_lateral_explode(spark, sf_dir):
+    """Row-generating lateral explode with ordinality (the Generate
+    operator): one row per token with its position. Pipelined — no
+    shuffle, row multiplication happens inside the scan stage."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), " ")
+    return (d.filter(F.col("doc_id") < 100)
+            .select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+            .withColumn("pos", F.col("pos").cast("int")))
+
+
+SQL_LATERAL_EXPLODE = """
+WITH d AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+           FROM documents WHERE doc_id < 100)
+SELECT doc_id, CAST(u.i - 1 AS INT) AS pos, d.toks[u.i] AS tok
+FROM d, UNNEST(generate_series(1, len(d.toks))) AS u(i)
+"""
+
+
+# -------------------------------------------------- null handling ---
+
+def q_null_funcs(spark, sf_dir):
+    """Null-semantics family: nullif / coalesce / null-safe equality /
+    null-aware aggregation, over synthesized nulls (the base tables
+    have none)."""
+    o = _t(spark, sf_dir, "orders")
+    # P-status orders become NULL to exercise the null paths
+    st = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    return (o.select("o_orderkey", st.alias("st"),
+                     F.coalesce(st, F.lit("UNKNOWN")).alias("st_filled"),
+                     st.eqNullSafe(F.lit("F")).alias("is_f_safe"))
+            .groupBy("st_filled")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.count("st").alias("n_nonnull"),
+                 F.sum(F.when(F.col("is_f_safe"), 1).otherwise(0))
+                 .alias("n_f")))
+
+
+SQL_NULL_FUNCS = """
+WITH x AS (
+  SELECT o_orderkey, nullif(o_orderstatus, 'P') AS st,
+         coalesce(nullif(o_orderstatus, 'P'), 'UNKNOWN') AS st_filled,
+         nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM 'F' AS is_f_safe
+  FROM orders)
+SELECT st_filled, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(st) AS BIGINT) AS n_nonnull,
+       CAST(SUM(CASE WHEN is_f_safe THEN 1 ELSE 0 END) AS BIGINT) AS n_f
+FROM x GROUP BY st_filled
+"""
+
+
 QUERIES_EXT2: dict[str, dict] = {
     "llm_embed_neardup": {"fn": q_embed_neardup,    "sql": SQL_EMBED_NEARDUP},
     "llm_token_count":   {"fn": q_token_count,      "sql": SQL_TOKEN_COUNT},
@@ -343,4 +396,6 @@ QUERIES_EXT2: dict[str, dict] = {
     "date_funcs":        {"fn": q_date_funcs,       "sql": SQL_DATE_FUNCS},
     "array_funcs":       {"fn": q_array_funcs,      "sql": SQL_ARRAY_FUNCS},
     "scalar_subquery":   {"fn": q_scalar_subquery,  "sql": SQL_SCALAR_SUBQUERY},
+    "lateral_explode":   {"fn": q_lateral_explode,  "sql": SQL_LATERAL_EXPLODE},
+    "null_funcs":        {"fn": q_null_funcs,       "sql": SQL_NULL_FUNCS},
 }
