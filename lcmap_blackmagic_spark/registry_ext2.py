@@ -384,6 +384,36 @@ FROM x GROUP BY st_filled
 """
 
 
+# ------------------------------------------------ regex functions ---
+
+# patterns restricted to the Java-regex ∩ RE2 common subset
+_RE_NUM = "[0-9]+"
+_RE_PUNCT = "[.,;:!?]"
+
+
+def q_regex_funcs(spark, sf_dir):
+    """Regex family: extract, replace, match, count — over document
+    text (patterns valid identically in Java regex and RE2)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", _RE_NUM, 0).alias("first_num"),
+        F.regexp_replace("text", _RE_PUNCT, "").alias("no_punct"),
+        F.col("text").rlike("the [a-z]+ ").alias("has_the_phrase"),
+        F.size(F.regexp_extract_all("text", F.lit(_RE_NUM), F.lit(0)))
+        .cast("int").alias("n_nums"))
+
+
+SQL_REGEX_FUNCS = f"""
+SELECT doc_id,
+       coalesce(regexp_extract(text, '{_RE_NUM}'), '') AS first_num,
+       regexp_replace(text, '{_RE_PUNCT}', '', 'g') AS no_punct,
+       regexp_matches(text, 'the [a-z]+ ') AS has_the_phrase,
+       CAST(len(regexp_extract_all(text, '{_RE_NUM}')) AS INT) AS n_nums
+FROM documents
+"""
+
+
 QUERIES_EXT2: dict[str, dict] = {
     "llm_embed_neardup": {"fn": q_embed_neardup,    "sql": SQL_EMBED_NEARDUP},
     "llm_token_count":   {"fn": q_token_count,      "sql": SQL_TOKEN_COUNT},
@@ -398,4 +428,5 @@ QUERIES_EXT2: dict[str, dict] = {
     "scalar_subquery":   {"fn": q_scalar_subquery,  "sql": SQL_SCALAR_SUBQUERY},
     "lateral_explode":   {"fn": q_lateral_explode,  "sql": SQL_LATERAL_EXPLODE},
     "null_funcs":        {"fn": q_null_funcs,       "sql": SQL_NULL_FUNCS},
+    "regex_funcs":       {"fn": q_regex_funcs,      "sql": SQL_REGEX_FUNCS},
 }
