@@ -48,8 +48,9 @@ WITH g AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 s AS (
   SELECT user_id, event_id, ts,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS session_id
   FROM g)
 SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
        MIN(ts) AS session_start, MAX(ts) AS session_end

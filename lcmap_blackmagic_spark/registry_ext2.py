@@ -270,53 +270,75 @@ FROM orders
 
 def q_array_funcs(spark, sf_dir):
     """Array-function family over the embedding column: indexing,
-    slicing, extrema, sort, containment — all JVM-side, exact element
-    values (no float arithmetic)."""
+    slicing, extrema, sort, reverse — all JVM-side, exact element
+    values (no float arithmetic).
+
+    The slice/sort/reverse results are array-valued; the driver's
+    pandas canonicalization cannot hash list cells (round-1 red), so
+    the three arrays are concatenated and pos-exploded into scalar
+    (pos, val) rows: pos 0-3 = mid4, 4-8 = sorted5, 9-11 = rev3.
+    Values stay exact doubles — no engine-dependent float formatting.
+    """
     e = _t(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    return e.select(
+    mid4 = F.slice(v, 3, 4)
+    sorted5 = F.sort_array(F.slice(v, 1, 5))
+    rev3 = F.reverse(F.slice(v, 1, 3))
+    return (e.select(
         "vec_id",
         F.size("embedding").cast("int").alias("dim"),
         F.element_at(v, 1).alias("first"),
         F.element_at(v, -1).alias("last"),
-        F.slice(v, 3, 4).alias("mid4"),
         F.array_max(v).alias("vmax"),
         F.array_min(v).alias("vmin"),
-        F.sort_array(F.slice(v, 1, 5)).alias("sorted5"),
-        F.reverse(F.slice(v, 1, 3)).alias("rev3"))
+        F.concat(mid4, sorted5, rev3).alias("arr"))
+        .select("vec_id", "dim", "first", "last", "vmax", "vmin",
+                F.posexplode("arr").alias("pos", "val"))
+        .withColumn("pos", F.col("pos").cast("int")))
 
 
 SQL_ARRAY_FUNCS = """
 WITH e AS (SELECT vec_id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings)
-SELECT vec_id,
-       CAST(len(v) AS INT) AS dim,
-       v[1] AS first,
-       v[-1] AS last,
-       v[3:6] AS mid4,
-       list_max(v) AS vmax,
-       list_min(v) AS vmin,
-       list_sort(v[1:5]) AS sorted5,
-       list_reverse(v[1:3]) AS rev3
-FROM e
+           FROM embeddings),
+s AS (SELECT vec_id,
+             CAST(len(v) AS INT) AS dim,
+             v[1] AS first,
+             v[-1] AS last,
+             list_max(v) AS vmax,
+             list_min(v) AS vmin,
+             list_concat(list_concat(v[3:6], list_sort(v[1:5])),
+                         list_reverse(v[1:3])) AS arr
+      FROM e)
+SELECT vec_id, dim, first, last, vmax, vmin,
+       CAST(u.i - 1 AS INT) AS pos, arr[u.i] AS val
+FROM s, UNNEST(generate_series(1, len(arr))) AS u(i)
 """
 
 
 # ------------------------------------------- correlated subquery ----
 
 def q_scalar_subquery(spark, sf_dir):
-    """Correlated scalar subquery (orders above the customer's own
-    average) — Catalyst decorrelates this into an aggregate + join;
-    no per-row re-execution. The average is computed in DECIMAL so
-    the comparison is exact in any engine."""
+    """Correlated scalar subqueries (orders above the customer's own
+    average) — Catalyst decorrelates these into an aggregate + join;
+    no per-row re-execution.
+
+    The above-average predicate is phrased as
+    ``price * COUNT(*) > SUM(price)`` — algebraically identical to
+    ``price > AVG(price)`` but exact in DECIMAL on both engines
+    (AVG would be DECIMAL(22,6) HALF_UP in Spark vs DOUBLE in
+    DuckDB, so a price within rounding distance of the average
+    could flip membership between engines).
+    """
     _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
     return spark.sql("""
         SELECT o_orderkey, o_custkey,
                CAST(o_totalprice AS DECIMAL(18,2)) AS price
         FROM v_orders o
-        WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
-              (SELECT AVG(CAST(i.o_totalprice AS DECIMAL(18,2)))
+        WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+              (SELECT COUNT(*) FROM v_orders i
+               WHERE i.o_custkey = o.o_custkey) >
+              (SELECT SUM(CAST(i.o_totalprice AS DECIMAL(18,2)))
                FROM v_orders i WHERE i.o_custkey = o.o_custkey)
     """).withColumn("price", F.col("price").cast("double"))
 
@@ -325,8 +347,9 @@ SQL_SCALAR_SUBQUERY = """
 SELECT o_orderkey, o_custkey,
        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
 FROM orders o
-WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
-      (SELECT AVG(CAST(i.o_totalprice AS DECIMAL(18,2)))
+WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+      (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey) >
+      (SELECT SUM(CAST(i.o_totalprice AS DECIMAL(18,2)))
        FROM orders i WHERE i.o_custkey = o.o_custkey)
 """
 

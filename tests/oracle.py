@@ -1,10 +1,23 @@
 """Local replica of the driver's DuckDB-oracle comparison: run the
-Spark query and the oracle SQL on the same parquet, sort columns by
-name, sort rows, normalize values, compare."""
+Spark query and the oracle SQL on the same parquet, canonicalize the
+way the driver does (through pandas), and compare.
+
+Faithfulness notes (hardened after round 1, where lenient local
+comparison hid two driver reds):
+
+* Both sides go through pandas (`toPandas()` / `.df()`), so DuckDB
+  HUGEINT becomes float64 here exactly as it does in the driver — an
+  int64-vs-float64 type mismatch FAILS locally now.
+* Values are compared type-strictly: int 42 != float 42.0.
+* list / ndarray cells raise TypeError (the driver's pandas hash
+  cannot canonicalize them) — queries must stringify or explode
+  array outputs.
+"""
 
 from __future__ import annotations
 
 import datetime
+import decimal
 import math
 import os
 
@@ -26,52 +39,76 @@ def _norm(v):
     if v is None:
         return None
     if isinstance(v, bool):
-        return v
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
-        # collapse float-representation noise below comparison precision
-        return round(v, 9)
+            return ("f", "nan")
+        return ("f", round(v, 9))
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, decimal.Decimal):
+        return ("f", round(float(v), 9))
     if isinstance(v, datetime.datetime):
+        # DuckDB's .df() widens DATE to midnight datetime64; treat a
+        # tz-naive midnight timestamp as the date it canonicalizes from
+        if (v.tzinfo is None and v.hour == 0 and v.minute == 0
+                and v.second == 0 and v.microsecond == 0):
+            return v.date().isoformat()
         return v.isoformat()
     if isinstance(v, datetime.date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
-        return tuple(_norm(x) for x in v)
-    if isinstance(v, (int, str, bytes)):
+        raise TypeError(
+            "unhashable array cell — the driver's pandas canonicalization "
+            "cannot sort/hash list values; stringify or explode array "
+            f"outputs (got {v!r})")
+    if isinstance(v, (str, bytes)):
         return v
+    if hasattr(v, "ndim") and getattr(v, "ndim") > 0:  # numpy array
+        raise TypeError(
+            "unhashable array cell — the driver's pandas canonicalization "
+            "cannot sort/hash ndarray values; stringify or explode array "
+            f"outputs (got {v!r})")
     if hasattr(v, "item"):  # numpy scalar
         return _norm(v.item())
+    if v != v:  # pandas NaT / NA
+        return None
+    if hasattr(v, "to_pydatetime"):
+        return _norm(v.to_pydatetime())
     return str(v)
 
 
-def _rows_normalized(cols, rows):
+def _canon(df):
+    """Driver-style canonicalization: lower-case the columns, order
+    columns by name, normalize every cell type-strictly, sort rows."""
+    cols = [c.lower() for c in df.columns]
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_norm(r[i]) for i in order) for r in rows]
-    out.sort(key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
+    raw = df.itertuples(index=False, name=None)
+    out = [tuple(_norm(r[i]) for i in order) for r in raw]
+    out.sort(key=lambda t: tuple((x is None, str(type(x)), str(x))
+                                 for x in t))
     return [cols[i] for i in order], out
 
 
 def compare(spark, sf_dir: str, fn, sql: str, name: str = "?"):
     sdf = fn(spark, sf_dir)
-    s_cols = [c.lower() for c in sdf.columns]
-    s_rows = [tuple(r) for r in sdf.collect()]
+    s_pd = sdf.toPandas()
 
     con = duckdb_con(sf_dir)
-    res = con.execute(sql)
-    d_cols = [c[0].lower() for c in res.description]
-    d_rows = res.fetchall()
+    d_pd = con.execute(sql).df()
     con.close()
 
-    assert sorted(s_cols) == sorted(d_cols), (
-        f"{name}: column mismatch spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
-    assert len(s_rows) == len(d_rows), (
-        f"{name}: rowcount mismatch spark={len(s_rows)} duckdb={len(d_rows)}")
+    s_cols = sorted(c.lower() for c in s_pd.columns)
+    d_cols = sorted(c.lower() for c in d_pd.columns)
+    assert s_cols == d_cols, (
+        f"{name}: column mismatch spark={s_cols} duckdb={d_cols}")
+    assert len(s_pd) == len(d_pd), (
+        f"{name}: rowcount mismatch spark={len(s_pd)} duckdb={len(d_pd)}")
 
-    _, s_norm = _rows_normalized(s_cols, s_rows)
-    _, d_norm = _rows_normalized(d_cols, d_rows)
+    _, s_norm = _canon(s_pd)
+    _, d_norm = _canon(d_pd)
     for i, (a, b) in enumerate(zip(s_norm, d_norm)):
         assert a == b, (
             f"{name}: first row mismatch at sorted index {i}:\n"
             f"  spark : {a}\n  duckdb: {b}")
-    return len(s_rows)
+    return len(s_pd)
