@@ -10,10 +10,13 @@ test contract at test_A_segment.py:159-194).
 Here a "request" is a job: validation raises ``ValidationError``
 (→ 400), stages run in order and wrap failures in ``StageError``
 (→ 500, stage named). No-partial-writes holds structurally: every
-stage before ``save`` only BUILDS a lazy plan, and the save stage is
-a single dynamic-partition-overwrite job — Spark commits it
-atomically via the output committer, so a failure in any stage
-(including save itself) leaves prior data intact. The reference
+stage before ``save`` only BUILDS a lazy plan, and each entity write
+in the save stage is one dynamic-partition-overwrite job that Spark
+commits atomically via the output committer. A save stage touching
+several entities is per-entity atomic + idempotent-on-retry (the
+same partitions are rewritten), with side entities committed before
+the authoritative one so a mid-stage failure never publishes an
+authoritative partition whose side outputs are stale. The reference
 needed explicit deletes + ordered puts for the same guarantee.
 
 ``test_exception`` reproduces the reference's fault-injection
@@ -154,12 +157,18 @@ def run_segment_job(spark, params: dict, storage_root: str,
         return ctx
 
     def save(ctx):
-        storage.overwrite_partitions(ctx["detections"], storage_root,
-                                     "segment")
+        # Each overwrite_partitions is atomic per entity; the stage as
+        # a whole is idempotent-on-retry (dynamic partition overwrite
+        # rewrites the same (cx, cy) partitions). Side entities (chip,
+        # pixel) commit FIRST so a mid-stage failure can never leave
+        # the authoritative segment partitions newer than their
+        # side outputs — a retry always converges.
         storage.overwrite_partitions(chip_record(ctx["detections"]),
                                      storage_root, "chip")
         storage.overwrite_partitions(pixel_records(ctx["ts"]),
                                      storage_root, "pixel")
+        storage.overwrite_partitions(ctx["detections"], storage_root,
+                                     "segment")
         return ctx
 
     try:

@@ -54,11 +54,17 @@ def overwrite_partitions(df: DataFrame, root: str, entity: str) -> None:
     """Idempotent per-partition rewrite — replaces the reference's
     delete-then-put pairs (ceph.py:250-263 + insert_*). With
     ``partitionOverwriteMode=dynamic`` only partitions present in ``df``
-    are replaced, concurrently-safe at the job level."""
+    are replaced, concurrently-safe at the job level.
+
+    The mode is set on the writer itself, not inherited from session
+    conf: on a session without the dynamic default, a plain
+    ``mode('overwrite') + partitionBy`` would statically truncate the
+    ENTIRE entity dataset."""
     keys = list(PARTITION_KEYS[entity])
     (df.repartition(*[F.col(k) for k in keys])
        .sortWithinPartitions(*keys)
        .write.mode("overwrite")
+       .option("partitionOverwriteMode", "dynamic")
        .partitionBy(*keys)
        .parquet(path(root, entity)))
 
