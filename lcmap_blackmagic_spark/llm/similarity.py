@@ -15,10 +15,13 @@
 
 from __future__ import annotations
 
+import hashlib
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _nibble, _spread
+from .dedup import _spread
 
 DIM = 64
 
@@ -160,21 +163,84 @@ def cosine_neardup_pairs(emb: DataFrame, threshold: float,
              .select("id_a", "id_b", F.round(cos, 6).alias("cosine")))
 
 
+@lru_cache(maxsize=None)
+def _plane_weights(table: int, plane: int, dim: int = DIM) -> tuple[int, ...]:
+    """±1 hyperplane weights, derived at build time: weight on dim d
+    is +1 iff bit 0 (MSB-first) of md5('table:plane:d') is 1 — the
+    exact value `_nibble(F.md5(...), 0)` would compute, but folded in
+    Python so the Spark plan carries ±element_at arithmetic instead
+    of thousands of md5 literal expressions."""
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"{table}:{plane}:{d}".encode()).hexdigest()
+        out.append(1 if (int(h[0], 16) >> 3) & 1 else -1)
+    return tuple(out)
+
+
+def _signed_sum(vec_col: Column, weights: tuple[int, ...]) -> Column:
+    """Left-to-right ±element chain — bit-identical to the oracle's
+    generated `+v[1]-v[2]...` expression (unary negation is an exact
+    IEEE sign flip, so `s - e` ≡ `s + (-1)*e`)."""
+    s = (F.element_at(vec_col, 1) if weights[0] > 0
+         else -F.element_at(vec_col, 1))
+    for d in range(1, len(weights)):
+        e = F.element_at(vec_col, d + 1)
+        s = (s + e) if weights[d] > 0 else (s - e)
+    return s
+
+
 def _sign_bits(vec_col: Column, table: int, n_planes: int, dim: int) -> Column:
     """Bucket key for one LSH table: n_planes sign bits. Plane p's
-    weight on dim d is +1 iff bit 0 of md5('t:p:d') is 1."""
+    weight on dim d is +1 iff bit 0 of md5('t:p:d') is 1 (weights
+    precomputed by `_plane_weights`)."""
     bits = []
     for p in range(n_planes):
-        terms = []
-        for d in range(dim):
-            w = _nibble(F.md5(F.lit(f"{table}:{p}:{d}").cast("binary")), 0)
-            terms.append((w * 2 - 1).cast("double")
-                         * F.element_at(vec_col, d + 1))
-        s = terms[0]
-        for t in terms[1:]:
-            s = s + t
+        s = _signed_sum(vec_col, _plane_weights(table, p, dim))
         bits.append(F.when(s >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
+
+
+def lsh_neardup_pairs(emb: DataFrame, threshold: float,
+                      n_tables: int = 8, n_planes: int = 8,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-duplicate pairs, the 100 TB form: sign-LSH
+    banded candidates + exact-cosine verify. Never builds the n²
+    product — candidates are an equi-join on (table, bucket), exactly
+    the MinHash-banding shape that is green for Jaccard dedup.
+
+    Semantics: all (id_a < id_b) that share ≥1 of ``n_tables`` bucket
+    keys AND have exact cosine ≥ threshold (filtered on the UNROUNDED
+    value; rounding only on output). Recall vs the all-pairs form is
+    the standard banding bound 1-(1-p^r)^b with p = 1-θ/π per plane:
+    at a realistic near-dup operating point (cos ≥ 0.95, 8 planes,
+    8 tables) ≈ 0.99; `cosine_neardup_pairs` remains the exact
+    cross-check baseline at test scale.
+
+    Sizing: buckets per table = 2^n_planes. Pick n_planes ≈ log2(n)
+    − log2(wanted bucket size) so per-bucket pair work stays bounded;
+    add tables to buy recall. The two knobs are independent, so the
+    operator scales by config, not by code change.
+    """
+    vec = _as_double(F.col(vec_col))
+    keyed = (_spread(emb.select(F.col(id_col).alias("id"),
+                                vec.alias("v")))
+             .select("id", "v", F.posexplode(F.array(*[
+                 _sign_bits(F.col("v"), t, n_planes, DIM)
+                 for t in range(n_tables)])).alias("tbl", "bucket")))
+    a = keyed.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                     "tbl", "bucket")
+    b = keyed.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                     "tbl", "bucket")
+    cand = (a.join(b, ["tbl", "bucket"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "va", "id_b", "vb")
+             .dropDuplicates(["id_a", "id_b"])
+             .withColumn("na", F.sqrt(_dot(F.col("va"), F.col("va"))))
+             .withColumn("nb", F.sqrt(_dot(F.col("vb"), F.col("vb")))))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (cand.filter(cos >= threshold)
+                .select("id_a", "id_b", F.round(cos, 6).alias("cosine")))
 
 
 def lsh_ann_topk(emb: DataFrame, query_filter: Column, k: int = 5,

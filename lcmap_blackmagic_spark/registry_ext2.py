@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .llm.similarity import cosine_neardup_pairs
+from .llm.similarity import _plane_weights, lsh_neardup_pairs
 from .registry import _t
 
 # ---------------------------------------------- embedding near-dup --
@@ -20,23 +20,64 @@ from .registry import _t
 NEARDUP_THRESHOLD = 0.42  # synthetic vectors have no true dups; this
                           # exercises the operator on a non-empty set
 
+NEARDUP_TABLES = 8
+NEARDUP_PLANES = 8
+
 
 def q_embed_neardup(spark, sf_dir):
+    """Registered form is the scale path: sign-LSH banded candidates
+    + exact verify (no n² nested loop anywhere in the plan). The
+    all-pairs exact form stays as a cross-check test
+    (tests/test_similarity.py) rather than the registered query."""
     e = _t(spark, sf_dir, "embeddings")
-    return cosine_neardup_pairs(e, threshold=NEARDUP_THRESHOLD)
+    return lsh_neardup_pairs(e, threshold=NEARDUP_THRESHOLD,
+                             n_tables=NEARDUP_TABLES,
+                             n_planes=NEARDUP_PLANES)
 
 
 _DOT = ("list_sum(list_transform(generate_series(1, 64), "
         "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))")
-_COS = (f"{_DOT.format(a='a.embedding', b='b.embedding')} / "
-        f"(sqrt({_DOT.format(a='a.embedding', b='a.embedding')}) * "
-        f"sqrt({_DOT.format(a='b.embedding', b='b.embedding')}))")
 
-SQL_EMBED_NEARDUP = f"""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_COS}, 6) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {_COS} >= {NEARDUP_THRESHOLD}
+
+def _sql_bucket(table: int, n_planes: int) -> str:
+    """One LSH table's bucket key in DuckDB SQL, generated from the
+    SAME ±1 weights as the Spark expression (left-to-right chain, so
+    the double summation is bit-identical on both engines)."""
+    bits = []
+    for p in range(n_planes):
+        ws = _plane_weights(table, p)
+        chain = "".join(
+            ("+" if w > 0 else "-") + f"v[{d + 1}]"
+            for d, w in enumerate(ws)).lstrip("+")
+        bits.append(f"CASE WHEN {chain} >= 0 THEN '1' ELSE '0' END")
+    return " || ".join(bits)
+
+
+def _sql_embed_neardup() -> str:
+    keyed = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, v, {t} AS tbl, {_sql_bucket(t, NEARDUP_PLANES)} AS bucket FROM e"
+        for t in range(NEARDUP_TABLES))
+    cos = (f"{_DOT.format(a='x.v', b='y.v')} / "
+           f"(sqrt({_DOT.format(a='x.v', b='x.v')}) * "
+           f"sqrt({_DOT.format(a='y.v', b='y.v')}))")
+    return f"""
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+k AS (
+  {keyed}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM k a JOIN k b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT c.id_a, c.id_b, ROUND({cos}, 6) AS cosine
+FROM cand c JOIN e x ON x.vec_id = c.id_a JOIN e y ON y.vec_id = c.id_b
+WHERE {cos} >= {NEARDUP_THRESHOLD}
 """
+
+
+SQL_EMBED_NEARDUP = _sql_embed_neardup()
 
 
 # -------------------------------------------------- token counting --

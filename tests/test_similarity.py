@@ -70,3 +70,31 @@ def test_salted_join_rejects_right(spark):
     df = spark.range(5)
     with pytest.raises(ValueError):
         salted_join(df, df, ["id"], how="full")
+
+
+def test_lsh_neardup_subset_of_exact(emb):
+    """The registered near-dup form (LSH candidates + exact verify)
+    must emit a SUBSET of the all-pairs exact result with identical
+    cosines — precision 1 by construction; banding only costs
+    recall."""
+    from lcmap_blackmagic_spark.llm.similarity import (
+        cosine_neardup_pairs, lsh_neardup_pairs)
+    t = 0.42
+    exact = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in cosine_neardup_pairs(emb, threshold=t).collect()}
+    lsh = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in lsh_neardup_pairs(emb, threshold=t).collect()}
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k]
+
+
+def test_lsh_neardup_plan_has_no_nested_loop(emb):
+    """Scale guard: the registered near-dup must candidate via an
+    equi-join on (table, bucket) — never an n-squared nested-loop or
+    cartesian product."""
+    from lcmap_blackmagic_spark.llm.similarity import lsh_neardup_pairs
+    plan = (lsh_neardup_pairs(emb, threshold=0.42)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
