@@ -123,16 +123,20 @@ def run_stages(ctx: Any, stages: list[tuple[str, Callable[[Any], Any]]],
 
 
 def run_segment_job(spark, params: dict, storage_root: str,
-                    ard=None, side: int = 10,
+                    ard=None, side: int = 10, detector=None,
                     test_exception: str | None = None) -> dict:
     """/segment as a job (segment.py:253-264 stage order): validate →
     timeseries → nodata guard → detection → save (chip + pixel +
     segment partitions, dynamic overwrite). ``ard`` defaults to the
-    chip's synthetic fixture; pass a real scan in production."""
+    chip's synthetic fixture; pass a real scan in production.
+    ``detector`` swaps the science core (default stub; pass
+    ``plans.pyccd.pyccd_detector`` where lcmap-pyccd is installed)."""
     from . import storage
     from .plans.segment import (chip_record, detect, pixel_records,
-                                pixel_timeseries)
+                                pixel_timeseries, stub_detector)
     from .sources.fixtures import synth_ard
+
+    det = detector if detector is not None else stub_detector
 
     p = validate_segment_params(params)
 
@@ -153,7 +157,7 @@ def run_segment_job(spark, params: dict, storage_root: str,
         return ctx
 
     def detection(ctx):
-        ctx["detections"] = detect(ctx["ts"])
+        ctx["detections"] = detect(ctx["ts"], detector=det)
         return ctx
 
     def save(ctx):
