@@ -22,15 +22,26 @@ from .train import HAVE_XGBOOST
 
 
 def _load(model_bytes: bytes):
-    if HAVE_XGBOOST:
-        try:
-            import xgboost as xgb
-            booster = xgb.Booster()
-            booster.load_model(bytearray(model_bytes))
-            return booster
-        except Exception:
-            pass
-    return pickle.loads(model_bytes)
+    """Decode model bytes LOUDLY: a centroid model is a pickled dict
+    (pickle protocol-2+ marker 0x80, 'kind': 'centroid'), anything
+    else must be an XGBoost raw model. Mis-tagged or corrupt bytes
+    raise — a silent fallback here would serve garbage predictions
+    for a whole tile."""
+    if model_bytes[:1] == b"\x80":
+        model = pickle.loads(model_bytes)
+        if not (isinstance(model, dict) and model.get("kind") == "centroid"):
+            raise ValueError(
+                f"pickled model payload is not a centroid model: "
+                f"{type(model).__name__}")
+        return model
+    if not HAVE_XGBOOST:
+        raise RuntimeError(
+            "model bytes are not a centroid model (no pickle marker); "
+            "loading them requires xgboost, which is not importable here")
+    import xgboost as xgb
+    booster = xgb.Booster()
+    booster.load_model(bytearray(model_bytes))  # raises on corrupt bytes
+    return booster
 
 
 def _predict_matrix(model, X: np.ndarray) -> np.ndarray:

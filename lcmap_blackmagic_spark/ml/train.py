@@ -44,9 +44,31 @@ except ImportError:  # environment without the pinned dep
     HAVE_XGBOOST = False
 
 
-def _collect_matrix(df: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+# Driver-side matrix budget: the reference's deliberate driver-local
+# fit collects ≤ target_samples (2e7) × 69 float32 ≈ 5.5 GB; 8 GiB
+# bounds that with headroom. Beyond it, the fit no longer belongs on
+# the driver — use a distributed trainer (xgboost.spark) or lower the
+# sampling budget.
+MAX_COLLECT_BYTES = 8 << 30
+
+
+def _collect_matrix(df: DataFrame,
+                    max_bytes: int = MAX_COLLECT_BYTES
+                    ) -> tuple[np.ndarray, np.ndarray]:
     """label+features DataFrame → (X float32, y int8). The sample is
-    bounded by the stratified sampler before this point."""
+    bounded by the stratified sampler before this point; a cheap
+    count×width estimate fails fast if a caller bypasses the sampler
+    and would otherwise OOM the driver."""
+    n = df.count()
+    if n:
+        width = len(df.select("features").first()["features"])
+        est = n * (width * 4 + 1)
+        if est > max_bytes:
+            raise RuntimeError(
+                f"training matrix ≈{est >> 20} MiB ({n} rows × {width} "
+                f"features) exceeds the driver-side budget "
+                f"({max_bytes >> 20} MiB); shrink the sampling budget or "
+                f"use a distributed trainer (e.g. xgboost.spark)")
     rows = df.select("label", "features").collect()
     y = np.array([r["label"] for r in rows], dtype=np.int8)
     X = np.array([r["features"] for r in rows], dtype=np.float32)
