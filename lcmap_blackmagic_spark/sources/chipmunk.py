@@ -13,14 +13,35 @@ couldn't have:
   deployment), and an `acquired >=/<= ` filter narrows the date range
   generated per chip.
 
-The payload here is the deterministic synthetic generator (the
-environment has no Chipmunk service); a live implementation swaps
-``_chip_rows`` for the HTTP GET + base64 decode, with bounded retry
-inside the partition reader (reference: tenacity at segaux.py:86-88).
+Two payload modes share one schema:
+
+- **synthetic** (default): the deterministic generator — the
+  environment has no Chipmunk service;
+- **http** (``option("url", ...)``): live-protocol mode. Each chip
+  partition GETs ``{url}/chips?x&y&acquired&ubid`` per ubid (the
+  query merlin issues for the reference — segment.py:166-175),
+  base64-decodes each chip's ``data`` into pixel values, and yields
+  the same rows. Retries are bounded with exponential backoff inside
+  the partition reader (reference: tenacity ``stop_after_attempt(20),
+  wait_exponential(multiplier=1, min=2, max=5)`` at segaux.py:86-88)
+  — a task retry then re-fetches only its own chip.
+
+Response shape (from the reference's recorded nginx cache,
+deps/nginxcache): HTTP 200, JSON array of
+``{"x": int, "y": int, "acquired": "YYYY-MM-DDTHH:MM:SSZ",
+"data": base64}``, where data decodes to a flat little-endian
+integer raster (dtype from the /registry endpoint; int16 for
+Landsat SR/BT/QA bands — configurable via ``option("dtype", ...)``).
 """
 
 from __future__ import annotations
 
+import base64
+import datetime
+import json
+import time
+import urllib.parse
+import urllib.request
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader, EqualTo,
@@ -28,6 +49,50 @@ from pyspark.sql.datasource import (DataSource, DataSourceReader, EqualTo,
                                     SimpleDataSourceStreamReader)
 
 GRID_M = 3000  # chip pitch in projection meters (3 km — SURVEY §1.1)
+
+# reference retry policy (segaux.py:86-88)
+RETRY_ATTEMPTS = 20
+RETRY_WAIT_MIN = 2.0
+RETRY_WAIT_MAX = 5.0
+
+
+def _get_json(url: str, attempts: int = RETRY_ATTEMPTS,
+              wait_min: float = RETRY_WAIT_MIN,
+              wait_max: float = RETRY_WAIT_MAX,
+              timeout: float = 30.0):
+    """Bounded-retry GET → parsed JSON. Exponential backoff clamped
+    to [wait_min, wait_max]; the final failure re-raises (tenacity's
+    ``reraise=True``)."""
+    for attempt in range(attempts):
+        try:
+            with urllib.request.urlopen(url, timeout=timeout) as r:
+                return json.loads(r.read().decode("utf-8"))
+        except Exception:
+            if attempt == attempts - 1:
+                raise
+            wait = min(wait_max, max(wait_min, 2.0 ** attempt))
+            if wait > 0:
+                time.sleep(wait)
+
+
+def _http_chip_rows(url: str, ubid: str, cx: int, cy: int, acquired: str,
+                    dtype: str, attempts: int, wait_min: float,
+                    wait_max: float, timeout: float):
+    """One ubid × one chip: GET /chips, decode base64 rasters, yield
+    (ubid, cx, cy, acquired, data) rows in the source schema."""
+    import numpy as np
+    q = urllib.parse.urlencode(
+        {"x": cx, "y": cy, "acquired": acquired, "ubid": ubid})
+    payload = _get_json(f"{url}/chips?{q}", attempts=attempts,
+                        wait_min=wait_min, wait_max=wait_max,
+                        timeout=timeout)
+    for chip in payload:
+        raw = base64.b64decode(chip["data"])
+        data = [int(v) for v in np.frombuffer(raw, dtype=np.dtype(dtype))]
+        ts = datetime.datetime.fromisoformat(
+            chip["acquired"].replace("Z", "+00:00"))
+        ts = ts.replace(tzinfo=None)  # schema is naive timestamp
+        yield (ubid, int(chip["x"]), int(chip["y"]), ts, data)
 
 
 @dataclass
@@ -43,7 +108,14 @@ class ChipmunkDataSource(DataSource):
       reference's test fixture coordinate;
     - ``nx``, ``ny``: grid extent in chips (default 2×2);
     - ``side``: pixels per chip edge (default 10; production 100);
-    - ``n_acq``: acquisitions per band (default 40).
+    - ``n_acq``: acquisitions per band (default 40; synthetic mode);
+    - ``url``: Chipmunk base URL — switches to live HTTP mode;
+    - ``ubids``: comma-separated ubids to fetch (http mode; default
+      the Landsat 8 fixture set);
+    - ``acquired``: 'start/end' range forwarded to /chips (http mode);
+    - ``dtype``: numpy dtype of the base64 rasters (default int16);
+    - ``attempts``/``wait_min``/``wait_max``/``timeout``: retry knobs
+      (defaults = the reference's tenacity policy).
     """
 
     @classmethod
@@ -69,6 +141,14 @@ class ChipmunkReader(DataSourceReader):
         self.ny = int(options.get("ny", 2))
         self.side = int(options.get("side", 10))
         self.n_acq = int(options.get("n_acq", 40))
+        self.url = options.get("url")  # set → live HTTP mode
+        self.ubids = [u for u in options.get("ubids", "").split(",") if u]
+        self.acquired = options.get("acquired", "1980/2020")
+        self.dtype = options.get("dtype", "int16")
+        self.attempts = int(options.get("attempts", RETRY_ATTEMPTS))
+        self.wait_min = float(options.get("wait_min", RETRY_WAIT_MIN))
+        self.wait_max = float(options.get("wait_max", RETRY_WAIT_MAX))
+        self.timeout = float(options.get("timeout", 30.0))
         self.cx_keep: set[int] | None = None
         self.cy_keep: set[int] | None = None
 
@@ -105,6 +185,15 @@ class ChipmunkReader(DataSourceReader):
 
     def read(self, partition: ChipPartition):
         if partition.cy > self.cy0:  # the sentinel empty partition
+            return
+        if self.url:
+            from .fixtures import UBID_BANDS
+            ubids = self.ubids or list(UBID_BANDS)
+            for ubid in ubids:
+                yield from _http_chip_rows(
+                    self.url, ubid, partition.cx, partition.cy,
+                    self.acquired, self.dtype, self.attempts,
+                    self.wait_min, self.wait_max, self.timeout)
             return
         # lazy import: runs on executors
         from .fixtures import synth_chip_rows
