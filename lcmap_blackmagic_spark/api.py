@@ -85,6 +85,16 @@ def validate_tile_params(params: dict) -> dict:
         raise ValidationError("parameter date must be 'YYYY-MM-DD'")
     out["date"] = date
     chips = params.get("chips")
+    if chips is None:
+        # tile-only request: expand (tx, ty) to its 2500 chips (the
+        # reference gets this list from Chipmunk's grid service;
+        # functions/grid.py does the same math locally)
+        from .functions.grid import chips_for_tile
+        try:
+            out["chips"] = chips_for_tile(out["tx"], out["ty"])
+        except ValueError as e:
+            raise ValidationError(str(e))
+        return out
     if not isinstance(chips, (list, tuple)) or not chips:
         raise ValidationError("parameter chips must be a non-empty list")
     out["chips"] = [(int(x), int(y)) for x, y in chips]
