@@ -84,7 +84,64 @@ def delete_partitions(spark: SparkSession, root: str, entity: str,
 
 
 def write_json_gzip(df: DataFrame, out_dir: str) -> None:
-    """Byte-parity sink: gzip JSON, the reference's at-rest format
-    (ceph.py:265-333). Kept for interop only — Parquet is the engine
-    format."""
+    """Gzip JSON-lines sink (many part files). Kept for bulk interop —
+    Parquet is the engine format; for the reference's exact object
+    layout use ``write_chip_json_objects``."""
     df.write.mode("overwrite").option("compression", "gzip").json(out_dir)
+
+
+def _jsonable(v):
+    if hasattr(v, "tolist"):  # numpy array / scalar
+        return v.tolist()
+    if isinstance(v, (list, tuple)):
+        return [_jsonable(x) for x in v]
+    return v
+
+
+def write_chip_json_objects(df: DataFrame, root: str, entity: str) -> int:
+    """Byte-parity object sink: ONE gzip JSON object per chip (or
+    tile) under ``{entity}/{x}-{y}.json`` — the reference's Ceph key
+    scheme and encoding (``_put_json`` + ``_{entity}_key``,
+    ceph.py:306-351: body is gzip of ``json.dumps(records)``, key
+    keeps the .json name with gzip as a transfer encoding).
+
+    Executed as one distributed job: each (x, y) group serializes and
+    writes its own object from the executor — the same per-chip put
+    the reference does, minus the driver loop. Records are sorted by
+    their serialized form so object bytes are deterministic under
+    shuffle. Returns the number of objects written. In production the
+    local write becomes an object-store put with
+    ContentEncoding=gzip; the key scheme and bytes are identical."""
+    import gzip
+    import json
+
+    import pandas as pd
+
+    kx, ky = PARTITION_KEYS[entity]
+    out_base = os.path.join(root, entity)
+    os.makedirs(out_base, exist_ok=True)
+
+    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        x, y = int(pdf[kx].iloc[0]), int(pdf[ky].iloc[0])
+        records = sorted(
+            ({c: _jsonable(v) for c, v in zip(pdf.columns, row)}
+             for row in pdf.itertuples(index=False, name=None)),
+            key=lambda r: json.dumps(r, sort_keys=True))
+        body = gzip.compress(json.dumps(records).encode("utf-8"))
+        path = os.path.join(out_base, f"{x}-{y}.json")
+        with open(path, "wb") as f:
+            f.write(body)
+        return pd.DataFrame({"x": [x], "y": [y], "n": [len(records)]})
+
+    acks = (df.groupBy(kx, ky)
+            .applyInPandas(write_group, schema="x long, y long, n long"))
+    return acks.count()
+
+
+def read_chip_json(root: str, entity: str, x: int, y: int) -> list[dict]:
+    """Read one chip object back (``_get_json`` parity,
+    ceph.py:296-305)."""
+    import gzip
+    import json
+    with open(os.path.join(root, entity, f"{x}-{y}.json"), "rb") as f:
+        return json.loads(gzip.decompress(f.read()).decode("utf-8"))

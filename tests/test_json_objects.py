@@ -1,0 +1,49 @@
+"""Byte-parity object sink: one gzip JSON object per chip under
+{entity}/{x}-{y}.json, matching the reference's Ceph layout
+(ceph.py:338-351) — gzip body, .json key, a list of record dicts per
+chip, deterministic bytes."""
+
+import gzip
+import json
+import os
+
+import pytest
+
+from lcmap_blackmagic_spark import storage
+
+
+@pytest.fixture(scope="module")
+def segs(spark):
+    rows = [(-2061585 + 3000 * (i % 2), 1922805, 100 + i, 200,
+             "1999-01-01", "2000-01-01", [0.5, float(i)])
+            for i in range(6)]
+    return spark.createDataFrame(
+        rows, "cx long, cy long, px long, py long, sday string, "
+              "eday string, blcoef array<double>")
+
+
+def test_layout_and_roundtrip(segs, tmp_path):
+    n = storage.write_chip_json_objects(segs, str(tmp_path), "segment")
+    assert n == 2  # two chips -> two objects
+    names = sorted(os.listdir(tmp_path / "segment"))
+    assert names == ["-2058585-1922805.json", "-2061585-1922805.json"]
+
+    got = storage.read_chip_json(str(tmp_path), "segment", -2061585, 1922805)
+    assert len(got) == 3
+    assert {r["px"] for r in got} == {100, 102, 104}
+    assert got[0]["blcoef"] == [0.5, 0.0]
+    assert all(set(r) == {"cx", "cy", "px", "py", "sday", "eday", "blcoef"}
+               for r in got)
+
+
+def test_bytes_are_gzip_json_and_deterministic(segs, tmp_path):
+    a, b = tmp_path / "a", tmp_path / "b"
+    storage.write_chip_json_objects(segs, str(a), "segment")
+    storage.write_chip_json_objects(segs.repartition(7), str(b), "segment")
+    for name in os.listdir(a / "segment"):
+        raw_a = (a / "segment" / name).read_bytes()
+        raw_b = (b / "segment" / name).read_bytes()
+        # the reference stores gzip bodies under the .json key
+        payload = json.loads(gzip.decompress(raw_a))
+        assert isinstance(payload, list)
+        assert gzip.decompress(raw_a) == gzip.decompress(raw_b)
