@@ -42,17 +42,41 @@ def class_targets(df: DataFrame, label_col: str,
         ).alias("cap"))
 
 
+# Largest class the exact (windowed) mode will sort in one reducer
+# before the skew switch flips to sampleBy — SCALE.md's shuffle
+# inventory: 9 labels → 9 reducers hotspots at trillion-row scale.
+EXACT_CLASS_ROWS_LIMIT = 50_000_000
+
+
 def stratified_sample(df: DataFrame, label_col: str,
                       target_samples: int, class_min: int, class_max: int,
                       seed: int = 42,
-                      order_col: str | None = None) -> DataFrame:
+                      order_col: str | None = None,
+                      exact_class_limit: int = EXACT_CLASS_ROWS_LIMIT
+                      ) -> DataFrame:
     """Per-class capped/floored sample — reference ``sample``
     (tile.py:228-284; unit test test_B_tile.py:255-274).
 
     row_number over (partition by label order by rand(seed)) ≤ cap.
     With ``order_col``, ordering is by that column instead — exactly
-    reproducible in any engine.
+    reproducible in any engine (and the skew switch is disabled,
+    since the caller demanded determinism).
+
+    Without ``order_col``, the skew switch is automatic: if the
+    largest class exceeds ``exact_class_limit`` rows, the windowed
+    mode's per-class single-reducer sort would hotspot, so the
+    operator falls through to ``stratified_sample_approx`` (Bernoulli
+    ``sampleBy``, no window) — the at-scale default SCALE.md names.
+    The count check is one map-side-combined aggregate over ≤
+    num_classes rows.
     """
+    if order_col is None:
+        mx = (df.groupBy(label_col).count()
+              .agg(F.max("count")).first()[0]) or 0
+        if mx > exact_class_limit:
+            return stratified_sample_approx(
+                df, label_col, target_samples, class_min, class_max,
+                seed=seed)
     caps = class_targets(df, label_col, target_samples, class_min, class_max)
     order = F.col(order_col) if order_col else F.rand(seed)
     w = Window.partitionBy(label_col).orderBy(order)

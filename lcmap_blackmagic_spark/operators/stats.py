@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -11,11 +11,14 @@ def label_statistics(df: DataFrame, label_col: str = "label") -> DataFrame:
     the reference's ``statistics`` (tile.py:191-212,
     ``numpy.unique(return_counts=True)`` then ``cnts/sum``).
 
-    Hash aggregate first (map-side partial combine), then a window over
-    the tiny aggregated result (one row per distinct label) for
-    pct-of-total — the window never sees the fact table.
+    Hash aggregate first (map-side partial combine); the pct-of-total
+    divides by a scalar aggregate joined back via broadcast — NOT an
+    unpartitioned window, which plans as a single-partition WindowExec
+    and melts the moment a caller points this at a non-aggregated
+    column. The total here is one row, so the cross join is free.
     """
     counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("cnt"))
-    total = Window.partitionBy()
-    return counts.withColumn(
-        "pct", F.col("cnt") / F.sum("cnt").over(total))
+    total = counts.agg(F.sum("cnt").alias("__total"))
+    return (counts.crossJoin(F.broadcast(total))
+            .withColumn("pct", F.col("cnt") / F.col("__total"))
+            .drop("__total"))

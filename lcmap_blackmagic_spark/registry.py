@@ -406,17 +406,27 @@ FROM documents GROUP BY md5(text)
 
 def q_text_stats(spark, sf_dir):
     """Text quality scoring: token count, mean token length, stopword
-    ratio — all built-in array/string functions."""
+    ratio — codegen-only string arithmetic, no higher-order functions
+    (HOFs evaluate interpreted, measured 8-30× slower in SCALE.md):
+
+    - Σ len(token) ≡ len(trimmed) − (n_tokens − 1), because split(' ')
+      partitions the string and separators are single chars;
+    - stopword hits counted with zero-width-boundary regex over the
+      space-padded text (lookarounds don't consume, so adjacent
+      stopwords all match) — identical to exact token equality since
+      tokens are the maximal runs between single spaces.
+    """
     d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), " ")
-    stop = F.filter(toks, lambda t: t.isin("the", "a", "of", "and"))
+    trimmed = F.trim(F.col("text"))
+    n_tokens = F.size(F.split(trimmed, " "))
+    sum_len = (F.length(trimmed) - n_tokens + 1).cast("double")
+    padded = F.concat(F.lit(" "), trimmed, F.lit(" "))
+    n_stop = F.regexp_count(padded, F.lit("(?<= )(?:the|a|of|and)(?= )"))
     return d.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.round(F.aggregate(toks, F.lit(0).cast("double"),
-                            lambda acc, t: acc + F.length(t))
-                / F.size(toks), 6).alias("mean_token_len"),
-        F.round(F.size(stop) / F.size(toks), 6).alias("stopword_ratio"),
+        n_tokens.alias("n_tokens"),
+        F.round(sum_len / n_tokens, 6).alias("mean_token_len"),
+        F.round(n_stop / n_tokens, 6).alias("stopword_ratio"),
     )
 
 

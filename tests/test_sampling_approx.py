@@ -42,3 +42,27 @@ def test_approx_rows_are_subset_and_deterministic(spark, sf_dir):
     assert k1 == k2
     base = {(r["l_orderkey"], r["l_linenumber"]) for r in df.collect()}
     assert k1 <= base
+
+
+def test_skew_switch_is_automatic(spark, sf_dir):
+    """Past exact_class_limit the sampler must plan sampleBy (no
+    window); under it, the exact windowed mode; with order_col the
+    switch is disabled because determinism was demanded."""
+    df = _labels(spark, sf_dir)
+
+    def plan(sampled):
+        return sampled._jdf.queryExecution().executedPlan().toString()
+
+    tiny = stratified_sample(df, "label", 300, 20, 150,
+                             exact_class_limit=10)
+    assert "Window" not in plan(tiny)          # approx: Bernoulli sample
+    assert "Filter UDF" in plan(tiny)          # sampleBy's per-label filter
+
+    big = stratified_sample(df, "label", 300, 20, 150,
+                            exact_class_limit=10**9)
+    assert "Window" in plan(big)               # exact windowed mode
+
+    pinned = stratified_sample(df, "label", 300, 20, 150,
+                               order_col="l_orderkey",
+                               exact_class_limit=10)
+    assert "Window" in plan(pinned)            # determinism wins
