@@ -72,6 +72,99 @@ def q_approx_sketches(spark, sf_dir):
             .orderBy("l_returnflag"))
 
 
+# ------------------------------------------- deterministic sketches -
+
+KMV_K = 256
+_H48 = 2 ** 48          # 12 hex digits of md5 as an integer
+KMV_SAMPLE_THRESH = 2 ** 45  # 1/8 hash-sample for the median sketch
+
+
+def q_kmv_sketch(spark, sf_dir):
+    """Oracle-checkable sketch twin of ``approx_sketches``: both
+    estimators are *deterministic functions of md5*, so Spark and
+    DuckDB produce bit-identical doubles —
+
+    - KMV distinct count: the K smallest distinct 48-bit hashes per
+      group; estimate (K-1)·2^48 / h_(K) (the classic k-minimum-values
+      estimator). Exact when a group has < K distinct keys.
+    - hash-sampled median: rank-based (no interpolation arithmetic)
+      median of a 1/8 deterministic hash sample.
+
+    The production form at 100 TB is ``approx_sketches`` (HLL/GK are
+    one-pass, mergeable, bounded-memory); this query pins the sketch
+    *pattern* against the oracle, and its estimates are themselves
+    tolerance-tested against exact values in tests/test_sketches.py.
+    The per-group row_number over distinct hashes rides one narrow
+    dedup shuffle; only K rows per group survive to the aggregate."""
+    from pyspark.sql import Window
+    l = _t(spark, sf_dir, "lineitem")
+    h = F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string")),
+                           1, 12), 16, 10).cast("bigint")
+    dist = l.select("l_returnflag", h.alias("h")).distinct()
+    w = Window.partitionBy("l_returnflag").orderBy("h")
+    topk = (dist.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= KMV_K))
+    kmv = (topk.groupBy("l_returnflag")
+           .agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("k"))
+           .select("l_returnflag",
+                   F.when(F.col("k") < KMV_K, F.col("k").cast("double"))
+                   .otherwise(F.lit(float(KMV_K - 1)) * F.lit(float(_H48))
+                              / F.col("hk"))
+                   .alias("kmv_distinct")))
+    hs = F.conv(F.substring(F.md5(F.concat_ws(
+        "-", F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"))), 1, 12), 16, 10) \
+        .cast("bigint")
+    samp = l.filter(hs < KMV_SAMPLE_THRESH).select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        "l_orderkey", "l_linenumber")
+    wr = Window.partitionBy("l_returnflag").orderBy(
+        "price", "l_orderkey", "l_linenumber")
+    wc = Window.partitionBy("l_returnflag")
+    med = (samp.withColumn("rn", F.row_number().over(wr))
+           .withColumn("n", F.count(F.lit(1)).over(wc))
+           .filter(F.col("rn") == F.ceil(F.col("n") / 2))
+           .select("l_returnflag",
+                   F.col("price").cast("double").alias("sampled_median")))
+    return kmv.join(med, "l_returnflag")
+
+
+SQL_KMV_SKETCH = f"""
+WITH d AS (
+  SELECT DISTINCT l_returnflag,
+         CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 12)
+              AS BIGINT) AS h
+  FROM lineitem),
+r AS (SELECT l_returnflag, h,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+      FROM d),
+kmv AS (SELECT l_returnflag, MAX(h) AS hk, COUNT(*) AS k
+        FROM r WHERE rn <= {KMV_K} GROUP BY l_returnflag),
+kv AS (SELECT l_returnflag,
+              CASE WHEN k < {KMV_K} THEN CAST(k AS DOUBLE)
+                   ELSE CAST({KMV_K - 1} AS DOUBLE) * CAST({_H48} AS DOUBLE)
+                        / hk END AS kmv_distinct
+       FROM kmv),
+s AS (SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+             l_orderkey, l_linenumber
+      FROM lineitem
+      WHERE CAST('0x' || substr(md5(concat_ws('-',
+                  CAST(l_orderkey AS VARCHAR),
+                  CAST(l_linenumber AS VARCHAR))), 1, 12) AS BIGINT)
+            < {KMV_SAMPLE_THRESH}),
+m AS (SELECT l_returnflag, CAST(price AS DOUBLE) AS sampled_median
+      FROM (SELECT l_returnflag, price,
+                   ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                       ORDER BY price, l_orderkey, l_linenumber) AS rn,
+                   COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM s)
+      WHERE rn = CAST(CEIL(n / 2.0) AS BIGINT))
+SELECT kv.l_returnflag, kv.kmv_distinct, m.sampled_median
+FROM kv JOIN m ON kv.l_returnflag = m.l_returnflag
+"""
+
+
 def q_src_chipmunk(spark, sf_dir):
     """S1 as a Spark 4 Python DataSource: chip-grain partitions with
     (cx, cy) filter pushdown. Output: per-chip acquisition counts."""
@@ -119,6 +212,7 @@ QUERIES_PIPELINES: dict[str, dict] = {
     "llm_ann_ivf":          {"fn": q_llm_ann_ivf,          "sql": None},
     "src_chipmunk":         {"fn": q_src_chipmunk,         "sql": None},
     "approx_sketches":      {"fn": q_approx_sketches,      "sql": None},
+    "kmv_sketch":           {"fn": q_kmv_sketch,           "sql": SQL_KMV_SKETCH},
     "mm_extract_features":  {"fn": q_mm_extract_features,  "sql": None},
     "mm_resize":            {"fn": q_mm_resize,            "sql": None},
     "mm_frame_sample":      {"fn": q_mm_frame_sample,      "sql": None},
