@@ -244,3 +244,48 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                     F.greatest("id_a", "id_b").alias("id_b"),
                     F.round(inter / union, 6).alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))
+
+
+def dedup_components(pairs: DataFrame, nodes: DataFrame,
+                     id_col: str = "doc_id",
+                     max_iters: int = 50) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    near-duplicate pair graph by iterative min-label propagation.
+    Output: (doc_id, component) where component is the smallest doc
+    id reachable through duplicate pairs — the canonical survivor of
+    each cluster (docs with no duplicates label themselves).
+
+    Spark-first iterative algorithm: each round is one equi-join +
+    min-aggregate (labels flow along edges), converging in at most
+    graph-diameter rounds — near-dup clusters are shallow (a dup of a
+    dup of X is usually a dup of X), so 3-5 rounds cover real
+    corpora. ``localCheckpoint`` truncates the lineage each round so
+    the plan doesn't grow with iterations. The loop stops the first
+    round nothing changes (one count() action per round on the
+    changed-rows filter — a cheap aggregate over the label table).
+    """
+    edges = pairs.select(F.col("id_a").alias("src"),
+                         F.col("id_b").alias("dst"))
+    edges = (edges.union(edges.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst")))
+             .distinct().localCheckpoint())
+    labels = nodes.select(F.col(id_col).alias("node"),
+                          F.col(id_col).alias("label")).localCheckpoint()
+    for _ in range(max_iters):
+        nbr = (edges.join(labels, edges.src == labels.node)
+               .groupBy("dst").agg(F.min("label").alias("nbr_min"))
+               .withColumnRenamed("dst", "node"))
+        new = (labels.alias("l")
+               .join(nbr.alias("n"), "node", "left")
+               .select(F.col("node"),
+                       F.least(F.col("l.label"),
+                               F.coalesce(F.col("n.nbr_min"),
+                                          F.col("l.label"))).alias("label"),
+                       F.col("l.label").alias("old"))
+               .localCheckpoint())
+        changed = new.filter(F.col("label") != F.col("old")).count()
+        labels = new.drop("old")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col),
+                         F.col("label").alias("component"))

@@ -129,6 +129,37 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+# ----------------------------------------------- GROUPING SETS -----
+
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form CUBE/ROLLUP sugar):
+    three chosen sets in one Expand + single hash aggregate — one
+    scan regardless of set count."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_li_gs")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_qty,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                 AS BIGINT) AS gid
+        FROM v_li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_linestatus), ())
+    """)
+
+
+SQL_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+         AS BIGINT) AS gid
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+"""
+
+
 # --------------------------------------------- INTERSECT / EXCEPT ---
 
 def q_intersect_except(spark, sf_dir):
@@ -482,6 +513,7 @@ QUERIES_EXT2: dict[str, dict] = {
     "llm_embed_neardup": {"fn": q_embed_neardup,    "sql": SQL_EMBED_NEARDUP},
     "llm_token_count":   {"fn": q_token_count,      "sql": SQL_TOKEN_COUNT},
     "cube_agg":          {"fn": q_cube_agg,         "sql": SQL_CUBE_AGG},
+    "grouping_sets":     {"fn": q_grouping_sets,    "sql": SQL_GROUPING_SETS},
     "intersect_except":  {"fn": q_intersect_except, "sql": SQL_INTERSECT_EXCEPT},
     "pivot_agg":         {"fn": q_pivot_agg,        "sql": SQL_PIVOT_AGG},
     "trailing_spend":    {"fn": q_trailing_spend,   "sql": SQL_TRAILING_SPEND},
