@@ -36,6 +36,11 @@ HEADLINE = [
     "trailing_spend",
     "llm_minhash_pairs",
     "llm_cosine_topk",
+    # round-2 additions: banded near-dup verify, deterministic
+    # sketches, and the TF-IDF two-aggregate shape
+    "llm_embed_neardup",
+    "kmv_sketch",
+    "llm_tfidf_topk",
 ]
 
 

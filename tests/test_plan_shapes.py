@@ -70,3 +70,30 @@ def test_cosine_topk_no_interpreted_hof(q):
     # aggregate()/zip_with() higher-order functions (interpreted)
     plan = simple_plan(q("llm_cosine_topk"))
     assert "aggregate(" not in plan and "zip_with" not in plan
+
+
+def test_embed_neardup_banded_join_no_nlj(q):
+    # the registered near-dup must candidate via equi-join on
+    # (tbl, bucket); an n-squared nested loop would melt at corpus scale
+    plan = simple_plan(q("llm_embed_neardup"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_topk_uses_take_ordered(q):
+    # global top-k must be a per-partition merge, never a full sort
+    plan = simple_plan(q("llm_ngram_topk"))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tfidf_no_cartesian(q):
+    plan = simple_plan(q("llm_tfidf_topk"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_label_histogram_no_unpartitioned_window(q):
+    # pct-of-total must come from a scalar aggregate + broadcast, not
+    # a single-partition WindowExec
+    plan = simple_plan(q("label_histogram"))
+    assert "Window" not in plan
