@@ -41,6 +41,10 @@ HEADLINE = [
     "llm_embed_neardup",
     "kmv_sketch",
     "llm_tfidf_topk",
+    # adapted TPC-H heavyweights: the 5-table profit join and the
+    # aggregate-then-join HAVING shape
+    "tpch_q9",
+    "tpch_q18",
 ]
 
 

@@ -470,12 +470,14 @@ from .registry_ext import QUERIES_EXT  # noqa: E402
 from .registry_ext2 import QUERIES_EXT2  # noqa: E402
 from .registry_pipelines import QUERIES_PIPELINES  # noqa: E402
 from .registry_llm2 import QUERIES_LLM2  # noqa: E402
+from .registry_tpch import QUERIES_TPCH  # noqa: E402
 
 QUERIES.update(QUERIES_LLM)
 QUERIES.update(QUERIES_EXT)
 QUERIES.update(QUERIES_EXT2)
 QUERIES.update(QUERIES_PIPELINES)
 QUERIES.update(QUERIES_LLM2)
+QUERIES.update(QUERIES_TPCH)
 
 
 def queries() -> dict[str, Callable]:
