@@ -167,6 +167,63 @@ def dedup_stream(events: DataFrame, keys: list[str] | None = None,
             .dropDuplicates(keys or ["event_id"]))
 
 
+def dedup_within_watermark(events: DataFrame, keys: list[str] | None = None,
+                           watermark: str = "1 hour") -> DataFrame:
+    """Streaming dedup for *timestamp-jittered* re-deliveries: two
+    records with the same key count as duplicates if they arrive
+    within the watermark delay of each other, even when their event
+    times differ (a retry that re-stamps ``ts`` would slip past
+    plain ``dropDuplicates`` on (key, ts)).  State per key expires
+    ``watermark`` after last sighting — bounded, unlike an
+    ever-growing exact-dedup ledger."""
+    return (events.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(keys or ["event_id"]))
+
+
+def attribution_join(views: DataFrame, clicks: DataFrame,
+                     window_minutes: int = 10,
+                     watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream interval join: each click joins the view(s) by
+    the same user in the preceding ``window_minutes`` — the classic
+    view→click attribution shape.
+
+    Both sides carry watermarks and the join condition bounds
+    click_ts to [view_ts, view_ts + window], so Spark can expire
+    join state on both sides (state is O(users × window), not
+    O(stream)).  Without the time bound the join would buffer both
+    streams forever — the unbounded-state trap this wrapper exists
+    to prevent."""
+    v = (views.select("user_id",
+                      F.col("ts").alias("view_ts"),
+                      F.col("event_id").alias("view_id"))
+              .withWatermark("view_ts", watermark))
+    c = (clicks.select(F.col("user_id").alias("c_user_id"),
+                       F.col("ts").alias("click_ts"),
+                       F.col("event_id").alias("click_id"))
+               .withWatermark("click_ts", watermark))
+    cond = F.expr(f"""user_id = c_user_id
+        AND click_ts >= view_ts
+        AND click_ts <= view_ts + interval {int(window_minutes)} minutes""")
+    return v.join(c, cond).drop("c_user_id")
+
+
+def sliding_rollup(events: DataFrame, width: str = "1 hour",
+                   slide: str = "15 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Watermarked *sliding*-window rollup (each event lands in
+    width/slide overlapping windows).  Streaming twin of a batch
+    RANGE-frame window; state per key is (watermark + width) / slide
+    windows — bounded."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", width, slide).alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                 .cast("double").alias("total_value"))
+            .select(F.col("win.start").alias("bucket"), "event_type",
+                    "n", "total_value"))
+
+
 def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window rollup — the streaming twin of
     registry.q_events_tumbling. Late events beyond the watermark are

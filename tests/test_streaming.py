@@ -8,10 +8,13 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from lcmap_blackmagic_spark.streaming.jobs import (dedup_stream,
+from lcmap_blackmagic_spark.streaming.jobs import (attribution_join,
+                                                   dedup_stream,
+                                                   dedup_within_watermark,
                                                    events_stream,
                                                    hourly_rollup,
                                                    session_windows,
+                                                   sliding_rollup,
                                                    work_queue)
 
 
@@ -118,6 +121,98 @@ def test_dedup_stream_drops_redeliveries(spark, tmp_path):
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination(120)
     got = spark.table("dedup").select("event_id").collect()
+    assert len(got) == 30
+    assert len({r[0] for r in got}) == 30
+
+
+def test_attribution_join_matches_batch(spark, events_dir):
+    """Stream-stream interval join must emit exactly the pairs its
+    batch twin computes (append mode emits once both watermarks pass,
+    so the emitted set is a subset; availableNow drains far enough
+    that most pairs appear)."""
+    views = events_stream(spark, events_dir, max_files_per_trigger=1) \
+        .filter(F.col("event_type") == "view")
+    clicks = events_stream(spark, events_dir, max_files_per_trigger=1) \
+        .filter(F.col("event_type") == "click")
+    joined = attribution_join(views, clicks, window_minutes=10,
+                              watermark="30 minutes")
+    q = (joined.writeStream.format("memory").queryName("attrib")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    e = spark.read.parquet(events_dir)
+    v = (e.filter(F.col("event_type") == "view")
+         .select("user_id", F.col("ts").alias("view_ts"),
+                 F.col("event_id").alias("view_id")))
+    c = (e.filter(F.col("event_type") == "click")
+         .select(F.col("user_id").alias("cu"),
+                 F.col("ts").alias("click_ts"),
+                 F.col("event_id").alias("click_id")))
+    batch = v.join(c, (F.col("user_id") == F.col("cu"))
+                   & (F.col("click_ts") >= F.col("view_ts"))
+                   & (F.col("click_ts") <= F.col("view_ts")
+                      + F.expr("interval 10 minutes"))).drop("cu")
+    got = {tuple(r) for r in spark.table("attrib").collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert want, "batch twin produced no pairs — test data too sparse"
+    assert got <= want
+    assert len(got) >= 0.7 * len(want)
+
+
+def test_sliding_rollup_matches_batch(spark, events_dir):
+    """Each event must appear in width/slide overlapping windows with
+    totals identical to the batch computation."""
+    stream = events_stream(spark, events_dir, max_files_per_trigger=1)
+    rolled = sliding_rollup(stream, width="1 hour", slide="15 minutes")
+    q = (rolled.writeStream.format("memory").queryName("sliding")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    batch = (spark.read.parquet(events_dir)
+             .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"),
+                      "event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.col("value").cast("decimal(18,2)"))
+                  .cast("double").alias("total_value"))
+             .select(F.col("win.start").alias("bucket"), "event_type",
+                     "n", "total_value"))
+    got = {tuple(r) for r in spark.table("sliding").collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got <= want
+    assert len(got) >= 0.9 * len(want)
+
+
+def test_dedup_within_watermark_catches_jittered_redelivery(spark, tmp_path):
+    """A re-delivery whose ts was re-stamped (+5 s) still has the same
+    event_id; dropDuplicatesWithinWatermark removes it, where plain
+    dropDuplicates on (event_id, ts) would keep both."""
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+    rows1 = [(i, f"2020-01-01 00:{i:02d}:00", i % 3, "click", 1.0, "{}")
+             for i in range(30)]
+    # same ids, ts shifted 5 s — a retry that re-stamped the clock
+    rows2 = [(i, f"2020-01-01 00:{i:02d}:05", i % 3, "click", 1.0, "{}")
+             for i in range(30)]
+    schema = ("event_id long, ts string, user_id long, event_type string, "
+              "value double, props string")
+    for fname, rows in [("a.parquet", rows1), ("b.parquet", rows2)]:
+        (spark.createDataFrame(rows, schema)
+         .selectExpr("event_id", "cast(ts as timestamp) ts", "user_id",
+                     "event_type", "value", "props")
+         .coalesce(1).write.mode("overwrite")
+         .parquet(str(tmp_path / "stage")))
+        part = [f for f in os.listdir(str(tmp_path / "stage"))
+                if f.endswith(".parquet")][0]
+        os.replace(os.path.join(str(tmp_path / "stage"), part),
+                   os.path.join(src, fname))
+
+    deduped = dedup_within_watermark(
+        events_stream(spark, src, max_files_per_trigger=1),
+        watermark="10 minutes")
+    q = (deduped.writeStream.format("memory").queryName("dedup_wm")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("dedup_wm").select("event_id").collect()
     assert len(got) == 30
     assert len({r[0] for r in got}) == 30
 
