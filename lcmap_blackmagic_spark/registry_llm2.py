@@ -254,6 +254,76 @@ def q_seq_pack(spark, sf_dir):
         pack, schema="shard int, doc_id long, n_tok int, bin int, off int"))
 
 
+def q_seq_pack_nextfit(spark, sf_dir):
+    """Oracle-checked packing variant: NEXT-fit over the same
+    decreasing order.  Unlike first-fit (whose per-bin free-list
+    state defeats SQL), next-fit carries only (current bin, fill) —
+    small enough for a recursive-CTE oracle to replay row by row.
+
+    Same distribution shape as ``q_seq_pack``: hash-sharded, one
+    sequential ``applyInPandas`` pass per shard, bins never span
+    shards."""
+    import pandas as pd
+
+    d = _t(spark, sf_dir, "documents")
+    n_shards = 16
+    toks = F.size(F.split(F.lower(F.trim("text")), " "))
+    base = d.select(
+        "doc_id",
+        F.least(toks, F.lit(PACK_CAPACITY)).cast("int").alias("n_tok"),
+        (F.col("doc_id") % n_shards).cast("int").alias("shard"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["n_tok", "doc_id"],
+                              ascending=[False, True]).reset_index(drop=True)
+        cur_bin, fill = 0, 0
+        out_bin, out_off = [], []
+        for n in pdf["n_tok"]:
+            n = int(n)
+            if fill + n <= PACK_CAPACITY:
+                out_bin.append(cur_bin)
+                out_off.append(fill)
+                fill += n
+            else:
+                cur_bin += 1
+                out_bin.append(cur_bin)
+                out_off.append(0)
+                fill = n
+        pdf["bin"] = out_bin
+        pdf["off"] = out_off
+        return pdf[["shard", "doc_id", "n_tok", "bin", "off"]]
+
+    return (base.groupBy("shard").applyInPandas(
+        pack, schema="shard int, doc_id long, n_tok int, bin int, off int"))
+
+
+SQL_SEQ_PACK_NEXTFIT = f"""
+WITH RECURSIVE ordered AS (
+  SELECT CAST(doc_id % 16 AS INT) AS shard, doc_id,
+         CAST(least(len(string_split(lower(trim(text)), ' ')),
+                    {PACK_CAPACITY}) AS INT) AS n_tok,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % 16
+                            ORDER BY least(len(string_split(lower(trim(text)), ' ')),
+                                           {PACK_CAPACITY}) DESC, doc_id) AS rn
+  FROM documents),
+walk AS (
+  SELECT shard, doc_id, n_tok, rn,
+         0 AS bin, 0 AS off, n_tok AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.doc_id, o.n_tok, o.rn,
+         CASE WHEN w.fill + o.n_tok <= {PACK_CAPACITY} THEN w.bin
+              ELSE w.bin + 1 END,
+         CASE WHEN w.fill + o.n_tok <= {PACK_CAPACITY} THEN w.fill
+              ELSE 0 END,
+         CASE WHEN w.fill + o.n_tok <= {PACK_CAPACITY} THEN w.fill + o.n_tok
+              ELSE o.n_tok END
+  FROM walk w JOIN ordered o ON o.shard = w.shard AND o.rn = w.rn + 1)
+SELECT shard, doc_id, n_tok, CAST(bin AS INT) AS bin, CAST(off AS INT) AS off
+FROM walk
+"""
+
+
 # ------------------------------------------ duplicate clustering ----
 
 def q_dedup_groups(spark, sf_dir):
@@ -293,5 +363,7 @@ QUERIES_LLM2: dict[str, dict] = {
     "llm_normalize":    {"fn": q_text_normalize, "sql": sql_text_normalize()},
     "llm_embed_quant":  {"fn": q_embed_quantize, "sql": sql_embed_quantize()},
     "llm_seq_pack":     {"fn": q_seq_pack,       "sql": None},
+    "llm_seq_pack_nextfit": {"fn": q_seq_pack_nextfit,
+                             "sql": SQL_SEQ_PACK_NEXTFIT},
     "llm_dedup_groups": {"fn": q_dedup_groups,   "sql": sql_dedup_groups()},
 }

@@ -97,3 +97,57 @@ def test_label_histogram_no_unpartitioned_window(q):
     # a single-partition WindowExec
     plan = simple_plan(q("label_histogram"))
     assert "Window" not in plan
+
+
+def test_tpch_q9_broadcasts_only_nation(q):
+    """The 5-table profit join: nation (fixed 25 rows) broadcasts;
+    part/supplier/orders all scale with SF and must reach the join
+    via exchange, never BroadcastNestedLoop/Cartesian."""
+    plan = simple_plan(q("tpch_q9"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q3_filters_reach_scans(q):
+    plan = fmt_plan(q("tpch_q3"))
+    # mktsegment equality and both date bounds push to the scans
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    # top-10 is a TakeOrdered merge, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q4_semi_join(q):
+    # EXISTS compiles to a semi join (one output row per order), not
+    # an inner join + dedup
+    plan = simple_plan(q("tpch_q4"))
+    assert "LeftSemi" in plan
+
+
+def test_tpch_q15_no_unpartitioned_window(q):
+    # "equal to the max" must be scalar-agg + broadcast back, not a
+    # single-partition window over the (SF-scaling) supplier rollup
+    plan = simple_plan(q("tpch_q15"))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_tpch_q18_aggregates_before_join(q):
+    """The HAVING-on-sum(qty) group MUST reduce lineitem before the
+    orders/customer joins: the first HashAggregate has to sit below
+    every join in the tree (plan prints top-down, so the LAST
+    aggregate line is the deepest; every join line must come before
+    it)."""
+    plan = simple_plan(q("tpch_q18"))
+    lines = plan.splitlines()
+    agg_rows = [i for i, ln in enumerate(lines) if "HashAggregate" in ln]
+    join_rows = [i for i, ln in enumerate(lines)
+                 if "Join" in ln and "BroadcastExchange" not in ln]
+    assert agg_rows and join_rows
+    assert max(join_rows) < max(agg_rows)
+
+
+def test_tpch_q22_anti_join(q):
+    # NOT EXISTS compiles to a left-anti join
+    plan = simple_plan(q("tpch_q22"))
+    assert "LeftAnti" in plan
