@@ -1,0 +1,176 @@
+"""Fourth extension wave: long-form reshaping (unpivot), struct
+assembly/disassembly, time-grid gap fill with forward fill, and
+hashing-trick feature buckets.
+
+Same determinism contract as the rest of the registry: money/value
+sums in DECIMAL with one final double cast, hash buckets via md5
+digest slices (identical hex in both engines), every collected list
+sorted by a unique key before use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .registry import _t
+
+# ------------------------------------------------------- unpivot ---
+
+
+def q_unpivot(spark, sf_dir):
+    """Wide→long reshaping: the four lineitem measures melt into
+    (metric, val) rows — Spark's ``unpivot`` (Expand node: one pass,
+    4 output rows per input, no shuffle at all)."""
+    l = (_t(spark, sf_dir, "lineitem")
+         .filter(F.col("l_linenumber") == 1)
+         .select("l_orderkey", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_tax"))
+    return l.unpivot(
+        "l_orderkey",
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric", "val")
+
+
+SQL_UNPIVOT = """
+UNPIVOT (SELECT l_orderkey, l_quantity, l_extendedprice, l_discount, l_tax
+         FROM lineitem WHERE l_linenumber = 1)
+ON l_quantity, l_extendedprice, l_discount, l_tax
+INTO NAME metric VALUE val
+"""
+
+
+# -------------------------------------------------- struct family --
+
+
+def q_struct_funcs(spark, sf_dir):
+    """Struct assembly → ordered collect → explode back: lineitems
+    roll up into a per-order array<struct<ln,qty>> (sorted by line
+    number — collect_list alone is order-nondeterministic) and then
+    flatten back out.  One shuffle (the groupBy); the explode is a
+    Generate node, no further exchange."""
+    l = _t(spark, sf_dir, "lineitem")
+    per_order = (
+        l.groupBy("l_orderkey")
+         .agg(F.sort_array(F.collect_list(F.struct(
+              F.col("l_linenumber").alias("ln"),
+              F.col("l_quantity").alias("qty")))).alias("items")))
+    ex = per_order.select(
+        "l_orderkey",
+        F.size("items").alias("n_items"),
+        F.explode("items").alias("it"))
+    return ex.select("l_orderkey", "n_items",
+                     F.col("it.ln").alias("ln"),
+                     F.col("it.qty").alias("qty"))
+
+
+SQL_STRUCT_FUNCS = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         list_sort(list(struct_pack(ln := l_linenumber,
+                                    qty := l_quantity))) AS items
+  FROM lineitem GROUP BY l_orderkey)
+SELECT l_orderkey, CAST(len(items) AS INT) AS n_items,
+       u.it.ln AS ln, u.it.qty AS qty
+FROM per_order, UNNEST(items) AS u(it)
+"""
+
+
+# ------------------------------------------------------ gap fill ---
+
+
+def q_gap_fill(spark, sf_dir):
+    """Time-series gap fill: hourly purchase totals per user, an
+    explicit hour grid from each user's first to last active hour
+    (``sequence`` + explode — generated distributed, never on the
+    driver), missing hours forward-filled with ``last(..., ignorenulls)``.
+
+    One shuffle for the hourly rollup; the grid explode reuses the
+    per-user partitioning; the window runs per user_id (no
+    unpartitioned window).  The classic prep step for regularly-
+    sampled model inputs."""
+    e = (_t(spark, sf_dir, "events")
+         .filter((F.col("event_type") == "purchase")
+                 & (F.col("ts") >= F.lit("2024-01-01 00:00:00").cast("timestamp"))
+                 & (F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp"))))
+    hourly = (e.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+               .agg(F.sum(F.col("value").cast("decimal(18,2)"))
+                     .cast("double").alias("v")))
+    bounds = hourly.groupBy("user_id").agg(F.min("h").alias("h0"),
+                                           F.max("h").alias("h1"))
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h"))
+    joined = grid.join(hourly, ["user_id", "h"], "left")
+    w = (Window.partitionBy("user_id").orderBy("h")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    return joined.select(
+        "user_id", "h",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        F.col("v").isNull().alias("was_gap"))
+
+
+SQL_GAP_FILL = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM events
+  WHERE event_type = 'purchase'
+    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts <  TIMESTAMP '2024-01-03 00:00:00'
+  GROUP BY user_id, date_trunc('hour', ts)),
+bounds AS (
+  SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY user_id),
+grid AS (
+  SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM bounds)
+SELECT g.user_id, g.h,
+       last_value(hr.v IGNORE NULLS)
+         OVER (PARTITION BY g.user_id ORDER BY g.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+       hr.v IS NULL AS was_gap
+FROM grid g LEFT JOIN hourly hr ON g.user_id = hr.user_id AND g.h = hr.h
+"""
+
+
+# -------------------------------------------------- feature hash ---
+
+N_FEATURE_BUCKETS = 256
+
+
+def q_feature_hash(spark, sf_dir):
+    """Hashing-trick featurization: tokens hash into a fixed bucket
+    space (md5 digest slice — the repo's engine-portable hash idiom)
+    and counts aggregate per (doc, bucket).  Explode → codegen hash →
+    map-side partial count → one shuffle on (doc_id, bucket); the
+    fixed bucket space is what keeps the feature matrix bounded at
+    corpus scale."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), " ")).alias("tok"))
+    bucket = (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+              .cast("long") % N_FEATURE_BUCKETS)
+    return (tok.select("doc_id", bucket.alias("bucket"))
+               .groupBy("doc_id", "bucket")
+               .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+SQL_FEATURE_HASH = f"""
+SELECT doc_id,
+       CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT
+            % {N_FEATURE_BUCKETS} AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (SELECT doc_id, UNNEST(string_split(lower(trim(text)), ' ')) AS tok
+      FROM documents) t
+GROUP BY doc_id, CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT
+                      % {N_FEATURE_BUCKETS} AS BIGINT)
+"""
+
+
+QUERIES_EXT3: dict[str, dict] = {
+    "unpivot":          {"fn": q_unpivot,       "sql": SQL_UNPIVOT},
+    "struct_funcs":     {"fn": q_struct_funcs,  "sql": SQL_STRUCT_FUNCS},
+    "gap_fill":         {"fn": q_gap_fill,      "sql": SQL_GAP_FILL},
+    "llm_feature_hash": {"fn": q_feature_hash,  "sql": SQL_FEATURE_HASH},
+}
