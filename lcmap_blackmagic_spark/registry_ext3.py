@@ -168,9 +168,63 @@ GROUP BY doc_id, CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT
 """
 
 
+# ------------------------------------------- repetition ratio ------
+
+
+def q_repetition(spark, sf_dir):
+    """Corpus-quality repetition signal (the Gopher-style duplicate
+    n-gram fraction): per document, the share of word 3-grams that
+    are repeats, plus the count of the most-repeated gram.
+
+    Grams come from posexplode + two ``lead`` windows (codegen
+    projections around one per-doc sort) — NOT an interpreted
+    ``transform`` HOF, per the house rule for hot text paths.  All
+    three aggregation steps key on doc_id, so every shuffle carries
+    the same partitioning and the heavy strings reduce map-side."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim("text")), " "))
+         .alias("pos", "w"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (words
+             .withColumn("w1", F.lead("w", 1).over(win))
+             .withColumn("w2", F.lead("w", 2).over(win))
+             .filter(F.col("w2").isNotNull())
+             .select("doc_id",
+                     F.concat_ws(" ", "w", "w1", "w2").alias("g")))
+    gram_counts = grams.groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).alias("c"))
+    return (gram_counts.groupBy("doc_id")
+            .agg(F.sum("c").alias("n_grams"),
+                 F.count(F.lit(1)).alias("n_distinct"),
+                 F.round(F.lit(1.0)
+                         - F.count(F.lit(1)) / F.sum("c"), 6)
+                  .alias("rep_ratio"),
+                 F.max("c").alias("max_rep")))
+
+
+SQL_REPETITION = """
+WITH grams AS (
+  SELECT doc_id,
+         UNNEST(list_transform(generate_series(1, len(ws) - 2),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws
+        FROM documents) t),
+gc AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT)   AS n_grams,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       ROUND(1.0 - COUNT(*) * 1.0 / SUM(c), 6) AS rep_ratio,
+       CAST(MAX(c) AS BIGINT)   AS max_rep
+FROM gc GROUP BY doc_id
+"""
+
+
 QUERIES_EXT3: dict[str, dict] = {
     "unpivot":          {"fn": q_unpivot,       "sql": SQL_UNPIVOT},
     "struct_funcs":     {"fn": q_struct_funcs,  "sql": SQL_STRUCT_FUNCS},
     "gap_fill":         {"fn": q_gap_fill,      "sql": SQL_GAP_FILL},
     "llm_feature_hash": {"fn": q_feature_hash,  "sql": SQL_FEATURE_HASH},
+    "llm_repetition":   {"fn": q_repetition,    "sql": SQL_REPETITION},
 }
