@@ -1,8 +1,11 @@
-"""Rows-only registry entries: compositions whose core is a pandas-UDF
+"""Pipeline registry entries: compositions whose core is a pandas-UDF
 or ML boundary (UD1 detect, UD2 train, UD3 predict, multimodal decode,
-LSH ANN). No SQL oracle exists for these — the driver records the
-weaker rows-only check; correctness is pinned by the golden tests in
-tests/test_pipelines.py instead.
+ANN). Most are rows-only — no SQL oracle exists (seeded Spark-side
+fixtures / approximate sketches), so the driver records the weaker
+rows-only check and golden tests in tests/test_pipelines.py pin
+correctness. Exceptions: ``kmv_sketch`` and ``llm_ann_topk`` are
+deterministic functions of the driver tables and carry full generated
+oracles.
 
 All inputs are deterministic (seeded synthetic fixtures or the
 provided tables), so row counts and schemas are stable across runs.
@@ -42,10 +45,50 @@ def q_lcmap_prediction(spark, sf_dir):
 
 def q_llm_ann_topk(spark, sf_dir):
     """LSH-bucketed approximate nearest neighbors (the scale path of
-    llm_cosine_topk; recall < 1 by design, candidates only)."""
+    llm_cosine_topk; recall < 1 vs TRUE neighbors by design, but the
+    candidate set and ranking are a deterministic function of the
+    data, so the query has a full oracle — the DuckDB side replays
+    the same ±1 sign planes, bucket join, and rounded-cosine
+    ranking)."""
     from .llm.similarity import lsh_ann_topk
     e = _t(spark, sf_dir, "embeddings")
     return lsh_ann_topk(e, F.col("vec_id") % 50 == 0, k=5)
+
+
+def _sql_ann_topk(n_tables: int = 4, n_planes: int = 8,
+                  k: int = 5) -> str:
+    """Generated oracle for ``q_llm_ann_topk`` — same plane weights,
+    same bucket join, same round-then-rank order as the Spark form
+    (mirrors registry_ext2._sql_embed_neardup)."""
+    from .registry_ext2 import _DOT, _sql_bucket
+    keyed = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, v, {t} AS tbl, {_sql_bucket(t, n_planes)} AS bucket FROM e"
+        for t in range(n_tables))
+    cos = (f"{_DOT.format(a='x.v', b='y.v')} / "
+           f"(sqrt({_DOT.format(a='x.v', b='x.v')}) * "
+           f"sqrt({_DOT.format(a='y.v', b='y.v')}))")
+    return f"""
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+k AS (
+  {keyed}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+  FROM k q JOIN k c ON q.tbl = c.tbl AND q.bucket = c.bucket
+  WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+scored AS (
+  SELECT cand.qid, cand.nid, ROUND({cos}, 6) AS cosine
+  FROM cand JOIN e x ON x.vec_id = cand.qid
+            JOIN e y ON y.vec_id = cand.nid)
+SELECT qid, nid, cosine FROM (
+  SELECT qid, nid, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, nid) AS rn
+  FROM scored) t
+WHERE rn <= {k}
+"""
 
 
 def q_llm_ann_ivf(spark, sf_dir):
@@ -208,7 +251,7 @@ def q_mm_frame_sample(spark, sf_dir):
 QUERIES_PIPELINES: dict[str, dict] = {
     "lcmap_segment_detect": {"fn": q_lcmap_segment_detect, "sql": None},
     "lcmap_prediction":     {"fn": q_lcmap_prediction,     "sql": None},
-    "llm_ann_topk":         {"fn": q_llm_ann_topk,         "sql": None},
+    "llm_ann_topk":         {"fn": q_llm_ann_topk,         "sql": _sql_ann_topk()},
     "llm_ann_ivf":          {"fn": q_llm_ann_ivf,          "sql": None},
     "src_chipmunk":         {"fn": q_src_chipmunk,         "sql": None},
     "approx_sketches":      {"fn": q_approx_sketches,      "sql": None},
