@@ -5,9 +5,9 @@ mode/instructions, phone, container, and comment columns, so the
 classic 22 queries cannot run verbatim.  This module keeps each
 query's *shape* — the join graph, the subquery form, the aggregate
 discipline — and adapts the predicates to the columns that exist.
-Fourteen shapes are expressible; the rest (Q2/Q11/Q16/Q20 need
-partsupp, Q12/Q21 need commit+receipt dates, Q5 already exists as
-``revenue_by_nation``, Q1 as ``pricing_summary``).
+Sixteen shapes are expressible (Q12/Q21 with lateness re-derived from
+shipdate − orderdate); the rest (Q2/Q11/Q16/Q20) need partsupp.  Q5
+already exists as ``revenue_by_nation``, Q1 as ``pricing_summary``.
 
 Determinism contract (same as registry.py): money math in
 DECIMAL(18,2) with ONE final cast to double, ratios divided in double
@@ -364,6 +364,52 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------- Q12 --
+
+def q_tpch_q12(spark, sf_dir):
+    """Q12 shipping-mode shape adapted: l_shipmode does not exist, so
+    the grouping key is a derived ship-delay class (days from order
+    to ship, bucketed); the two conditional priority counts keep the
+    query's signature dual-CASE aggregate."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01").cast("date")))
+    delay = F.datediff(F.col("l_shipdate").cast("date"),
+                       F.col("o_orderdate").cast("date"))
+    klass = (F.when(delay <= 7, "fast")
+              .when(delay <= 30, "normal")
+              .otherwise("slow"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+         .groupBy(klass.alias("ship_class"))
+         .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+              F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"))
+         .orderBy("ship_class")
+    )
+
+
+SQL_TPCH_Q12 = """
+SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                           CAST(l_shipdate AS DATE)) <= 7  THEN 'fast'
+            WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                           CAST(l_shipdate AS DATE)) <= 30 THEN 'normal'
+            ELSE 'slow' END AS ship_class,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'
+GROUP BY ship_class
+ORDER BY ship_class
+"""
+
+
 # ---------------------------------------------------------------- Q13 --
 
 def q_tpch_q13(spark, sf_dir):
@@ -581,6 +627,69 @@ WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
 """
 
 
+# ---------------------------------------------------------------- Q21 --
+
+def q_tpch_q21(spark, sf_dir):
+    """Q21 waiting-supplier shape: the double-correlated pattern —
+    EXISTS (another supplier contributed to the order) AND NOT EXISTS
+    (another supplier was ALSO late).  Lateness adapts to shipdate >
+    orderdate + 60 days (no commit/receipt dates).
+
+    Compiles to one left-semi plus one left-anti join, both keyed on
+    l_orderkey — the correlated subqueries never re-scan per row, and
+    all three legs reuse the same join key partitioning."""
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F") \
+                                   .select("o_orderkey", "o_orderdate")
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    lo = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_shipdate").cast("date")
+         > F.date_add(F.col("o_orderdate").cast("date"), 60)).alias("late"))
+    l1 = lo.filter(F.col("late")).select("l_orderkey", "l_suppkey")
+    others = lo.select(F.col("l_orderkey").alias("o2_orderkey"),
+                       F.col("l_suppkey").alias("o2_suppkey"))
+    others_late = (lo.filter(F.col("late"))
+                     .select(F.col("l_orderkey").alias("o3_orderkey"),
+                             F.col("l_suppkey").alias("o3_suppkey")))
+    multi = l1.join(
+        others,
+        (F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("o2_suppkey")), "left_semi")
+    sole_late = multi.join(
+        others_late,
+        (F.col("l_orderkey") == F.col("o3_orderkey"))
+        & (F.col("l_suppkey") != F.col("o3_suppkey")), "left_anti")
+    return (sole_late.join(s, F.col("l_suppkey") == s.s_suppkey)
+                     .groupBy("s_name")
+                     .agg(F.count(F.lit(1)).alias("numwait"))
+                     .orderBy(F.desc("numwait"), F.asc("s_name"))
+                     .limit(20))
+
+
+SQL_TPCH_Q21 = """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 60 AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F')
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM lo l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.late
+  AND EXISTS (SELECT 1 FROM lo l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lo l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.late)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------- Q22 --
 
 def q_tpch_q22(spark, sf_dir):
@@ -645,11 +754,13 @@ QUERIES_TPCH: dict[str, dict] = {
     "tpch_q8":  {"fn": q_tpch_q8,  "sql": SQL_TPCH_Q8},
     "tpch_q9":  {"fn": q_tpch_q9,  "sql": SQL_TPCH_Q9},
     "tpch_q10": {"fn": q_tpch_q10, "sql": SQL_TPCH_Q10},
+    "tpch_q12": {"fn": q_tpch_q12, "sql": SQL_TPCH_Q12},
     "tpch_q13": {"fn": q_tpch_q13, "sql": SQL_TPCH_Q13},
     "tpch_q14": {"fn": q_tpch_q14, "sql": SQL_TPCH_Q14},
     "tpch_q15": {"fn": q_tpch_q15, "sql": SQL_TPCH_Q15},
     "tpch_q17": {"fn": q_tpch_q17, "sql": SQL_TPCH_Q17},
     "tpch_q18": {"fn": q_tpch_q18, "sql": SQL_TPCH_Q18},
     "tpch_q19": {"fn": q_tpch_q19, "sql": SQL_TPCH_Q19},
+    "tpch_q21": {"fn": q_tpch_q21, "sql": SQL_TPCH_Q21},
     "tpch_q22": {"fn": q_tpch_q22, "sql": SQL_TPCH_Q22},
 }

@@ -151,3 +151,12 @@ def test_tpch_q22_anti_join(q):
     # NOT EXISTS compiles to a left-anti join
     plan = simple_plan(q("tpch_q22"))
     assert "LeftAnti" in plan
+
+
+def test_tpch_q21_semi_plus_anti(q):
+    # the double-correlated EXISTS + NOT EXISTS must be ONE semi and
+    # ONE anti join, never a re-scan-per-row correlated plan
+    plan = simple_plan(q("tpch_q21"))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
