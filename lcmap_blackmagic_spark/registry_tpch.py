@@ -5,9 +5,11 @@ mode/instructions, phone, container, and comment columns, so the
 classic 22 queries cannot run verbatim.  This module keeps each
 query's *shape* — the join graph, the subquery form, the aggregate
 discipline — and adapts the predicates to the columns that exist.
-Sixteen shapes are expressible (Q12/Q21 with lateness re-derived from
-shipdate − orderdate); the rest (Q2/Q11/Q16/Q20) need partsupp.  Q5
-already exists as ``revenue_by_nation``, Q1 as ``pricing_summary``.
+All 22 shapes run: Q12/Q21 re-derive lateness from shipdate −
+orderdate; Q2/Q11/Q16/Q20 use a DERIVED partsupp (deterministic
+integer arithmetic, identical in both engines — see ``_partsupp``);
+Q5 already exists as ``revenue_by_nation``, Q1 as
+``pricing_summary``; the remaining 20 live here.
 
 Determinism contract (same as registry.py): money math in
 DECIMAL(18,2) with ONE final cast to double, ratios divided in double
@@ -44,6 +46,239 @@ def _disc_price():
 
 _SQL_DISC_PRICE = ("CAST(l_extendedprice AS DECIMAL(18,2))"
                    " * (1 - CAST(l_discount AS DECIMAL(18,2)))")
+
+
+# ------------------------------------------------- derived partsupp --
+#
+# The driver's schema has no partsupp table, but Q2/Q11/Q16/Q20 are
+# the only classic shapes it blocks — so partsupp is DERIVED, by pure
+# integer arithmetic, identically in Spark and the oracle: each part
+# gets 4 suppliers ((p_partkey*7 + i*13) mod |supplier|; s_suppkey is
+# 0..n-1 at every SF, and 13i mod n is distinct for i<4 at n ∈
+# {10,100,1000}), supplycost is exact cents built straight into
+# DECIMAL, availqty a bounded integer hash.  No floats, no RNG — the
+# derived relation is bit-identical on both engines at any SF.
+
+def _partsupp(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").select("p_partkey")
+    n = _t(spark, sf_dir, "supplier").agg(F.count(F.lit(1)).alias("n_supp"))
+    base = (p.crossJoin(F.broadcast(n))
+             .select("p_partkey",
+                     F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
+                     "n_supp"))
+    sk = (F.col("p_partkey") * 7 + F.col("i") * 13) % F.col("n_supp")
+    cents = (F.col("p_partkey") * 31 + sk * 17) % 9000 + 10000
+    qty = (F.col("p_partkey") * 13 + sk * 19) % 9999 + 1
+    return base.select(
+        "p_partkey",
+        sk.cast("bigint").alias("ps_suppkey"),
+        (cents.cast("decimal(18,2)")
+         * F.lit(0.01).cast("decimal(2,2)")).alias("ps_supplycost"),
+        qty.cast("int").alias("ps_availqty"))
+
+
+_PS_SQL = """ps AS (
+  SELECT p_partkey,
+         CAST((p_partkey*7 + u.i*13) % ns.n AS BIGINT) AS ps_suppkey,
+         CAST((p_partkey*31 + ((p_partkey*7 + u.i*13) % ns.n)*17) % 9000
+              + 10000 AS DECIMAL(18,2)) * CAST(0.01 AS DECIMAL(2,2))
+           AS ps_supplycost,
+         CAST((p_partkey*13 + ((p_partkey*7 + u.i*13) % ns.n)*19) % 9999
+              + 1 AS INT) AS ps_availqty
+  FROM part, (SELECT COUNT(*) AS n FROM supplier) ns,
+       UNNEST([0, 1, 2, 3]) AS u(i))"""
+
+
+# ----------------------------------------------------------------- Q2 --
+
+def q_tpch_q2(spark, sf_dir):
+    """Q2 min-cost-supplier shape: region-restricted correlated MIN,
+    decorrelated as aggregate-then-rejoin on (part, exact decimal
+    cost).  nation/region broadcast; the min aggregate reduces the
+    ps×supplier join before the equality rejoin."""
+    ps = _partsupp(spark, sf_dir)
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    eu = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+           .join(F.broadcast(r.select("r_regionkey")),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    p = (_t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+         .select(F.col("p_partkey").alias("pk"), "p_brand"))
+    px = (ps.join(eu, ps.ps_suppkey == F.col("s_suppkey"))
+            .join(p, ps.p_partkey == F.col("pk")))
+    mn = px.groupBy(F.col("p_partkey").alias("mp")).agg(
+        F.min("ps_supplycost").alias("min_cost"))
+    return (px.join(mn, (px.p_partkey == mn.mp)
+                    & (px.ps_supplycost == mn.min_cost))
+              .select("s_acctbal", "s_name", "n_name", "p_partkey",
+                      "p_brand",
+                      F.col("ps_supplycost").cast("double")
+                       .alias("supplycost"))
+              .orderBy(F.desc("s_acctbal"), "n_name", "s_name",
+                       "p_partkey")
+              .limit(100))
+
+
+SQL_TPCH_Q2 = f"""
+WITH {_PS_SQL},
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+px AS (
+  SELECT s_acctbal, s_name, n_name, ps.p_partkey, p_brand, ps_supplycost
+  FROM ps
+  JOIN eu   ON ps_suppkey = s_suppkey
+  JOIN part ON ps.p_partkey = part.p_partkey
+  WHERE p_size = 15)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+       CAST(ps_supplycost AS DOUBLE) AS supplycost
+FROM px
+WHERE ps_supplycost = (SELECT MIN(ps_supplycost) FROM px px2
+                       WHERE px2.p_partkey = px.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------- Q11 --
+
+def q_tpch_q11(spark, sf_dir):
+    """Q11 value-concentration shape: per-part stock value for one
+    nation's suppliers, HAVING above a fraction of the total — the
+    scalar-subquery threshold decorrelates to a one-row aggregate
+    broadcast over the grouped values.  All value math is exact
+    decimal; only the output casts to double."""
+    ps = _partsupp(spark, sf_dir)
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_4")
+    s = _t(spark, sf_dir, "supplier")
+    nat_supp = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+                 .select("s_suppkey"))
+    psn = ps.join(nat_supp, ps.ps_suppkey == F.col("s_suppkey"))
+    value = (F.col("ps_supplycost")
+             * F.col("ps_availqty").cast("decimal(18,0)"))
+    per_part = psn.groupBy("p_partkey").agg(F.sum(value).alias("val"))
+    total = psn.agg((F.sum(value)
+                     * F.lit(0.002).cast("decimal(4,4)")).alias("thresh"))
+    return (per_part.join(F.broadcast(total))
+            .filter(F.col("val") > F.col("thresh"))
+            .select("p_partkey", F.col("val").cast("double").alias("value"))
+            .orderBy(F.desc("value"), "p_partkey"))
+
+
+SQL_TPCH_Q11 = f"""
+WITH {_PS_SQL},
+psn AS (
+  SELECT ps.* FROM ps
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_4')
+SELECT p_partkey,
+       CAST(SUM(ps_supplycost * CAST(ps_availqty AS DECIMAL(18,0)))
+            AS DOUBLE) AS value
+FROM psn
+GROUP BY p_partkey
+HAVING SUM(ps_supplycost * CAST(ps_availqty AS DECIMAL(18,0))) > (
+  SELECT SUM(ps_supplycost * CAST(ps_availqty AS DECIMAL(18,0)))
+         * CAST(0.002 AS DECIMAL(4,4))
+  FROM psn)
+ORDER BY value DESC, p_partkey
+"""
+
+
+# ---------------------------------------------------------------- Q16 --
+
+def q_tpch_q16(spark, sf_dir):
+    """Q16 supplier-count shape: negated part predicates + supplier
+    exclusion subquery (→ left-anti) + COUNT(DISTINCT).  The classic
+    'complaints' exclusion adapts to negative account balance."""
+    ps = _partsupp(spark, sf_dir)
+    p = (_t(spark, sf_dir, "part")
+         .filter((F.col("p_brand") != "Brand#13")
+                 & (F.col("p_type") != "PROMO")
+                 & F.col("p_size").isin(1, 4, 9, 16, 25, 36))
+         .select(F.col("p_partkey").alias("pk"), "p_brand", "p_type",
+                 "p_size"))
+    bad = (_t(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    return (ps.join(p, ps.p_partkey == F.col("pk"))
+              .join(bad, ps.ps_suppkey == F.col("s_suppkey"), "left_anti")
+              .groupBy("p_brand", "p_type", "p_size")
+              .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+              .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type",
+                       "p_size"))
+
+
+SQL_TPCH_Q16 = f"""
+WITH {_PS_SQL}
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps
+JOIN part ON ps.p_partkey = part.p_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 16, 25, 36)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                         WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# ---------------------------------------------------------------- Q20 --
+
+def q_tpch_q20(spark, sf_dir):
+    """Q20 excess-stock shape: nested IN/EXISTS chain — suppliers in
+    one nation holding more than half a year's shipments of a
+    name-matched part.  The correlated shipment sum decorrelates to a
+    grouped aggregate joined on (part, supplier); the supplier-level
+    membership is a left-semi join."""
+    ps = _partsupp(spark, sf_dir)
+    red = (_t(spark, sf_dir, "part")
+           .filter(F.col("p_name").like("%red%"))
+           .select(F.col("p_partkey").alias("pk")))
+    shipped = (_t(spark, sf_dir, "lineitem")
+               .filter((F.col("l_shipdate").cast("date")
+                        >= F.lit("1996-01-01").cast("date"))
+                       & (F.col("l_shipdate").cast("date")
+                          < F.lit("1997-01-01").cast("date")))
+               .groupBy("l_partkey", "l_suppkey")
+               .agg((F.lit(0.5) * F.sum("l_quantity")).alias("half_qty")))
+    excess = (ps.join(red, ps.p_partkey == F.col("pk"))
+                .join(shipped, (ps.p_partkey == F.col("l_partkey"))
+                      & (ps.ps_suppkey == F.col("l_suppkey")))
+                .filter(F.col("ps_availqty") > F.col("half_qty"))
+                .select("ps_suppkey"))
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    s = _t(spark, sf_dir, "supplier")
+    return (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+             .join(excess, s.s_suppkey == excess.ps_suppkey, "left_semi")
+             .select("s_suppkey", "s_name")
+             .orderBy("s_name"))
+
+
+SQL_TPCH_Q20 = f"""
+WITH {_PS_SQL}
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_5'
+  AND EXISTS (
+    SELECT 1 FROM ps
+    WHERE ps_suppkey = s_suppkey
+      AND ps.p_partkey IN (SELECT p_partkey FROM part
+                           WHERE p_name LIKE '%red%')
+      AND ps_availqty > (
+        SELECT 0.5 * SUM(l_quantity) FROM lineitem
+        WHERE l_partkey = ps.p_partkey AND l_suppkey = ps.ps_suppkey
+          AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'))
+ORDER BY s_name
+"""
 
 
 # ----------------------------------------------------------------- Q3 --
@@ -747,6 +982,7 @@ ORDER BY cntrycode
 # ------------------------------------------------------------ registry --
 
 QUERIES_TPCH: dict[str, dict] = {
+    "tpch_q2":  {"fn": q_tpch_q2,  "sql": SQL_TPCH_Q2},
     "tpch_q3":  {"fn": q_tpch_q3,  "sql": SQL_TPCH_Q3},
     "tpch_q4":  {"fn": q_tpch_q4,  "sql": SQL_TPCH_Q4},
     "tpch_q6":  {"fn": q_tpch_q6,  "sql": SQL_TPCH_Q6},
@@ -754,13 +990,16 @@ QUERIES_TPCH: dict[str, dict] = {
     "tpch_q8":  {"fn": q_tpch_q8,  "sql": SQL_TPCH_Q8},
     "tpch_q9":  {"fn": q_tpch_q9,  "sql": SQL_TPCH_Q9},
     "tpch_q10": {"fn": q_tpch_q10, "sql": SQL_TPCH_Q10},
+    "tpch_q11": {"fn": q_tpch_q11, "sql": SQL_TPCH_Q11},
     "tpch_q12": {"fn": q_tpch_q12, "sql": SQL_TPCH_Q12},
     "tpch_q13": {"fn": q_tpch_q13, "sql": SQL_TPCH_Q13},
     "tpch_q14": {"fn": q_tpch_q14, "sql": SQL_TPCH_Q14},
     "tpch_q15": {"fn": q_tpch_q15, "sql": SQL_TPCH_Q15},
+    "tpch_q16": {"fn": q_tpch_q16, "sql": SQL_TPCH_Q16},
     "tpch_q17": {"fn": q_tpch_q17, "sql": SQL_TPCH_Q17},
     "tpch_q18": {"fn": q_tpch_q18, "sql": SQL_TPCH_Q18},
     "tpch_q19": {"fn": q_tpch_q19, "sql": SQL_TPCH_Q19},
+    "tpch_q20": {"fn": q_tpch_q20, "sql": SQL_TPCH_Q20},
     "tpch_q21": {"fn": q_tpch_q21, "sql": SQL_TPCH_Q21},
     "tpch_q22": {"fn": q_tpch_q22, "sql": SQL_TPCH_Q22},
 }
