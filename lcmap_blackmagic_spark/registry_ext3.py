@@ -221,10 +221,68 @@ FROM gc GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------- funnel ---
+
+
+def q_funnel(spark, sf_dir):
+    """Ordered event-sequence funnel: users who viewed, then clicked
+    within 12 h of the first view, then purchased within 12 h of that
+    click — each stage anchored to the previous stage's time.  Each
+    stage is a conditional min-timestamp aggregate joined back on
+    user_id — three shuffles all on the same key (co-partitioned, so
+    AQE reuses the exchange), never a per-user sort of the whole
+    event stream."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    t1 = (ev.filter(F.col("event_type") == "view")
+            .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    t2 = (ev.filter(F.col("event_type") == "click")
+            .join(t1, "user_id")
+            .filter((F.col("ts") > F.col("t1"))
+                    & (F.col("ts") <= F.col("t1")
+                       + F.expr("interval 12 hours")))
+            .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    t3 = (ev.filter(F.col("event_type") == "purchase")
+            .join(t2, "user_id")
+            .filter((F.col("ts") > F.col("t2"))
+                    & (F.col("ts") <= F.col("t2")
+                       + F.expr("interval 12 hours")))
+            .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    return (t1.join(t2, "user_id", "left").join(t3, "user_id", "left")
+              .agg(F.count("t1").alias("n_view"),
+                   F.count("t2").alias("n_click_after_view"),
+                   F.count("t3").alias("n_purchase_after_click")))
+
+
+SQL_FUNNEL = """
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.t1
+    AND e.ts <= t1.t1 + INTERVAL 12 HOUR
+  GROUP BY e.user_id),
+t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+    AND e.ts <= t2.t2 + INTERVAL 12 HOUR
+  GROUP BY e.user_id)
+SELECT CAST(COUNT(t1.t1) AS BIGINT) AS n_view,
+       CAST(COUNT(t2.t2) AS BIGINT) AS n_click_after_view,
+       CAST(COUNT(t3.t3) AS BIGINT) AS n_purchase_after_click
+FROM t1
+LEFT JOIN t2 ON t1.user_id = t2.user_id
+LEFT JOIN t3 ON t1.user_id = t3.user_id
+"""
+
+
 QUERIES_EXT3: dict[str, dict] = {
     "unpivot":          {"fn": q_unpivot,       "sql": SQL_UNPIVOT},
     "struct_funcs":     {"fn": q_struct_funcs,  "sql": SQL_STRUCT_FUNCS},
     "gap_fill":         {"fn": q_gap_fill,      "sql": SQL_GAP_FILL},
     "llm_feature_hash": {"fn": q_feature_hash,  "sql": SQL_FEATURE_HASH},
     "llm_repetition":   {"fn": q_repetition,    "sql": SQL_REPETITION},
+    "funnel":           {"fn": q_funnel,        "sql": SQL_FUNNEL},
 }
