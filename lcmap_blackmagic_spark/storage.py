@@ -145,3 +145,51 @@ def read_chip_json(root: str, entity: str, x: int, y: int) -> list[dict]:
     import json
     with open(os.path.join(root, entity, f"{x}-{y}.json"), "rb") as f:
         return json.loads(gzip.decompress(f.read()).decode("utf-8"))
+
+
+def _count_part_files(base: str) -> int:
+    n = 0
+    for dirpath, _, files in os.walk(base):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def compact_partitions(spark: SparkSession, root: str,
+                       entity: str) -> tuple[int, int]:
+    """Small-file compaction: rewrite an entity so each spatial
+    partition holds ONE sorted parquet file instead of the many small
+    files a streaming ``foreachBatch`` ingest accretes (every
+    micro-batch append adds a file per touched partition; at
+    100 TB-scale ingest, scan task count and parquet footer overhead
+    grow with file count, not data size — periodic compaction is what
+    keeps read amplification flat).
+
+    Spark refuses to overwrite a path it is reading
+    ("Cannot overwrite a path that is also being read from"), so the
+    compacted copy lands in a sibling dataset and is swapped in with
+    two renames — the same read-shape guarantee as
+    ``overwrite_partitions`` (repartition by key → one file per
+    partition, sorted so row-group stats allow range skipping).
+    On a real object store the swap step would be a table-format
+    commit (Iceberg/Delta rewrite-files); the partition layout and
+    job shape are identical.
+
+    Returns (files_before, files_after).
+    """
+    import shutil
+
+    base = path(root, entity)
+    before = _count_part_files(base)
+    keys = list(PARTITION_KEYS[entity])
+    tmp = base + "__compacting"
+    backup = base + "__pre_compact"
+    (read(spark, root, entity)
+     .repartition(*[F.col(k) for k in keys])
+     .sortWithinPartitions(*keys)
+     .write.mode("overwrite")
+     .partitionBy(*keys)
+     .parquet(tmp))
+    os.rename(base, backup)
+    os.rename(tmp, base)
+    shutil.rmtree(backup)
+    return before, _count_part_files(base)
