@@ -278,6 +278,79 @@ LEFT JOIN t3 ON t1.user_id = t3.user_id
 """
 
 
+# ----------------------------------------------------- map family ---
+
+
+def q_map_funcs(spark, sf_dir):
+    """Map-type functions: construction from arrays, hit and miss
+    lookups (miss → NULL), cardinality, key listing.  Output stays
+    scalar — map VALUES never cross the oracle boundary, because the
+    engines serialize maps differently (DuckDB renders a lookup as a
+    one-element list; Spark as the element)."""
+    o = _t(spark, sf_dir, "orders")
+    m = F.map_from_arrays(
+        F.array(F.lit("open"), F.lit("total")),
+        F.array((F.col("o_orderkey") % 7).cast("double"),
+                F.col("o_totalprice")))
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, "total").alias("total_v"),
+        F.element_at(m, "missing").alias("missing_v"),
+        F.size(m).alias("m_size"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"))
+
+
+SQL_MAP_FUNCS = """
+SELECT o_orderkey,
+       (map(['open', 'total'],
+            [CAST(o_orderkey % 7 AS DOUBLE), o_totalprice])['total'])[1]
+         AS total_v,
+       (map(['open', 'total'],
+            [CAST(o_orderkey % 7 AS DOUBLE), o_totalprice])['missing'])[1]
+         AS missing_v,
+       CAST(cardinality(map(['open', 'total'],
+            [CAST(o_orderkey % 7 AS DOUBLE), o_totalprice])) AS INT)
+         AS m_size,
+       array_to_string(map_keys(map(['open', 'total'],
+            [CAST(o_orderkey % 7 AS DOUBLE), o_totalprice])), ',')
+         AS keys_csv
+FROM orders
+"""
+
+
+# ------------------------------------------------ histogram bins ----
+
+BIN_WIDTH = 50_000
+
+
+def q_histogram_bins(spark, sf_dir):
+    """Equal-width numeric histogram: orders bucket by total price
+    (integer floor division — identical in both engines, no float
+    boundary ambiguity), count + exact decimal mass per bin.  The
+    groupBy on the derived bin is one narrow shuffle of (bin) keys
+    with map-side partial aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    b = F.floor(F.col("o_totalprice") / BIN_WIDTH).cast("bigint")
+    return (o.groupBy(b.alias("bin"))
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                   .cast("double").alias("mass"))
+             .select((F.col("bin") * BIN_WIDTH).alias("bin_lo"),
+                     "n_orders", "mass")
+             .orderBy("bin_lo"))
+
+
+SQL_HISTOGRAM_BINS = f"""
+SELECT CAST(floor(o_totalprice / {BIN_WIDTH}) AS BIGINT) * {BIN_WIDTH}
+         AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS mass
+FROM orders
+GROUP BY CAST(floor(o_totalprice / {BIN_WIDTH}) AS BIGINT)
+ORDER BY bin_lo
+"""
+
+
 QUERIES_EXT3: dict[str, dict] = {
     "unpivot":          {"fn": q_unpivot,       "sql": SQL_UNPIVOT},
     "struct_funcs":     {"fn": q_struct_funcs,  "sql": SQL_STRUCT_FUNCS},
@@ -285,4 +358,6 @@ QUERIES_EXT3: dict[str, dict] = {
     "llm_feature_hash": {"fn": q_feature_hash,  "sql": SQL_FEATURE_HASH},
     "llm_repetition":   {"fn": q_repetition,    "sql": SQL_REPETITION},
     "funnel":           {"fn": q_funnel,        "sql": SQL_FUNNEL},
+    "map_funcs":        {"fn": q_map_funcs,     "sql": SQL_MAP_FUNCS},
+    "histogram_bins":   {"fn": q_histogram_bins, "sql": SQL_HISTOGRAM_BINS},
 }
