@@ -351,6 +351,50 @@ ORDER BY bin_lo
 """
 
 
+# ------------------------------------------- decontamination --------
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag corpus documents sharing any
+    word 5-gram with the held-out set (source 'src0' plays the
+    benchmark) — the standard pre-training hygiene pass.
+
+    Scale shape: the BENCHMARK gram set is the small side (benchmark
+    suites are tiny next to a corpus), so it broadcasts and the
+    corpus-side grams stream through the semi-join without a shuffle;
+    the only exchange is the per-doc count."""
+    from .llm.dedup import shingles
+    d = _t(spark, sf_dir, "documents")
+    bench = (d.filter(F.col("source") == "src0")
+              .select(F.explode(shingles("text", 5)).alias("g"))
+              .distinct())
+    corpus = (d.filter(F.col("source") != "src0")
+               .select("doc_id", F.explode(shingles("text", 5)).alias("g")))
+    return (corpus.join(F.broadcast(bench), "g")
+                  .groupBy("doc_id")
+                  .agg(F.count_distinct("g").alias("n_shared"))
+                  .orderBy("doc_id"))
+
+
+SQL_DECONTAMINATE = """
+WITH toks AS (
+  SELECT doc_id, source, string_split(lower(trim(text)), ' ') AS ws
+  FROM documents),
+grams AS (
+  SELECT doc_id, source,
+         UNNEST(list_transform(generate_series(1, len(ws) - 4),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                     || ws[i+3] || ' ' || ws[i+4])) AS g
+  FROM toks),
+bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+corpus AS (SELECT doc_id, g FROM grams WHERE source <> 'src0')
+SELECT doc_id, CAST(COUNT(DISTINCT corpus.g) AS BIGINT) AS n_shared
+FROM corpus JOIN bench ON corpus.g = bench.g
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES_EXT3: dict[str, dict] = {
     "unpivot":          {"fn": q_unpivot,       "sql": SQL_UNPIVOT},
     "struct_funcs":     {"fn": q_struct_funcs,  "sql": SQL_STRUCT_FUNCS},
@@ -360,4 +404,5 @@ QUERIES_EXT3: dict[str, dict] = {
     "funnel":           {"fn": q_funnel,        "sql": SQL_FUNNEL},
     "map_funcs":        {"fn": q_map_funcs,     "sql": SQL_MAP_FUNCS},
     "histogram_bins":   {"fn": q_histogram_bins, "sql": SQL_HISTOGRAM_BINS},
+    "llm_decontaminate": {"fn": q_decontaminate, "sql": SQL_DECONTAMINATE},
 }
