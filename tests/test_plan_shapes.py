@@ -153,6 +153,31 @@ def test_tpch_q22_anti_join(q):
     assert "LeftAnti" in plan
 
 
+def test_gap_fill_window_is_partitioned(q):
+    # the forward-fill window must partition by user_id; an
+    # unpartitioned window would single-task the whole grid
+    plan = simple_plan(q("gap_fill"))
+    assert "Window" in plan
+    import re as _re
+    for m in _re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "user_id" in m.group(0)
+
+
+def test_unpivot_is_expand_no_shuffle(q):
+    # melt must be a single Expand pass, no exchange at all
+    plan = simple_plan(q("unpivot"))
+    assert "Expand" in plan
+    assert "Exchange" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark(q):
+    # the benchmark gram set is the broadcast side; corpus grams must
+    # not shuffle into the join
+    plan = simple_plan(q("llm_decontaminate"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_tpch_q21_semi_plus_anti(q):
     # the double-correlated EXISTS + NOT EXISTS must be ONE semi and
     # ONE anti join, never a re-scan-per-row correlated plan
