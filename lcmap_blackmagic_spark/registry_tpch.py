@@ -287,9 +287,12 @@ def q_tpch_q3(spark, sf_dir):
     """Q3 shipping-priority shape: 3-way fact join, date split across
     the two facts, top-10 by aggregated revenue.
 
-    customer and orders both scale with SF, so the joins are plain
-    shuffle joins (no broadcast); the mktsegment + date filters push
-    to the scans and prune before any exchange."""
+    No join strategy is forced: customer and orders scale with SF, so
+    at production size Catalyst's stats plan them as shuffle joins,
+    while at test SF the same declarative plan legitimately broadcasts
+    the small sides — the property the suite guarantees (plan-shape
+    tested) is no nested-loop/cartesian node and filters pushed to the
+    scans before any exchange."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate").cast("date") < F.lit("1996-03-15").cast("date"))
@@ -514,7 +517,12 @@ def q_tpch_q9(spark, sf_dir):
     """Q9 product-type-profit shape: 5-table join, profit per supplier
     nation per year.  ps_supplycost does not exist; the adapted cost
     model charges half the part's retail price per unit, keeping the
-    two-term profit expression (revenue minus cost) in exact decimal."""
+    two-term profit expression (revenue minus cost) in exact decimal.
+
+    Join strategy is left to Catalyst's size stats: nation always
+    broadcasts (fixed 25 rows); part/supplier/orders broadcast at
+    test SF and flip to shuffle joins at production SF — same code,
+    stats-driven physical choice."""
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")) \
                                  .select("p_partkey", "p_retailprice")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
