@@ -332,8 +332,9 @@ def q_tpch_q4(spark, sf_dir):
     unavailable; the adaptation keeps the correlated inequality —
     a lineitem shipped >30 days after the order date.
 
-    The semi join shuffles on l_orderkey/o_orderkey only; the date
-    window prunes orders at the scan."""
+    The semi join is keyed on l_orderkey/o_orderkey (stats pick
+    broadcast at toy SF, shuffle at scale); the date window prunes
+    orders at the scan."""
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate").cast("date") >= F.lit("1996-07-01").cast("date"))
         & (F.col("o_orderdate").cast("date") < F.lit("1996-10-01").cast("date")))
@@ -880,7 +881,7 @@ def q_tpch_q21(spark, sf_dir):
 
     Compiles to one left-semi plus one left-anti join, both keyed on
     l_orderkey — the correlated subqueries never re-scan per row, and
-    all three legs reuse the same join key partitioning."""
+    at scale all three legs share the same join-key partitioning."""
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F") \
                                    .select("o_orderkey", "o_orderdate")
@@ -943,7 +944,7 @@ def q_tpch_q22(spark, sf_dir):
     no-orders anti join.
 
     The average is ONE double division over an exact decimal sum on
-    both engines; the anti join shuffles on custkey only."""
+    both engines; the anti join is keyed on custkey alone."""
     c = _t(spark, sf_dir, "customer").withColumn(
         "cntrycode", (F.col("c_nationkey") % 10).cast("int"))
     in_codes = c.filter(F.col("cntrycode").isin([1, 3, 5, 7]))
