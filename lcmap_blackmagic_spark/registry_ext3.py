@@ -89,10 +89,15 @@ def q_gap_fill(spark, sf_dir):
     per-user partitioning; the window runs per user_id (no
     unpartitioned window).  The classic prep step for regularly-
     sampled model inputs."""
+    # window bounds as epoch micros, NOT string literals: a string
+    # cast to timestamp parses in the SESSION timezone, silently
+    # shifting the window on any non-UTC session (caught by the
+    # America/Chicago verify probe); epoch micros pin the instants.
+    t_lo = F.timestamp_micros(F.lit(1704067200000000))  # 2024-01-01T00Z
+    t_hi = F.timestamp_micros(F.lit(1704240000000000))  # 2024-01-03T00Z
     e = (_t(spark, sf_dir, "events")
          .filter((F.col("event_type") == "purchase")
-                 & (F.col("ts") >= F.lit("2024-01-01 00:00:00").cast("timestamp"))
-                 & (F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp"))))
+                 & (F.col("ts") >= t_lo) & (F.col("ts") < t_hi)))
     hourly = (e.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
                .agg(F.sum(F.col("value").cast("decimal(18,2)"))
                      .cast("double").alias("v")))
