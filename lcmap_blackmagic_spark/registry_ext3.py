@@ -400,6 +400,112 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------------ reconciliation ----
+
+
+def q_table_diff(spark, sf_dir):
+    """Snapshot reconciliation: classify every key across two dataset
+    versions as unchanged / changed / only-left / only-right — the
+    anti-entropy check run after any backfill or migration.  The
+    'right' snapshot is derived deterministically from orders (drop
+    keys ≡0 mod 97, perturb totalprice for keys ≡0 mod 101) so both
+    engines diff identical inputs.
+
+    One full-outer join on the key, classification in a codegen CASE;
+    the count rollup is a 4-group aggregate."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    left = o.select(F.col("o_orderkey").alias("k"),
+                    F.col("o_totalprice").alias("lv"))
+    right = (o.filter(F.col("o_orderkey") % 97 != 0)
+              .select(F.col("o_orderkey").alias("rk"),
+                      F.when(F.col("o_orderkey") % 101 == 0,
+                             F.col("o_totalprice") + F.lit(1.0))
+                       .otherwise(F.col("o_totalprice")).alias("rv")))
+    j = left.join(right, left.k == right.rk, "full_outer")
+    klass = (F.when(F.col("k").isNull(), "only_right")
+              .when(F.col("rk").isNull(), "only_left")
+              .when(F.col("lv") == F.col("rv"), "same")
+              .otherwise("changed"))
+    return (j.groupBy(klass.alias("diff_class"))
+             .agg(F.count(F.lit(1)).alias("n"))
+             .orderBy("diff_class"))
+
+
+SQL_TABLE_DIFF = """
+WITH l AS (SELECT o_orderkey AS k, o_totalprice AS lv FROM orders),
+r AS (SELECT o_orderkey AS rk,
+             CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS rv
+      FROM orders WHERE o_orderkey % 97 <> 0)
+SELECT CASE WHEN k IS NULL THEN 'only_right'
+            WHEN rk IS NULL THEN 'only_left'
+            WHEN lv = rv THEN 'same'
+            ELSE 'changed' END AS diff_class,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM l FULL OUTER JOIN r ON l.k = r.rk
+GROUP BY diff_class
+ORDER BY diff_class
+"""
+
+
+# ----------------------------------------------------- SCD2 build ---
+
+
+def q_scd2_intervals(spark, sf_dir):
+    """Slowly-changing-dimension (type 2) builder: collapse each
+    user's event-type sequence into validity intervals — a new row
+    only when the type CHANGES, valid_to = next change (NULL while
+    current).  Change detection is lag + conditional flag, run ids a
+    running sum, interval bounds min/max per run — the sessionize
+    machinery applied to dimension versioning.  All windows and the
+    final group share the user_id partitioning."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id",
+                                           "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+                .rowsBetween(Window.unboundedPreceding, 0)
+    chg = F.when(F.lag("event_type").over(w).isNull()
+                 | (F.lag("event_type").over(w) != F.col("event_type")),
+                 1).otherwise(0)
+    runs = e.withColumn("rid", F.sum(chg).over(run))
+    iv = (runs.groupBy("user_id", "rid")
+              .agg(F.first("event_type").alias("event_type"),
+                   F.min("ts").alias("valid_from"),
+                   F.count(F.lit(1)).alias("n_events")))
+    nxt = Window.partitionBy("user_id").orderBy("rid")
+    return (iv.select("user_id",
+                      F.col("rid").cast("bigint").alias("version"),
+                      "event_type", "valid_from",
+                      F.lead("valid_from").over(nxt).alias("valid_to"),
+                      "n_events"))
+
+
+SQL_SCD2_INTERVALS = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type THEN 1
+              ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+runs AS (
+  SELECT user_id, ts, event_type,
+         CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS rid
+  FROM flagged),
+iv AS (
+  SELECT user_id, rid, MIN(event_type) AS event_type,
+         MIN(ts) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM runs GROUP BY user_id, rid)
+SELECT user_id, rid AS version, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY rid)
+         AS valid_to,
+       n_events
+FROM iv
+"""
+
+
 QUERIES_EXT3: dict[str, dict] = {
     "unpivot":          {"fn": q_unpivot,       "sql": SQL_UNPIVOT},
     "struct_funcs":     {"fn": q_struct_funcs,  "sql": SQL_STRUCT_FUNCS},
@@ -410,4 +516,6 @@ QUERIES_EXT3: dict[str, dict] = {
     "map_funcs":        {"fn": q_map_funcs,     "sql": SQL_MAP_FUNCS},
     "histogram_bins":   {"fn": q_histogram_bins, "sql": SQL_HISTOGRAM_BINS},
     "llm_decontaminate": {"fn": q_decontaminate, "sql": SQL_DECONTAMINATE},
+    "table_diff":       {"fn": q_table_diff,    "sql": SQL_TABLE_DIFF},
+    "scd2_intervals":   {"fn": q_scd2_intervals, "sql": SQL_SCD2_INTERVALS},
 }

@@ -207,6 +207,18 @@ def attribution_join(views: DataFrame, clicks: DataFrame,
     return v.join(c, cond).drop("c_user_id")
 
 
+def enrich_stream(events: DataFrame, dim: DataFrame,
+                  on: str = "user_id") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins the
+    stream against a STATIC dimension snapshot (re-read per batch for
+    file sources, broadcast when small — Catalyst plans it like any
+    batch join inside the micro-batch).  No watermark or join state
+    needed: the static side is not a stream, so nothing buffers.
+    The standard shape for attaching reference data (user profile,
+    model version, grid metadata) at ingest."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
 def sliding_rollup(events: DataFrame, width: str = "1 hour",
                    slide: str = "15 minutes",
                    watermark: str = "2 hours") -> DataFrame:

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from lcmap_blackmagic_spark.streaming.jobs import (attribution_join,
                                                    dedup_stream,
                                                    dedup_within_watermark,
+                                                   enrich_stream,
                                                    events_stream,
                                                    hourly_rollup,
                                                    session_windows,
@@ -215,6 +216,31 @@ def test_dedup_within_watermark_catches_jittered_redelivery(spark, tmp_path):
     got = spark.table("dedup_wm").select("event_id").collect()
     assert len(got) == 30
     assert len({r[0] for r in got}) == 30
+
+
+def test_enrich_stream_attaches_static_dim(spark, events_dir):
+    """Every streamed event gets its user's static attributes; users
+    missing from the dim get NULLs (left join semantics)."""
+    dim = spark.createDataFrame(
+        [(u, f"tier_{u % 3}") for u in range(0, 200, 2)],  # evens only
+        "user_id long, tier string")
+    enriched = enrich_stream(
+        events_stream(spark, events_dir, max_files_per_trigger=2), dim)
+    q = (enriched.writeStream.format("memory").queryName("enriched")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.table("enriched")
+    total = spark.read.parquet(events_dir).count()
+    assert got.count() == total            # left join never drops rows
+    odd = got.filter((F.col("user_id") % 2 == 1)
+                     & F.col("tier").isNotNull()).count()
+    assert odd == 0                        # missing dim keys → NULL
+    ok = got.filter((F.col("user_id") % 2 == 0)
+                    & (F.col("tier")
+                       != F.concat(F.lit("tier_"),
+                                   (F.col("user_id") % 3)))).count()
+    assert ok == 0                         # attached values correct
 
 
 def test_work_queue_resumes_from_checkpoint(spark, tmp_path):
