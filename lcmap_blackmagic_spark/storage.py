@@ -21,13 +21,17 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# entity → partition columns (mirrors the URL scheme ceph.py:17-49)
+# entity → partition columns (mirrors the URL scheme ceph.py:17-49);
+# rollup_partial is the streaming-rollup partial store, partitioned by
+# micro-batch id so a replayed batch overwrites ITS OWN partition
+# (idempotent at-least-once → exactly-once-equivalent totals).
 PARTITION_KEYS = {
     "chip": ("cx", "cy"),
     "pixel": ("cx", "cy"),
     "segment": ("cx", "cy"),
     "prediction": ("cx", "cy"),
     "tile": ("tx", "ty"),
+    "rollup_partial": ("batch_id",),
 }
 
 

@@ -167,6 +167,52 @@ def dedup_stream(events: DataFrame, keys: list[str] | None = None,
             .dropDuplicates(keys or ["event_id"]))
 
 
+def persisted_hourly_rollup(spark: SparkSession, events_dir: str,
+                            root: str, checkpoint_dir: str,
+                            available_now: bool = True) -> StreamingQuery:
+    """Streaming rollup with EXACTLY-ONCE-equivalent persistence: each
+    micro-batch writes its per-(hour, event_type) PARTIAL aggregate to
+    storage partitioned by batch_id.  A replayed batch (restart after
+    crash mid-commit) overwrites its own partition — dynamic partition
+    overwrite makes the write idempotent, so totals never double-count
+    without any transactional sink.  ``read_rollup`` merges partials
+    at read time (sum of sums is exact: counts are longs, values are
+    decimal-summed before the final double cast).
+
+    This is the lambda-convergence pattern: the persisted streaming
+    result must equal the one-shot batch rollup over the same files —
+    asserted in tests/test_streaming.py."""
+    from .. import storage
+
+    stream = events_stream(spark, events_dir)
+
+    def write_partial(batch_df: DataFrame, batch_id: int) -> None:
+        part = (batch_df
+                .groupBy(F.date_trunc("hour", "ts").alias("bucket"),
+                         "event_type")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.col("value").cast("decimal(18,2)"))
+                      .alias("total_dec"))
+                .withColumn("batch_id", F.lit(batch_id)))
+        storage.overwrite_partitions(part, root, "rollup_partial")
+
+    writer = (stream.writeStream.foreachBatch(write_partial)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_rollup(spark: SparkSession, root: str) -> DataFrame:
+    """Merge the partial store into final per-hour totals."""
+    from .. import storage
+
+    return (storage.read(spark, root, "rollup_partial")
+            .groupBy("bucket", "event_type")
+            .agg(F.sum("n").alias("n"),
+                 F.sum("total_dec").cast("double").alias("total_value")))
+
+
 def dedup_within_watermark(events: DataFrame, keys: list[str] | None = None,
                            watermark: str = "1 hour") -> DataFrame:
     """Streaming dedup for *timestamp-jittered* re-deliveries: two

@@ -218,6 +218,39 @@ def test_dedup_within_watermark_catches_jittered_redelivery(spark, tmp_path):
     assert len({r[0] for r in got}) == 30
 
 
+def test_persisted_rollup_converges_and_is_idempotent(spark, events_dir,
+                                                      tmp_path):
+    """The persisted streaming rollup must equal the one-shot batch
+    rollup over the same files (lambda convergence), and re-writing a
+    batch's partial must not change totals (batch_id-keyed idempotent
+    overwrite)."""
+    from lcmap_blackmagic_spark import storage
+    from lcmap_blackmagic_spark.streaming.jobs import (
+        persisted_hourly_rollup, read_rollup)
+
+    root, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    q = persisted_hourly_rollup(spark, events_dir, root, ckpt)
+    q.awaitTermination(180)
+
+    got = {tuple(r) for r in read_rollup(spark, root).collect()}
+    batch = (spark.read.parquet(events_dir)
+             .groupBy(F.date_trunc("hour", "ts").alias("bucket"),
+                      "event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.col("value").cast("decimal(18,2)"))
+                  .cast("double").alias("total_value")))
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
+
+    # replay: rewrite batch 0's partial from the same data — totals
+    # unchanged because the partition overwrites itself
+    partials = storage.read(spark, root, "rollup_partial")
+    b0 = partials.filter(F.col("batch_id") == 0)
+    storage.overwrite_partitions(b0, root, "rollup_partial")
+    got2 = {tuple(r) for r in read_rollup(spark, root).collect()}
+    assert got2 == want
+
+
 def test_enrich_stream_attaches_static_dim(spark, events_dir):
     """Every streamed event gets its user's static attributes; users
     missing from the dim get NULLs (left join semantics)."""
