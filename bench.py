@@ -45,6 +45,10 @@ HEADLINE = [
     # aggregate-then-join HAVING shape
     "tpch_q9",
     "tpch_q18",
+    # wave-4 representatives: broadcast 5-gram decontamination and
+    # the SCD2 run-collapse window chain
+    "llm_decontaminate",
+    "scd2_intervals",
 ]
 
 
