@@ -506,6 +506,35 @@ FROM iv
 """
 
 
+# --------------------------------------------------- variant type ---
+
+
+def q_variant_funcs(spark, sf_dir):
+    """Spark 4 VARIANT path for semi-structured data: ``parse_json``
+    into a variant value, typed extraction with ``try_variant_get``
+    (missing paths → NULL, not an error).  Unlike the string-walking
+    ``get_json_object`` (see ``events_json``), the variant parses
+    ONCE into a binary-encoded form and every extraction reads the
+    encoded tree — the right shape when many fields come out of one
+    payload at corpus scale."""
+    e = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k"),
+        F.try_variant_get(v, "$.missing", "int").alias("missing_k"),
+        F.try_variant_get(v, "$.k", "string").alias("k_str"))
+
+
+SQL_VARIANT_FUNCS = """
+SELECT event_id,
+       CAST(props->>'$.k' AS INTEGER) AS k,
+       CAST(props->>'$.missing' AS INTEGER) AS missing_k,
+       props->>'$.k' AS k_str
+FROM events
+"""
+
+
 QUERIES_EXT3: dict[str, dict] = {
     "unpivot":          {"fn": q_unpivot,       "sql": SQL_UNPIVOT},
     "struct_funcs":     {"fn": q_struct_funcs,  "sql": SQL_STRUCT_FUNCS},
@@ -518,4 +547,5 @@ QUERIES_EXT3: dict[str, dict] = {
     "llm_decontaminate": {"fn": q_decontaminate, "sql": SQL_DECONTAMINATE},
     "table_diff":       {"fn": q_table_diff,    "sql": SQL_TABLE_DIFF},
     "scd2_intervals":   {"fn": q_scd2_intervals, "sql": SQL_SCD2_INTERVALS},
+    "variant_funcs":    {"fn": q_variant_funcs, "sql": SQL_VARIANT_FUNCS},
 }
