@@ -535,6 +535,84 @@ FROM events
 """
 
 
+# ------------------------------------------------ cohort retention --
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted as retained in each later week they act — the standard
+    product-analytics triangle.  Two aggregates and one join, all
+    keyed on user_id.  Week bucketing is pure epoch-day arithmetic
+    (Monday-aligned: day − ((day+3) mod 7)) — ``date_trunc('week')``
+    on the events timestamp would truncate in the SESSION timezone
+    and shift boundary events on non-UTC sessions (caught by the
+    America/Chicago verify probe); epoch days are timezone-free."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts")
+    day = F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000))
+    wk = F.date_from_unix_date(
+        (day - (day + 3) % 7).cast("int"))
+    acts = e.select("user_id", wk.alias("week")).distinct()
+    first = acts.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    return (acts.join(first, "user_id")
+            .select("cohort",
+                    (F.datediff("week", "cohort") / 7)
+                    .cast("int").alias("week_offset"))
+            .groupBy("cohort", "week_offset")
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .orderBy("cohort", "week_offset"))
+
+
+SQL_COHORT_RETENTION = """
+WITH acts AS (
+  SELECT DISTINCT user_id,
+         DATE '1970-01-01'
+           + CAST(d - ((d + 3) % 7) AS INT) AS week
+  FROM (SELECT user_id,
+               CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS d
+        FROM events) t),
+first AS (SELECT user_id, MIN(week) AS cohort FROM acts GROUP BY user_id)
+SELECT cohort,
+       CAST(date_diff('day', cohort, week) / 7 AS INT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM acts JOIN first USING (user_id)
+GROUP BY cohort, week_offset
+ORDER BY cohort, week_offset
+"""
+
+
+# --------------------------------------------- event transitions ----
+
+
+def q_event_transitions(spark, sf_dir):
+    """First-order transition counts (the Markov matrix of user
+    behavior): for each consecutive event pair within a user's
+    timeline, count (from_type → to_type).  One lead window per user
+    + one narrow aggregate — the path-analysis primitive."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id",
+                                           "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (e.withColumn("next_type", F.lead("event_type").over(w))
+             .filter(F.col("next_type").isNotNull())
+             .groupBy(F.col("event_type").alias("from_type"),
+                      F.col("next_type").alias("to_type"))
+             .agg(F.count(F.lit(1)).alias("n"))
+             .orderBy("from_type", "to_type"))
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+ORDER BY from_type, to_type
+"""
+
+
 QUERIES_EXT3: dict[str, dict] = {
     "unpivot":          {"fn": q_unpivot,       "sql": SQL_UNPIVOT},
     "struct_funcs":     {"fn": q_struct_funcs,  "sql": SQL_STRUCT_FUNCS},
@@ -548,4 +626,8 @@ QUERIES_EXT3: dict[str, dict] = {
     "table_diff":       {"fn": q_table_diff,    "sql": SQL_TABLE_DIFF},
     "scd2_intervals":   {"fn": q_scd2_intervals, "sql": SQL_SCD2_INTERVALS},
     "variant_funcs":    {"fn": q_variant_funcs, "sql": SQL_VARIANT_FUNCS},
+    "cohort_retention": {"fn": q_cohort_retention,
+                         "sql": SQL_COHORT_RETENTION},
+    "event_transitions": {"fn": q_event_transitions,
+                          "sql": SQL_EVENT_TRANSITIONS},
 }
