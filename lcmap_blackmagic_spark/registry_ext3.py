@@ -1,11 +1,18 @@
-"""Fourth extension wave: long-form reshaping (unpivot), struct
-assembly/disassembly, time-grid gap fill with forward fill, and
-hashing-trick feature buckets.
+"""Fourth extension wave — reshaping, time-series, analytics, and
+data-engineering shapes: unpivot, struct assembly/disassembly,
+time-grid gap fill with forward fill, hashing-trick feature buckets,
+repetition ratio, conversion funnel, map functions, histogram
+binning, benchmark decontamination, snapshot reconciliation diff,
+SCD2 interval builder, Spark 4 VARIANT extraction, cohort retention,
+and event transition counts.
 
 Same determinism contract as the rest of the registry: money/value
 sums in DECIMAL with one final double cast, hash buckets via md5
 digest slices (identical hex in both engines), every collected list
-sorted by a unique key before use.
+sorted by a unique key before use.  Events-table time bucketing is
+epoch-day/epoch-micros arithmetic, never session-timezone-dependent
+string casts or date_trunc (two live TZ bugs found by the
+America/Chicago verify probe — see the verify skill's gotchas).
 """
 
 from __future__ import annotations
