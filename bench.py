@@ -68,32 +68,51 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
     warm_dir = "/root/testdata/sf0.001"
     warm = warm_dir if os.path.isdir(warm_dir) else sf_dir
+    # Per-query fault isolation: one broken query must not zero out the
+    # whole artifact — a bench that reports "21 of 22 measured, 1
+    # failed" is strictly better than rc:1 with no numbers.
+    broken: dict[str, str] = {}
     for name in HEADLINE:
-        materialize(QUERIES[name]["fn"](spark, warm))
+        try:
+            materialize(QUERIES[name]["fn"](spark, warm))
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            broken[name] = f"{type(exc).__name__}: {exc}".splitlines()[0][:300]
 
     # best-of-2: steady-state timing is what matters (GC pauses and
     # JIT recompiles produced 2-6× outliers on the heavy queries);
     # the min of two runs is the standard way to report it.
-    per_query: dict[str, float] = {}
+    per_query: dict[str, object] = {}
     total = 0.0
     for name in HEADLINE:
+        if name in broken:
+            per_query[name] = {"err": broken[name]}
+            continue
         fn = QUERIES[name]["fn"]
         runs = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            materialize(fn(spark, sf_dir))
-            runs.append(time.perf_counter() - t0)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                materialize(fn(spark, sf_dir))
+                runs.append(time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001
+            per_query[name] = {
+                "err": f"{type(exc).__name__}: {exc}".splitlines()[0][:300]}
+            continue
         dt = round(min(runs), 3)
         per_query[name] = dt
         total += dt
 
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,
         "sf": sf,
-    }))
+    }
+    n_err = sum(1 for v in per_query.values() if isinstance(v, dict))
+    if n_err:
+        out["errors"] = n_err
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

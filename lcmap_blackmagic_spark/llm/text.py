@@ -36,18 +36,32 @@ def token_count(text_col: Column | str = "text") -> Column:
 
 
 def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Length/punctuation/stopword quality features per document."""
-    toks = tokens(text_col)
-    stop = F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    """Length/punctuation/stopword quality features per document.
+
+    Codegen-only string arithmetic — no higher-order functions (HOFs
+    evaluate interpreted; SCALE.md measures them 8-30× slower):
+
+    - Σ len(token) ≡ len(lowered) − (n_tokens − 1): split(' ')
+      partitions the lowered string and each separator is one char,
+      so the mean needs no per-token loop;
+    - stopword hits via a zero-width-boundary regex over the
+      space-padded lowered text (lookarounds don't consume, so
+      adjacent stopwords all match) — identical to exact token
+      equality since tokens are the maximal runs between spaces.
+    """
+    lowered = F.lower(F.trim(F.col(text_col)))
+    n_tokens = F.size(F.split(lowered, " "))
+    sum_len = (F.length(lowered) - n_tokens + 1).cast("double")
+    padded = F.concat(F.lit(" "), lowered, F.lit(" "))
+    stop_re = "(?<= )(?:" + "|".join(STOPWORDS) + ")(?= )"
+    n_stop = F.regexp_count(padded, F.lit(stop_re))
     n_punct = F.length(F.col(text_col)) - F.length(
         F.regexp_replace(F.col(text_col), "[.,;:!?]", ""))
     return df.withColumns({
-        "n_tokens": F.size(toks),
+        "n_tokens": n_tokens,
         "n_chars_obs": F.length(F.col(text_col)),
-        "mean_token_len": F.round(
-            F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t))
-            / F.size(toks), 6),
-        "stopword_ratio": F.round(F.size(stop) / F.size(toks), 6),
+        "mean_token_len": F.round(sum_len / n_tokens, 6),
+        "stopword_ratio": F.round(n_stop / n_tokens, 6),
         "punct_ratio": F.round(n_punct / F.length(F.col(text_col)), 6),
     })
 

@@ -30,15 +30,28 @@ from .operators.stats import label_statistics
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS) which the vectorized
-        # parquet reader rejects; read nanos as long and truncate to
-        # micros (same truncation DuckDB applies on read).
+        # The fixture's ts encoding has varied across generations:
+        # TIMESTAMP(NANOS) (unsupported by the vectorized reader — read
+        # as long via nanosAsLong and truncate) vs plain timestamp[us]
+        # (read as TIMESTAMP_NTZ — cast through; session TZ is UTC so
+        # epoch math matches DuckDB's epoch_us exactly). Branch on the
+        # dtype actually read, not the encoding we expect.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        # integer `div`, not `/`: nano timestamps exceed double's 2^53
-        # mantissa, so float division is off by ~1 µs.
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type == "long":
+            # integer `div`, not `/`: nano timestamps exceed double's
+            # 2^53 mantissa, so float division is off by ~1 µs.
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # NOT cast("timestamp"): an NTZ→LTZ cast interprets the wall
+        # value in the SESSION timezone (off by 6 h under the
+        # America/Chicago probe). Rebuild the instant field-by-field
+        # pinned at UTC so the epoch equals the stored micros — same
+        # contract as the nanos path and as DuckDB's epoch_us.
+        return df.withColumn("ts", F.expr(
+            "make_timestamp_ltz(year(ts), month(ts), day(ts), "
+            "hour(ts), minute(ts), extract(SECOND FROM ts), 'UTC')"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
@@ -289,14 +302,21 @@ def q_topk_customers(spark, sf_dir):
     (revenue desc, key asc) so ties cannot change the result set."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
-    rev = (o.groupBy("o_custkey")
+    # Reduce FIRST: aggregate + TakeOrdered top-10 on the revenue side
+    # (o_custkey == c_custkey, so the tie-break is identical), THEN
+    # broadcast the 10-row side to fetch names. The earlier version
+    # broadcast `customer` — an SF-growing table — which pins an OOM
+    # plan at 100×; this shape broadcasts a constant-size (k-row)
+    # relation regardless of SF.
+    top = (o.groupBy("o_custkey")
              .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                  .cast("double").alias("revenue")))
-    return (rev.join(F.broadcast(c.select("c_custkey", "c_name")),
-                     rev.o_custkey == c.c_custkey)
-            .select(F.col("c_custkey"), F.col("c_name"), F.col("revenue"))
-            .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
-            .limit(10))
+                  .cast("double").alias("revenue"))
+             .orderBy(F.col("revenue").desc(), F.col("o_custkey"))
+             .limit(10))
+    return (c.select("c_custkey", "c_name")
+             .join(F.broadcast(top), top.o_custkey == F.col("c_custkey"))
+             .select(F.col("c_custkey"), F.col("c_name"), F.col("revenue"))
+             .orderBy(F.col("revenue").desc(), F.col("c_custkey")))
 
 
 SQL_TOPK_CUSTOMERS = """

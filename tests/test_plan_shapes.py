@@ -178,6 +178,23 @@ def test_decontaminate_broadcasts_benchmark(q):
     assert "CartesianProduct" not in plan
 
 
+def test_topk_customers_broadcasts_only_the_topk_rows(q):
+    """The k-row aggregated side broadcasts; customer (SF-growing)
+    must never be the broadcast build — the reduction (agg + TakeOrdered
+    limit) has to sit INSIDE the single BroadcastExchange subtree."""
+    plan = simple_plan(q("topk_customers"))
+    assert plan.count("BroadcastExchange") == 1
+    lines = plan.splitlines()
+    bx = next(i for i, ln in enumerate(lines) if "BroadcastExchange" in ln)
+    # the limit/sort of the top-k reduction appears below the exchange
+    assert any("TakeOrdered" in ln or "GlobalLimit" in ln
+               for ln in lines[bx:])
+    # customer's scan is NOT in the broadcast subtree: it feeds the
+    # streamed side (appears before the exchange in top-down print)
+    cust = [i for i, ln in enumerate(lines) if "customer" in ln]
+    assert cust and min(cust) < bx
+
+
 def test_tpch_q21_semi_plus_anti(q):
     # the double-correlated EXISTS + NOT EXISTS must be ONE semi and
     # ONE anti join, never a re-scan-per-row correlated plan
