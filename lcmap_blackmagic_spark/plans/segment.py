@@ -25,6 +25,7 @@ environment); a PyCCD adapter drops in with the same signature.
 from __future__ import annotations
 
 import datetime
+import math
 from collections.abc import Callable
 
 import numpy as np
@@ -84,24 +85,47 @@ def stub_detector(dates: np.ndarray, bands: dict[str, np.ndarray],
     given one pixel's time series, return segment dicts (possibly
     empty → caller emits a default segment). Fits one linear model
     per band over clear observations; requires ≥ 12 clear points
-    (PyCCD's minimum window)."""
+    (PyCCD's minimum window).
+
+    The fit is CLOSED-FORM OLS over exact integer sums (dates are int
+    ordinals, values int raster cells), not np.polyfit: every sum is
+    an exact Python int, and the float expressions below are written
+    in the precise left-associative order the DuckDB oracle SQL uses,
+    so both engines execute the identical IEEE-754 sequence and
+    produce bit-identical doubles — this is what makes the
+    ``lcmap_segment_detect`` registry entry fully oracle-checkable.
+    Do not reorder the arithmetic.
+    """
     clear = qas == QA_CLEAR
-    if clear.sum() < 12:
+    n = int(clear.sum())
+    if n < 12:
         return []
-    d = dates[clear].astype(np.float64)
+    x = dates[clear]
+    sx = int(x.sum())
+    sxx = int((x.astype(np.int64) * x).sum())
     seg: dict = {
-        "sday": int(d.min()), "eday": int(d.max()), "bday": int(d.max()),
+        "sday": int(x.min()), "eday": int(x.max()), "bday": int(x.max()),
         "chprob": 0.0, "curqa": int(QA_CLEAR),
     }
     for spec, short in SPEC_TO_SHORT.items():
-        y = bands[spec][clear].astype(np.float64)
-        slope, intercept = np.polyfit(d, y, 1)
-        resid = y - (intercept + slope * d)
+        y = bands[spec][clear]
+        sy = int(y.sum())
+        syy = int((y.astype(np.int64) * y).sum())
+        sxy = int((x.astype(np.int64) * y).sum())
+        # exact-int numerator/denominator, ONE double division
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        # Σ resid² expanded over the integer sums (no per-point float
+        # accumulation → no summation-order divergence across engines)
+        ss = (syy - 2.0 * intercept * sy - 2.0 * slope * sxy
+              + n * intercept * intercept + 2.0 * slope * intercept * sx
+              + slope * slope * sxx)
+        rmse = math.sqrt(ss / n) if ss > 0 else 0.0
         seg[short] = {
             "magnitude": 0.0,
-            "rmse": float(np.sqrt(np.mean(resid ** 2))),
-            "intercept": float(intercept),
-            "coefficients": [float(slope)] + [0.0] * 6,
+            "rmse": rmse,
+            "intercept": intercept,
+            "coefficients": [slope] + [0.0] * 6,
         }
     return [seg]
 

@@ -19,13 +19,71 @@ from .registry import _t
 
 
 def q_lcmap_segment_detect(spark, sf_dir):
-    """UD1: raster → time-series assembly → per-pixel detection
-    (stub detector) → 38-col segments (plans/segment.py)."""
+    """UD1: raster → time-series assembly → per-pixel detection →
+    38-col segments (plans/segment.py). Fully oracle-checked: the
+    input chip is the md5-hash fixture (synth_ard_hash) and the
+    detector is closed-form integer-sum OLS, so DuckDB regenerates
+    the identical raster in SQL and reproduces the fitted slope /
+    intercept / RMSE bit-for-bit (_sql_segment_detect)."""
     from .plans.segment import segment_pipeline
-    from .sources.fixtures import synth_ard
-    ard = synth_ard(spark, side=10, seed=7)
+    from .sources.fixtures import synth_ard_hash
+    ard = synth_ard_hash(spark, side=10)
     return segment_pipeline(ard, side=10).select(
-        "cx", "cy", "px", "py", "sday", "eday", "curqa")
+        "cx", "cy", "px", "py", "sday", "eday", "curqa",
+        F.col("recoef")[0].alias("reslope"), "reint", "rermse")
+
+
+def _sql_segment_detect(side: int = 10, n_acq: int = 40) -> str:
+    """DuckDB twin of ``q_lcmap_segment_detect``: regenerates the
+    md5-hash chip (same keys as sources/fixtures.synth_ard_hash) and
+    fits the red band with the SAME left-associative float expression
+    order as plans/segment.stub_detector — exact integer sums, one
+    double division for the slope, Σresid² expanded over the sums —
+    so both engines run the identical IEEE-754 sequence."""
+    h = "CAST('0x' || substr(md5({key}), 1, 8) AS BIGINT)"
+    qa_h = h.format(key="'qa:' || pos || ':' || day")
+    red_h = h.format(key="'red:' || c.pos || ':' || c.day")
+    return f"""
+WITH days AS (SELECT 17 + 311 * a AS day FROM range({n_acq}) t(a)),
+pix AS (SELECT CAST(p AS INT) AS pos FROM range({side * side}) t(p)),
+qa AS (
+  SELECT pos, day,
+         CASE WHEN {qa_h} % 100 < 15 THEN 322 ELSE 66 END AS qaval
+  FROM pix, days),
+clear AS (SELECT pos, day, 724276 + day AS x FROM qa WHERE qaval = 66),
+vals AS (
+  SELECT c.pos, c.x, 500 + {red_h} % 3000 AS y
+  FROM clear c),
+stats AS (
+  SELECT pos, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         MIN(x) AS minx, MAX(x) AS maxx
+  FROM vals GROUP BY pos),
+fit AS (
+  SELECT *, CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) AS m
+  FROM stats),
+fit2 AS (SELECT *, (sy - m * sx) / n AS b FROM fit),
+fit3 AS (
+  SELECT *, syy - 2.0*b*sy - 2.0*m*sxy + n*b*b + 2.0*m*b*sx + m*m*sxx AS ss
+  FROM fit2)
+SELECT CAST(0 AS BIGINT) AS cx, CAST(0 AS BIGINT) AS cy,
+       CAST((pos % {side}) * 30 AS BIGINT) AS px,
+       CAST(-(pos // {side}) * 30 AS BIGINT) AS py,
+       CASE WHEN n >= 12
+            THEN strftime(DATE '0001-01-01' + CAST(minx - 1 AS INT), '%Y-%m-%d')
+            ELSE '0001-01-01' END AS sday,
+       CASE WHEN n >= 12
+            THEN strftime(DATE '0001-01-01' + CAST(maxx - 1 AS INT), '%Y-%m-%d')
+            ELSE '0001-01-01' END AS eday,
+       CASE WHEN n >= 12 THEN 66 ELSE 0 END AS curqa,
+       CASE WHEN n >= 12 THEN m ELSE NULL END AS reslope,
+       CASE WHEN n >= 12 THEN b ELSE 0.0 END AS reint,
+       CASE WHEN n >= 12 THEN CASE WHEN ss > 0 THEN sqrt(ss / n) ELSE 0.0 END
+            ELSE 0.0 END AS rermse
+FROM fit3
+"""
 
 
 def q_lcmap_prediction(spark, sf_dir):
@@ -249,7 +307,8 @@ def q_mm_frame_sample(spark, sf_dir):
 
 
 QUERIES_PIPELINES: dict[str, dict] = {
-    "lcmap_segment_detect": {"fn": q_lcmap_segment_detect, "sql": None},
+    "lcmap_segment_detect": {"fn": q_lcmap_segment_detect,
+                             "sql": _sql_segment_detect()},
     "lcmap_prediction":     {"fn": q_lcmap_prediction,     "sql": None},
     "llm_ann_topk":         {"fn": q_llm_ann_topk,         "sql": _sql_ann_topk()},
     "llm_ann_ivf":          {"fn": q_llm_ann_ivf,          "sql": None},

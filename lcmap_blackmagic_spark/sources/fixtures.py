@@ -66,6 +66,44 @@ def synth_ard(spark: SparkSession, cx: int = -2061585, cy: int = 1922805,
     return spark.createDataFrame(pd.DataFrame(rows), schema=ARD)
 
 
+def synth_ard_hash(spark: SparkSession, cx: int = 0, cy: int = 0,
+                   side: int = 10, n_acq: int = 40) -> DataFrame:
+    """SQL-expressible twin of ``synth_ard``: every raster cell is a
+    deterministic md5 function of (band, pixel-index, day) — no numpy
+    RNG — so a DuckDB oracle can regenerate the identical chip with
+    SQL alone (registry_pipelines._sql_segment_detect). Acquisition
+    days are 17 + 311·a (a < n_acq, same 1984-2018 span as synth_ard);
+    spectral values are 500 + (h mod 3000); ~15% of cells are cloudy
+    (h mod 100 < 15 on the qa band)."""
+    from pyspark.sql import functions as F
+    base_ord = 724276  # 1984-01-01 proleptic ordinal
+    acq = spark.range(n_acq).select(
+        (F.lit(17) + F.col("id") * 311).alias("day"))
+    ub = spark.createDataFrame(list(UBID_BANDS.items()),
+                               "ubid string, band string")
+
+    def h(key):  # first 8 md5 hex digits as a non-negative bigint
+        return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+
+    def cell(pos):
+        key = F.concat_ws(":", F.col("band"), pos.cast("string"),
+                          F.col("day").cast("string"))
+        return (F.when(F.col("band") == "qa",
+                       F.when(h(key) % 100 < 15, F.lit(QA_CLOUD))
+                        .otherwise(F.lit(QA_CLEAR)))
+                .otherwise(F.lit(500) + h(key) % 3000)).cast("int")
+
+    data = F.transform(F.sequence(F.lit(0), F.lit(side * side - 1)), cell)
+    return (ub.crossJoin(acq).select(
+        "ubid",
+        F.lit(cx).cast("long").alias("cx"),
+        F.lit(cy).cast("long").alias("cy"),
+        F.date_add(F.to_date(F.lit("0001-01-01")),
+                   (F.lit(base_ord - 1) + F.col("day")).cast("int"))
+         .cast("timestamp").alias("acquired"),
+        data.alias("data")))
+
+
 def synth_chip_rows(cx: int, cy: int, side: int = 10, n_acq: int = 40,
                     base_seed: int = 42):
     """Row-generator form of ``synth_ard`` for the chipmunk
