@@ -101,6 +101,41 @@ def stratified_sample_approx(df: DataFrame, label_col: str,
     return df.sampleBy(label_col, fractions, seed=seed)
 
 
+HASH_MOD = 2 ** 48  # 12 hex digits of md5 as an integer
+
+
+def stratified_sample_hash(df: DataFrame, label_col: str, id_col: str,
+                           target_samples: int, class_min: int,
+                           class_max: int) -> DataFrame:
+    """Deterministic engine-portable twin of
+    ``stratified_sample_approx``: per-class Bernoulli where the coin is
+    ``md5(label:id)``'s 48-bit prefix instead of an RNG — keep iff
+    h < floor(want·2^48 / class_count), all-integer arithmetic any
+    engine reproduces exactly (the seeded ``sampleBy`` RNG is
+    Spark-internal, so the approx mode itself can't be oracled).
+
+    Same at-scale shape as ``sampleBy``: the per-class thresholds are a
+    ≤ num_classes-row broadcast, the keep decision is a map-side filter
+    — no window, no per-class single-reducer sort, no fact shuffle.
+    """
+    counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    # want = ceil-div(target·cnt, total) clipped to [min, max];
+    # threshold = floor(want·2^48 / cnt). `div` keeps it exact-integer
+    # end to end (h·cnt would overflow at 100 TB class sizes; the
+    # per-class precomputed threshold never does).
+    caps = (counts.crossJoin(F.broadcast(total)).selectExpr(
+        f"{label_col}",
+        f"(least(greatest(({target_samples} * cnt + total - 1) div total, "
+        f"{class_min}), {class_max}) * {HASH_MOD}) div cnt AS __thresh"))
+    h = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.col(label_col).cast("string"),
+        F.col(id_col).cast("string"))), 1, 12), 16, 10).cast("bigint")
+    return (df.join(F.broadcast(caps), on=label_col)
+              .filter(h < F.col("__thresh"))
+              .drop("__thresh"))
+
+
 def train_test_split(df: DataFrame, test_size: float = 0.2,
                      seed: int = 42) -> tuple[DataFrame, DataFrame]:
     """Seeded holdout split (reference tile.py:297-299,

@@ -268,6 +268,33 @@ WHERE rn.rn <= caps.cap
 """
 
 
+def q_stratified_sample_hash(spark, sf_dir):
+    """SM2's at-scale approximate mode, oracle-checkable: per-class
+    md5-Bernoulli (keep iff the 48-bit hash prefix clears the class's
+    integer budget threshold) — the deterministic twin of the seeded
+    ``sampleBy`` path, same no-window no-fact-shuffle shape."""
+    from .operators.sampling import stratified_sample_hash
+    e = _t(spark, sf_dir, "embeddings")
+    out = stratified_sample_hash(e, "label", "vec_id",
+                                 target_samples=150, class_min=5,
+                                 class_max=40)
+    return out.select("vec_id", "label")
+
+
+SQL_STRATIFIED_SAMPLE_HASH = f"""
+WITH stats AS (SELECT label, COUNT(*) AS cnt FROM embeddings GROUP BY label),
+tot  AS (SELECT SUM(cnt) AS total FROM stats),
+caps AS (SELECT label,
+                CAST((LEAST(GREATEST((150 * cnt + total - 1) // total, 5), 40)
+                      * {2 ** 48}) // cnt AS BIGINT) AS thresh
+         FROM stats, tot)
+SELECT e.vec_id, e.label
+FROM embeddings e JOIN caps USING (label)
+WHERE CAST('0x' || substr(md5(e.label || ':' || e.vec_id), 1, 12) AS BIGINT)
+      < caps.thresh
+"""
+
+
 # ------------------------------------------------------------ U2/U3 --
 
 def q_split_union(spark, sf_dir):
@@ -474,6 +501,8 @@ QUERIES: dict[str, dict] = {
     "prediction_dates":  {"fn": q_prediction_dates,  "sql": SQL_PREDICTION_DATES},
     "linear_projection": {"fn": q_linear_projection, "sql": SQL_LINEAR_PROJECTION},
     "stratified_sample": {"fn": q_stratified_sample, "sql": SQL_STRATIFIED_SAMPLE},
+    "stratified_sample_hash": {"fn": q_stratified_sample_hash,
+                               "sql": SQL_STRATIFIED_SAMPLE_HASH},
     "split_union":       {"fn": q_split_union,       "sql": SQL_SPLIT_UNION},
     "topk_customers":    {"fn": q_topk_customers,    "sql": SQL_TOPK_CUSTOMERS},
     "revenue_by_nation": {"fn": q_revenue_by_nation, "sql": SQL_REVENUE_BY_NATION},
