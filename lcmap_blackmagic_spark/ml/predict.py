@@ -29,9 +29,10 @@ def _load(model_bytes: bytes):
     for a whole tile."""
     if model_bytes[:1] == b"\x80":
         model = pickle.loads(model_bytes)
-        if not (isinstance(model, dict) and model.get("kind") == "centroid"):
+        if not (isinstance(model, dict)
+                and model.get("kind") in ("centroid", "logreg")):
             raise ValueError(
-                f"pickled model payload is not a centroid model: "
+                f"pickled model payload is not a known model kind: "
                 f"{type(model).__name__}")
         return model
     if not HAVE_XGBOOST:
@@ -48,6 +49,13 @@ def _predict_matrix(model, X: np.ndarray) -> np.ndarray:
     if HAVE_XGBOOST and not isinstance(model, dict):
         import xgboost as xgb
         return model.predict(xgb.DMatrix(X))
+    if model.get("kind") == "logreg":
+        # distributed-trained multinomial logistic regression: plain
+        # numpy softmax(X·Wᵀ + b); unseen classes masked to prob 0
+        z = X.astype(np.float64) @ model["coef"].T + model["intercept"]
+        z[:, ~model["seen"]] = -np.inf
+        e = np.exp(z - z.max(axis=1, keepdims=True))
+        return e / e.sum(axis=1, keepdims=True)
     # nearest-centroid fallback: softmax over negative distances;
     # classes absent at train time get probability 0.
     c = model["centroids"]

@@ -27,12 +27,15 @@ def tile_pipeline(segments: DataFrame, aux: DataFrame, date: str,
                   chips: Sequence[tuple[int, int]] | None = None,
                   target_samples: int = TARGET_SAMPLES,
                   class_min: int = CLASS_MIN, class_max: int = CLASS_MAX,
-                  seed: int = 42) -> tuple[bytes, DataFrame]:
-    """Returns (model_bytes, label_statistics DataFrame)."""
+                  seed: int = 42, trainer: str = "auto"
+                  ) -> tuple[bytes, DataFrame]:
+    """Returns (model_bytes, label_statistics DataFrame).
+    ``trainer='spark_ml'`` selects the fully distributed
+    pyspark.ml fit (no driver-side matrix)."""
     data = training_data(segments, aux, date, chips)
     stats = label_statistics(data, "label")
     sample = stratified_sample(data, "label", target_samples,
                                class_min, class_max, seed=seed)
     train, test = train_test_split(sample, TEST_SIZE, seed=seed)
-    model = train_model(train, test)
+    model = train_model(train, test, trainer=trainer)
     return model, stats

@@ -24,9 +24,9 @@ def test_load_roundtrips_centroid_model():
 
 
 def test_load_rejects_mistagged_pickle():
-    with pytest.raises(ValueError, match="not a centroid model"):
+    with pytest.raises(ValueError, match="not a known model kind"):
         _load(pickle.dumps({"weights": [1, 2, 3]}))
-    with pytest.raises(ValueError, match="not a centroid model"):
+    with pytest.raises(ValueError, match="not a known model kind"):
         _load(pickle.dumps([1, 2, 3]))
 
 

@@ -156,6 +156,33 @@ def test_prediction_inputs_explode(segments, aux):
     assert all(len(r["independent"]) == 68 for r in rows)
 
 
+def test_tile_predict_spark_ml_e2e(segments, aux):
+    """The distributed trainer branch (pyspark.ml multinomial logistic
+    regression — no driver-side matrix) through the SAME model-bytes +
+    9-prob contract: tile fit → broadcast → mapInPandas predict, with
+    the reference's watchlist metric (mlogloss, tile.py:303-310)
+    asserted against the uniform-prior baseline ln(9)."""
+    import math
+    import pickle
+
+    from lcmap_blackmagic_spark.ml.train import evaluate
+
+    model_bytes, _ = tile_pipeline(
+        segments, aux, "2001-07-01",
+        target_samples=200, class_min=5, class_max=40, seed=42,
+        trainer="spark_ml")
+    assert pickle.loads(model_bytes)["kind"] == "logreg"
+    preds = prediction_pipeline(segments, aux, model_bytes, 7, 1)
+    data = [r for r in preds.collect() if r["pday"] != DEFAULT_DAY]
+    assert data
+    for r in data[:50]:
+        assert len(r["prob"]) == 9
+        assert abs(sum(r["prob"]) - 1.0) < 1e-4
+    td = training_data(segments, aux, "2001-07-01")
+    mlogloss = evaluate(model_bytes, td)
+    assert 0.0 < mlogloss < math.log(9)
+
+
 def test_prediction_pipeline_e2e(segments, aux, model):
     preds = prediction_pipeline(segments, aux, model, 7, 1)
     rows = preds.collect()
