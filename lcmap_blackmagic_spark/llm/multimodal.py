@@ -2,12 +2,12 @@
 metadata, with decode / feature-extract / resize / frame-sample as
 Arrow-batched ``mapInPandas`` stages.
 
-The image/audio codec libraries are not in this container, so the
-actual byte decoding is pluggable: ``fake_decoder`` derives
-deterministic pseudo-pixels from the payload hash (making every
-downstream contract — schema, batch shape, partitioning — real and
-testable); ``library_decoder`` is the marked integration point that
-raises until PIL/av are provided.
+Decoding is pluggable: ``library_decoder`` is a real pure-stdlib codec
+(binary PPM/PGM, uncompressed 24-bit BMP, PCM WAV) that raises only on
+formats needing external libraries (JPEG/PNG/MP4 → PIL/av plug in via
+``decoder=``); ``fake_decoder`` derives deterministic pseudo-pixels
+from the payload hash for tests that exercise batch shape and
+partitioning without real media bytes.
 """
 
 from __future__ import annotations
@@ -40,12 +40,92 @@ FEATURES = T.StructType([
 
 
 def library_decoder(payload: bytes, kind: str) -> np.ndarray:
-    """Integration point for real codecs (PIL / soundfile / av).
-    STUB: the libraries are not available in this environment."""
-    raise NotImplementedError(
-        "media decoding requires PIL/soundfile/av; plug a decoder into "
-        "extract_features(decoder=...) — fake_decoder provides the "
-        "deterministic test path")
+    """Real pure-stdlib codec (no PIL/soundfile/av needed): decodes
+    binary PPM/PGM (P6/P5) and uncompressed 24-bit BMP rasters to a
+    float32 2-D grayscale array, and PCM WAV audio to a float32 1-D
+    array scaled to [-1, 1]. The format is sniffed from magic bytes;
+    anything else (JPEG/PNG/MP4/...) raises ValueError — that is the
+    integration point where PIL/av plug in on clusters that have them.
+    """
+    if payload[:2] in (b"P6", b"P5"):
+        return _decode_pnm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _decode_wav(payload)
+    raise ValueError(
+        f"unsupported media payload (magic {payload[:4]!r}); built-in "
+        "codecs: binary PPM/PGM, uncompressed 24-bit BMP, PCM WAV — "
+        "plug PIL/av into extract_features(decoder=...) for the rest")
+
+
+def _decode_pnm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6, RGB) / PGM (P5, gray): ASCII header of magic,
+    width, height, maxval (with '#' comments), then raw samples.
+    RGB collapses to grayscale by channel mean."""
+    tokens: list[bytes] = []
+    i = 2  # past magic
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":          # comment to end of line
+            i = payload.index(b"\n", i) + 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j:j + 1].isspace():
+            j += 1
+        tokens.append(payload[i:j])
+        i = j
+    i += 1  # single whitespace after maxval, then raster
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval >= 256:
+        raise ValueError("16-bit PNM samples not supported")
+    n_ch = 3 if payload[:2] == b"P6" else 1
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * n_ch,
+                           offset=i).astype(np.float32)
+    if n_ch == 3:
+        return raster.reshape(h, w, 3).mean(axis=2)
+    return raster.reshape(h, w)
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP: little-endian headers, BGR rows padded
+    to 4 bytes, bottom-up unless the height is negative."""
+    import struct
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp, comp = struct.unpack_from("<HI", payload, 28)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported "
+                         f"(got {bpp}-bit, compression {comp})")
+    bottom_up, h = h > 0, abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=h * stride,
+                         offset=data_off).reshape(h, stride)
+    img = rows[:, :w * 3].reshape(h, w, 3).astype(np.float32).mean(axis=2)
+    return img[::-1] if bottom_up else img
+
+
+def _decode_wav(payload: bytes) -> np.ndarray:
+    """PCM WAV via the stdlib ``wave`` module: 8/16/32-bit samples to
+    float32 in [-1, 1]; multi-channel averages to mono."""
+    import io
+    import wave
+    with wave.open(io.BytesIO(payload)) as wf:
+        n_ch, sampwidth = wf.getnchannels(), wf.getsampwidth()
+        frames = wf.readframes(wf.getnframes())
+    if sampwidth == 1:      # unsigned 8-bit
+        x = (np.frombuffer(frames, dtype=np.uint8).astype(np.float32)
+             - 128.0) / 128.0
+    elif sampwidth == 2:
+        x = np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
+    elif sampwidth == 4:
+        x = np.frombuffer(frames, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {sampwidth}")
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).mean(axis=1)
+    return x
 
 
 def fake_decoder(payload: bytes, kind: str) -> np.ndarray:
