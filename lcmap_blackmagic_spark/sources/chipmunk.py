@@ -151,6 +151,30 @@ class ChipmunkReader(DataSourceReader):
         self.timeout = float(options.get("timeout", 30.0))
         self.cx_keep: set[int] | None = None
         self.cy_keep: set[int] | None = None
+        # live-protocol metadata: fetch /grid + /registry ONCE on the
+        # driver (this __init__ runs at planning time; the parsed maps
+        # ride the pickled reader to every executor). The service is
+        # authoritative for chip pitch and per-ubid dtype/fill; the
+        # published USGS ARD constants + the dtype option remain the
+        # fallback when an endpoint is absent (option("metadata",
+        # "off") skips the fetch entirely).
+        self.grid_m = GRID_M
+        self.band_specs: dict = {}
+        if self.url and options.get("metadata", "on") != "off":
+            from .metadata import fetch_grid, fetch_registry
+            retry = {"attempts": min(self.attempts, 3),
+                     "wait_min": self.wait_min, "wait_max": self.wait_max,
+                     "timeout": self.timeout}
+            try:
+                grids = fetch_grid(self.url, **retry)
+                if "chip" in grids:
+                    self.grid_m = grids["chip"].pitch_m
+            except Exception:
+                pass  # endpoint absent → published-grid fallback
+            try:
+                self.band_specs = fetch_registry(self.url, **retry)
+            except Exception:
+                pass  # endpoint absent → dtype option fallback
 
     def pushFilters(self, filters):
         """Handle cx/cy equality + IN (chip pruning); everything else
@@ -173,15 +197,15 @@ class ChipmunkReader(DataSourceReader):
         parts = []
         for i in range(self.nx):
             for j in range(self.ny):
-                cx = self.cx0 + i * GRID_M
-                cy = self.cy0 - j * GRID_M
+                cx = self.cx0 + i * self.grid_m
+                cy = self.cy0 - j * self.grid_m
                 if self.cx_keep is not None and cx not in self.cx_keep:
                     continue
                 if self.cy_keep is not None and cy not in self.cy_keep:
                     continue
                 parts.append(ChipPartition(cx, cy))
         # empty partition list is invalid; keep one that yields no rows
-        return parts or [ChipPartition(self.cx0, self.cy0 + GRID_M)]
+        return parts or [ChipPartition(self.cx0, self.cy0 + self.grid_m)]
 
     def read(self, partition: ChipPartition):
         if partition.cy > self.cy0:  # the sentinel empty partition
@@ -190,9 +214,11 @@ class ChipmunkReader(DataSourceReader):
             from .fixtures import UBID_BANDS
             ubids = self.ubids or list(UBID_BANDS)
             for ubid in ubids:
+                spec = self.band_specs.get(ubid)
+                dtype = spec.dtype if spec else self.dtype
                 yield from _http_chip_rows(
                     self.url, ubid, partition.cx, partition.cy,
-                    self.acquired, self.dtype, self.attempts,
+                    self.acquired, dtype, self.attempts,
                     self.wait_min, self.wait_max, self.timeout)
             return
         # lazy import: runs on executors
