@@ -67,36 +67,42 @@ def _spread_cols(df: DataFrame, *cols) -> DataFrame:
     return _spread(df.select(*cols))
 
 
+def _wide_digest(s: Column, bands: int) -> Column:
+    """Wide digest for the band-hash family: shingle s gets
+    md5(s) || md5('1:'||s) || ... — band b reads hex chars
+    [8b, 8b+8), 4 independent 32-bit hashes per md5 call, the
+    standard trick for cheap hash families. Fixed-width lowercase hex
+    makes lexicographic min = numeric min identically in every
+    engine."""
+    n_digests = (bands + 3) // 4
+    parts = [F.md5(s.cast("binary"))]
+    for r in range(1, n_digests):
+        parts.append(F.md5(F.concat(F.lit(f"{r}:"), s).cast("binary")))
+    return F.concat(*parts) if len(parts) > 1 else parts[0]
+
+
+def _exploded_digests(df: DataFrame, id_col: str, text_col: str,
+                      n: int, bands: int) -> DataFrame:
+    """(id, h): one wide digest row per (doc, shingle) — the single
+    CPU-heavy pass every minhash stage derives from. Explode +
+    hash-aggregate instead of array higher-order functions: per
+    shingle row the work is the md5s + a few substrings feeding
+    partial aggregates (map-side combined to one row per doc before
+    the shuffle) — everything stays in whole-stage codegen, and no
+    per-doc intermediate array of 64-char digests is ever built."""
+    return (_spread_cols(df, F.col(id_col), F.col(text_col))
+            .select(F.col(id_col), shingles(text_col, n).alias("sh"))
+            .filter(F.size("sh") > 0)
+            .select(F.col(id_col), F.explode("sh").alias("s"))
+            .select(F.col(id_col), _wide_digest(F.col("s"), bands).alias("h")))
+
+
 def minhash_signature(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
                       bands: int = N_BANDS) -> DataFrame:
     """(id, band, minh): per band b, a 32-bit (8-hex-char) minwise
-    hash over the doc's shingles. One row per (doc, band).
-
-    Band hashes are SLICED from wide digests rather than computed
-    per-band: shingle s gets md5(s) || md5('1:'||s) (2 md5 calls),
-    and band b reads hex chars [8b, 8b+8) — 4 independent 32-bit
-    hashes per digest, the standard trick for cheap hash families.
-    Fixed-width lowercase hex makes lexicographic min = numeric min
-    identically in every engine."""
-    n_digests = (bands + 3) // 4
-
-    def wide(s: Column) -> Column:
-        parts = [F.md5(s.cast("binary"))]
-        for r in range(1, n_digests):
-            parts.append(F.md5(F.concat(F.lit(f"{r}:"), s).cast("binary")))
-        return F.concat(*parts) if len(parts) > 1 else parts[0]
-
-    # explode + hash-aggregate instead of array higher-order functions:
-    # per shingle row the work is n_digests md5s + `bands` substrings
-    # feeding partial MINs (map-side combined to one row per doc before
-    # the shuffle) — everything stays in whole-stage codegen, and no
-    # per-doc intermediate array of 64-char digests is ever built.
-    ex = (_spread_cols(df, F.col(id_col), F.col(text_col))
-          .select(F.col(id_col), shingles(text_col, n).alias("sh"))
-          .filter(F.size("sh") > 0)
-          .select(F.col(id_col), F.explode("sh").alias("s"))
-          .select(F.col(id_col), wide(F.col("s")).alias("h")))
+    hash over the doc's shingles. One row per (doc, band)."""
+    ex = _exploded_digests(df, id_col, text_col, n, bands)
     mins = ex.groupBy(id_col).agg(*[
         F.min(F.substring("h", 8 * b + 1, 8)).alias(f"m{b}")
         for b in range(bands)])
@@ -113,13 +119,39 @@ def minhash_pairs(df: DataFrame, id_col: str = "doc_id",
     """LSH candidate pairs (share ≥1 band minhash) verified by exact
     shingle Jaccard ≥ threshold. Output: (id_a, id_b, jaccard).
 
-    ``broadcast_docs`` broadcasts the (id, shingles) table to the
-    verify join so the candidate pairs never shuffle their shingle
-    arrays. Right at chip/corpus-partition granularity; at full
+    ``broadcast_docs`` broadcasts the (id, hashed-shingle set) table
+    to the verify join so the candidate pairs never shuffle their
+    shingle sets. Right at chip/corpus-partition granularity; at full
     100 TB corpus scale set False — the verify becomes a shuffle join
-    on ids, moving each doc's shingles once per side instead of per
-    candidate pair."""
-    sig = minhash_signature(df, id_col, text_col, n, bands)
+    on ids, moving each doc's shingle set once per side instead of
+    per candidate pair.
+
+    ONE heavy pass: the exploded wide digests feed a single aggregate
+    producing both the per-band MINs (LSH) and the doc's 48-bit
+    hashed-shingle set (exact verify). Jaccard is computed over the
+    hashed ints — ~4× smaller to broadcast than the shingle strings
+    and far cheaper to array_intersect (bigint equality vs ~20-char
+    string hashing); identical to string Jaccard modulo 48-bit
+    collisions (p ≈ |sh|²/2⁴⁹ per doc), which the oracle mirrors by
+    hashing the same way."""
+    ex = _exploded_digests(df, id_col, text_col, n, bands)
+    agg = ex.groupBy(id_col).agg(
+        *[F.min(F.substring("h", 8 * b + 1, 8)).alias(f"m{b}")
+          for b in range(bands)],
+        F.collect_set(F.conv(F.substring("h", 1, 12), 16, 10)
+                      .cast("bigint")).alias("si"))
+    # NOTE: the aggregate feeds four consumers (both sides of the
+    # candidate self-join + both verify lookups). Catalyst's column
+    # pruning specializes the copies (min-only vs collect_set-only
+    # aggregates), so the md5-heavy explode pass executes twice end to
+    # end — measured and accepted: a localCheckpoint barrier computed
+    # it once but leaked cached partitions across invocations (third
+    # consecutive run degraded 10×), and caching inside a registry
+    # query would distort repeated-run benchmarks.
+    sig = agg.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(f"m{b}") for b in range(bands)]))
+        .alias("band", "minh"))
     a = sig.alias("a")
     b = sig.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -128,15 +160,14 @@ def minhash_pairs(df: DataFrame, id_col: str = "doc_id",
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"))
             .distinct())
-    docs = (_spread_cols(df, F.col(id_col), F.col(text_col))
-            .select(F.col(id_col), shingles(text_col, n).alias("sh")))
+    docs = agg.select(F.col(id_col), F.col("si"))
     if broadcast_docs:
         docs = F.broadcast(docs)
     j = (cand
-         .join(docs.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
-         .join(docs.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+         .join(docs.withColumnsRenamed({id_col: "id_a", "si": "si_a"}), "id_a")
+         .join(docs.withColumnsRenamed({id_col: "id_b", "si": "si_b"}), "id_b"))
+    inter = F.size(F.array_intersect("si_a", "si_b"))
+    union = F.size("si_a") + F.size("si_b") - inter
     return (j.select("id_a", "id_b",
                      F.round(inter / union, 6).alias("jaccard"))
              .filter(F.col("jaccard") >= threshold))
