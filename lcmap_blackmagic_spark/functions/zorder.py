@@ -1,0 +1,58 @@
+"""Z-order (Morton) clustering keys — multi-dimensional data layout.
+
+At 100 TB, range-partitioning on ONE column prunes scans on that
+column only; writing files clustered by the Z-order curve of two key
+columns makes min/max file statistics selective on BOTH, so either
+predicate prunes (the technique behind Delta/Iceberg ``ZORDER BY``).
+This module computes the interleaved-bit key as pure JVM bitwise
+arithmetic (whole-stage codegen, no UDF): the classic magic-mask
+spread doubles each input's bit positions, then the two spreads OR
+together with a 1-bit offset.
+
+Inputs must fit in 31 bits (IDs and epoch-days do); the result is a
+non-negative BIGINT usable directly in ``repartitionByRange`` /
+``sortWithinPartitions`` write layouts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# (shift, mask) ladder spreading a 32-bit int's bits to even positions
+SPREAD_MASKS = [
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+]
+
+
+def spread_bits(c: Column) -> Column:
+    """Bit i of c → bit 2i of the result (c < 2^32)."""
+    c = c.cast("bigint")
+    for sh, m in SPREAD_MASKS:
+        c = c.bitwiseOR(F.shiftleft(c, sh)).bitwiseAND(F.lit(m))
+    return c
+
+
+def zvalue(x: Column, y: Column) -> Column:
+    """64-bit Morton key interleaving x (even bits) and y (odd bits).
+    x, y must be non-negative and < 2^31 so the key stays positive."""
+    return spread_bits(x).bitwiseOR(F.shiftleft(spread_bits(y), 1))
+
+
+def sql_spread_steps(src_cte: str, cols: tuple[str, ...],
+                     keep: str) -> str:
+    """DuckDB CTE chain applying the same spread ladder to ``cols``
+    (chained steps, not nested expressions — a nested form duplicates
+    the operand 2^5 times). ``keep`` lists passthrough columns."""
+    steps = []
+    prev = src_cte
+    for i, (sh, m) in enumerate(SPREAD_MASKS):
+        exprs = ", ".join(
+            f"(({c} | ({c} << {sh})) & {m}) AS {c}" for c in cols)
+        steps.append(f"zs{i} AS (SELECT {keep}, {exprs} FROM {prev})")
+        prev = f"zs{i}"
+    return ",\n".join(steps)

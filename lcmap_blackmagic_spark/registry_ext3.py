@@ -620,7 +620,48 @@ ORDER BY from_type, to_type
 """
 
 
+def q_zorder_key(spark, sf_dir):
+    """Z-order (Morton) clustering key over (o_custkey, order epoch
+    day) — the data-layout primitive for multi-column scan pruning at
+    scale (functions/zorder.py). Output keeps both inputs plus the
+    interleaved key; production writes would
+    ``repartitionByRange(zval).sortWithinPartitions(zval)`` so file
+    min/max stats prune on EITHER column."""
+    from .functions.zorder import zvalue
+    o = _t(spark, sf_dir, "orders")
+    day = F.datediff(F.to_date("o_orderdate"),
+                     F.lit("1970-01-01").cast("date"))
+    return (o.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("x"),
+        day.cast("bigint").alias("y"),
+        zvalue(F.col("o_custkey"), day).alias("zval")))
+
+
+def _sql_zorder_key() -> str:
+    from .functions.zorder import sql_spread_steps
+    steps = sql_spread_steps("zsrc", ("x", "y"), "o_orderkey, x0, y0")
+    return f"""
+WITH zsrc AS (
+  SELECT o_orderkey,
+         CAST(o_custkey AS BIGINT) AS x0,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE)) AS BIGINT) AS y0,
+         CAST(o_custkey AS BIGINT) AS x,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+  FROM orders),
+{steps}
+SELECT o_orderkey, x0 AS x, y0 AS y, (x | (y << 1)) AS zval
+FROM zs4
+"""
+
+
+SQL_ZORDER_KEY = _sql_zorder_key()
+
+
 QUERIES_EXT3: dict[str, dict] = {
+    "zorder_key":       {"fn": q_zorder_key,    "sql": SQL_ZORDER_KEY},
     "unpivot":          {"fn": q_unpivot,       "sql": SQL_UNPIVOT},
     "struct_funcs":     {"fn": q_struct_funcs,  "sql": SQL_STRUCT_FUNCS},
     "gap_fill":         {"fn": q_gap_fill,      "sql": SQL_GAP_FILL},

@@ -281,6 +281,28 @@ def q_src_chipmunk(spark, sf_dir):
             .orderBy("cx", "cy", "ubid"))
 
 
+def _sql_src_chipmunk() -> str:
+    """Oracle for ``q_src_chipmunk``: the source's key space and
+    per-(chip, ubid) acquisition counts are a deterministic function
+    of the grid options (2×2 chips at 3 km pitch from the fixture
+    origin, 8 ubids, 20 acquisitions each) — raster VALUES are
+    RNG-synthesized and stay pinned by tests instead. This checks the
+    partition/grid/pushdown plumbing delivers exactly one row per
+    (chip, ubid, acquisition)."""
+    from .sources.fixtures import UBID_BANDS
+    ubids = ", ".join(f"('{u}')" for u in sorted(UBID_BANDS))
+    return f"""
+WITH ij AS (SELECT a.i AS i, b.j AS j
+            FROM range(2) a(i), range(2) b(j)),
+u AS (SELECT * FROM (VALUES {ubids}) t(ubid))
+SELECT CAST(-2061585 + i * 3000 AS BIGINT) AS cx,
+       CAST(1922805 - j * 3000 AS BIGINT) AS cy,
+       ubid, CAST(20 AS BIGINT) AS n_acq
+FROM ij, u
+ORDER BY cx, cy, ubid
+"""
+
+
 def q_mm_extract_features(spark, sf_dir):
     """Multimodal decode→feature plumbing over binary payloads
     (deterministic fake decoder; real codecs are a marked stub)."""
@@ -312,7 +334,8 @@ QUERIES_PIPELINES: dict[str, dict] = {
     "lcmap_prediction":     {"fn": q_lcmap_prediction,     "sql": None},
     "llm_ann_topk":         {"fn": q_llm_ann_topk,         "sql": _sql_ann_topk()},
     "llm_ann_ivf":          {"fn": q_llm_ann_ivf,          "sql": None},
-    "src_chipmunk":         {"fn": q_src_chipmunk,         "sql": None},
+    "src_chipmunk":         {"fn": q_src_chipmunk,
+                             "sql": _sql_src_chipmunk()},
     "approx_sketches":      {"fn": q_approx_sketches,      "sql": None},
     "kmv_sketch":           {"fn": q_kmv_sketch,           "sql": SQL_KMV_SKETCH},
     "mm_extract_features":  {"fn": q_mm_extract_features,  "sql": None},

@@ -1,0 +1,54 @@
+"""Z-order key: golden interleave values and the layout property the
+operator exists for (curve locality → both columns prune)."""
+
+from pyspark.sql import functions as F
+
+from lcmap_blackmagic_spark.functions.zorder import spread_bits, zvalue
+
+
+def _z(spark, x, y):
+    return spark.range(1).select(
+        zvalue(F.lit(x), F.lit(y)).alias("z")).first()["z"]
+
+
+def test_zvalue_golden(spark):
+    # x=3 → bits at 0,2 = 5; y=2 → bit 1 spread to 3 → shifted = 8
+    assert _z(spark, 3, 2) == 13
+    assert _z(spark, 0, 0) == 0
+    assert _z(spark, 1, 0) == 1
+    assert _z(spark, 0, 1) == 2
+    # top supported bit: 2^30 → even position 60 / odd position 61
+    assert _z(spark, 1 << 30, 0) == 1 << 60
+    assert _z(spark, 0, 1 << 30) == 1 << 61
+    assert _z(spark, (1 << 31) - 1, 0) == 0x1555555555555555
+
+
+def test_spread_bits_is_even_positions(spark):
+    rows = spark.range(64).select(
+        "id", spread_bits(F.col("id")).alias("s")).collect()
+    for r in rows:
+        v, s = r["id"], r["s"]
+        expect = 0
+        for i in range(7):
+            if v >> i & 1:
+                expect |= 1 << (2 * i)
+        assert s == expect
+
+
+def test_zorder_blocks_bound_both_columns(spark):
+    """Files written in z-order carry tight min/max on BOTH inputs:
+    split a z-sorted key space into blocks and check each block's
+    x-range and y-range span at most half the domain — the property
+    that makes either-column predicates prune."""
+    n = 32  # 5-bit × 5-bit domain
+    df = (spark.range(n * n)
+          .select((F.col("id") % n).alias("x"),
+                  (F.col("id") / n).cast("long").alias("y")))
+    rows = (df.select("x", "y", zvalue(F.col("x"), F.col("y")).alias("z"))
+            .orderBy("z").collect())
+    block = 64  # 16 blocks of 64 cells
+    for b in range(0, len(rows), block):
+        xs = [r["x"] for r in rows[b:b + block]]
+        ys = [r["y"] for r in rows[b:b + block]]
+        assert max(xs) - min(xs) <= n // 2
+        assert max(ys) - min(ys) <= n // 2
