@@ -24,10 +24,10 @@ def events_dir(spark, sf_dir):
     """Re-write the events table as a several-file parquet dir so the
     stream sees multiple micro-batches."""
     out = tempfile.mkdtemp(prefix="events_stream_")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-          .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-          ).cache()
+    # the registry loader handles whichever ts encoding the driver
+    # fixture generation used (nanos-as-long vs timestamp[us])
+    from lcmap_blackmagic_spark.registry import _t
+    df = _t(spark, sf_dir, "events").cache()
     # time-ordered file batches (the file source processes in mtime
     # order): each quartile of the time range lands in its own file,
     # so the watermark advances monotonically like a live ingest.
