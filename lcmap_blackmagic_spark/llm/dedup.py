@@ -185,11 +185,20 @@ def simhash_bits(df: DataFrame, id_col: str = "doc_id",
                  bits: int = SIMHASH_BITS) -> DataFrame:
     """(id, simhash) where simhash is a `bits`-char '0'/'1' string:
     bit j is the sign of sum over token occurrences of ±1 according
-    to bit j of md5(token)."""
+    to bit j of md5(token).
+
+    Bit extraction parses the digest's first `bits/4` hex chars ONCE
+    (conv → bigint) and reads bit j with a shift+mask — identical
+    bits to the per-character form (`_nibble`, kept for the oracle
+    generator's documentation) at 1/32nd of the string work per
+    token."""
     tok = (_spread_cols(df, F.col(id_col), F.col(text_col))
            .select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-           .withColumn("h", F.md5(F.col("tok").cast("binary"))))
-    aggs = [F.sum(_nibble(F.col("h"), j) * 2 - 1).alias(f"s{j}")
+           .withColumn("hi", F.conv(F.substring(
+               F.md5(F.col("tok").cast("binary")), 1, bits // 4), 16, 10)
+               .cast("bigint")))
+    aggs = [F.sum(F.shiftright(F.col("hi"), bits - 1 - j)
+                  .bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{j}")
             for j in range(bits)]
     summed = tok.groupBy(id_col).agg(*aggs)
     bitstr = F.concat(*[
@@ -205,8 +214,14 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     8-bit-block LSH (pigeonhole over 4 blocks) + exact verify."""
     sims = simhash_bits(df, id_col, text_col, bits)
     n_blocks = bits // 8
+    # parse the bit string to its integer ONCE per doc, before the
+    # block explode — candidates then carry an 8-byte long through
+    # the join instead of a 32-char string, and the verify is one
+    # XOR+popcount per pair (the earlier form re-parsed both strings
+    # per candidate pair; the per-character HOF comparison measured
+    # ~10× slower still)
     blocks = (sims.select(
-        id_col, "simhash",
+        id_col, F.conv(F.col("simhash"), 2, 10).cast("bigint").alias("iv"),
         F.posexplode(F.array(*[
             F.substring("simhash", 8 * i + 1, 8) for i in range(n_blocks)
         ])).alias("blk", "blk_val")))
@@ -216,16 +231,10 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"),
-                    F.col("a.simhash").alias("sh_a"),
-                    F.col("b.simhash").alias("sh_b"))
+                    F.col("a.iv").alias("ia"),
+                    F.col("b.iv").alias("ib"))
             .distinct())
-    # hamming via integer XOR + popcount — pure codegen arithmetic;
-    # the per-character HOF comparison form measured ~10× slower on
-    # the candidate set (interpreted eval, 2 substrings × bits per
-    # pair)
-    ia = F.conv(F.col("sh_a"), 2, 10).cast("bigint")
-    ib = F.conv(F.col("sh_b"), 2, 10).cast("bigint")
-    ham = F.bit_count(ia.bitwiseXOR(ib)).cast("int")
+    ham = F.bit_count(F.col("ia").bitwiseXOR(F.col("ib"))).cast("int")
     return (cand.withColumn("hamming", ham)
                 .filter(F.col("hamming") <= max_hamming)
                 .select("id_a", "id_b", "hamming"))
