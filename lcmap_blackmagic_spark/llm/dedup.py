@@ -257,10 +257,20 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     exactly one cell: (g(x), g(y)) sorted; off-diagonal cells take
     the pair in whichever id order it arrives (then canonicalized),
     the diagonal cell dedupes with id_a < id_b."""
+    # pre-hash shingles to 48-bit ints ONCE per doc: the pair grid
+    # intersects each doc's set against many partners, and bigint
+    # equality inside array_intersect beats re-hashing ~20-char
+    # strings per pair by the block's fan-out factor. Identical to
+    # string Jaccard modulo negligible 48-bit collisions; the oracle
+    # hashes the same way.
+    sh_ints = F.array_distinct(F.transform(
+        shingles(text_col, n),
+        lambda s: F.conv(F.substring(F.md5(s.cast("binary")), 1, 12),
+                         16, 10).cast("bigint")))
     docs = (_spread_cols(df, F.col(id_col), F.col(block_col),
                          F.col(text_col))
             .select(F.col(id_col), F.col(block_col).alias("blk"),
-                    shingles(text_col, n).alias("sh"))
+                    sh_ints.alias("sh"))
             .withColumn("g", F.pmod(F.hash(F.col(id_col)), n_groups)))
     spark = df.sparkSession
     grid = spark.createDataFrame(
