@@ -158,6 +158,30 @@ def _count_part_files(base: str) -> int:
     return n
 
 
+def write_zordered(df: DataFrame, out_dir: str, x_col: str, y_col: str,
+                   n_files: int = 8) -> int:
+    """Write a dataset laid out along the Z-order curve of two key
+    columns: range-partition by the interleaved-bit Morton key, sort
+    within each file by it, and drop the key before writing. Each
+    parquet file then carries TIGHT min/max footer stats on BOTH key
+    columns, so a reader's predicate on EITHER column prunes whole
+    files (the property plain single-column sorting gives one column
+    only) — the Delta/Iceberg ``ZORDER BY`` layout expressed as plain
+    Spark writes. Returns the file count written.
+
+    ``repartitionByRange`` samples the key distribution, so files are
+    balanced even when the key space is skewed; the z-key itself is
+    whole-stage-codegen bitwise arithmetic (functions/zorder.py).
+    """
+    from .functions.zorder import zvalue
+    keyed = df.withColumn("__z", zvalue(F.col(x_col), F.col(y_col)))
+    (keyed.repartitionByRange(n_files, F.col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+          .write.mode("overwrite").parquet(out_dir))
+    return _count_part_files(out_dir)
+
+
 def compact_partitions(spark: SparkSession, root: str,
                        entity: str) -> tuple[int, int]:
     """Small-file compaction: rewrite an entity so each spatial

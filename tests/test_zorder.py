@@ -35,6 +35,54 @@ def test_spread_bits_is_even_positions(spark):
         assert s == expect
 
 
+def test_write_zordered_files_prune_on_both_columns(spark, tmp_path):
+    """Real write path: files laid out by the curve must carry tight
+    parquet footer min/max on BOTH key columns — an x-range or
+    y-range predicate each skips most files using stats alone."""
+    import pyarrow.parquet as pq
+
+    from lcmap_blackmagic_spark.storage import write_zordered
+
+    n = 64
+    df = (spark.range(n * n)
+          .select((F.col("id") % n).alias("x"),
+                  (F.col("id") / n).cast("long").alias("y"),
+                  F.col("id").alias("payload")))
+    out = str(tmp_path / "zorded")
+    n_files = write_zordered(df, out, "x", "y", n_files=16)
+    assert n_files == 16
+    import glob
+    spans_x, spans_y, prune_x, prune_y = [], [], 0, 0
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) == 16
+    for f in files:
+        md = pq.read_metadata(f)
+        mins = {"x": [], "y": []}
+        maxs = {"x": [], "y": []}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name in mins:
+                    mins[name].append(col.statistics.min)
+                    maxs[name].append(col.statistics.max)
+        lo_x, hi_x = min(mins["x"]), max(maxs["x"])
+        lo_y, hi_y = min(mins["y"]), max(maxs["y"])
+        spans_x.append(hi_x - lo_x)
+        spans_y.append(hi_y - lo_y)
+        # would a reader scanning x < n/4 (resp. y < n/4) skip it?
+        if lo_x >= n // 4:
+            prune_x += 1
+        if lo_y >= n // 4:
+            prune_y += 1
+    # every file's span on EACH column is a fraction of the domain
+    assert max(spans_x) <= n // 2
+    assert max(spans_y) <= n // 2
+    # and each single-column predicate prunes at least half the files
+    assert prune_x >= 8
+    assert prune_y >= 8
+
+
 def test_zorder_blocks_bound_both_columns(spark):
     """Files written in z-order carry tight min/max on BOTH inputs:
     split a z-sorted key space into blocks and check each block's
