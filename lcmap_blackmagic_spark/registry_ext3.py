@@ -620,6 +620,63 @@ ORDER BY from_type, to_type
 """
 
 
+# email-ish then phone-ish; Java and DuckDB (RE2-ish) both support
+# these constructs identically (no lookaround, no backrefs)
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_RE = "\\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}"
+
+
+def q_pii_scrub(spark, sf_dir):
+    """Corpus PII scrubbing: redact email addresses and phone-shaped
+    numbers with typed placeholders and report per-doc hit counts —
+    the standard pre-training cleanup pass. Pure regexp_replace /
+    regexp_count (JVM codegen, one narrow projection, no shuffle);
+    the patterns avoid lookarounds so Java and DuckDB regex engines
+    agree character-for-character.
+
+    The synthetic corpus carries no PII, so every third doc gets a
+    deterministic contact line injected IN-QUERY (doc_id-derived
+    email + phone, mirrored verbatim in the oracle) — the scrub then
+    demonstrably fires: those docs report hits and a changed digest,
+    the rest pass through untouched."""
+    d = _t(spark, sf_dir, "documents")
+    contact = F.concat(
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-2345."))
+    text = F.when(F.col("doc_id") % 3 == 0,
+                  F.concat(F.col("text"), contact)) \
+            .otherwise(F.col("text"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE, "<PHONE>")
+    return d.select(
+        "doc_id",
+        F.regexp_count(text, F.lit(PII_EMAIL_RE)).alias("n_email"),
+        F.regexp_count(text, F.lit(PII_PHONE_RE)).alias("n_phone"),
+        F.md5(scrubbed.cast("binary")).alias("scrubbed_md5"),
+        F.length(scrubbed).alias("scrubbed_len"))
+
+
+_SQL_PII_TEXT = ("CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' "
+                 "|| doc_id || '@example.com or 555-' "
+                 "|| lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') "
+                 "|| '-2345.' ELSE text END")
+
+SQL_PII_SCRUB = f"""
+WITH t AS (SELECT doc_id, {_SQL_PII_TEXT} AS text FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS n_email,
+       len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS n_phone,
+       md5(regexp_replace(regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PII_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5,
+       length(regexp_replace(regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                             '{PII_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_len
+FROM t
+"""
+
+
 def q_zorder_key(spark, sf_dir):
     """Z-order (Morton) clustering key over (o_custkey, order epoch
     day) — the data-layout primitive for multi-column scan pruning at
@@ -662,6 +719,7 @@ SQL_ZORDER_KEY = _sql_zorder_key()
 
 QUERIES_EXT3: dict[str, dict] = {
     "zorder_key":       {"fn": q_zorder_key,    "sql": SQL_ZORDER_KEY},
+    "llm_pii_scrub":    {"fn": q_pii_scrub,     "sql": SQL_PII_SCRUB},
     "unpivot":          {"fn": q_unpivot,       "sql": SQL_UNPIVOT},
     "struct_funcs":     {"fn": q_struct_funcs,  "sql": SQL_STRUCT_FUNCS},
     "gap_fill":         {"fn": q_gap_fill,      "sql": SQL_GAP_FILL},
