@@ -620,6 +620,59 @@ ORDER BY from_type, to_type
 """
 
 
+def q_record_linkage(spark, sf_dir):
+    """Blocked fuzzy record linkage (entity resolution): match dirtied
+    records back to the clean table by edit distance WITHIN a blocking
+    key — never the n² cross product. The dirty side is derived
+    in-query (one deterministic character typo per name at a
+    key-dependent position outside the block suffix, mirrored in the
+    oracle). Plan: equi-join on the block key, codegen ``levenshtein``
+    filter ≤ 2, best match per dirty record by (distance, key) window.
+    At 100 TB the block key is the unit of shuffle — block sizing
+    bounds the quadratic inside each block exactly like
+    ``ngram_jaccard_pairs``' grid."""
+    c = _t(spark, sf_dir, "customer")
+    # typo at 1-based position 10..14 (digits 1-5); block = last 4 chars
+    dirty = c.selectExpr(
+        "c_custkey AS dirty_id",
+        "concat(substring(c_name, 1, cast(c_custkey % 5 + 10 as int) - 1), "
+        "'x', substring(c_name, cast(c_custkey % 5 + 10 as int) + 1)) "
+        "AS dname").withColumn("blk", F.substring("dname", 15, 4))
+    clean = c.select("c_custkey", "c_name",
+                     F.substring("c_name", 15, 4).alias("blk"))
+    dist = F.levenshtein(F.col("c_name"), F.col("dname"))
+    w = Window.partitionBy("dirty_id").orderBy("dist", "c_custkey")
+    return (dirty.join(clean, "blk")
+            .withColumn("dist", dist)
+            .filter(F.col("dist") <= 2)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("dirty_id", F.col("c_custkey").alias("matched_key"),
+                    "dist"))
+
+
+SQL_RECORD_LINKAGE = """
+WITH dirty AS (
+  SELECT c_custkey AS dirty_id,
+         substr(c_name, 1, CAST(c_custkey % 5 + 10 AS INT) - 1) || 'x' ||
+         substr(c_name, CAST(c_custkey % 5 + 10 AS INT) + 1) AS dname
+  FROM customer),
+db AS (SELECT dirty_id, dname, substr(dname, 15, 4) AS blk FROM dirty),
+cb AS (SELECT c_custkey, c_name, substr(c_name, 15, 4) AS blk FROM customer),
+scored AS (
+  SELECT db.dirty_id, cb.c_custkey,
+         levenshtein(cb.c_name, db.dname) AS dist
+  FROM db JOIN cb USING (blk)
+  WHERE levenshtein(cb.c_name, db.dname) <= 2)
+SELECT dirty_id, c_custkey AS matched_key, dist
+FROM (SELECT dirty_id, c_custkey, dist,
+             ROW_NUMBER() OVER (PARTITION BY dirty_id
+                                ORDER BY dist, c_custkey) AS rn
+      FROM scored)
+WHERE rn = 1
+"""
+
+
 # email-ish then phone-ish; Java and DuckDB (RE2-ish) both support
 # these constructs identically (no lookaround, no backrefs)
 PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -720,6 +773,7 @@ SQL_ZORDER_KEY = _sql_zorder_key()
 QUERIES_EXT3: dict[str, dict] = {
     "zorder_key":       {"fn": q_zorder_key,    "sql": SQL_ZORDER_KEY},
     "llm_pii_scrub":    {"fn": q_pii_scrub,     "sql": SQL_PII_SCRUB},
+    "record_linkage":   {"fn": q_record_linkage, "sql": SQL_RECORD_LINKAGE},
     "unpivot":          {"fn": q_unpivot,       "sql": SQL_UNPIVOT},
     "struct_funcs":     {"fn": q_struct_funcs,  "sql": SQL_STRUCT_FUNCS},
     "gap_fill":         {"fn": q_gap_fill,      "sql": SQL_GAP_FILL},
