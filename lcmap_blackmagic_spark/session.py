@@ -66,8 +66,11 @@ def ensure_worker_imports(spark: SparkSession) -> None:
 
 
 def tables(spark: SparkSession, sf_dir: str) -> dict:
-    """Load the driver-provided synthetic tables as DataFrames."""
+    """Load the driver-provided synthetic tables as DataFrames —
+    through the registry loader, so the events table's ts encoding
+    (which has varied across fixture generations) is normalized to a
+    proper TimestampType however it was written."""
+    from .registry import _t
     names = ["region", "nation", "customer", "supplier", "part", "orders",
              "lineitem", "events", "documents", "embeddings"]
-    return {n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
-            for n in names}
+    return {n: _t(spark, sf_dir, n) for n in names}

@@ -65,6 +65,15 @@ def test_stratified_sample_broadcasts_caps(q):
     assert "BroadcastHashJoin" in plan  # caps table is tiny
 
 
+def test_stratified_sample_hash_no_window_no_fact_shuffle(q):
+    # the at-scale hash-Bernoulli mode: thresholds broadcast, keep
+    # decision is a map-side filter — no window, no per-class sort
+    plan = simple_plan(q("stratified_sample_hash"))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "Sort" not in plan
+
+
 def test_cosine_topk_no_interpreted_hof(q):
     # the dot product must be unrolled arithmetic, not
     # aggregate()/zip_with() higher-order functions (interpreted)
