@@ -201,6 +201,63 @@ FROM q, UNNEST(generate_series(1, len(qs))) AS u(i)
 """
 
 
+# ---------------------------------------------- document chunking --
+
+CHUNK_SIZE = 64    # tokens per chunk
+CHUNK_STRIDE = 48  # start-to-start distance (16-token overlap)
+
+
+def q_chunk(spark, sf_dir):
+    """Strided document chunking — the RAG / pre-training windowing
+    step: each doc yields overlapping token windows of ``CHUNK_SIZE``
+    every ``CHUNK_STRIDE`` tokens (final partial window kept iff ≥
+    half size, the common convention). One narrow projection + one
+    Generate (posexplode) — no shuffle, no UDF; chunk text is hashed
+    (md5) so the checked output stays compact."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), " ")
+    n = F.size(toks)
+    # window starts: 1, 1+stride, ... while start ≤ n - size/2
+    n_chunks = F.greatest(
+        F.lit(1),
+        (F.floor((n - F.lit(CHUNK_SIZE // 2)) / CHUNK_STRIDE) + 1)
+        .cast("int"))
+    starts = F.transform(F.sequence(F.lit(0), n_chunks - 1),
+                         lambda i: i * CHUNK_STRIDE + 1)
+    chunks = F.transform(
+        starts, lambda s: F.struct(
+            s.alias("start"),
+            F.least(F.lit(CHUNK_SIZE), n - s + 1).alias("len"),
+            F.md5(F.array_join(F.slice(toks, s, CHUNK_SIZE), " ")
+                  .cast("binary")).alias("h")))
+    return (d.select("doc_id", F.posexplode(chunks).alias("chunk_id", "c"))
+            .select("doc_id", "chunk_id",
+                    F.col("c.start").alias("start"),
+                    F.col("c.len").alias("n_tokens"),
+                    F.col("c.h").alias("chunk_md5")))
+
+
+SQL_CHUNK = f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks,
+         len(string_split(lower(trim(text)), ' ')) AS n
+  FROM documents),
+c AS (
+  SELECT doc_id, toks, n,
+         GREATEST(1, CAST(FLOOR((n - {CHUNK_SIZE // 2})
+                               / {CHUNK_STRIDE}) + 1 AS INT)) AS n_chunks
+  FROM t)
+SELECT doc_id, CAST(u.i AS INT) AS chunk_id,
+       CAST(u.i * {CHUNK_STRIDE} + 1 AS INT) AS start,
+       CAST(LEAST({CHUNK_SIZE}, n - (u.i * {CHUNK_STRIDE} + 1) + 1) AS INT)
+         AS n_tokens,
+       md5(array_to_string(list_slice(toks, u.i * {CHUNK_STRIDE} + 1,
+                                      u.i * {CHUNK_STRIDE} + {CHUNK_SIZE}),
+                           ' ')) AS chunk_md5
+FROM c, UNNEST(generate_series(0, n_chunks - 1)) AS u(i)
+"""
+
+
 # ------------------------------------------------- sequence packing -
 
 PACK_CAPACITY = 512  # tokens per training sequence (context window)
@@ -363,6 +420,7 @@ QUERIES_LLM2: dict[str, dict] = {
     "llm_normalize":    {"fn": q_text_normalize, "sql": sql_text_normalize()},
     "llm_embed_quant":  {"fn": q_embed_quantize, "sql": sql_embed_quantize()},
     "llm_seq_pack":     {"fn": q_seq_pack,       "sql": None},
+    "llm_chunk":        {"fn": q_chunk,          "sql": SQL_CHUNK},
     "llm_seq_pack_nextfit": {"fn": q_seq_pack_nextfit,
                              "sql": SQL_SEQ_PACK_NEXTFIT},
     "llm_dedup_groups": {"fn": q_dedup_groups,   "sql": sql_dedup_groups()},
