@@ -145,6 +145,89 @@ FROM grid g LEFT JOIN hourly hr ON g.user_id = hr.user_id AND g.h = hr.h
 """
 
 
+def q_interpolate(spark, sf_dir):
+    """Linear-interpolation resampling: gap_fill's regular hourly grid,
+    but missing hours take the LINE between the surrounding
+    observations instead of carrying the last one forward (edges clamp
+    to the nearest observation). Two per-user windows (running last /
+    running first, both ignore-nulls) — no self-join, no UDF. The
+    interpolation touches exactly two observed values per output row,
+    so the float expression is a fixed-size formula both engines
+    evaluate identically — no summation-order divergence, no rounding
+    needed."""
+    t_lo = F.timestamp_micros(F.lit(1704067200000000))  # 2024-01-01T00Z
+    t_hi = F.timestamp_micros(F.lit(1704240000000000))  # 2024-01-03T00Z
+    e = (_t(spark, sf_dir, "events")
+         .filter((F.col("event_type") == "purchase")
+                 & (F.col("ts") >= t_lo) & (F.col("ts") < t_hi)))
+    hourly = (e.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+               .agg(F.sum(F.col("value").cast("decimal(18,2)"))
+                     .cast("double").alias("v")))
+    bounds = hourly.groupBy("user_id").agg(F.min("h").alias("h0"),
+                                           F.max("h").alias("h1"))
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h"))
+    j = grid.join(hourly, ["user_id", "h"], "left")
+    t = F.unix_micros(F.col("h"))
+    te = F.when(F.col("v").isNotNull(), t)
+    wp = (Window.partitionBy("user_id").orderBy("h")
+                .rowsBetween(Window.unboundedPreceding, 0))
+    wn = (Window.partitionBy("user_id").orderBy("h")
+                .rowsBetween(0, Window.unboundedFollowing))
+    vp = F.last("v", ignorenulls=True).over(wp)
+    tp = F.last(te, ignorenulls=True).over(wp)
+    vn = F.first("v", ignorenulls=True).over(wn)
+    tn = F.first(te, ignorenulls=True).over(wn)
+    interp = (F.when(F.col("v").isNotNull(), F.col("v"))
+              .when(vp.isNull(), vn)
+              .when(vn.isNull(), vp)
+              .otherwise(vp + (vn - vp) * ((t - tp) / (tn - tp))))
+    return j.select("user_id", "h", interp.alias("v_interp"),
+                    F.col("v").isNull().alias("was_gap"))
+
+
+SQL_INTERPOLATE = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM events
+  WHERE event_type = 'purchase'
+    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts <  TIMESTAMP '2024-01-03 00:00:00'
+  GROUP BY user_id, date_trunc('hour', ts)),
+bounds AS (
+  SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY user_id),
+grid AS (
+  SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM bounds),
+w AS (
+  SELECT g.user_id, g.h, hr.v, epoch_us(g.h) AS t,
+         last_value(hr.v IGNORE NULLS)
+           OVER (PARTITION BY g.user_id ORDER BY g.h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+         last_value(CASE WHEN hr.v IS NOT NULL THEN epoch_us(g.h) END
+                    IGNORE NULLS)
+           OVER (PARTITION BY g.user_id ORDER BY g.h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+         first_value(hr.v IGNORE NULLS)
+           OVER (PARTITION BY g.user_id ORDER BY g.h
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn,
+         first_value(CASE WHEN hr.v IS NOT NULL THEN epoch_us(g.h) END
+                     IGNORE NULLS)
+           OVER (PARTITION BY g.user_id ORDER BY g.h
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tn
+  FROM grid g LEFT JOIN hourly hr ON g.user_id = hr.user_id AND g.h = hr.h)
+SELECT user_id, h,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN vp IS NULL THEN vn
+            WHEN vn IS NULL THEN vp
+            ELSE vp + (vn - vp) * ((t - tp) / (tn - tp)) END AS v_interp,
+       v IS NULL AS was_gap
+FROM w
+"""
+
+
 # -------------------------------------------------- feature hash ---
 
 N_FEATURE_BUCKETS = 256
@@ -777,6 +860,7 @@ QUERIES_EXT3: dict[str, dict] = {
     "unpivot":          {"fn": q_unpivot,       "sql": SQL_UNPIVOT},
     "struct_funcs":     {"fn": q_struct_funcs,  "sql": SQL_STRUCT_FUNCS},
     "gap_fill":         {"fn": q_gap_fill,      "sql": SQL_GAP_FILL},
+    "interpolate":      {"fn": q_interpolate,   "sql": SQL_INTERPOLATE},
     "llm_feature_hash": {"fn": q_feature_hash,  "sql": SQL_FEATURE_HASH},
     "llm_repetition":   {"fn": q_repetition,    "sql": SQL_REPETITION},
     "funnel":           {"fn": q_funnel,        "sql": SQL_FUNNEL},
