@@ -228,6 +228,67 @@ FROM w
 """
 
 
+def q_rolling_corr(spark, sf_dir):
+    """Trailing-window Pearson correlation per customer between order
+    value and order date — windowed statistics done DETERMINISTICALLY:
+    the built-in ``corr`` accumulates co-moments in floats (summation
+    order diverges across engines), so the sums here are exact
+    integers (epoch days × money in cents) over a 10-row trailing
+    window, combined closed-form with one double conversion per term —
+    the same bit-exact recipe as the segment-detect OLS. Zero-variance
+    windows yield NULL."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_custkey", "o_orderkey",
+        F.datediff(F.to_date("o_orderdate"),
+                   F.lit("1970-01-01").cast("date"))
+        .cast("bigint").alias("x"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("y"))
+    w = (Window.partitionBy("o_custkey").orderBy("x", "o_orderkey")
+               .rowsBetween(-9, 0))
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum("x").over(w)
+    sy = F.sum("y").over(w)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w)
+    syy = F.sum(F.col("y") * F.col("y")).over(w)
+    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    num = (n * sxy - sx * sy).cast("double")
+    d1 = n * sxx - sx * sx
+    d2 = n * syy - sy * sy
+    corr = F.when((d1 > 0) & (d2 > 0),
+                  F.round(num / (F.sqrt(d1.cast("double"))
+                                 * F.sqrt(d2.cast("double"))), 6))
+    return base.select("o_custkey", "o_orderkey",
+                       n.alias("n_win"), corr.alias("corr_10"))
+
+
+SQL_ROLLING_CORR = """
+WITH base AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+  FROM orders),
+s AS (
+  SELECT o_custkey, o_orderkey,
+         COUNT(*) OVER w AS n,
+         SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+         SUM(x*x) OVER w AS sxx, SUM(y*y) OVER w AS syy,
+         SUM(x*y) OVER w AS sxy
+  FROM base
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY x, o_orderkey
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+SELECT o_custkey, o_orderkey, n AS n_win,
+       CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+            THEN ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+                       / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                          * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6)
+            END AS corr_10
+FROM s
+"""
+
+
 # -------------------------------------------------- feature hash ---
 
 N_FEATURE_BUCKETS = 256
@@ -861,6 +922,7 @@ QUERIES_EXT3: dict[str, dict] = {
     "struct_funcs":     {"fn": q_struct_funcs,  "sql": SQL_STRUCT_FUNCS},
     "gap_fill":         {"fn": q_gap_fill,      "sql": SQL_GAP_FILL},
     "interpolate":      {"fn": q_interpolate,   "sql": SQL_INTERPOLATE},
+    "rolling_corr":     {"fn": q_rolling_corr,  "sql": SQL_ROLLING_CORR},
     "llm_feature_hash": {"fn": q_feature_hash,  "sql": SQL_FEATURE_HASH},
     "llm_repetition":   {"fn": q_repetition,    "sql": SQL_REPETITION},
     "funnel":           {"fn": q_funnel,        "sql": SQL_FUNNEL},
