@@ -44,11 +44,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # 2^53 mantissa, so float division is off by ~1 µs.
             return df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000")))
-        # NOT cast("timestamp"): an NTZ→LTZ cast interprets the wall
-        # value in the SESSION timezone (off by 6 h under the
-        # America/Chicago probe). Rebuild the instant field-by-field
-        # pinned at UTC so the epoch equals the stored micros — same
-        # contract as the nanos path and as DuckDB's epoch_us.
+        if ts_type == "timestamp":
+            # already an instant (tz-adjusted parquet) — the epoch is
+            # correct as-is; rebuilding would shift it by the session
+            # offset on non-UTC sessions.
+            return df
+        # TIMESTAMP_NTZ: NOT cast("timestamp") — an NTZ→LTZ cast
+        # interprets the wall value in the SESSION timezone (off by
+        # 6 h under the America/Chicago probe). Rebuild the instant
+        # field-by-field pinned at UTC so the epoch equals the stored
+        # micros — same contract as the nanos path and as DuckDB's
+        # epoch_us.
         return df.withColumn("ts", F.expr(
             "make_timestamp_ltz(year(ts), month(ts), day(ts), "
             "hour(ts), minute(ts), extract(SECOND FROM ts), 'UTC')"))

@@ -28,10 +28,12 @@ def _write_events(path: str, ts_array: pa.Array) -> None:
     pq.write_table(table, path)
 
 
-@pytest.mark.parametrize("encoding", ["us", "ns"])
+@pytest.mark.parametrize("encoding", ["us", "ns", "us_utc"])
 def test_t_events_normalizes_ts(spark, tmp_path, encoding):
     if encoding == "us":
         ts = pa.array(EPOCH_US, pa.timestamp("us"))
+    elif encoding == "us_utc":  # tz-adjusted instant → Spark reads LTZ
+        ts = pa.array(EPOCH_US, pa.timestamp("us", tz="UTC"))
     else:
         ts = pa.array([v * 1000 for v in EPOCH_US], pa.timestamp("ns"))
     _write_events(str(tmp_path / "events.parquet"), ts)
