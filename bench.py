@@ -70,13 +70,15 @@ def main() -> None:
     warm = warm_dir if os.path.isdir(warm_dir) else sf_dir
     # Per-query fault isolation: one broken query must not zero out the
     # whole artifact — a bench that reports "21 of 22 measured, 1
-    # failed" is strictly better than rc:1 with no numbers.
-    broken: dict[str, str] = {}
+    # failed" is strictly better than rc:1 with no numbers. A warm-up
+    # failure does NOT skip the query: the warm fixture is a DIFFERENT
+    # dataset (older generation, other encoding), so the measured runs
+    # on sf_dir still get their own attempt and their own error record.
     for name in HEADLINE:
         try:
             materialize(QUERIES[name]["fn"](spark, warm))
-        except Exception as exc:  # noqa: BLE001 — record and continue
-            broken[name] = f"{type(exc).__name__}: {exc}".splitlines()[0][:300]
+        except Exception:  # noqa: BLE001 — warm fixture only; continue
+            pass
 
     # best-of-2: steady-state timing is what matters (GC pauses and
     # JIT recompiles produced 2-6× outliers on the heavy queries);
@@ -84,9 +86,6 @@ def main() -> None:
     per_query: dict[str, object] = {}
     total = 0.0
     for name in HEADLINE:
-        if name in broken:
-            per_query[name] = {"err": broken[name]}
-            continue
         fn = QUERIES[name]["fn"]
         runs = []
         try:

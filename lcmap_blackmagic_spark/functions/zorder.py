@@ -37,10 +37,27 @@ def spread_bits(c: Column) -> Column:
     return c
 
 
+MAX_INPUT = (1 << 31) - 1
+
+
+def _checked(c: Column, name: str) -> Column:
+    """Out-of-range inputs fail LOUDLY: silently spreading bits ≥ 2^31
+    would alias distinct keys onto one z-value and quietly break the
+    file-stat bounds the layout exists for."""
+    c = c.cast("bigint")
+    return (F.when((c < 0) | (c > MAX_INPUT),
+                   F.raise_error(F.concat(
+                       F.lit(f"zvalue: {name} out of range [0, 2^31): "),
+                       c.cast("string"))))
+            .otherwise(c))
+
+
 def zvalue(x: Column, y: Column) -> Column:
     """64-bit Morton key interleaving x (even bits) and y (odd bits).
-    x, y must be non-negative and < 2^31 so the key stays positive."""
-    return spread_bits(x).bitwiseOR(F.shiftleft(spread_bits(y), 1))
+    x, y must be non-negative and < 2^31 so the key stays positive;
+    violations raise at execution time instead of aliasing keys."""
+    return spread_bits(_checked(x, "x")).bitwiseOR(
+        F.shiftleft(spread_bits(_checked(y, "y")), 1))
 
 
 def sql_spread_steps(src_cte: str, cols: tuple[str, ...],

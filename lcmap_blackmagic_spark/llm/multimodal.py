@@ -76,7 +76,13 @@ def _decode_pnm(payload: bytes) -> np.ndarray:
             j += 1
         tokens.append(payload[i:j])
         i = j
-    i += 1  # single whitespace after maxval, then raster
+    # single whitespace after maxval, then raster; tolerate the
+    # common non-conforming CRLF terminator (skipping all whitespace
+    # would be WRONG — raster bytes may legitimately be 0x0A/0x20)
+    if payload[i:i + 2] == b"\r\n":
+        i += 2
+    else:
+        i += 1
     w, h, maxval = (int(t) for t in tokens)
     if maxval >= 256:
         raise ValueError("16-bit PNM samples not supported")

@@ -53,7 +53,12 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_tokens = F.size(F.split(lowered, " "))
     sum_len = (F.length(lowered) - n_tokens + 1).cast("double")
     padded = F.concat(F.lit(" "), lowered, F.lit(" "))
-    stop_re = "(?<= )(?:" + "|".join(STOPWORDS) + ")(?= )"
+    import re
+    # re.escape each word: a future stopword containing a regex
+    # metachar must stay a literal, or the count silently diverges
+    # from the oracle's exact token equality
+    stop_re = ("(?<= )(?:" + "|".join(re.escape(w) for w in STOPWORDS)
+               + ")(?= )")
     n_stop = F.regexp_count(padded, F.lit(stop_re))
     n_punct = F.length(F.col(text_col)) - F.length(
         F.regexp_replace(F.col(text_col), "[.,;:!?]", ""))

@@ -140,8 +140,15 @@ def _train_spark_ml(train_df: DataFrame, max_iter: int = 50,
     W[:k] = coef
     b[:k] = intercept
     seen = np.zeros(NUM_CLASSES, dtype=bool)
-    for r in train_df.select("label").distinct().collect():
-        seen[int(r["label"])] = True
+    try:
+        # the fit already computed per-class counts; reading them off
+        # the training summary avoids a second full evaluation of the
+        # sampled/split input lineage just to learn ≤ 9 labels
+        for lbl in model.summary.labels:
+            seen[int(lbl)] = True
+    except Exception:  # summary unavailable → one small distinct job
+        for r in train_df.select("label").distinct().collect():
+            seen[int(r["label"])] = True
     return pickle.dumps({"kind": "logreg", "coef": W, "intercept": b,
                          "seen": seen})
 

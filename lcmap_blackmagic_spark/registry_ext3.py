@@ -86,20 +86,18 @@ FROM per_order, UNNEST(items) AS u(it)
 # ------------------------------------------------------ gap fill ---
 
 
-def q_gap_fill(spark, sf_dir):
-    """Time-series gap fill: hourly purchase totals per user, an
-    explicit hour grid from each user's first to last active hour
-    (``sequence`` + explode — generated distributed, never on the
-    driver), missing hours forward-filled with ``last(..., ignorenulls)``.
+def _hourly_purchase_grid(spark, sf_dir):
+    """Shared assembly for the regular-grid time-series queries
+    (gap_fill, interpolate): hourly purchase totals per user LEFT-
+    joined onto an explicit hour grid from each user's first to last
+    active hour (``sequence`` + explode — generated distributed,
+    never on the driver). One shuffle for the rollup; the grid
+    explode reuses the per-user partitioning.
 
-    One shuffle for the hourly rollup; the grid explode reuses the
-    per-user partitioning; the window runs per user_id (no
-    unpartitioned window).  The classic prep step for regularly-
-    sampled model inputs."""
-    # window bounds as epoch micros, NOT string literals: a string
-    # cast to timestamp parses in the SESSION timezone, silently
-    # shifting the window on any non-UTC session (caught by the
-    # America/Chicago verify probe); epoch micros pin the instants.
+    Window bounds as epoch micros, NOT string literals: a string cast
+    to timestamp parses in the SESSION timezone, silently shifting
+    the window on any non-UTC session (caught by the America/Chicago
+    verify probe); epoch micros pin the instants."""
     t_lo = F.timestamp_micros(F.lit(1704067200000000))  # 2024-01-01T00Z
     t_hi = F.timestamp_micros(F.lit(1704240000000000))  # 2024-01-03T00Z
     e = (_t(spark, sf_dir, "events")
@@ -113,16 +111,11 @@ def q_gap_fill(spark, sf_dir):
     grid = bounds.select(
         "user_id",
         F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h"))
-    joined = grid.join(hourly, ["user_id", "h"], "left")
-    w = (Window.partitionBy("user_id").orderBy("h")
-               .rowsBetween(Window.unboundedPreceding, 0))
-    return joined.select(
-        "user_id", "h",
-        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
-        F.col("v").isNull().alias("was_gap"))
+    return grid.join(hourly, ["user_id", "h"], "left")
 
 
-SQL_GAP_FILL = """
+# the matching DuckDB CTE prefix, shared by both oracles
+_SQL_HOURLY_GRID = """
 WITH hourly AS (
   SELECT user_id, date_trunc('hour', ts) AS h,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
@@ -135,7 +128,24 @@ bounds AS (
   SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY user_id),
 grid AS (
   SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
-  FROM bounds)
+  FROM bounds)"""
+
+
+def q_gap_fill(spark, sf_dir):
+    """Time-series gap fill over the shared hourly grid: missing
+    hours forward-filled with ``last(..., ignorenulls)`` per user (no
+    unpartitioned window). The classic prep step for regularly-
+    sampled model inputs."""
+    joined = _hourly_purchase_grid(spark, sf_dir)
+    w = (Window.partitionBy("user_id").orderBy("h")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    return joined.select(
+        "user_id", "h",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        F.col("v").isNull().alias("was_gap"))
+
+
+SQL_GAP_FILL = _SQL_HOURLY_GRID + """
 SELECT g.user_id, g.h,
        last_value(hr.v IGNORE NULLS)
          OVER (PARTITION BY g.user_id ORDER BY g.h
@@ -155,20 +165,7 @@ def q_interpolate(spark, sf_dir):
     so the float expression is a fixed-size formula both engines
     evaluate identically — no summation-order divergence, no rounding
     needed."""
-    t_lo = F.timestamp_micros(F.lit(1704067200000000))  # 2024-01-01T00Z
-    t_hi = F.timestamp_micros(F.lit(1704240000000000))  # 2024-01-03T00Z
-    e = (_t(spark, sf_dir, "events")
-         .filter((F.col("event_type") == "purchase")
-                 & (F.col("ts") >= t_lo) & (F.col("ts") < t_hi)))
-    hourly = (e.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
-               .agg(F.sum(F.col("value").cast("decimal(18,2)"))
-                     .cast("double").alias("v")))
-    bounds = hourly.groupBy("user_id").agg(F.min("h").alias("h0"),
-                                           F.max("h").alias("h1"))
-    grid = bounds.select(
-        "user_id",
-        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h"))
-    j = grid.join(hourly, ["user_id", "h"], "left")
+    j = _hourly_purchase_grid(spark, sf_dir)
     t = F.unix_micros(F.col("h"))
     te = F.when(F.col("v").isNotNull(), t)
     wp = (Window.partitionBy("user_id").orderBy("h")
@@ -187,20 +184,7 @@ def q_interpolate(spark, sf_dir):
                     F.col("v").isNull().alias("was_gap"))
 
 
-SQL_INTERPOLATE = """
-WITH hourly AS (
-  SELECT user_id, date_trunc('hour', ts) AS h,
-         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
-  FROM events
-  WHERE event_type = 'purchase'
-    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
-    AND ts <  TIMESTAMP '2024-01-03 00:00:00'
-  GROUP BY user_id, date_trunc('hour', ts)),
-bounds AS (
-  SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY user_id),
-grid AS (
-  SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
-  FROM bounds),
+SQL_INTERPOLATE = _SQL_HOURLY_GRID + """,
 w AS (
   SELECT g.user_id, g.h, hr.v, epoch_us(g.h) AS t,
          last_value(hr.v IGNORE NULLS)

@@ -55,12 +55,18 @@ vals AS (
   SELECT c.pos, c.x, 500 + {red_h} % 3000 AS y
   FROM clear c),
 stats AS (
-  SELECT pos, COUNT(*) AS n,
-         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx,
-         CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(y * y) AS BIGINT) AS syy,
-         CAST(SUM(x * y) AS BIGINT) AS sxy,
-         MIN(x) AS minx, MAX(x) AS maxx
-  FROM vals GROUP BY pos),
+  -- LEFT JOIN from the pixel universe: a pixel with ZERO clear
+  -- observations must still produce a (default) output row, exactly
+  -- as the Spark pipeline emits a default segment for every pixel
+  SELECT p.pos, COUNT(v.x) AS n,
+         CAST(COALESCE(SUM(v.x), 0) AS BIGINT) AS sx,
+         CAST(COALESCE(SUM(v.x * v.x), 0) AS BIGINT) AS sxx,
+         CAST(COALESCE(SUM(v.y), 0) AS BIGINT) AS sy,
+         CAST(COALESCE(SUM(v.y * v.y), 0) AS BIGINT) AS syy,
+         CAST(COALESCE(SUM(v.x * v.y), 0) AS BIGINT) AS sxy,
+         MIN(v.x) AS minx, MAX(v.x) AS maxx
+  FROM pix p LEFT JOIN vals v ON v.pos = p.pos
+  GROUP BY p.pos),
 fit AS (
   SELECT *, CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) AS m
   FROM stats),

@@ -161,20 +161,32 @@ class ChipmunkReader(DataSourceReader):
         self.grid_m = GRID_M
         self.band_specs: dict = {}
         if self.url and options.get("metadata", "on") != "off":
+            import warnings
+
             from .metadata import fetch_grid, fetch_registry
-            retry = {"attempts": min(self.attempts, 3),
-                     "wait_min": self.wait_min, "wait_max": self.wait_max,
-                     "timeout": self.timeout}
+            # ONE attempt per endpoint: a service without /grid or
+            # /registry answers 404 immediately — retrying a permanent
+            # miss would stall every planning pass ~8 s behind the
+            # 2 s-floor backoff. The fallback is loud (warnings.warn),
+            # never silent: decoding a band with the wrong dtype would
+            # corrupt every raster of that band, so the operator must
+            # see that the service's specs were not applied.
+            retry = {"attempts": 1, "timeout": self.timeout}
             try:
                 grids = fetch_grid(self.url, **retry)
                 if "chip" in grids:
                     self.grid_m = grids["chip"].pitch_m
-            except Exception:
-                pass  # endpoint absent → published-grid fallback
+            except Exception as exc:
+                warnings.warn(
+                    f"chipmunk /grid unavailable ({exc!r}); using the "
+                    f"published USGS grid constants", stacklevel=2)
             try:
                 self.band_specs = fetch_registry(self.url, **retry)
-            except Exception:
-                pass  # endpoint absent → dtype option fallback
+            except Exception as exc:
+                warnings.warn(
+                    f"chipmunk /registry unavailable ({exc!r}); decoding "
+                    f"ALL bands as dtype option {self.dtype!r} — wrong if "
+                    f"any band uses a different wire type", stacklevel=2)
 
     def pushFilters(self, filters):
         """Handle cx/cy equality + IN (chip pruning); everything else
