@@ -60,6 +60,40 @@ def zvalue(x: Column, y: Column) -> Column:
         F.shiftleft(spread_bits(_checked(y, "y")), 1))
 
 
+def compact_bits(c: Column) -> Column:
+    """Inverse of ``spread_bits``: bit 2i → bit i (odd bits ignored).
+    Runs the mask ladder in reverse; with ``shiftright`` this reads a
+    z-key back into its column coordinates (for translating a z-range
+    scan bound into per-column bounds)."""
+    c = c.cast("bigint").bitwiseAND(F.lit(0x5555555555555555))
+    for sh, m in reversed(SPREAD_MASKS):
+        # un-double the positions: c holds the spread pattern of the
+        # previous level; OR-shift-right then mask restores it
+        c = c.bitwiseOR(F.shiftright(c, sh)).bitwiseAND(
+            F.lit(_compact_mask(m, sh)))
+    return c
+
+
+def _compact_mask(spread_mask: int, shift: int) -> int:
+    """Mask selecting the positions the reverse ladder lands bits on
+    after undoing the ``shift`` level of the spread ladder."""
+    # the spread ladder at level (shift, m) maps pattern p -> (p | p<<shift) & m;
+    # the inverse level maps q -> (q | q>>shift) & p where p is the
+    # PREVIOUS level's mask — reconstruct it by inverting the ladder
+    masks = {16: 0xFFFFFFFF,                      # after undoing 16: 32 contiguous bits
+             8: 0x0000FFFF0000FFFF,
+             4: 0x00FF00FF00FF00FF,
+             2: 0x0F0F0F0F0F0F0F0F,
+             1: 0x3333333333333333}
+    return masks[shift]
+
+
+def unzvalue(z: Column) -> tuple[Column, Column]:
+    """z-key → (x, y) column coordinates (exact inverse of
+    ``zvalue`` for in-range inputs)."""
+    return compact_bits(z), compact_bits(F.shiftright(z.cast("bigint"), 1))
+
+
 def sql_spread_steps(src_cte: str, cols: tuple[str, ...],
                      keep: str) -> str:
     """DuckDB CTE chain applying the same spread ladder to ``cols``

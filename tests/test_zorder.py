@@ -83,6 +83,23 @@ def test_write_zordered_files_prune_on_both_columns(spark, tmp_path):
     assert prune_y >= 8
 
 
+def test_zvalue_roundtrips_through_unzvalue(spark):
+    """zvalue ∘ unzvalue is the identity over the input domain —
+    property-checked on random 31-bit pairs plus the boundary."""
+    import random
+
+    from lcmap_blackmagic_spark.functions.zorder import unzvalue
+
+    rng = random.Random(7)
+    pairs = ([(rng.randrange(1 << 31), rng.randrange(1 << 31))
+              for _ in range(200)]
+             + [(0, 0), ((1 << 31) - 1, (1 << 31) - 1), (0, (1 << 31) - 1)])
+    df = spark.createDataFrame(pairs, "x long, y long")
+    zx, zy = unzvalue(zvalue(F.col("x"), F.col("y")))
+    bad = df.filter((zx != F.col("x")) | (zy != F.col("y"))).count()
+    assert bad == 0
+
+
 def test_zorder_blocks_bound_both_columns(spark):
     """Files written in z-order carry tight min/max on BOTH inputs:
     split a z-sorted key space into blocks and check each block's
