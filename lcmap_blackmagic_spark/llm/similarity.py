@@ -249,14 +249,17 @@ def lsh_neardup_pairs(emb: DataFrame, threshold: float,
     operator scales by config, not by code change.
 
     Plan shape (mirrors ``minhash_pairs``, measured 8× on bench):
-    the candidate self-join runs on (id, tbl, bucket) ONLY — both
-    sides alias one plan, so the expensive sign-bit projection is
-    computed once and reused (ReusedExchange), and the dedup shuffle
-    carries bare id pairs instead of 64-double vectors. Norms are
-    computed once per VECTOR, and vectors re-attach to the deduped
-    candidates via a broadcast (flip ``broadcast_vecs`` off at
-    full-corpus scale: the verify becomes a shuffle join on ids, each
-    vector moving once per side instead of once per candidate pair).
+    the candidate self-join runs on (id, tbl, bucket) ONLY — the
+    dedup shuffle carries bare id pairs instead of 64-double vectors.
+    Norms are computed once per VECTOR, and vectors re-attach to the
+    deduped candidates via a broadcast (flip ``broadcast_vecs`` off
+    at full-corpus scale: the verify becomes a shuffle join on ids,
+    each vector moving once per side instead of once per candidate
+    pair). Known plan artifact (same as minhash_pairs, verified at
+    runtime): the two aliased sides do NOT collapse into a
+    ReusedExchange, so the Arrow bucketing projection executes twice
+    — accepted: the pass is a narrow per-vector batch op, and a
+    checkpoint barrier leaks cached partitions across repeated runs.
     """
     vec = _as_double(F.col(vec_col))
     bucketer = _bucket_keys_udf(n_tables, n_planes, DIM)
