@@ -1,0 +1,93 @@
+"""Seeded differential fuzzing: random predicates from a shared ANSI
+grammar run through BOTH engines (Spark SQL and DuckDB) over the same
+parquet, and the integer aggregates must agree exactly. The reference
+has no fuzzing at all (SURVEY §5: "no sqllogictest/TPC corpus, no
+fuzzing"); this closes that gap for the filter/boolean/comparison
+surface, where hand-written oracle queries only cover the shapes
+someone thought of.
+
+Integer-only aggregates (COUNT, SUM of ints, MIN/MAX of a key) keep
+the comparison exact — float SUM order may differ across engines and
+is deliberately out of scope here (the hand-written oracles pin float
+behavior through the DECIMAL policy instead)."""
+
+import random
+
+import duckdb
+import pytest
+
+# grammar: (column, kind) — comparisons draw literals sized to the
+# column's actual value range at any SF
+NUM_COLS = [
+    ("l_orderkey", 1, 6_000_000),
+    ("l_partkey", 1, 200_000),
+    ("l_suppkey", 1, 10_000),
+    ("l_linenumber", 1, 7),
+    ("l_quantity", 1, 50),
+]
+STR_COLS = [
+    ("l_returnflag", ["A", "N", "R"]),
+    ("l_linestatus", ["F", "O"]),
+]
+CMP = ["<", "<=", ">", ">=", "=", "<>"]
+
+N_CASES = 30
+SEED = 20260813
+
+
+def _rand_pred(rng: random.Random, depth: int = 0) -> str:
+    roll = rng.random()
+    if depth < 2 and roll < 0.45:
+        op = rng.choice(["AND", "OR"])
+        a = _rand_pred(rng, depth + 1)
+        b = _rand_pred(rng, depth + 1)
+        neg = "NOT " if rng.random() < 0.2 else ""
+        return f"{neg}(({a}) {op} ({b}))"
+    if roll < 0.75:
+        col, lo, hi = rng.choice(NUM_COLS)
+        if rng.random() < 0.25:
+            a = rng.randint(lo, hi)
+            b = rng.randint(lo, hi)
+            return f"{col} BETWEEN {min(a, b)} AND {max(a, b)}"
+        return f"{col} {rng.choice(CMP)} {rng.randint(lo, hi)}"
+    if roll < 0.9:
+        col, vals = rng.choice(STR_COLS)
+        if rng.random() < 0.5:
+            picks = ", ".join(f"'{v}'" for v in
+                              rng.sample(vals, rng.randint(1, len(vals))))
+            return f"{col} IN ({picks})"
+        return f"{col} {rng.choice(['=', '<>'])} '{rng.choice(vals)}'"
+    # date comparison — TIMESTAMP literal parses identically in both
+    y = rng.randint(1992, 1998)
+    m = rng.randint(1, 12)
+    return (f"l_shipdate {rng.choice(['<', '>='])} "
+            f"TIMESTAMP '{y}-{m:02d}-15 00:00:00'")
+
+
+def _cases():
+    rng = random.Random(SEED)
+    return [(i, _rand_pred(rng)) for i in range(N_CASES)]
+
+
+@pytest.fixture(scope="module")
+def engines(spark, sf_dir):
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .createOrReplaceTempView("fuzz_lineitem")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW fuzz_lineitem AS "
+                f"SELECT * FROM read_parquet('{sf_dir}/lineitem.parquet')")
+    return spark, con
+
+
+@pytest.mark.parametrize("i,pred", _cases())
+def test_predicate_agrees_across_engines(engines, i, pred):
+    spark, con = engines
+    sql = (f"SELECT COUNT(*) AS n, "
+           f"COALESCE(SUM(l_linenumber), 0) AS s1, "
+           f"COALESCE(SUM(CAST(l_quantity AS BIGINT)), 0) AS s2, "
+           f"COALESCE(MIN(l_orderkey), -1) AS mn, "
+           f"COALESCE(MAX(l_orderkey), -1) AS mx "
+           f"FROM fuzz_lineitem WHERE {pred}")
+    got = tuple(spark.sql(sql).first())
+    want = con.execute(sql).fetchone()
+    assert got == tuple(want), f"case {i}: {pred}"
