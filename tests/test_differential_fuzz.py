@@ -91,3 +91,18 @@ def test_predicate_agrees_across_engines(engines, i, pred):
     got = tuple(spark.sql(sql).first())
     want = con.execute(sql).fetchone()
     assert got == tuple(want), f"case {i}: {pred}"
+
+
+@pytest.mark.parametrize("i,pred", _cases())
+def test_grouped_aggregate_agrees_across_engines(engines, i, pred):
+    """Same predicates, grouped shape: filter → GROUP BY two
+    low-cardinality keys → integer aggregates, compared row-by-row."""
+    spark, con = engines
+    sql = (f"SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+           f"SUM(l_linenumber) AS s1, "
+           f"COUNT(DISTINCT l_suppkey) AS d1 "
+           f"FROM fuzz_lineitem WHERE {pred} "
+           f"GROUP BY l_returnflag, l_linestatus")
+    got = sorted(tuple(r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want, f"case {i}: {pred}"
