@@ -134,20 +134,42 @@ def minhash_pairs(df: DataFrame, id_col: str = "doc_id",
     string hashing); identical to string Jaccard modulo 48-bit
     collisions (p ≈ |sh|²/2⁴⁹ per doc), which the oracle mirrors by
     hashing the same way."""
-    ex = _exploded_digests(df, id_col, text_col, n, bands)
-    agg = ex.groupBy(id_col).agg(
-        *[F.min(F.substring("h", 8 * b + 1, 8)).alias(f"m{b}")
-          for b in range(bands)],
-        F.collect_set(F.conv(F.substring("h", 1, 12), 16, 10)
-                      .cast("bigint")).alias("si"))
+    agg = _minhash_doc_aggregate(df, id_col, text_col, n, bands)
     # NOTE: the aggregate feeds four consumers (both sides of the
     # candidate self-join + both verify lookups). Catalyst's column
     # pruning specializes the copies (min-only vs collect_set-only
     # aggregates), so the md5-heavy explode pass executes twice end to
-    # end — measured and accepted: a localCheckpoint barrier computed
-    # it once but leaked cached partitions across invocations (third
-    # consecutive run degraded 10×), and caching inside a registry
-    # query would distort repeated-run benchmarks.
+    # end — measured and accepted FOR THIS PURE-QUERY FORM: a
+    # localCheckpoint barrier computed it once but leaked cached
+    # partitions across invocations (third consecutive run degraded
+    # 10×), and caching inside a registry query would distort
+    # repeated-run benchmarks. The PIPELINE form
+    # (``minhash_pairs_staged``) materializes the aggregate to parquet
+    # once and derives both consumers from the staged scan — at corpus
+    # scale that halves the dominant cost.
+    return _minhash_pairs_from_agg(agg, id_col, bands, threshold,
+                                   broadcast_docs)
+
+
+def _minhash_doc_aggregate(df: DataFrame, id_col: str, text_col: str,
+                           n: int, bands: int) -> DataFrame:
+    """The ONE md5-heavy pass: per doc, the per-band minwise hashes
+    (LSH) plus the 48-bit hashed-shingle set (exact verify), from a
+    single explode + hash-aggregate (map-side combined)."""
+    ex = _exploded_digests(df, id_col, text_col, n, bands)
+    return ex.groupBy(id_col).agg(
+        *[F.min(F.substring("h", 8 * b + 1, 8)).alias(f"m{b}")
+          for b in range(bands)],
+        F.collect_set(F.conv(F.substring("h", 1, 12), 16, 10)
+                      .cast("bigint")).alias("si"))
+
+
+def _minhash_pairs_from_agg(agg: DataFrame, id_col: str, bands: int,
+                            threshold: float,
+                            broadcast_docs: bool) -> DataFrame:
+    """LSH banding + exact-Jaccard verify over a (id, m0..m{B-1}, si)
+    per-doc aggregate — the pair-derivation half of ``minhash_pairs``,
+    shared with the staged pipeline form."""
     sig = agg.select(
         F.col(id_col),
         F.posexplode(F.array(*[F.col(f"m{b}") for b in range(bands)]))
@@ -171,6 +193,36 @@ def minhash_pairs(df: DataFrame, id_col: str = "doc_id",
     return (j.select("id_a", "id_b",
                      F.round(inter / union, 6).alias("jaccard"))
              .filter(F.col("jaccard") >= threshold))
+
+
+def minhash_pairs_staged(df: DataFrame, staging_dir: str,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         n: int = 3, bands: int = N_BANDS,
+                         threshold: float = 0.5,
+                         broadcast_docs: bool = True) -> DataFrame:
+    """``minhash_pairs``, pipeline form: the md5-heavy per-doc
+    aggregate is written to ``staging_dir`` ONCE and both downstream
+    consumers (the banded candidate self-join and the exact-Jaccard
+    verify) read the staged parquet.
+
+    Why: in the pure-query form Catalyst specializes the shared
+    aggregate per consumer, so the dominant explode/md5 pass executes
+    twice end to end (see the NOTE in ``minhash_pairs``). Re-scanning
+    a narrow staged parquet costs a tiny fraction of re-hashing the
+    corpus — at 100 TB this halves the dedup job. The staging write is
+    also the natural checkpoint a production dedup run wants anyway
+    (signatures are reusable across threshold sweeps and incremental
+    corpus additions).
+
+    Output is identical to ``minhash_pairs`` (same oracle SQL).
+    Returns a DataFrame whose plan contains NO md5/shingle work — only
+    scans of ``staging_dir`` (pinned by tests/test_pipelines.py).
+    """
+    agg = _minhash_doc_aggregate(df, id_col, text_col, n, bands)
+    agg.write.mode("overwrite").parquet(staging_dir)
+    staged = df.sparkSession.read.parquet(staging_dir)
+    return _minhash_pairs_from_agg(staged, id_col, bands, threshold,
+                                   broadcast_docs)
 
 
 def _nibble(hexstr: Column, j: int) -> Column:
@@ -298,21 +350,29 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def dedup_components(pairs: DataFrame, nodes: DataFrame,
                      id_col: str = "doc_id",
-                     max_iters: int = 50) -> DataFrame:
+                     max_iters: int = 50,
+                     stats: dict | None = None) -> DataFrame:
     """Duplicate-cluster assignment: connected components over the
-    near-duplicate pair graph by iterative min-label propagation.
-    Output: (doc_id, component) where component is the smallest doc
-    id reachable through duplicate pairs — the canonical survivor of
-    each cluster (docs with no duplicates label themselves).
+    near-duplicate pair graph by iterative min-label propagation with
+    POINTER JUMPING. Output: (doc_id, component) where component is
+    the smallest doc id reachable through duplicate pairs — the
+    canonical survivor of each cluster (docs with no duplicates label
+    themselves).
 
-    Spark-first iterative algorithm: each round is one equi-join +
-    min-aggregate (labels flow along edges), converging in at most
-    graph-diameter rounds — near-dup clusters are shallow (a dup of a
-    dup of X is usually a dup of X), so 3-5 rounds cover real
-    corpora. ``localCheckpoint`` truncates the lineage each round so
-    the plan doesn't grow with iterations. The loop stops the first
-    round nothing changes (one count() action per round on the
-    changed-rows filter — a cheap aggregate over the label table).
+    Spark-first iterative algorithm: each round is an edge equi-join
+    + min-aggregate (labels flow one hop along edges) followed by one
+    label-table self-join (label ← label[label], the pointer-jumping
+    step), so a chain of length d converges in O(log d) rounds
+    instead of O(d) — measured on a 48-node chain: 7 rounds vs 25
+    (tests/test_llm_ops.py pins the bound). Both steps only ever
+    shrink labels toward the component minimum, and the combined
+    fixpoint (no neighbor smaller AND label[label] == label) is
+    exactly "label = component min", so the result is unchanged.
+    ``localCheckpoint`` truncates the lineage each round so the plan
+    doesn't grow with iterations. The loop stops the first round
+    nothing changes (one count() action per round on the changed-rows
+    filter — a cheap aggregate over the label table). Pass ``stats``
+    to receive {"rounds": n} for observability.
     """
     edges = pairs.select(F.col("id_a").alias("src"),
                          F.col("id_b").alias("dst"))
@@ -321,21 +381,38 @@ def dedup_components(pairs: DataFrame, nodes: DataFrame,
              .distinct().localCheckpoint())
     labels = nodes.select(F.col(id_col).alias("node"),
                           F.col(id_col).alias("label")).localCheckpoint()
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         nbr = (edges.join(labels, edges.src == labels.node)
                .groupBy("dst").agg(F.min("label").alias("nbr_min"))
                .withColumnRenamed("dst", "node"))
-        new = (labels.alias("l")
+        hop = (labels.alias("l")
                .join(nbr.alias("n"), "node", "left")
                .select(F.col("node"),
                        F.least(F.col("l.label"),
                                F.coalesce(F.col("n.nbr_min"),
                                           F.col("l.label"))).alias("label"),
-                       F.col("l.label").alias("old"))
+                       F.col("l.label").alias("old")))
+        # pointer jumping: label ← label[label]. The lookup value is
+        # always ≤ the key (labels are node ids and a node's label
+        # never exceeds the node), so the jump is monotone and needs
+        # no F.least. Every label IS a node id, so the left join only
+        # misses nothing — coalesce guards the degenerate empty-lut
+        # case anyway.
+        lut = hop.select(F.col("node").alias("jnode"),
+                         F.col("label").alias("jlabel"))
+        new = (hop.join(lut, hop.label == lut.jnode, "left")
+               .select("node",
+                       F.coalesce(F.col("jlabel"),
+                                  F.col("label")).alias("label"),
+                       "old")
                .localCheckpoint())
         changed = new.filter(F.col("label") != F.col("old")).count()
         labels = new.drop("old")
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select(F.col("node").alias(id_col),
                          F.col("label").alias("component"))

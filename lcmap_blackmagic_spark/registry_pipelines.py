@@ -107,6 +107,26 @@ def q_lcmap_prediction(spark, sf_dir):
                         F.size("prob").alias("n_probs"))
 
 
+def q_llm_minhash_pipeline(spark, sf_dir):
+    """Pipeline form of ``llm_minhash_pairs``: the md5-heavy per-doc
+    (band-MINs + hashed-shingle-set) aggregate is materialized to a
+    staging parquet ONCE, and both the LSH candidate join and the
+    exact-Jaccard verify derive from the staged scan — the pure-query
+    form executes that pass twice (Catalyst specializes the shared
+    aggregate per consumer; llm/dedup.py NOTE). Identical output and
+    oracle to ``llm_minhash_pairs``. The staging dir is a fixed temp
+    path overwritten per run — in production it would be the
+    signature store a dedup job checkpoints to anyway."""
+    import os
+    import tempfile
+
+    from .llm.dedup import minhash_pairs_staged
+    d = _t(spark, sf_dir, "documents")
+    staging = os.path.join(tempfile.gettempdir(), "lcmap_spark_staging",
+                           "minhash_agg")
+    return minhash_pairs_staged(d, staging, threshold=0.2)
+
+
 def q_llm_ann_topk(spark, sf_dir):
     """LSH-bucketed approximate nearest neighbors (the scale path of
     llm_cosine_topk; recall < 1 vs TRUE neighbors by design, but the
@@ -334,9 +354,16 @@ def q_mm_frame_sample(spark, sf_dir):
     return frame_sample(media)
 
 
+def _sql_minhash_pipeline() -> str:
+    from .registry_llm import SQL_MINHASH_PAIRS
+    return SQL_MINHASH_PAIRS
+
+
 QUERIES_PIPELINES: dict[str, dict] = {
     "lcmap_segment_detect": {"fn": q_lcmap_segment_detect,
                              "sql": _sql_segment_detect()},
+    "llm_minhash_pipeline": {"fn": q_llm_minhash_pipeline,
+                             "sql": _sql_minhash_pipeline()},
     "lcmap_prediction":     {"fn": q_lcmap_prediction,     "sql": None},
     "llm_ann_topk":         {"fn": q_llm_ann_topk,         "sql": _sql_ann_topk()},
     "llm_ann_ivf":          {"fn": q_llm_ann_ivf,          "sql": None},

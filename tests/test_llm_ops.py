@@ -67,3 +67,57 @@ def test_tfidf_ranks_specific_terms_over_common(spark, sf_dir):
         rows.sort(key=lambda r: r["rn"])
         scores = [r["tfidf"] for r in rows]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_minhash_staged_pipeline_matches_pure_query(spark, sf_dir, tmp_path):
+    """The staged pipeline form must produce the identical pair set to
+    the pure-query form, and its returned plan must contain NO md5 /
+    shingle-explode work — the heavy pass runs exactly once, inside
+    the staging write; both downstream consumers scan the staged
+    parquet."""
+    from lcmap_blackmagic_spark.llm.dedup import (minhash_pairs,
+                                                  minhash_pairs_staged)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    staging = str(tmp_path / "minhash_agg")
+    staged = minhash_pairs_staged(docs, staging, threshold=0.2)
+    pure = minhash_pairs(docs, threshold=0.2)
+
+    got = sorted((r["id_a"], r["id_b"], r["jaccard"])
+                 for r in staged.collect())
+    want = sorted((r["id_a"], r["id_b"], r["jaccard"])
+                  for r in pure.collect())
+    assert got == want and len(got) > 0
+
+    # the pair plan derives everything from the staged scan: no md5,
+    # no shingle Generate — the explode pass executed once, in the
+    # write job above
+    plan = staged._jdf.queryExecution().executedPlan().toString()
+    assert "md5" not in plan
+    # both consumers are parquet scans of the staged aggregate (the
+    # location string is truncated in toString, so pin the scan +
+    # its staged-only ReadSchema instead of the full path)
+    assert "Scan parquet" in plan
+    assert "si:array<bigint>" in plan
+    # sanity: the pure-query plan DOES carry the md5 pass (twice)
+    pure_plan = pure._jdf.queryExecution().executedPlan().toString()
+    assert "md5" in pure_plan
+
+
+def test_dedup_components_pointer_jumping_chain(spark):
+    """A 48-node chain is the worst case for plain min-label
+    propagation (diameter rounds); pointer jumping must collapse it
+    in O(log d) rounds AND still produce the exact component
+    assignment (everything labeled node 0)."""
+    from lcmap_blackmagic_spark.llm.dedup import dedup_components
+    n = 48
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(n)],
+                                  "doc_id long")
+    stats = {}
+    out = dedup_components(pairs, nodes, max_iters=50, stats=stats)
+    rows = {r["doc_id"]: r["component"] for r in out.collect()}
+    assert rows == {i: 0 for i in range(n)}
+    # plain propagation needs ~d rounds (47); doubling reach per
+    # round bounds it by ~2·log2(d) + slack
+    assert stats["rounds"] <= 12, stats
