@@ -43,37 +43,60 @@ def _dot(a: Column, b: Column, dim: int = DIM) -> Column:
     return s
 
 
+def _sqdist(a: Column, b: Column, dim: int = DIM) -> Column:
+    """Fixed-dimension UNROLLED squared euclidean distance — same
+    whole-stage-codegen rationale as ``_dot``; left-to-right summation
+    in index order, bit-identical to the lambda form."""
+    terms = [(F.element_at(a, i + 1) - F.element_at(b, i + 1))
+             * (F.element_at(a, i + 1) - F.element_at(b, i + 1))
+             for i in range(dim)]
+    s = terms[0]
+    for t in terms[1:]:
+        s = s + t
+    return s
+
+
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
 def cosine_topk(emb: DataFrame, query_filter: Column, k: int = 5,
                 id_col: str = "vec_id",
-                vec_col: str = "embedding") -> DataFrame:
+                vec_col: str = "embedding",
+                broadcast_corpus: bool = False) -> DataFrame:
     """Exact top-k neighbors by cosine for every row matching
     ``query_filter``. Output: (qid, nid, cosine) — k rows per query,
     deterministic tie-break by neighbor id.
 
     Plan shape: norms are computed ONCE per row before the join (not
-    per pair), the corpus is broadcast, and the small query side is
-    spread across the cluster so pair scoring parallelizes — with a
-    handful of query rows in one scan partition the whole
-    |Q|×|corpus| scoring would otherwise run in a single task."""
+    per pair), and the QUERY side — a filtered subset of the table,
+    structurally the small side — is broadcast by default, so the
+    corpus stays partitioned and the plan survives corpus growth (an
+    unconditional corpus broadcast is an OOM at 100×). The corpus side
+    is spread so pair scoring parallelizes even when the scan has one
+    split. ``broadcast_corpus=True`` flips the build side for the
+    inverse case (a large query log scored against a small fixed
+    reference corpus). Either way the output is identical; the ANN
+    variants remain the scale path when BOTH sides are large."""
     from pyspark.sql import Window
     corpus = emb.select(F.col(id_col).alias("nid"),
                         _as_double(F.col(vec_col)).alias("nvec"))
     corpus = corpus.withColumn(
         "nnorm", F.sqrt(_dot(F.col("nvec"), F.col("nvec"))))
-    queries = _spread(
-        emb.filter(query_filter)
-        .select(F.col(id_col).alias("qid"),
-                _as_double(F.col(vec_col)).alias("qvec")))
+    queries = (emb.filter(query_filter)
+               .select(F.col(id_col).alias("qid"),
+                       _as_double(F.col(vec_col)).alias("qvec")))
     queries = queries.withColumn(
         "qnorm", F.sqrt(_dot(F.col("qvec"), F.col("qvec"))))
     cos = _dot(F.col("qvec"), F.col("nvec")) / (
         F.col("qnorm") * F.col("nnorm"))
-    scored = (queries.join(F.broadcast(corpus), F.col("qid") != F.col("nid"))
-              .select("qid", "nid", F.round(cos, 6).alias("cosine")))
+    if broadcast_corpus:
+        pairs = _spread(queries).join(F.broadcast(corpus),
+                                      F.col("qid") != F.col("nid"))
+    else:
+        pairs = _spread(corpus).join(F.broadcast(queries),
+                                     F.col("qid") != F.col("nid"))
+    scored = pairs.select("qid", "nid", F.round(cos, 6).alias("cosine"))
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
                                           F.col("nid"))
     return (scored.withColumn("rn", F.row_number().over(w))
@@ -117,9 +140,11 @@ def ivf_ann_topk(emb: DataFrame, query_filter: Column, k: int = 5,
 
     q = (emb.filter(query_filter)
          .select(F.col(id_col).alias("qid"), vec.alias("qvec")))
-    d2 = F.aggregate(F.zip_with(F.col("qvec"), F.col("cvec"),
-                                lambda x, y: (x - y) * (x - y)),
-                     F.lit(0.0), lambda acc, x: acc + x)
+    # unrolled squared distance — same codegen-resident form as _dot
+    # (the aggregate/zip_with HOF form is interpreted eval, the
+    # pattern SCALE.md bans in vector arithmetic); bounded at
+    # |Q|×n_cells rows but consistency keeps the probe plan clean
+    d2 = _sqdist(F.col("qvec"), F.col("cvec"))
     wc = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("cell"))
     probes = (q.crossJoin(F.broadcast(cents))
               .select("qid", "qvec", "cell", d2.alias("d2"))
@@ -229,7 +254,8 @@ def lsh_neardup_pairs(emb: DataFrame, threshold: float,
                       n_tables: int = 8, n_planes: int = 8,
                       id_col: str = "vec_id",
                       vec_col: str = "embedding",
-                      broadcast_vecs: bool = True) -> DataFrame:
+                      broadcast_vecs: bool = True,
+                      shuffle_candidates: bool = True) -> DataFrame:
     """Embedding near-duplicate pairs, the 100 TB form: sign-LSH
     banded candidates + exact-cosine verify. Never builds the n²
     product — candidates are an equi-join on (table, bucket), exactly
@@ -267,7 +293,20 @@ def lsh_neardup_pairs(emb: DataFrame, threshold: float,
                                 F.col(vec_col).alias("raw")))
              .select("id", F.posexplode(bucketer(F.col("raw")))
                      .alias("tbl", "bucket")))
-    a, b = keyed.alias("a"), keyed.alias("b")
+    # shuffle_hash hint on BOTH sides of the candidate self-join:
+    # without it AQE broadcasts one side (the keyed table is tiny at
+    # test SF), which (a) is the wrong shape at corpus scale — the
+    # keyed table grows with the corpus — and (b) makes the two
+    # sides structurally different (broadcast build vs streamed), so
+    # the Arrow bucketing subtree cannot be shared and the broadcast
+    # build re-executes it as a separate job. Measured at sf0.1:
+    # candidates 1.2 s (AQE broadcast) → 0.72 s (shuffle both sides),
+    # and run-to-run spread tightens to ~1.1×. The pass still
+    # executes once per side (PythonUDF subtrees defeat exchange
+    # reuse even when canonically identical) — that residual double
+    # cost is constant, not variance.
+    hinted = keyed.hint("shuffle_hash") if shuffle_candidates else keyed
+    a, b = hinted.alias("a"), hinted.alias("b")
     cand = (a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
                    & (F.col("a.bucket") == F.col("b.bucket"))
                    & (F.col("a.id") < F.col("b.id")))

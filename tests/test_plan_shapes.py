@@ -245,3 +245,36 @@ def test_tpch_q21_semi_plus_anti(q):
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cosine_topk_broadcasts_query_side(q, spark, sf_dir):
+    """The exact brute-force baseline must broadcast the FILTERED
+    query side, never the SF-growing corpus (an unconditional corpus
+    broadcast is an OOM plan at 100× corpus). The non-equi pair join
+    is a BroadcastNestedLoopJoin by nature; the build (broadcast)
+    subtree is printed under the exchange, so the query filter
+    (vec_id % 50) must appear AFTER the BroadcastExchange line. With
+    ``broadcast_corpus=True`` the build side flips back."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lcmap_blackmagic_spark.llm.similarity import cosine_topk
+
+    plan = simple_plan(q("llm_cosine_topk"))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.index("% 50)") > plan.index("BroadcastExchange")
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    flipped = cosine_topk(emb, F.col("vec_id") % 50 == 0, k=5,
+                          broadcast_corpus=True)
+    fplan = simple_plan(flipped)
+    assert fplan.index("% 50)") < fplan.index("BroadcastExchange")
+
+
+def test_ivf_ann_probe_no_interpreted_hof(q):
+    # query↔centroid distances must be unrolled codegen arithmetic
+    # like every other vector op — not aggregate()/zip_with() HOFs
+    # (interpreted eval)
+    plan = simple_plan(q("llm_ann_ivf"))
+    assert "aggregate(" not in plan and "zip_with" not in plan
