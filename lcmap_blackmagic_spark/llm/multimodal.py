@@ -51,12 +51,15 @@ def library_decoder(payload: bytes, kind: str) -> np.ndarray:
         return _decode_pnm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
     raise ValueError(
         f"unsupported media payload (magic {payload[:4]!r}); built-in "
-        "codecs: binary PPM/PGM, uncompressed 24-bit BMP, PCM WAV — "
-        "plug PIL/av into extract_features(decoder=...) for the rest")
+        "codecs: binary PPM/PGM, uncompressed 24-bit BMP, 8-bit PNG, "
+        "PCM WAV — plug PIL/av into extract_features(decoder=...) for "
+        "JPEG/MP4")
 
 
 def _decode_pnm(payload: bytes) -> np.ndarray:
@@ -110,6 +113,82 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
                          offset=data_off).reshape(h, stride)
     img = rows[:, :w * 3].reshape(h, w, 3).astype(np.float32).mean(axis=2)
     return img[::-1] if bottom_up else img
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG, pure stdlib: chunk walk → zlib
+    inflate of the IDAT stream → per-scanline unfiltering (None /
+    Sub / Up / Average / Paeth, RFC 2083 §6) → float32 grayscale
+    (color collapses by channel mean; alpha is ignored; palette
+    images map through PLTE first). 16-bit and interlaced (Adam7)
+    images raise — those are the PIL integration point."""
+    import struct
+    import zlib
+
+    pos, idat, plte = 8, bytearray(), None
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(payload):
+        length, tag = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length                      # len + tag + crc
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNG supported (depth {depth})")
+    if interlace:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    n_ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    stride = w * n_ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = bytearray(stride)                     # row above, unfiltered
+    bpp = n_ch                                   # bytes per pixel at depth 8
+    for y in range(h):
+        base = y * (stride + 1)
+        ft = raw[base]
+        row = bytearray(raw[base + 1:base + 1 + stride])
+        if ft == 1:                              # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:                            # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:                            # Average
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:                            # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = row
+        prev = row
+    img = out.reshape(h, w, n_ch)
+    if ctype == 3:                               # palette → RGB
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        return plte[img[:, :, 0]].astype(np.float32).mean(axis=2)
+    if ctype == 0:
+        return img[:, :, 0].astype(np.float32)
+    if ctype == 4:                               # gray + alpha
+        return img[:, :, 0].astype(np.float32)
+    return img[:, :, :3].astype(np.float32).mean(axis=2)   # RGB / RGBA
 
 
 def _decode_wav(payload: bytes) -> np.ndarray:

@@ -148,3 +148,99 @@ def test_extract_features_through_real_codec(spark):
     assert got[1] == [30.0, 187.5]   # mean of (60,0) / (255,120)
     assert got[2] == [30.0, 187.5]   # BMP decodes to the same raster
     assert len(got[3]) == 2
+
+
+# ---- PNG: stdlib zlib + per-scanline unfiltering ------------------
+
+def _png_payload(img, ctype, filters, plte=None):
+    """Minimal PNG encoder (test-side only): applies the given filter
+    type per scanline (RFC 2083 forward direction) so the decoder's
+    unfiltering is exercised on every filter code."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    h, w = img.shape[:2]
+    n_ch = 1 if img.ndim == 2 else img.shape[2]
+    bpp = n_ch
+    flat = img.reshape(h, w * n_ch).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(w * n_ch, dtype=np.int32)
+    for y, ft in enumerate(filters):
+        row = flat[y]
+        left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        if ft == 0:
+            enc = row
+        elif ft == 1:
+            enc = (row - left) % 256
+        elif ft == 2:
+            enc = (row - prev) % 256
+        elif ft == 3:
+            enc = (row - ((left + prev) >> 1)) % 256
+        else:
+            p = left + prev - upleft
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            enc = (row - pred) % 256
+        raw += bytes([ft]) + bytes(enc.astype(np.uint8))
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    chunks = [chunk(b"IHDR", ihdr)]
+    if plte is not None:
+        chunks.append(chunk(b"PLTE", bytes(plte.ravel())))
+    chunks.append(chunk(b"IDAT", zlib.compress(bytes(raw))))
+    chunks.append(chunk(b"IEND", b""))
+    return b"\x89PNG\r\n\x1a\n" + b"".join(chunks)
+
+
+def test_decode_png_rgb_all_filters_bit_exact():
+    import numpy as np
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    payload = _png_payload(img, ctype=2, filters=[0, 1, 2, 3, 4])
+    got = library_decoder(payload, "image")
+    want = img.astype(np.float32).mean(axis=2)
+    assert got.shape == (5, 4)
+    assert (got == want).all()
+
+
+def test_decode_png_gray_and_rgba_and_palette():
+    import numpy as np
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, size=(4, 6), dtype=np.uint8)
+    got = library_decoder(_png_payload(gray, 0, [4, 3, 2, 1]), "image")
+    assert (got == gray.astype(np.float32)).all()
+
+    rgba = rng.integers(0, 256, size=(3, 3, 4), dtype=np.uint8)
+    got = library_decoder(_png_payload(rgba, 6, [1, 4, 2]), "image")
+    want = rgba[:, :, :3].astype(np.float32).mean(axis=2)
+    assert (got == want).all()          # alpha ignored
+
+    plte = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, size=(2, 5), dtype=np.uint8)
+    got = library_decoder(_png_payload(idx, 3, [0, 1], plte=plte), "image")
+    want = plte[idx].astype(np.float32).mean(axis=2)
+    assert (got == want).all()
+
+
+def test_decode_png_rejects_16bit():
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+               + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="only 8-bit"):
+        library_decoder(payload, "image")
