@@ -30,6 +30,12 @@ def get_session(app_name: str = "lcmap-blackmagic-spark",
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # opt-in RocksDB streaming state store (100 TB sessionization /
+    # dedup state exceeds the default in-heap HDFS-backed provider)
+    provider = os.environ.get("SPARK_GRAFT_STATE_STORE")
+    if provider:
+        from .streaming.jobs import configure_state_store
+        configure_state_store(spark, provider)
     return spark
 
 

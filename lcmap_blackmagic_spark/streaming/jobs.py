@@ -22,6 +22,44 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
+HDFS_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
+                 "HDFSBackedStateStoreProvider")
+ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
+                    "RocksDBStateStoreProvider")
+
+
+def configure_state_store(spark: SparkSession,
+                          provider: str = "rocksdb") -> None:
+    """Select the streaming state-store backend for queries started
+    AFTER this call (``providerClass`` is read from the session conf
+    at query start; running queries keep their store).
+
+    The default HDFS-backed store keeps EVERY key's state in executor
+    heap — fine for bounded windowed aggs, an OOM for 100 TB-scale
+    sessionization/dedup state (one entry per user / per event key
+    inside the watermark horizon). RocksDB keeps the working set on
+    executor-local disk with a bounded block cache, and changelog
+    checkpointing uploads per-commit deltas instead of full
+    snapshots, so commit cost tracks the micro-batch, not total
+    state. Every stateful operator in this module (session_windows,
+    dedup_stream, dedup_within_watermark, rollups, attribution_join)
+    runs unchanged under either provider — pinned by the parametrized
+    batch-twin tests in tests/test_streaming.py. Also reachable via
+    ``SPARK_GRAFT_STATE_STORE=rocksdb`` at session build
+    (session.get_session).
+    """
+    if provider not in ("hdfs", "rocksdb"):
+        raise ValueError(f"unknown state-store provider {provider!r}")
+    if provider == "rocksdb":
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                       ROCKSDB_PROVIDER)
+        spark.conf.set("spark.sql.streaming.stateStore.rocksdb."
+                       "changelogCheckpointing.enabled", "true")
+    else:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                       HDFS_PROVIDER)
+
+
 WORK_ITEM = T.StructType([
     T.StructField("kind", T.StringType()),      # segment|tile|prediction
     T.StructField("cx", T.LongType()),

@@ -41,10 +41,23 @@ def events_dir(spark, sf_dir):
     return out
 
 
-def test_hourly_rollup_matches_batch(spark, events_dir):
+@pytest.fixture(params=["hdfs", "rocksdb"])
+def state_provider(spark, request):
+    """Run a stateful batch-twin test under BOTH state-store
+    providers: the default in-heap HDFS-backed store and RocksDB (the
+    100 TB path — state on executor-local disk, changelog
+    checkpointing). The conf is read per query start, so flipping it
+    between tests is safe; restored to the default afterwards."""
+    from lcmap_blackmagic_spark.streaming.jobs import configure_state_store
+    configure_state_store(spark, request.param)
+    yield request.param
+    configure_state_store(spark, "hdfs")
+
+
+def test_hourly_rollup_matches_batch(spark, events_dir, state_provider):
     stream = events_stream(spark, events_dir, max_files_per_trigger=1)
     rolled = hourly_rollup(stream)
-    q = (rolled.writeStream.format("memory").queryName("rollup")
+    q = (rolled.writeStream.format("memory").queryName("rollup_" + state_provider)
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination(120)
 
@@ -54,7 +67,7 @@ def test_hourly_rollup_matches_batch(spark, events_dir):
              .agg(F.count(F.lit(1)).alias("n"),
                   F.sum(F.col("value").cast("decimal(18,2)"))
                   .cast("double").alias("total_value")))
-    got = {tuple(r) for r in spark.table("rollup").collect()}
+    got = {tuple(r) for r in spark.table("rollup_" + state_provider).collect()}
     want = {tuple(r) for r in batch.collect()}
     # append mode only emits windows the watermark has closed; all
     # emitted windows must match the batch result exactly, and most
@@ -63,13 +76,13 @@ def test_hourly_rollup_matches_batch(spark, events_dir):
     assert len(got) >= 0.9 * len(want)
 
 
-def test_session_windows_match_batch(spark, events_dir):
+def test_session_windows_match_batch(spark, events_dir, state_provider):
     """Stateful sessionization (applyInPandasWithState) must emit
     exactly the sessions its batch twin computes, modulo the tail kept
     open by the watermark."""
     stream = events_stream(spark, events_dir, max_files_per_trigger=1)
     sess = session_windows(stream, gap_minutes=30, watermark="30 minutes")
-    q = (sess.writeStream.format("memory").queryName("sessions")
+    q = (sess.writeStream.format("memory").queryName("sessions_" + state_provider)
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination(180)
 
@@ -89,7 +102,7 @@ def test_session_windows_match_batch(spark, events_dir):
                   F.count(F.lit(1)).alias("n_events"))
              .drop("sid"))
 
-    got = {tuple(r) for r in spark.table("sessions").collect()}
+    got = {tuple(r) for r in spark.table("sessions_" + state_provider).collect()}
     want = {tuple(r) for r in batch.collect()}
     assert got <= want
     assert len(got) >= 0.8 * len(want)
@@ -183,7 +196,7 @@ def test_sliding_rollup_matches_batch(spark, events_dir):
     assert len(got) >= 0.9 * len(want)
 
 
-def test_dedup_within_watermark_catches_jittered_redelivery(spark, tmp_path):
+def test_dedup_within_watermark_catches_jittered_redelivery(spark, tmp_path, state_provider):
     """A re-delivery whose ts was re-stamped (+5 s) still has the same
     event_id; dropDuplicatesWithinWatermark removes it, where plain
     dropDuplicates on (event_id, ts) would keep both."""
@@ -210,10 +223,10 @@ def test_dedup_within_watermark_catches_jittered_redelivery(spark, tmp_path):
     deduped = dedup_within_watermark(
         events_stream(spark, src, max_files_per_trigger=1),
         watermark="10 minutes")
-    q = (deduped.writeStream.format("memory").queryName("dedup_wm")
+    q = (deduped.writeStream.format("memory").queryName("dedup_wm_" + state_provider)
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination(120)
-    got = spark.table("dedup_wm").select("event_id").collect()
+    got = spark.table("dedup_wm_" + state_provider).select("event_id").collect()
     assert len(got) == 30
     assert len({r[0] for r in got}) == 30
 
