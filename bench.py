@@ -49,6 +49,14 @@ HEADLINE = [
     # the SCD2 run-collapse window chain
     "llm_decontaminate",
     "scd2_intervals",
+    # round-5 additions: the round-4 operators now tracked by the
+    # official artifact (not only SCALE.md claims), plus the staged
+    # minhash pipeline (materialize-once form of llm_minhash_pairs)
+    "record_linkage",
+    "zorder_key",
+    "llm_dedup_groups",
+    "interpolate",
+    "llm_minhash_pipeline",
 ]
 
 
@@ -108,9 +116,13 @@ def main() -> None:
         "queries": per_query,
         "sf": sf,
     }
-    n_err = sum(1 for v in per_query.values() if isinstance(v, dict))
-    if n_err:
-        out["errors"] = n_err
+    failed = sorted(n for n, v in per_query.items() if isinstance(v, dict))
+    if failed:
+        # name the failures at top level so a partial total cannot be
+        # compared against a clean run by accident — a consumer diffing
+        # "value" across rounds sees "failed_queries" right beside it
+        out["errors"] = len(failed)
+        out["failed_queries"] = failed
     print(json.dumps(out))
 
 
