@@ -128,8 +128,14 @@ def stratified_sample_hash(df: DataFrame, label_col: str, id_col: str,
         f"{label_col}",
         f"(least(greatest(({target_samples} * cnt + total - 1) div total, "
         f"{class_min}), {class_max}) * {HASH_MOD}) div cnt AS __thresh"))
-    h = F.conv(F.substring(F.md5(F.concat_ws(
-        ":", F.col(label_col).cast("string"),
+    # F.concat (NULL-propagating), NOT concat_ws (NULL-skipping): the
+    # oracle's `label || ':' || id` yields NULL on a NULL input, so
+    # md5(NULL) = NULL fails `h < thresh` and the row drops in BOTH
+    # engines identically — concat_ws would silently keep hashing a
+    # shorter key on one side only and diverge on a NULL-bearing
+    # fixture instead of failing loudly.
+    h = F.conv(F.substring(F.md5(F.concat(
+        F.col(label_col).cast("string"), F.lit(":"),
         F.col(id_col).cast("string"))), 1, 12), 16, 10).cast("bigint")
     return (df.join(F.broadcast(caps), on=label_col)
               .filter(h < F.col("__thresh"))

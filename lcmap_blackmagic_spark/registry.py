@@ -341,6 +341,11 @@ def q_topk_customers(spark, sf_dir):
     # broadcast `customer` — an SF-growing table — which pins an OOM
     # plan at 100×; this shape broadcasts a constant-size (k-row)
     # relation regardless of SF.
+    # Join-cardinality assumption: limit-BEFORE-join equals the
+    # oracle's join-then-limit only under referential integrity —
+    # every o_custkey has a customer row (TPC-H guarantees it; the
+    # fixture generator is what enforces it here). A dangling custkey
+    # would drop below 10 rows where the oracle still returns 10.
     top = (o.groupBy("o_custkey")
              .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
                   .cast("double").alias("revenue"))

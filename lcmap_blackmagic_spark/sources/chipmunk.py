@@ -171,7 +171,13 @@ class ChipmunkReader(DataSourceReader):
             # never silent: decoding a band with the wrong dtype would
             # corrupt every raster of that band, so the operator must
             # see that the service's specs were not applied.
-            retry = {"attempts": 1, "timeout": self.timeout}
+            # metadata-specific SHORT timeout: these two fetches run
+            # at PLANNING time — a hung (connection- rather than
+            # 404-) endpoint with the chip timeout (default 30 s)
+            # would add up to ~60 s to every query plan. 5 s is ample
+            # for two tiny JSON documents; the chips timeout still
+            # governs the data path.
+            retry = {"attempts": 1, "timeout": min(self.timeout, 5.0)}
             try:
                 grids = fetch_grid(self.url, **retry)
                 if "chip" in grids:
