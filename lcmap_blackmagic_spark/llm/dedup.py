@@ -416,3 +416,48 @@ def dedup_components(pairs: DataFrame, nodes: DataFrame,
         stats["rounds"] = rounds
     return labels.select(F.col("node").alias(id_col),
                          F.col("label").alias("component"))
+
+
+def substring_dup_stats(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        k: int = 40, stride: int = 8) -> DataFrame:
+    """Exact-substring duplication profile (the character-level dedup
+    signal of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): every length-``k`` character gram at
+    ``stride`` offsets is hashed; a gram is *duplicated* when it
+    occurs in ≥ 2 distinct documents. Output per doc:
+    (n_grams, n_dup_grams, dup_ratio) — the fraction of a document
+    covered by text that exists verbatim elsewhere in the corpus,
+    which is the removal criterion substring-level dedup pipelines
+    filter on (the full span-excision variant follows by keeping the
+    gram positions instead of counting them).
+
+    Plan shape at scale: one Generate (explode) with no shuffle, then
+    a groupBy on the 8-byte gram hash (map-side combined — repeated
+    grams inside a partition collapse before the exchange), and a
+    join of grams-to-counts that REUSES the same hash-partitioning
+    (Catalyst reuses the exchange: the aggregate output is already
+    partitioned by ``h``). Ultra-common grams are heavy-hitter keys;
+    the count side is immune (partial agg) and AQE skew-join handles
+    the join side. Docs shorter than ``k`` are excluded (they have no
+    gram of length k).
+    """
+    base = df.filter(F.length(text_col) >= k).select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.length(text_col) - k,
+                             F.lit(stride))).alias("pos"),
+        F.col(text_col))
+    h = F.conv(F.substring(F.md5(
+        F.expr(f"substring({text_col}, pos + 1, {k})")), 1, 12),
+        16, 10).cast("bigint")
+    grams = base.select(id_col, h.alias("h"))
+    counts = (grams.groupBy("h")
+              .agg(F.count_distinct(id_col).alias("nd")))
+    dup = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+    return (grams.join(counts, "h")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 dup.alias("n_dup_grams"))
+            .select(id_col, "n_grams", "n_dup_grams",
+                    F.round(F.col("n_dup_grams") / F.col("n_grams"), 6)
+                    .alias("dup_ratio")))

@@ -100,3 +100,43 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         "fp_shingle": F.array_min(
             F.transform(sh, lambda s: F.md5(s.cast("binary")))),
     })
+
+
+RARITY_SCALE = 1_000_000
+
+
+def rarity_scores(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Unigram-LM document quality signal (the CCNet-style "is this
+    text statistically typical of the corpus" score): each token's
+    surprisal proxy is the corpus-inverse-frequency ``N / count(tok)``
+    and a document scores the MEAN over its tokens — high = many rare
+    tokens (gibberish/IDs/boilerplate-free), low = common words. The
+    classic form uses ``-log p``; this is the repo's log-free rational
+    twin (no transcendentals in checked outputs — registry.py), kept
+    cross-engine-exact by integer-scaling: per-token value is
+    ``(N * 1e6) div count`` (pure bigint arithmetic, order-free sum),
+    with ONE double division at the end.
+
+    Scale shape: the vocabulary aggregate is map-side combined and
+    tiny relative to the corpus (Heaps' law), so it broadcasts to the
+    token stream — the corpus side never shuffles. At an extreme
+    vocabulary (> ~100M terms) drop the two broadcast hints and let
+    AQE pick the shuffle join.
+    """
+    toks = (df.select(F.col(id_col),
+                      F.explode(F.split(F.lower(F.col(text_col)),
+                                        "[^a-z]+")).alias("tok"))
+            .filter(F.col("tok") != ""))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("n_total"))
+    inv = F.expr(f"(n_total * {RARITY_SCALE}) div c")
+    return (toks.join(F.broadcast(counts), "tok")
+            .crossJoin(F.broadcast(total))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum(inv).alias("sinv"))
+            .select(id_col, "n_tokens",
+                    F.round(F.col("sinv").cast("double")
+                            / (F.col("n_tokens") * F.lit(float(RARITY_SCALE))),
+                            6).alias("rarity")))

@@ -532,6 +532,7 @@ from .registry_pipelines import QUERIES_PIPELINES  # noqa: E402
 from .registry_llm2 import QUERIES_LLM2  # noqa: E402
 from .registry_tpch import QUERIES_TPCH  # noqa: E402
 from .registry_ext3 import QUERIES_EXT3  # noqa: E402
+from .registry_ext4 import QUERIES_EXT4  # noqa: E402
 
 QUERIES.update(QUERIES_LLM)
 QUERIES.update(QUERIES_EXT)
@@ -540,6 +541,7 @@ QUERIES.update(QUERIES_PIPELINES)
 QUERIES.update(QUERIES_LLM2)
 QUERIES.update(QUERIES_TPCH)
 QUERIES.update(QUERIES_EXT3)
+QUERIES.update(QUERIES_EXT4)
 
 
 def queries() -> dict[str, Callable]:

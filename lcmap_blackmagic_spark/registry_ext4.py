@@ -1,0 +1,214 @@
+"""Fifth extension wave — the round-5 scale operators:
+
+- ``hll_sketch``: deterministic HyperLogLog distinct counts — the
+  mergeable, O(m)-state replacement for exact COUNT(DISTINCT) at
+  100 TB, made oracle-checkable by integer-only register math
+  (operators/sketches.py),
+- ``llm_substr_dedup``: exact-substring duplication profiling (the
+  character-gram dedup signal of Lee et al. 2022),
+- ``merge_upsert``: CDC MERGE INTO semantics (U/D/I change set
+  applied in one full-outer join — operators/merge.py),
+- ``llm_rarity``: unigram-LM corpus-typicality quality score in the
+  repo's log-free rational form.
+
+Same determinism contract as the rest of the registry (registry.py
+docstring): md5-slice hashes, integer arithmetic until one final
+division, DECIMAL money, explicit BIGINT casts on DuckDB counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators.merge import merge_into
+from .operators.sketches import H48, hll_alpha_numerator, hll_distinct
+from .registry import _t
+
+# ------------------------------------------------- HyperLogLog ------
+
+HLL_P = 8  # 256 registers: ~6.5% standard error
+
+
+def q_hll_sketch(spark, sf_dir):
+    """Mergeable HLL distinct-order estimate per returnflag beside the
+    exact-when-small KMV twin (registry_pipelines.q_kmv_sketch). Two
+    map-side-combined shuffles, O(256) state per group — the pattern
+    that replaces exact distinct counts at 100 TB (and, because
+    registers merge by MAX, the same sketch runs under streaming
+    update mode). Accuracy against exact counts is pinned by
+    tests/test_ext4.py."""
+    l = _t(spark, sf_dir, "lineitem")
+    return hll_distinct(l, ["l_returnflag"], "l_orderkey", p=HLL_P)
+
+
+def _sql_hll_sketch(p: int = HLL_P) -> str:
+    m = 1 << p
+    rest = 48 - p
+    wmod = 1 << rest
+    return f"""
+WITH h AS (
+  SELECT l_returnflag,
+         CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 12)
+              AS BIGINT) AS h
+  FROM lineitem),
+r AS (
+  SELECT l_returnflag, h // {wmod} AS bucket,
+         CASE WHEN h % {wmod} = 0 THEN {rest + 1}
+              ELSE {rest + 1} - length(bin(h % {wmod})) END AS rho
+  FROM h),
+mx AS (SELECT l_returnflag, bucket, MAX(rho) AS mreg
+       FROM r GROUP BY l_returnflag, bucket),
+a AS (SELECT l_returnflag,
+             SUM(CAST(1 AS BIGINT) << (48 - mreg)) AS s,
+             COUNT(*) AS nb
+      FROM mx GROUP BY l_returnflag)
+SELECT l_returnflag,
+       {hll_alpha_numerator(p)!r}
+         / CAST(s + ({m} - nb) * {H48} AS DOUBLE) AS hll_distinct,
+       CAST({m} - nb AS BIGINT) AS zero_buckets
+FROM a
+"""
+
+
+# ---------------------------------------- exact-substring dedup -----
+
+SUBSTR_K = 40
+SUBSTR_STRIDE = 8
+
+
+def q_llm_substr_dedup(spark, sf_dir):
+    """Character-gram duplication profile over documents: the
+    fraction of each doc covered by 40-char grams that appear
+    verbatim in another doc (llm/dedup.substring_dup_stats)."""
+    from .llm.dedup import substring_dup_stats
+    d = _t(spark, sf_dir, "documents")
+    return substring_dup_stats(d, k=SUBSTR_K, stride=SUBSTR_STRIDE)
+
+
+SQL_SUBSTR_DEDUP = f"""
+WITH g AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(substr(text, CAST(p AS INT) + 1,
+                                        {SUBSTR_K})), 1, 12)
+              AS BIGINT) AS h
+  FROM (SELECT doc_id, text,
+               unnest(range(0, length(text) - {SUBSTR_K} + 1,
+                            {SUBSTR_STRIDE})) AS p
+        FROM documents WHERE length(text) >= {SUBSTR_K})),
+c AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY h)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_grams,
+       ROUND(CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             / COUNT(*), 6) AS dup_ratio
+FROM g JOIN c USING (h)
+GROUP BY g.doc_id
+"""
+
+
+# ------------------------------------------------ CDC merge ---------
+
+INS_OFFSET = 900_000_000  # past the TPC-H orderkey range at tested SFs
+
+
+def _order_changes(orders):
+    """Deterministic U/D/I change set derived from the orders table:
+    every 7th key re-priced +5%, every 13th deleted (D wins on
+    overlap), every 101st mirrored as a fresh insert key."""
+    k = F.col("o_orderkey")
+    price = F.col("price")
+    upd = (orders.filter((k % 7 == 0) & (k % 13 != 0))
+           .select(k.alias("o_orderkey"), "o_orderstatus",
+                   F.round(price * F.lit(1.05).cast("decimal(3,2)"), 2)
+                   .cast("decimal(18,2)").alias("price"),
+                   F.lit("U").alias("op")))
+    dele = (orders.filter(k % 13 == 0)
+            .select("o_orderkey", "o_orderstatus", "price",
+                    F.lit("D").alias("op")))
+    ins = (orders.filter(k % 101 == 0)
+           .select((k + INS_OFFSET).alias("o_orderkey"),
+                   F.lit("N").alias("o_orderstatus"),
+                   F.lit("777.77").cast("decimal(18,2)").alias("price"),
+                   F.lit("I").alias("op")))
+    return upd.unionByName(dele).unionByName(ins)
+
+
+def q_merge_upsert(spark, sf_dir):
+    """MERGE INTO semantics: the change set applied to orders in one
+    full-outer key join (operators/merge.py), summarized per status
+    so the check covers deletes (row counts drop), updates (totals
+    shift by exactly +5% on the touched keys), and inserts (the new
+    'N' status appears)."""
+    o = (_t(spark, sf_dir, "orders")
+         .select("o_orderkey", "o_orderstatus",
+                 F.col("o_totalprice").cast("decimal(18,2)")
+                 .alias("price")))
+    merged = merge_into(o, _order_changes(o), "o_orderkey")
+    return (merged.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum("price").cast("double").alias("total_price")))
+
+
+SQL_MERGE_UPSERT = f"""
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders),
+chg AS (
+  SELECT k, status,
+         CAST(ROUND(price * CAST(1.05 AS DECIMAL(3,2)), 2)
+              AS DECIMAL(18,2)) AS price, 'U' AS op
+  FROM base WHERE k % 7 = 0 AND k % 13 <> 0
+  UNION ALL
+  SELECT k, status, price, 'D' FROM base WHERE k % 13 = 0
+  UNION ALL
+  SELECT k + {INS_OFFSET}, 'N', CAST(777.77 AS DECIMAL(18,2)), 'I'
+  FROM base WHERE k % 101 = 0),
+merged AS (
+  SELECT COALESCE(c.status, b.status) AS status,
+         COALESCE(c.price, b.price) AS price
+  FROM base b FULL OUTER JOIN chg c ON b.k = c.k
+  WHERE c.op IS NULL OR c.op <> 'D')
+SELECT status AS o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(price) AS DOUBLE) AS total_price
+FROM merged GROUP BY status
+"""
+
+
+# -------------------------------------------- unigram rarity --------
+
+def q_llm_rarity(spark, sf_dir):
+    """Corpus-typicality quality score per document
+    (llm/text.rarity_scores — the log-free unigram-LM form)."""
+    from .llm.text import rarity_scores
+    d = _t(spark, sf_dir, "documents")
+    return rarity_scores(d)
+
+
+SQL_LLM_RARITY = """
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+        FROM documents)
+  WHERE tok <> ''),
+counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+total AS (SELECT SUM(c) AS n_total FROM counts)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM((n_total * 1000000) // c) AS DOUBLE)
+             / (COUNT(*) * 1000000.0), 6) AS rarity
+FROM toks JOIN counts USING (tok) CROSS JOIN total
+GROUP BY doc_id
+"""
+
+
+QUERIES_EXT4: dict[str, dict] = {
+    "hll_sketch":       {"fn": q_hll_sketch, "sql": _sql_hll_sketch()},
+    "llm_substr_dedup": {"fn": q_llm_substr_dedup,
+                         "sql": SQL_SUBSTR_DEDUP},
+    "merge_upsert":     {"fn": q_merge_upsert, "sql": SQL_MERGE_UPSERT},
+    "llm_rarity":       {"fn": q_llm_rarity,   "sql": SQL_LLM_RARITY},
+}

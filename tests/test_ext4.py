@@ -1,0 +1,149 @@
+"""Round-5 operators: HLL accuracy, MERGE semantics, substring-dedup
+signal, rarity ordering. Oracle parity for the same four queries is
+covered by test_oracle_parity (they are registry entries)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lcmap_blackmagic_spark.operators.merge import merge_into
+from lcmap_blackmagic_spark.operators.sketches import hll_distinct
+from lcmap_blackmagic_spark.registry import _t
+
+
+# ------------------------------------------------------------- HLL --
+
+def test_hll_within_error_bound(spark, sf_dir):
+    """Raw HLL estimate (p=8, sigma ~6.5%) lands within 20% of the
+    exact distinct count once out of the small-range regime; in the
+    small-range regime the linear-counting correction (applied here,
+    test-side, as the operator docstring prescribes) gets within 15%."""
+    import math
+    l = _t(spark, sf_dir, "lineitem")
+    est = {r["l_returnflag"]: r
+           for r in hll_distinct(l, ["l_returnflag"], "l_orderkey",
+                                 p=8).collect()}
+    exact = {r["l_returnflag"]: r["n"]
+             for r in l.groupBy("l_returnflag")
+             .agg(F.count_distinct("l_orderkey").alias("n")).collect()}
+    assert set(est) == set(exact)
+    m = 256
+    for flag, row in est.items():
+        e, z = row["hll_distinct"], row["zero_buckets"]
+        if e <= 2.5 * m and z > 0:
+            e = m * math.log(m / z)  # linear counting
+            assert abs(e - exact[flag]) / exact[flag] < 0.15
+        else:
+            assert abs(e - exact[flag]) / exact[flag] < 0.20
+
+
+def test_hll_merges_like_a_sketch(spark, sf_dir):
+    """Sketching half the data twice and the whole once must agree:
+    registers merge by MAX, so the estimate from the union equals the
+    estimate over the full table — the mergeability contract that
+    makes the sketch safe for per-partition partials and streaming."""
+    l = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_orderkey")
+    whole = hll_distinct(l, ["l_returnflag"], "l_orderkey").collect()
+    halves = l.filter(F.col("l_orderkey") % 2 == 0).unionByName(
+        l.filter(F.col("l_orderkey") % 2 == 1)).unionByName(
+        l.filter(F.col("l_orderkey") % 4 == 0))  # overlapping re-adds
+    re = hll_distinct(halves, ["l_returnflag"], "l_orderkey").collect()
+    a = {r["l_returnflag"]: r["hll_distinct"] for r in whole}
+    b = {r["l_returnflag"]: r["hll_distinct"] for r in re}
+    assert a == b
+
+
+# ----------------------------------------------------------- merge --
+
+@pytest.fixture()
+def merge_frames(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k INT, name STRING, v DOUBLE")
+    source = spark.createDataFrame(
+        [(2, None, 25.0, "U"),       # update v, keep name
+         (3, None, None, "D"),       # delete
+         (9, "new", 90.0, "I")],     # insert
+        "k INT, name STRING, v DOUBLE, op STRING")
+    return target, source
+
+
+def test_merge_into_semantics(merge_frames):
+    target, source = merge_frames
+    got = {r["k"]: (r["name"], r["v"])
+           for r in merge_into(target, source, "k").collect()}
+    assert got == {1: ("a", 10.0), 2: ("b", 25.0), 9: ("new", 90.0)}
+
+
+def test_merge_broadcast_path_matches(merge_frames):
+    """The big-side-never-shuffles variant agrees when updates carry
+    full rows (its documented contract)."""
+    target, source = merge_frames
+    full_src = source.withColumn(
+        "name", F.coalesce("name", F.lit("b")))  # U row carries name
+    got = {r["k"]: (r["name"], r["v"])
+           for r in merge_into(target, full_src, "k",
+                               broadcast_source=True).collect()}
+    assert got == {1: ("a", 10.0), 2: ("b", 25.0), 9: ("new", 90.0)}
+
+
+def test_merge_upsert_moves_the_books(spark, sf_dir):
+    """On orders: deletes shrink counts, updates shift totals by +5%
+    on touched keys, inserts add the 'N' status."""
+    o = (_t(spark, sf_dir, "orders")
+         .select("o_orderkey", "o_orderstatus",
+                 F.col("o_totalprice").cast("decimal(18,2)")
+                 .alias("price")))
+    from lcmap_blackmagic_spark.registry_ext4 import _order_changes
+    merged = merge_into(o, _order_changes(o), "o_orderkey")
+    n_before = o.count()
+    n_del = o.filter(F.col("o_orderkey") % 13 == 0).count()
+    n_ins = o.filter(F.col("o_orderkey") % 101 == 0).count()
+    assert merged.count() == n_before - n_del + n_ins
+    assert merged.filter(F.col("o_orderstatus") == "N").count() == n_ins
+    # an updated key carries exactly round(1.05x)
+    row = (o.filter((F.col("o_orderkey") % 7 == 0)
+                    & (F.col("o_orderkey") % 13 != 0)).limit(1)
+           .collect())[0]
+    newv = (merged.filter(F.col("o_orderkey") == row["o_orderkey"])
+            .collect())[0]["price"]
+    assert newv == round(row["price"] * 105, 0) / 100
+
+
+# ------------------------------------------------- substring dedup --
+
+def test_substring_dedup_flags_verbatim_reuse(spark):
+    from lcmap_blackmagic_spark.llm.dedup import substring_dup_stats
+    shared = "x" * 30 + "the quick brown fox jumps over the lazy dog" * 2
+    docs = spark.createDataFrame(
+        [(1, shared + " alpha" * 10),
+         (2, shared + " omega" * 10),
+         (3, "entirely unrelated content " * 8)],
+        "doc_id INT, text STRING")
+    got = {r["doc_id"]: r for r in
+           substring_dup_stats(docs, k=40, stride=8).collect()}
+    assert got[1]["n_dup_grams"] > 0 and got[2]["n_dup_grams"] > 0
+    assert got[3]["n_dup_grams"] == 0
+    assert got[1]["dup_ratio"] > got[3]["dup_ratio"]
+
+
+def test_substring_dedup_short_docs_excluded(spark):
+    from lcmap_blackmagic_spark.llm.dedup import substring_dup_stats
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, "y" * 80)], "doc_id INT, text STRING")
+    got = substring_dup_stats(docs, k=40, stride=8).collect()
+    assert [r["doc_id"] for r in got] == [2]
+
+
+# ----------------------------------------------------------- rarity --
+
+def test_rarity_orders_rare_above_common(spark):
+    from lcmap_blackmagic_spark.llm.text import rarity_scores
+    docs = spark.createDataFrame(
+        [(1, "the the the the the the the the"),
+         (2, "the zyzzyva quokka axolotl the the the the")],
+        "doc_id INT, text STRING")
+    got = {r["doc_id"]: r["rarity"] for r in rarity_scores(docs).collect()}
+    assert got[2] > got[1]
+    # all-common doc: every token is 'the' (corpus c=13, N=16), so
+    # rarity = floor(16e6/13)/1e6 exactly
+    assert got[1] == round((16_000_000 // 13) / 1e6, 6)
