@@ -90,10 +90,18 @@ def _exploded_digests(df: DataFrame, id_col: str, text_col: str,
     partial aggregates (map-side combined to one row per doc before
     the shuffle) — everything stays in whole-stage codegen, and no
     per-doc intermediate array of 64-char digests is ever built."""
+    # ONE select with the explode inlined — two plan-shape traps cost
+    # 4-10× here, both measured at sf0.1:
+    # (a) a size()>0 filter before the explode re-evaluates the whole
+    #     shingle array for the predicate (and explode drops empty
+    #     arrays anyway — the filter was redundant);
+    # (b) even without the filter, aliasing the array in its own
+    #     Project under the Generate (two-step select) ran 5.0 s vs
+    #     1.2 s for the inline form, where the Generate evaluates the
+    #     expression itself inside the generated iterator.
     return (_spread_cols(df, F.col(id_col), F.col(text_col))
-            .select(F.col(id_col), shingles(text_col, n).alias("sh"))
-            .filter(F.size("sh") > 0)
-            .select(F.col(id_col), F.explode("sh").alias("s"))
+            .select(F.col(id_col),
+                    F.explode(shingles(text_col, n)).alias("s"))
             .select(F.col(id_col), _wide_digest(F.col("s"), bands).alias("h")))
 
 

@@ -6,7 +6,8 @@ across engines (the repo-wide determinism rule: no transcendentals in
 checked outputs — see registry.py module docstring):
 
 - hash: the first 48 bits of md5 (identical hex in Spark and DuckDB),
-- register index: the top ``p`` bits, rank: leading zeros of the low
+- register index (``hll_reg`` — named to never collide with caller
+  group columns): the top ``p`` bits; rank: leading zeros of the low
   ``48 - p`` bits + 1, computed as ``(48 - p) + 1 - length(bin(w))``
   (binary-string length == MSB position — pure integer/string ops),
 - the harmonic denominator ``sum(2^-M_j)`` is kept EXACT by scaling:
@@ -50,31 +51,40 @@ def hll_alpha_numerator(p: int) -> float:
     return alpha * m * m * float(H48)
 
 
-def hll_distinct(df: DataFrame, group_cols: Sequence[str], key_col: str,
-                 p: int = 8) -> DataFrame:
-    """Per-group HyperLogLog distinct-count estimate of ``key_col``.
-
-    Output: group cols + ``hll_distinct`` (double, raw estimator) +
-    ``zero_buckets`` (bigint — nonzero means the small-range regime
-    where a caller should apply linear counting).
-    """
+def hll_registers(df: DataFrame, group_cols: Sequence[str], key_col: str,
+                  p: int = 8) -> DataFrame:
+    """The mergeable half of the sketch: per (group, register index)
+    MAX rank. Registers from different partitions, micro-batches, or
+    days merge by the same groupBy-MAX — persist these (tiny: ≤ 2^p
+    rows per group) and re-merge at read; see
+    streaming/jobs.persisted_distinct_rollup."""
     if not 7 <= p <= 14:
         raise ValueError(f"p={p} outside the supported 7..14 range")
-    m = 1 << p
     rest = 48 - p
     gcols = list(group_cols)
     h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 12),
                16, 10).cast("bigint")
     w = h % F.lit(1 << rest)
-    regs = (df.select(*gcols,
-                      F.shiftright(h, rest).alias("bucket"),
+    return (df.select(*gcols,
+                      F.shiftright(h, rest).alias("hll_reg"),
                       F.when(w == 0, F.lit(rest + 1))
                        .otherwise(F.lit(rest + 1) - F.length(F.bin(w)))
                        .alias("rho"))
-            .groupBy(*gcols, "bucket")
+            .groupBy(*gcols, "hll_reg")
             .agg(F.max("rho").alias("mreg")))
+
+
+def hll_estimate(regs: DataFrame, group_cols: Sequence[str],
+                 p: int = 8) -> DataFrame:
+    """Finalize (group, hll_reg, mreg) registers into the estimate.
+    Registers may contain duplicate (group, hll_reg) rows (e.g.
+    partials from several micro-batches) — they re-merge here."""
+    m = 1 << p
+    gcols = list(group_cols)
+    merged = (regs.groupBy(*gcols, "hll_reg")
+              .agg(F.max("mreg").alias("mreg")))
     # scaled harmonic sum: integers only until the final division
-    agg = (regs.groupBy(*gcols)
+    agg = (merged.groupBy(*gcols)
            .agg(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 48 - mreg)"))
                 .alias("s"),
                 F.count(F.lit(1)).alias("nb")))
@@ -84,3 +94,15 @@ def hll_distinct(df: DataFrame, group_cols: Sequence[str], key_col: str,
         *gcols,
         (F.lit(hll_alpha_numerator(p)) / denom).alias("hll_distinct"),
         (F.lit(m) - F.col("nb")).cast("bigint").alias("zero_buckets"))
+
+
+def hll_distinct(df: DataFrame, group_cols: Sequence[str], key_col: str,
+                 p: int = 8) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate of ``key_col``.
+
+    Output: group cols + ``hll_distinct`` (double, raw estimator) +
+    ``zero_buckets`` (bigint — nonzero means the small-range regime
+    where a caller should apply linear counting).
+    """
+    return hll_estimate(hll_registers(df, group_cols, key_col, p),
+                        group_cols, p)

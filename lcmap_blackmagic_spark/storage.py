@@ -32,6 +32,7 @@ PARTITION_KEYS = {
     "prediction": ("cx", "cy"),
     "tile": ("tx", "ty"),
     "rollup_partial": ("batch_id",),
+    "distinct_partial": ("batch_id",),
 }
 
 

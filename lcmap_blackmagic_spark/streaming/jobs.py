@@ -251,6 +251,55 @@ def read_rollup(spark: SparkSession, root: str) -> DataFrame:
                  F.sum("total_dec").cast("double").alias("total_value")))
 
 
+def persisted_distinct_rollup(spark: SparkSession, events_dir: str,
+                              root: str, checkpoint_dir: str,
+                              available_now: bool = True,
+                              p: int = 8) -> StreamingQuery:
+    """Streaming APPROXIMATE-DISTINCT rollup: per micro-batch, the
+    per-hour HyperLogLog REGISTER partial (operators/sketches) is
+    persisted under the batch's own partition — same idempotent
+    dynamic-overwrite scheme as ``persisted_hourly_rollup``, so a
+    replayed batch replaces itself and never double-counts.
+
+    Registers merge by MAX, so ``read_distinct_rollup`` re-merging
+    partials at read time is EXACTLY the sketch over all events —
+    bit-equal to the one-shot batch estimate (the mergeability
+    contract; asserted against the batch twin in
+    tests/test_streaming.py). This is what an exact streaming
+    distinct cannot do at 100 TB/day: exact per-key state grows with
+    cardinality, while the register partial is ≤ 2^p rows per hour
+    regardless of traffic."""
+    from .. import storage
+    from ..operators.sketches import hll_registers
+
+    stream = events_stream(spark, events_dir)
+
+    def write_partial(batch_df: DataFrame, batch_id: int) -> None:
+        part = (hll_registers(
+                    batch_df.select(
+                        F.date_trunc("hour", "ts").alias("bucket"),
+                        "user_id"),
+                    ["bucket"], "user_id", p=p)
+                .withColumn("batch_id", F.lit(batch_id)))
+        storage.overwrite_partitions(part, root, "distinct_partial")
+
+    writer = (stream.writeStream.foreachBatch(write_partial)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_distinct_rollup(spark: SparkSession, root: str,
+                         p: int = 8) -> DataFrame:
+    """Merge register partials into per-hour distinct-user estimates."""
+    from .. import storage
+    from ..operators.sketches import hll_estimate
+
+    return hll_estimate(storage.read(spark, root, "distinct_partial"),
+                        ["bucket"], p=p)
+
+
 def dedup_within_watermark(events: DataFrame, keys: list[str] | None = None,
                            watermark: str = "1 hour") -> DataFrame:
     """Streaming dedup for *timestamp-jittered* re-deliveries: two

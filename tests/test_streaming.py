@@ -427,3 +427,38 @@ def test_chipmunk_stream_drives_detection(spark, tmp_path):
     assert sorted(r["cx"] for r in
                   seg.select("cx").distinct().collect()) == [-2061585,
                                                              -2058585]
+
+
+def test_persisted_distinct_rollup_matches_batch_sketch(spark, events_dir,
+                                                        tmp_path):
+    """Register partials persisted per micro-batch and re-merged at
+    read must be BIT-EQUAL to the one-shot batch HLL over the same
+    files — the sketch-mergeability contract (MAX over registers is
+    associative/idempotent), which is what makes approximate distinct
+    safe to compute incrementally at ingest."""
+    from lcmap_blackmagic_spark.operators.sketches import hll_distinct
+    from lcmap_blackmagic_spark.streaming.jobs import (
+        persisted_distinct_rollup, read_distinct_rollup)
+
+    root, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    q = persisted_distinct_rollup(spark, events_dir, root, ckpt)
+    q.awaitTermination(180)
+
+    got = {tuple(r) for r in read_distinct_rollup(spark, root).collect()}
+    batch = hll_distinct(
+        spark.read.parquet(events_dir)
+        .select(F.date_trunc("hour", "ts").alias("bucket"), "user_id"),
+        ["bucket"], "user_id")
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
+    # and the estimates are sane vs exact distinct counts
+    exact = {r["bucket"]: r["n"] for r in
+             spark.read.parquet(events_dir)
+             .groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+             .agg(F.count_distinct("user_id").alias("n")).collect()}
+    import math
+    for bucket, est, zeros in got:
+        e = est
+        if e <= 2.5 * 256 and zeros > 0:
+            e = 256 * math.log(256 / zeros)
+        assert abs(e - exact[bucket]) / exact[bucket] < 0.25
