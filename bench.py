@@ -57,6 +57,12 @@ HEADLINE = [
     "llm_dedup_groups",
     "interpolate",
     "llm_minhash_pipeline",
+    # round-5 operators: mergeable HLL distinct, character-gram
+    # substring dedup, CDC merge, unigram rarity scoring
+    "hll_sketch",
+    "llm_substr_dedup",
+    "merge_upsert",
+    "llm_rarity",
 ]
 
 
