@@ -3,8 +3,9 @@ metadata, with decode / feature-extract / resize / frame-sample as
 Arrow-batched ``mapInPandas`` stages.
 
 Decoding is pluggable: ``library_decoder`` is a real pure-stdlib codec
-(binary PPM/PGM, uncompressed 24-bit BMP, PCM WAV) that raises only on
-formats needing external libraries (JPEG/PNG/MP4 → PIL/av plug in via
+(binary PPM/PGM, uncompressed 24-bit BMP, 8-bit PNG, baseline
+sequential JPEG, PCM WAV) that raises only on formats needing
+external libraries (progressive JPEG / MP4 → PIL/av plug in via
 ``decoder=``); ``fake_decoder`` derives deterministic pseudo-pixels
 from the payload hash for tests that exercise batch shape and
 partitioning without real media bytes.
@@ -55,11 +56,13 @@ def library_decoder(payload: bytes, kind: str) -> np.ndarray:
         return _decode_png(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
     raise ValueError(
         f"unsupported media payload (magic {payload[:4]!r}); built-in "
         "codecs: binary PPM/PGM, uncompressed 24-bit BMP, 8-bit PNG, "
-        "PCM WAV — plug PIL/av into extract_features(decoder=...) for "
-        "JPEG/MP4")
+        "baseline JPEG, PCM WAV — plug PIL/av into "
+        "extract_features(decoder=...) for progressive JPEG/MP4")
 
 
 def _decode_pnm(payload: bytes) -> np.ndarray:
@@ -211,6 +214,233 @@ def _decode_wav(payload: bytes) -> np.ndarray:
     if n_ch > 1:
         x = x.reshape(-1, n_ch).mean(axis=1)
     return x
+
+
+# ---- JPEG: baseline sequential DCT, pure stdlib + numpy -----------
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+
+
+def _dct_matrix() -> np.ndarray:
+    """8×8 type-II DCT basis: row u is c(u)/2 · cos((2x+1)uπ/16)."""
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    m[0] /= np.sqrt(2)
+    return m
+
+
+class _HuffTable:
+    """Canonical JPEG Huffman table from a DHT (bits, values) spec:
+    lookup maps (code_length, code_value) → symbol."""
+
+    def __init__(self, bits: list[int], values: bytes):
+        self.lookup: dict[tuple[int, int], int] = {}
+        code, k = 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.lookup[(length, code)] = values[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode(self, table: _HuffTable) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """JPEG RECEIVE/EXTEND: an s-bit magnitude to its signed value."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline sequential-DCT JFIF decoder, pure stdlib + numpy:
+    marker walk → DQT/DHT/SOF0/SOS parse → canonical-Huffman entropy
+    decode (byte-stuffing removed, restart markers reset the DC
+    predictors) → dequantize → de-zigzag → matrix IDCT → level shift.
+    Supports any sampling factors (chroma planes nearest-neighbor
+    upsample), 8-bit precision, 1 or 3 components. Progressive
+    (SOF2), arithmetic coding, 12-bit precision, and hierarchical
+    modes raise — that is the PIL integration point. 3-component
+    output converts YCbCr→RGB (JFIF/BT.601 full range) and collapses
+    by channel mean, matching the other raster codecs here."""
+    import struct
+
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffTable] = {}
+    comps: list[dict] = []
+    w = h = 0
+    restart_interval = 0
+    pos = 2
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = payload[pos + 1]
+        if marker == 0xD9:                      # EOI
+            break
+        seglen = struct.unpack_from(">H", payload, pos + 2)[0]
+        data = payload[pos + 4:pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:                      # DQT (possibly several)
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 0x0F
+                if pq:                          # 16-bit table
+                    vals = np.frombuffer(data[i + 1:i + 129], ">u2")
+                    i += 129
+                else:
+                    vals = np.frombuffer(data[i + 1:i + 65], np.uint8)
+                    i += 65
+                qt[tq] = vals.astype(np.int32)
+            continue
+        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential JPEG (SOF0) "
+                             "supported — progressive/arithmetic "
+                             "decode via the PIL integration point")
+        if marker == 0xC0:                      # SOF0
+            prec, h, w, nc = struct.unpack_from(">BHHB", data, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG precision supported")
+            for c in range(nc):
+                cid, samp, tq = struct.unpack_from(
+                    ">BBB", data, 6 + 3 * c)
+                comps.append({"id": cid, "h": samp >> 4,
+                              "v": samp & 0x0F, "tq": tq})
+            continue
+        if marker == 0xC4:                      # DHT (possibly several)
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 0x0F
+                bits = list(data[i + 1:i + 17])
+                n = sum(bits)
+                huff[(tc, th)] = _HuffTable(bits, data[i + 17:i + 17 + n])
+                i += 17 + n
+            continue
+        if marker == 0xDD:                      # DRI
+            restart_interval = struct.unpack(">H", data)[0]
+            continue
+        if marker == 0xDA:                      # SOS — entropy data follows
+            ns = data[0]
+            for c in range(ns):
+                cid, tables = data[1 + 2 * c], data[2 + 2 * c]
+                comp = next(x for x in comps if x["id"] == cid)
+                comp["dc"] = huff[(0, tables >> 4)]
+                comp["ac"] = huff[(1, tables & 0x0F)]
+            break
+        # APPn / COM / anything else: skipped
+    else:
+        raise ValueError("JPEG has no SOS scan")
+
+    # entropy segment: strip stuffing, split at restart markers
+    intervals: list[bytes] = []
+    cur = bytearray()
+    i = pos
+    while i < len(payload):
+        b = payload[i]
+        if b == 0xFF:
+            nxt = payload[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:             # RSTn
+                intervals.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break                               # EOI or next marker
+        cur.append(b)
+        i += 1
+    intervals.append(bytes(cur))
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = [np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float32)
+              for c in comps]
+    m = _dct_matrix()
+    reader = _BitReader(intervals[0])
+    interval_idx = 0
+    pred = [0] * len(comps)
+    for mcu in range(mcux * mcuy):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            interval_idx += 1
+            reader = _BitReader(intervals[interval_idx])
+            pred = [0] * len(comps)
+        my, mx = divmod(mcu, mcux)
+        for ci, comp in enumerate(comps):
+            for by in range(comp["v"]):
+                for bx in range(comp["h"]):
+                    coeffs = np.zeros(64, np.int32)
+                    s = reader.decode(comp["dc"])
+                    pred[ci] += _extend(reader.read_bits(s), s)
+                    coeffs[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = reader.decode(comp["ac"])
+                        r, size = rs >> 4, rs & 0x0F
+                        if size == 0:
+                            if r == 15:         # ZRL: 16 zeros
+                                k += 16
+                                continue
+                            break               # EOB
+                        k += r
+                        coeffs[k] = _extend(reader.read_bits(size), size)
+                        k += 1
+                    block = np.zeros(64, np.float32)
+                    block[_ZIGZAG] = coeffs * qt[comp["tq"]]
+                    px = m.T @ block.reshape(8, 8) @ m + 128.0
+                    y0 = (my * comp["v"] + by) * 8
+                    x0 = (mx * comp["h"] + bx) * 8
+                    planes[ci][y0:y0 + 8, x0:x0 + 8] = px
+    full = []
+    for ci, comp in enumerate(comps):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, vmax // comp["v"], axis=0),
+                      hmax // comp["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        return np.clip(np.rint(full[0]), 0, 255).astype(np.float32)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([np.clip(np.rint(c), 0, 255) for c in (r, g, b)])
+    return rgb.mean(axis=0).astype(np.float32)
 
 
 def fake_decoder(payload: bytes, kind: str) -> np.ndarray:

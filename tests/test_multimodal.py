@@ -244,3 +244,226 @@ def test_decode_png_rejects_16bit():
                + chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="only 8-bit"):
         library_decoder(payload, "image")
+
+
+# ---- JPEG: baseline encoder (test-side) + decoder golden tests ----
+
+def _jpeg_tables():
+    """Simple VALID canonical Huffman specs: 12 DC categories all at
+    code length 4, 162 AC run/size symbols all at code length 8 —
+    poor compression, trivially correct, and the decoder exercises
+    exactly the same canonical-code machinery real Annex-K tables
+    use."""
+    dc_bits = [0, 0, 0, 12] + [0] * 12
+    dc_vals = bytes(range(12))
+    ac_syms = [0x00, 0xF0] + [(r << 4) | s
+                              for r in range(16) for s in range(1, 11)]
+    ac_bits = [0] * 16
+    ac_bits[7] = len(ac_syms)
+    return (dc_bits, dc_vals), (ac_bits, bytes(ac_syms))
+
+
+def _canonical_codes(bits, vals):
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)      # byte stuffing
+                self.acc, self.n = 0, 0
+
+    def flush(self):
+        while self.n:
+            self.write(1, 1)                   # pad with 1-bits
+        return bytes(self.out)
+
+
+def _encode_block(w, block, qtab, pred, dc_codes, ac_codes):
+    import numpy as np
+    from lcmap_blackmagic_spark.llm.multimodal import _ZIGZAG, _dct_matrix
+    m = _dct_matrix()
+    coef = m @ (block.astype(np.float64) - 128.0) @ m.T
+    q = np.rint(coef.reshape(64) / qtab).astype(int)[_ZIGZAG]
+    diff = int(q[0]) - pred
+    s = abs(diff).bit_length()
+    ln, code = dc_codes[s]
+    w.write(code, ln)
+    if s:
+        w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    nz = np.nonzero(q[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        if q[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = ac_codes[0xF0]          # ZRL
+            w.write(code, ln)
+            run -= 16
+        v = int(q[k])
+        s = abs(v).bit_length()
+        ln, code = ac_codes[(run << 4) | s]
+        w.write(code, ln)
+        w.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        ln, code = ac_codes[0x00]              # EOB
+        w.write(code, ln)
+    return int(q[0])
+
+
+def _jpeg_payload(img, subsample=False, qval=8, restart=0):
+    """Minimal baseline JFIF encoder (test-side only): grayscale 2-D
+    or RGB (h, w, 3) input; flat quant tables; optional 4:2:0 chroma
+    subsampling and restart markers."""
+    import struct
+
+    import numpy as np
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    qtab = np.full(64, qval, np.float64)
+    (dcb, dcv), (acb, acv) = _jpeg_tables()
+    dc_codes = _canonical_codes(dcb, dcv)
+    ac_codes = _canonical_codes(acb, acv)
+    if gray:
+        planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        rgb = img.astype(np.float64)
+        y = (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
+             + 0.114 * rgb[:, :, 2])
+        cb = 128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] \
+            + 0.5 * rgb[:, :, 2]
+        cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] \
+            - 0.081312 * rgb[:, :, 2]
+        if subsample:
+            def down(p):
+                ph = p[:(h // 2) * 2, :(w // 2) * 2]
+                return ph.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            planes = [y, down(cb), down(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1)] * 3
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    padded = []
+    for p, (sh, sv) in zip(planes, samp):
+        th, tw = mcuy * sv * 8, mcux * sh * 8
+        pp = np.empty((th, tw))
+        ph, pw = p.shape
+        pp[:ph, :pw] = p
+        pp[ph:, :pw] = p[ph - 1:ph, :]
+        pp[:, pw:] = pp[:, pw - 1:pw]
+        padded.append(pp)
+    bw = _BitWriter()
+    pred = [0] * len(planes)
+    out_chunks = []
+    for mcu in range(mcux * mcuy):
+        if restart and mcu and mcu % restart == 0:
+            out_chunks.append(bw.flush())
+            out_chunks.append(
+                bytes([0xFF, 0xD0 + ((mcu // restart - 1) % 8)]))
+            bw = _BitWriter()
+            pred = [0] * len(planes)
+        my, mx = divmod(mcu, mcux)
+        for ci, (p, (sh, sv)) in enumerate(zip(padded, samp)):
+            for by in range(sv):
+                for bx in range(sh):
+                    y0 = (my * sv + by) * 8
+                    x0 = (mx * sh + bx) * 8
+                    pred[ci] = _encode_block(
+                        bw, p[y0:y0 + 8, x0:x0 + 8], qtab, pred[ci],
+                        dc_codes, ac_codes)
+    out_chunks.append(bw.flush())
+    scan = b"".join(out_chunks)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    nq = 1
+    dqt = seg(0xDB, bytes([0]) + bytes(int(v) for v in qtab))
+    ncomp = 1 if gray else 3
+    sof_body = struct.pack(">BHHB", 8, h, w, ncomp)
+    sos_body = bytes([ncomp])
+    for c in range(ncomp):
+        sof_body += bytes([c + 1, (samp[c][0] << 4) | samp[c][1], 0])
+        sos_body += bytes([c + 1, 0x00])       # dc table 0, ac table 0
+    sos_body += bytes([0, 63, 0])
+    dht = seg(0xC4, bytes([0x00]) + bytes(dcb) + dcv) + \
+        seg(0xC4, bytes([0x10]) + bytes(acb) + acv)
+    parts = [b"\xff\xd8", dqt, seg(0xC0, sof_body), dht]
+    if restart:
+        parts.append(seg(0xDD, struct.pack(">H", restart)))
+    parts += [seg(0xDA, sos_body), scan, b"\xff\xd9"]
+    assert nq == 1
+    return b"".join(parts)
+
+
+def test_decode_jpeg_gray_roundtrip():
+    import numpy as np
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (24, 40)).astype(np.float64)
+    got = library_decoder(_jpeg_payload(img), "image")
+    assert got.shape == (24, 40)
+    # flat-8 quant: error bounded by quantization + DCT rounding
+    assert np.abs(got - img).mean() < 8.0
+    # a UNIFORM image is DC-only and survives exactly
+    flat = np.full((16, 16), 200.0)
+    assert np.array_equal(library_decoder(_jpeg_payload(flat), "image"),
+                          flat.astype(np.float32))
+
+
+def test_decode_jpeg_color_and_subsampled():
+    import numpy as np
+    rng = np.random.RandomState(11)
+    rgb = rng.randint(40, 216, (24, 24, 3)).astype(np.float64)
+    got = library_decoder(_jpeg_payload(rgb), "image")
+    assert got.shape == (24, 24)
+    want = rgb.mean(axis=2)
+    assert np.abs(got - want).mean() < 10.0
+    got420 = library_decoder(_jpeg_payload(rgb, subsample=True), "image")
+    assert got420.shape == (24, 24)
+    assert np.abs(got420 - want).mean() < 14.0
+
+
+def test_decode_jpeg_restart_markers():
+    import numpy as np
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, (16, 48)).astype(np.float64)
+    plain = library_decoder(_jpeg_payload(img), "image")
+    with_rst = library_decoder(_jpeg_payload(img, restart=2), "image")
+    # restart markers change the byte stream, not the decoded pixels
+    assert np.array_equal(plain, with_rst)
+
+
+def test_decode_jpeg_rejects_progressive():
+    import struct
+
+    import numpy as np
+    payload = bytearray(_jpeg_payload(np.full((8, 8), 99.0)))
+    sof = payload.index(b"\xff\xc0")
+    payload[sof + 1] = 0xC2                    # pretend progressive
+    with pytest.raises(ValueError, match="SOF0"):
+        library_decoder(bytes(payload), "image")
