@@ -222,3 +222,99 @@ def compact_partitions(spark: SparkSession, root: str,
     os.rename(tmp, base)
     shutil.rmtree(backup)
     return before, _count_part_files(base)
+
+
+# ------------------------------------------ bloom file skipping ----
+
+BLOOM_SIDECAR = "_blooms.json"
+BLOOM_K = 7  # hash functions; with m = 10 bits/key, fpp ~ 0.8%
+
+
+def _bloom_positions(key: F.Column, m: int):
+    """The K deterministic bit positions of a key: independent
+    md5-derived 48-bit hashes mod m (engine-portable, no JVM-only
+    hash so a non-Spark writer could produce identical sidecars)."""
+    return F.array(*[
+        (F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"),
+                                           key.cast("string"))),
+                            1, 12), 16, 10).cast("bigint")
+         % F.lit(m)).cast("int")
+        for i in range(BLOOM_K)])
+
+
+def write_with_bloom(df: DataFrame, out_dir: str, key_col: str,
+                     n_files: int = 8,
+                     bits_per_key: int = 10) -> int:
+    """Point-lookup file skipping for a HIGH-CARDINALITY key that the
+    physical layout is NOT sorted by (parquet min/max footer stats
+    prune range predicates on the sort/z-order columns; they are
+    useless for an id equality on a randomly-placed key — every
+    file's [min, max] spans the whole id space). Hash-repartition on
+    the key (each key lives in exactly one file), then build a Bloom
+    filter PER FILE as a sidecar (`_blooms.json`): a point lookup
+    tests k bits per sidecar and reads only matching files — at
+    100 TB that turns an all-files scan into ~1 file + a false
+    positive rate of ~0.8% (k=7, 10 bits/key), the same file-skipping
+    contract as Parquet's optional bloom_filter column metadata or
+    Delta's BLOOMFILTER index, expressed engine-side so ANY layout
+    gets it. The bloom build is one distributed pass over the written
+    files (positions aggregated per file, OR-ed into bitsets on the
+    driver — m/8 bytes per file). Returns the file count."""
+    import base64
+    import json
+
+    spark = df.sparkSession
+    (df.repartition(n_files, F.col(key_col))
+       .write.mode("overwrite").parquet(out_dir))
+    n_rows = spark.read.parquet(out_dir).count()
+    m = max(64, int(bits_per_key * n_rows / n_files))
+    per_file = (spark.read.parquet(out_dir)
+                .select(F.input_file_name().alias("f"),
+                        F.explode(_bloom_positions(F.col(key_col), m))
+                        .alias("pos"))
+                .groupBy("f")
+                .agg(F.collect_set("pos").alias("ps"))
+                .collect())
+    blooms = {}
+    for row in per_file:
+        bits = bytearray((m + 7) // 8)
+        for p in row["ps"]:
+            bits[p >> 3] |= 1 << (p & 7)
+        name = os.path.basename(row["f"])
+        blooms[name] = base64.b64encode(bytes(bits)).decode("ascii")
+    sidecar = {"key_col": key_col, "m": m, "k": BLOOM_K,
+               "files": blooms}
+    with open(os.path.join(out_dir, BLOOM_SIDECAR), "w") as fh:
+        json.dump(sidecar, fh)
+    return len(blooms)
+
+
+def read_bloom_pruned(spark: SparkSession, out_dir: str,
+                      value) -> tuple[DataFrame, int, int]:
+    """Point lookup through the bloom sidecar: test the key's k bit
+    positions against each file's filter and scan ONLY the files
+    that might contain it. Returns (df, files_read, files_total);
+    the df still carries the exact equality filter — blooms only
+    skip, never answer. An empty candidate set returns an empty
+    DataFrame with the dataset's schema (driver-side planning cost
+    is one tiny JSON, no file footers touched)."""
+    import base64
+    import hashlib
+    import json
+
+    with open(os.path.join(out_dir, BLOOM_SIDECAR)) as fh:
+        sc = json.load(fh)
+    m, k, key_col = sc["m"], sc["k"], sc["key_col"]
+    positions = [int(hashlib.md5(f"{i}:{value}".encode())
+                     .hexdigest()[:12], 16) % m for i in range(k)]
+    keep = []
+    for name, b64 in sc["files"].items():
+        bits = base64.b64decode(b64)
+        if all(bits[p >> 3] & (1 << (p & 7)) for p in positions):
+            keep.append(os.path.join(out_dir, name))
+    total = len(sc["files"])
+    if not keep:
+        empty = spark.read.parquet(out_dir).limit(0)
+        return empty, 0, total
+    df = spark.read.parquet(*keep).filter(F.col(key_col) == value)
+    return df, len(keep), total

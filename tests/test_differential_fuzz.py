@@ -106,3 +106,66 @@ def test_grouped_aggregate_agrees_across_engines(engines, i, pred):
     got = sorted(tuple(r) for r in spark.sql(sql).collect())
     want = sorted(tuple(r) for r in con.execute(sql).fetchall())
     assert got == want, f"case {i}: {pred}"
+
+
+# ---- MERGE (CDC upsert) differential fuzz -------------------------
+
+MERGE_CASES = 10
+
+
+def _merge_case(rng: random.Random):
+    """A random U/D/I change set spec: modulus/remainder selectors
+    drawn so update/delete/insert sets overlap sometimes (D wins on
+    overlap by construction in both engines)."""
+    mu, md, mi = (rng.randint(3, 19) for _ in range(3))
+    ru, rd, ri = rng.randrange(mu), rng.randrange(md), rng.randrange(mi)
+    bump = rng.randint(1, 9)
+    return mu, ru, md, rd, mi, ri, bump
+
+
+@pytest.mark.parametrize("j", range(MERGE_CASES))
+def test_merge_agrees_with_sql_fixpoint(engines, j):
+    """merge_into (operators/merge.py) vs a plain-SQL FULL OUTER
+    twin in DuckDB over a randomized change set: same survivors,
+    same updated values, same inserts."""
+    import pyspark.sql.functions as F
+
+    from lcmap_blackmagic_spark.operators.merge import merge_into
+
+    spark, con = engines
+    rng = random.Random(SEED + 31 * j)
+    mu, ru, md, rd, mi, ri, bump = _merge_case(rng)
+    target = (spark.table("fuzz_lineitem")
+              .filter(F.col("l_linenumber") == 1)
+              .select(F.col("l_orderkey").alias("k"),
+                      F.col("l_suppkey").alias("v")))
+    k = F.col("k")
+    upd = (target.filter((k % mu == ru) & (k % md != rd))
+           .select("k", (F.col("v") + bump).alias("v"),
+                   F.lit("U").alias("op")))
+    dele = (target.filter(k % md == rd)
+            .select("k", "v", F.lit("D").alias("op")))
+    ins = (target.filter(k % mi == ri)
+           .select((k + 100_000_000).alias("k"),
+                   F.lit(-7).cast("long").alias("v"),
+                   F.lit("I").alias("op")))
+    merged = merge_into(target, upd.unionByName(dele).unionByName(ins),
+                        "k")
+    got = sorted(tuple(r) for r in merged.collect())
+    sql = f"""
+WITH base AS (SELECT l_orderkey AS k, l_suppkey AS v
+              FROM fuzz_lineitem WHERE l_linenumber = 1),
+chg AS (
+  SELECT k, v + {bump} AS v, 'U' AS op FROM base
+  WHERE k % {mu} = {ru} AND k % {md} <> {rd}
+  UNION ALL
+  SELECT k, v, 'D' FROM base WHERE k % {md} = {rd}
+  UNION ALL
+  SELECT k + 100000000, CAST(-7 AS BIGINT), 'I' FROM base
+  WHERE k % {mi} = {ri})
+SELECT COALESCE(c.k, b.k) AS k, COALESCE(c.v, b.v) AS v
+FROM base b FULL OUTER JOIN chg c ON b.k = c.k
+WHERE c.op IS NULL OR c.op <> 'D'
+"""
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want, f"merge case {j}: {(mu, ru, md, rd, mi, ri)}"
