@@ -63,6 +63,10 @@ HEADLINE = [
     "llm_substr_dedup",
     "merge_upsert",
     "llm_rarity",
+    # BPE merge learning (8 declarative rounds over the checkpointed
+    # vocabulary) and deterministic weighted priority sampling
+    "llm_bpe_merges",
+    "weighted_sample",
 ]
 
 

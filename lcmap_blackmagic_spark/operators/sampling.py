@@ -148,3 +148,41 @@ def train_test_split(df: DataFrame, test_size: float = 0.2,
     test_size blackmagic/__init__.py:14)."""
     train, test = df.randomSplit([1.0 - test_size, test_size], seed=seed)
     return train, test
+
+
+def priority_sample(df: DataFrame, weight_col: str, id_col: str,
+                    k: int, group_col: str | None = None) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Ohlsson
+    sequential Poisson / priority sampling): each row draws a
+    reproducible pseudo-uniform u from md5(id) and takes priority
+    q = u / weight; the k SMALLEST priorities per group are the
+    sample, so inclusion probability grows with weight. The classic
+    Efraimidis–Spirakis key is u^(1/w) — a transcendental the repo's
+    determinism policy bans from checked outputs; u/w is the
+    first-order-equivalent estimator from the same literature; the
+    division here is INTEGER (u div w, exact in any engine) because a
+    float u/w at ~1e10 magnitude is beyond round(x, 6)'s reach
+    (ulp > 1e-6 — the one regime the repo's rounding policy cannot
+    paper over; found live against the oracle). Truncation reorders
+    only rows whose real priorities differ by < 1, i.e. whose draws
+    are statistically indistinguishable anyway.
+
+    Scale: a narrow projection plus one top-k — with a group column,
+    a per-group window over (priority, id); ungrouped, a global
+    TakeOrdered (per-partition heaps, no full sort). The weight
+    column is never shuffled beyond the k winners per group.
+    """
+    u = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12),
+               16, 10).cast("bigint")
+    w_int = F.col(weight_col).cast("bigint")
+    # u div w as exact integers: (u - u % w) is divisible by w and the
+    # quotient < 2^53, so the one double division is exact
+    q = ((u - u % w_int) / w_int).cast("bigint")
+    base = df.select(
+        *([group_col] if group_col else []), id_col, weight_col,
+        q.alias("priority"))
+    if group_col is None:
+        return base.orderBy("priority", id_col).limit(k)
+    w = Window.partitionBy(group_col).orderBy("priority", id_col)
+    return (base.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k).drop("rn"))

@@ -205,10 +205,95 @@ GROUP BY doc_id
 """
 
 
+
+
+# ---------------------------------------------- BPE merge learning -
+
+BPE_MERGES = 8
+
+
+def q_llm_bpe_merges(spark, sf_dir):
+    """Tokenizer-training statistics: the first 8 BPE merges learned
+    from the corpus (llm/text.bpe_merges — word-frequency sufficient
+    statistics, one corpus pass, declarative merge rounds)."""
+    from .llm.text import bpe_merges
+    return bpe_merges(_t(spark, sf_dir, "documents"), BPE_MERGES)
+
+
+def _sql_bpe_merges(n: int = BPE_MERGES) -> str:
+    """Unrolled-CTE oracle: round r = pair counts over s{r-1} →
+    1-row argmax → two-pass literal replace into s{r} — the exact
+    declarative program the Spark side chains, so every intermediate
+    vocabulary state matches byte-for-byte."""
+    toks = "string_split(trim(sym), ' ')"
+    pair_list = (f"list_transform(range(1, len({toks})), "
+                 f"i -> {toks}[i] || ' ' || {toks}[i + 1])")
+    ctes = ["""w AS (
+  SELECT w, COUNT(*) AS cnt FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+    FROM documents) WHERE w <> '' GROUP BY w)""",
+            r"""s0 AS (
+  SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS sym, cnt
+  FROM w)"""]
+    for r in range(1, n + 1):
+        ctes.append(f"""p{r} AS (
+  SELECT pair, SUM(cnt) AS total FROM (
+    SELECT unnest({pair_list}) AS pair, cnt FROM s{r - 1})
+  GROUP BY pair)""")
+        ctes.append(f"""b{r} AS (
+  SELECT {r} AS merge_rank, pair, replace(pair, ' ', '') AS merged,
+         CAST(total AS BIGINT) AS total
+  FROM p{r} ORDER BY total DESC, pair LIMIT 1)""")
+        ctes.append(f"""s{r} AS (
+  SELECT replace(replace(sym, ' ' || b.pair || ' ',
+                         ' ' || b.merged || ' '),
+                 ' ' || b.pair || ' ', ' ' || b.merged || ' ') AS sym,
+         cnt
+  FROM s{r - 1}, b{r} b)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT merge_rank, pair, merged, total FROM b{r}"
+        for r in range(1, n + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+# ------------------------------------------- weighted sampling -----
+
+PRIORITY_K = 10
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement per
+    language (operators/sampling.priority_sample): longer documents
+    (weight = n_chars) are proportionally likelier survivors — the
+    quality-weighted subset selection a training-data pipeline runs
+    before expensive downstream stages."""
+    from .operators.sampling import priority_sample
+    d = _t(spark, sf_dir, "documents")
+    return priority_sample(d, "n_chars", "doc_id", PRIORITY_K,
+                           group_col="lang")
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH p AS (
+  SELECT lang, doc_id, n_chars,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+              AS BIGINT) // CAST(n_chars AS BIGINT) AS priority
+  FROM documents)
+SELECT lang, doc_id, n_chars, priority FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY priority, doc_id) AS rn
+  FROM p) WHERE rn <= {PRIORITY_K}
+"""
+
+
 QUERIES_EXT4: dict[str, dict] = {
     "hll_sketch":       {"fn": q_hll_sketch, "sql": _sql_hll_sketch()},
     "llm_substr_dedup": {"fn": q_llm_substr_dedup,
                          "sql": SQL_SUBSTR_DEDUP},
     "merge_upsert":     {"fn": q_merge_upsert, "sql": SQL_MERGE_UPSERT},
     "llm_rarity":       {"fn": q_llm_rarity,   "sql": SQL_LLM_RARITY},
+    "llm_bpe_merges":   {"fn": q_llm_bpe_merges,
+                         "sql": _sql_bpe_merges()},
+    "weighted_sample":  {"fn": q_weighted_sample,
+                         "sql": SQL_WEIGHTED_SAMPLE},
 }

@@ -147,3 +147,65 @@ def test_rarity_orders_rare_above_common(spark):
     # all-common doc: every token is 'the' (corpus c=13, N=16), so
     # rarity = floor(16e6/13)/1e6 exactly
     assert got[1] == round((16_000_000 // 13) / 1e6, 6)
+
+
+# -------------------------------------------------------- BPE ------
+
+def test_bpe_learns_the_planted_pair(spark):
+    from lcmap_blackmagic_spark.llm.text import bpe_merges
+    docs = spark.createDataFrame(
+        [(1, "banana banana banana bandana"),
+         (2, "banana abba")],
+        "doc_id INT, text STRING")
+    got = bpe_merges(docs, n_merges=3).collect()
+    assert [r["merge_rank"] for r in got] == [1, 2, 3]
+    # 'a n' occurs 2x per banana (4 words) + 2x in bandana = 10,
+    # the clear winner of round 1
+    assert got[0]["pair"] == "a n"
+    assert got[0]["merged"] == "an"
+    assert got[0]["total"] == 10
+    # round 2: banana is now 'b an an a', bandana 'b an d an a' —
+    # 'an a' appears once in each word (5) vs 'an an' only in
+    # banana (4)
+    assert got[1]["pair"] == "an a"
+    assert got[1]["total"] == 5
+
+
+def test_bpe_greedy_nonoverlap(spark):
+    """'a a a a' must merge as (aa)(aa), never the overlapping
+    middle pair — the two-pass replace equals greedy left-to-right."""
+    from lcmap_blackmagic_spark.llm.text import bpe_merges
+    docs = spark.createDataFrame([(1, "aaaa aaaa")],
+                                 "doc_id INT, text STRING")
+    got = bpe_merges(docs, n_merges=2).collect()
+    assert got[0]["pair"] == "a a"
+    # 4 a's per word -> 2 non-overlapping 'a a' merges per word, x2 words
+    assert got[0]["total"] == 6  # adjacent-pair COUNT before merging
+    # round 2 sees ' aa aa ' per word -> pair 'aa aa'
+    assert got[1]["pair"] == "aa aa"
+
+
+# -------------------------------------------- weighted sampling ----
+
+def test_priority_sample_prefers_heavy_rows(spark):
+    from lcmap_blackmagic_spark.operators.sampling import priority_sample
+    rows = [(i, 1000 if i % 10 == 0 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id LONG, wt LONG")
+    got = priority_sample(df, "wt", "id", k=50)
+    heavy = got.filter(F.col("wt") == 1000).count()
+    # 100 heavy rows at 1000x weight should crowd out the 900 light
+    # ones almost completely
+    assert heavy >= 40
+    # deterministic across runs
+    a = [r["id"] for r in got.collect()]
+    b = [r["id"] for r in priority_sample(df, "wt", "id", 50).collect()]
+    assert a == b
+
+
+def test_priority_sample_grouped_k_per_group(spark, sf_dir):
+    from lcmap_blackmagic_spark.operators.sampling import priority_sample
+    d = _t(spark, sf_dir, "documents")
+    got = priority_sample(d, "n_chars", "doc_id", 5, group_col="lang")
+    per = {r["lang"]: r["n"] for r in
+           got.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(v <= 5 for v in per.values())
