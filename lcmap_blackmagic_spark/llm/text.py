@@ -209,3 +209,37 @@ def bpe_merges(df: DataFrame, n_merges: int = 8,
     for b in best_rows[1:]:
         out = out.unionByName(b)
     return out
+
+
+def bpe_encode(df: DataFrame, merges: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Apply learned BPE merges (the output of ``bpe_merges``) to the
+    corpus and count the resulting tokens per document — the encode
+    half of the tokenizer. Each word char-splits and the merges
+    replay IN RANK ORDER as chained two-pass literal replaces (the
+    exact operation training used, so train→encode round-trips);
+    token count per word = spaces remaining + 1, summed per doc as
+    pure integer arithmetic.
+
+    Plan shape: merges is k rows (collected to literals — a learned
+    tokenizer IS a constant at apply time, exactly like a broadcast
+    model); the corpus pass is ONE projection with 2k chained
+    replaces inside whole-stage codegen, no shuffle except the final
+    per-doc sum."""
+    ranked = sorted(merges.collect(), key=lambda r: r["merge_rank"])
+    words = (df.select(F.col(id_col),
+                       F.explode(F.split(F.lower(F.col(text_col)),
+                                         "[^a-z]+")).alias("w"))
+             .filter(F.col("w") != ""))
+    sym = F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 "))
+    for r in ranked:
+        pat = F.lit(f" {r['pair']} ")
+        rep = F.lit(f" {r['merged']} ")
+        sym = F.replace(F.replace(sym, pat, rep), pat, rep)
+    n_tok = (F.length(F.trim(sym))
+             - F.length(F.replace(F.trim(sym), F.lit(" "), F.lit("")))
+             + 1)
+    return (words.select(F.col(id_col), n_tok.alias("nt"))
+            .groupBy(id_col)
+            .agg(F.sum("nt").alias("n_bpe_tokens"),
+                 F.count(F.lit(1)).alias("n_words")))

@@ -228,23 +228,23 @@ def _sql_bpe_merges(n: int = BPE_MERGES) -> str:
     toks = "string_split(trim(sym), ' ')"
     pair_list = (f"list_transform(range(1, len({toks})), "
                  f"i -> {toks}[i] || ' ' || {toks}[i + 1])")
-    ctes = ["""w AS (
+    ctes = ["""w AS MATERIALIZED (
   SELECT w, COUNT(*) AS cnt FROM (
     SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
     FROM documents) WHERE w <> '' GROUP BY w)""",
-            r"""s0 AS (
+            r"""s0 AS MATERIALIZED (
   SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS sym, cnt
   FROM w)"""]
     for r in range(1, n + 1):
-        ctes.append(f"""p{r} AS (
+        ctes.append(f"""p{r} AS MATERIALIZED (
   SELECT pair, SUM(cnt) AS total FROM (
     SELECT unnest({pair_list}) AS pair, cnt FROM s{r - 1})
   GROUP BY pair)""")
-        ctes.append(f"""b{r} AS (
+        ctes.append(f"""b{r} AS MATERIALIZED (
   SELECT {r} AS merge_rank, pair, replace(pair, ' ', '') AS merged,
          CAST(total AS BIGINT) AS total
   FROM p{r} ORDER BY total DESC, pair LIMIT 1)""")
-        ctes.append(f"""s{r} AS (
+        ctes.append(f"""s{r} AS MATERIALIZED (
   SELECT replace(replace(sym, ' ' || b.pair || ' ',
                          ' ' || b.merged || ' '),
                  ' ' || b.pair || ' ', ' ' || b.merged || ' ') AS sym,
@@ -286,6 +286,45 @@ SELECT lang, doc_id, n_chars, priority FROM (
 """
 
 
+
+
+def q_llm_bpe_encode(spark, sf_dir):
+    """Tokenizer apply: replay the 8 learned merges over the corpus
+    and count BPE tokens per document (llm/text.bpe_encode — the
+    merges collect to constants, exactly a broadcast model apply)."""
+    from .llm.text import bpe_encode, bpe_merges
+    d = _t(spark, sf_dir, "documents")
+    return bpe_encode(d, bpe_merges(d, BPE_MERGES))
+
+
+def _sql_bpe_encode(n: int = BPE_MERGES) -> str:
+    """Oracle: the training CTE chain (same as _sql_bpe_merges) plus
+    an apply stage — each word re-splits and the merges replay via
+    the same two-pass replaces, scalar-subquerying b1..b8."""
+    body = _sql_bpe_merges(n)
+    head = body[:body.rindex("SELECT merge_rank, pair, merged, total FROM b1")]
+    sym = "' ' || regexp_replace(w, '(.)', '\\1 ', 'g')"
+    for r in range(1, n + 1):
+        pat = f"' ' || (SELECT pair FROM b{r}) || ' '"
+        rep = f"' ' || (SELECT merged FROM b{r}) || ' '"
+        sym = f"replace(replace({sym}, {pat}, {rep}), {pat}, {rep})"
+    return f"""{head.rstrip()},
+words AS MATERIALIZED (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+    FROM documents) WHERE w <> ''),
+enc AS MATERIALIZED (
+  SELECT doc_id,
+         length(trim({sym}))
+           - length(replace(trim({sym}), ' ', '')) + 1 AS nt
+  FROM words)
+SELECT doc_id, CAST(SUM(nt) AS BIGINT) AS n_bpe_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_words
+FROM enc GROUP BY doc_id
+"""
+
+
 QUERIES_EXT4: dict[str, dict] = {
     "hll_sketch":       {"fn": q_hll_sketch, "sql": _sql_hll_sketch()},
     "llm_substr_dedup": {"fn": q_llm_substr_dedup,
@@ -296,4 +335,6 @@ QUERIES_EXT4: dict[str, dict] = {
                          "sql": _sql_bpe_merges()},
     "weighted_sample":  {"fn": q_weighted_sample,
                          "sql": SQL_WEIGHTED_SAMPLE},
+    "llm_bpe_encode":   {"fn": q_llm_bpe_encode,
+                         "sql": _sql_bpe_encode()},
 }

@@ -209,3 +209,22 @@ def test_priority_sample_grouped_k_per_group(spark, sf_dir):
     per = {r["lang"]: r["n"] for r in
            got.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert all(v <= 5 for v in per.values())
+
+
+def test_bpe_encode_counts(spark):
+    """After learning on a corpus where 'an' merges, banana must
+    encode in fewer BPE tokens than characters; an all-unique-char
+    word stays at char count."""
+    from lcmap_blackmagic_spark.llm.text import bpe_encode, bpe_merges
+    docs = spark.createDataFrame(
+        [(1, "banana banana banana banana"), (2, "xyzq")],
+        "doc_id INT, text STRING")
+    merges = bpe_merges(docs, n_merges=2)
+    got = {r["doc_id"]: r for r in bpe_encode(docs, merges).collect()}
+    assert got[1]["n_words"] == 4
+    # banana: 6 chars -> 'b an an a' (4) after merge 1; merge 2 may
+    # fuse further, so <= 4 per word and strictly < 6
+    assert got[1]["n_bpe_tokens"] <= 4 * 4
+    assert got[1]["n_bpe_tokens"] < 6 * 4
+    # xyzq has no repeated pairs anywhere in the corpus: stays 4 chars
+    assert got[2]["n_bpe_tokens"] == 4
