@@ -67,6 +67,8 @@ HEADLINE = [
     # vocabulary) and deterministic weighted priority sampling
     "llm_bpe_merges",
     "weighted_sample",
+    # iterative graph analytics (integer-scaled, oracle-checked)
+    "pagerank",
 ]
 
 

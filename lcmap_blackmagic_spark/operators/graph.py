@@ -1,0 +1,63 @@
+"""Graph analytics: PageRank as a deterministic iterative DataFrame
+program.
+
+Companion to the connected-components operator (llm/dedup.py:
+dedup_components — min-label propagation with pointer jumping); both
+follow the same Spark-first iterative recipe: each round is a plain
+equi-join + aggregate, ``localCheckpoint`` truncates the lineage, and
+all state lives in DataFrames (never the driver).
+
+Determinism: ranks are SCALED BIGINTS (start = SCALE div N), every
+contribution is integer division (rank div out_degree), and the
+damping update is integer arithmetic — bigint sums are
+order-independent, so the result is bit-identical across partition
+orders AND across engines (float PageRank sums doubles in shuffle
+order — nondeterministic on reruns, incomparable across engines).
+Truncation loses < 1 unit per edge per round of 10^12-scaled mass —
+far below any ranking-relevant difference. Dangling-node mass is
+dropped (ranks no longer sum to SCALE), identically on both sides.
+
+Scale shape: the edge table shuffles ONCE to attach out-degrees and
+is checkpointed; each round then shuffles only (node, rank) pairs —
+the same per-round cost profile as a Pregel superstep. Rounds are a
+fixed parameter (PageRank converges geometrically at damping 0.85;
+production runs pick ~10-20 or iterate to an L1 threshold).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 10 ** 12
+DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 in exact integers
+
+
+def pagerank(edges: DataFrame, rounds: int = 5,
+             src: str = "src", dst: str = "dst") -> DataFrame:
+    """Integer-scaled PageRank over a directed edge list (duplicate
+    edges count as parallel edges). Returns (node, rank_scaled) for
+    every node appearing as src or dst."""
+    nodes = (edges.select(F.col(src).alias("node"))
+             .unionByName(edges.select(F.col(dst).alias("node")))
+             .distinct().localCheckpoint())
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
+    ed = (edges.join(deg, src)
+          .select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"),
+                  "deg").localCheckpoint())
+    n = nodes.count()
+    base = PR_SCALE // n
+    ranks = nodes.select("node", F.lit(base).alias("rank_scaled"))
+    for _ in range(rounds):
+        contrib = (ed.join(ranks, ed.e_src == ranks.node)
+                   .select(F.col("e_dst").alias("node"),
+                           F.expr("rank_scaled div deg").alias("c"))
+                   .groupBy("node")
+                   .agg(F.sum("c").alias("insum")))
+        ranks = (nodes.join(contrib, "node", "left")
+                 .select("node",
+                         F.expr(f"({DAMP_NUM} * coalesce(insum, 0) "
+                                f"+ {100 - DAMP_NUM} * {base}) "
+                                f"div {DAMP_DEN}").alias("rank_scaled"))
+                 .localCheckpoint())
+    return ranks

@@ -325,6 +325,73 @@ FROM enc GROUP BY doc_id
 """
 
 
+
+
+# --------------------------------------------------- PageRank ------
+
+PR_ROUNDS = 5
+PR_TOPK = 20
+
+
+def q_pagerank(spark, sf_dir):
+    """PageRank over the user-interaction graph (operators/graph.py):
+    an edge A→B whenever B's event directly follows A's within an
+    event type (lead window over (ts, event_id) — a deterministic
+    behavioral graph derived from the stream). Integer-scaled ranks
+    make the 5 iterative rounds bit-identical across engines, so an
+    ITERATIVE GRAPH ALGORITHM gets a full hash oracle (unrolled-CTE
+    twin) instead of the usual rows-only check. Top-20 by rank."""
+    from pyspark.sql import Window
+    from .operators.graph import pagerank
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    edges = (e.select("event_type", "ts", "event_id", "user_id")
+             .withColumn("nxt", F.lead("user_id").over(w))
+             .filter(F.col("nxt").isNotNull()
+                     & (F.col("nxt") != F.col("user_id")))
+             .select(F.col("user_id").alias("src"),
+                     F.col("nxt").alias("dst")))
+    ranks = pagerank(edges, rounds=PR_ROUNDS)
+    return (ranks.orderBy(F.col("rank_scaled").desc(), "node")
+            .limit(PR_TOPK))
+
+
+def _sql_pagerank(rounds: int = PR_ROUNDS, k: int = PR_TOPK) -> str:
+    from .operators.graph import PR_SCALE
+    base = f"(SELECT {PR_SCALE} // n FROM nn)"
+    ctes = [f"""ev AS MATERIALIZED (
+  SELECT user_id,
+         LEAD(user_id) OVER (PARTITION BY event_type
+                             ORDER BY ts, event_id) AS nxt
+  FROM events)""",
+            """edges AS MATERIALIZED (
+  SELECT user_id AS src, nxt AS dst FROM ev
+  WHERE nxt IS NOT NULL AND nxt <> user_id)""",
+            """nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges
+    UNION ALL SELECT dst FROM edges))""",
+            """deg AS MATERIALIZED (
+  SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)""",
+            """ed AS MATERIALIZED (
+  SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src))""",
+            "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes)",
+            f"""r0 AS MATERIALIZED (
+  SELECT node, CAST({base} AS BIGINT) AS rank_scaled FROM nodes)"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""r{r} AS MATERIALIZED (
+  SELECT n.node,
+         CAST((85 * COALESCE(s.insum, 0) + 15 * {base}) // 100
+              AS BIGINT) AS rank_scaled
+  FROM nodes n LEFT JOIN (
+    SELECT ed.dst AS node, SUM(r.rank_scaled // ed.deg) AS insum
+    FROM ed JOIN r{r - 1} r ON ed.src = r.node
+    GROUP BY ed.dst) s USING (node))""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, rank_scaled FROM r{rounds} "
+            f"ORDER BY rank_scaled DESC, node LIMIT {k}")
+
+
 QUERIES_EXT4: dict[str, dict] = {
     "hll_sketch":       {"fn": q_hll_sketch, "sql": _sql_hll_sketch()},
     "llm_substr_dedup": {"fn": q_llm_substr_dedup,
@@ -337,4 +404,5 @@ QUERIES_EXT4: dict[str, dict] = {
                          "sql": SQL_WEIGHTED_SAMPLE},
     "llm_bpe_encode":   {"fn": q_llm_bpe_encode,
                          "sql": _sql_bpe_encode()},
+    "pagerank":         {"fn": q_pagerank, "sql": _sql_pagerank()},
 }

@@ -228,3 +228,40 @@ def test_bpe_encode_counts(spark):
     assert got[1]["n_bpe_tokens"] < 6 * 4
     # xyzq has no repeated pairs anywhere in the corpus: stays 4 chars
     assert got[2]["n_bpe_tokens"] == 4
+
+
+# ----------------------------------------------------- PageRank ----
+
+def test_pagerank_hub_ranks_highest(spark):
+    from lcmap_blackmagic_spark.operators.graph import PR_SCALE, pagerank
+    # DAG funnel: leaves 3,4,5 -> 2 -> 1 (dangling). Acyclic, so the
+    # ranks are EXACT after depth+1 rounds — no oscillation to damp
+    # (a cyclic fixture needs ~30 rounds for the 0.85^r transient)
+    edges = spark.createDataFrame(
+        [(s, 2) for s in (3, 4, 5)] + [(2, 1)],
+        "src LONG, dst LONG")
+    ranks = {r["node"]: r["rank_scaled"]
+             for r in pagerank(edges, rounds=4).collect()}
+    b = PR_SCALE // 5
+    leaf = (15 * b) // 100
+    mid = (85 * 3 * leaf + 15 * b) // 100
+    head = (85 * mid + 15 * b) // 100
+    assert ranks[3] == ranks[4] == ranks[5] == leaf
+    assert ranks[2] == mid and ranks[1] == head
+    assert ranks[1] > ranks[2] > ranks[3]
+    # determinism: bit-identical on rerun
+    again = {r["node"]: r["rank_scaled"]
+             for r in pagerank(edges, rounds=4).collect()}
+    assert ranks == again
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    from lcmap_blackmagic_spark.operators.graph import PR_SCALE, pagerank
+    n = 6
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src LONG, dst LONG")
+    ranks = [r["rank_scaled"] for r in pagerank(edges, rounds=7).collect()]
+    # a cycle is rank-uniform: every node keeps SCALE/n (mod integer
+    # truncation of the damping arithmetic)
+    assert max(ranks) - min(ranks) <= 2
+    assert abs(ranks[0] - PR_SCALE // n) < PR_SCALE // n * 0.01
