@@ -54,10 +54,14 @@ def pagerank(edges: DataFrame, rounds: int = 5,
                            F.expr("rank_scaled div deg").alias("c"))
                    .groupBy("node")
                    .agg(F.sum("c").alias("insum")))
+        # base is inlined as a literal: CAST to BIGINT explicitly —
+        # when base fits in int32 (large n), `15 * base` would parse
+        # as int32×int32 and overflow under ANSI mode (hit at sf0.1)
         ranks = (nodes.join(contrib, "node", "left")
                  .select("node",
                          F.expr(f"({DAMP_NUM} * coalesce(insum, 0) "
-                                f"+ {100 - DAMP_NUM} * {base}) "
+                                f"+ {100 - DAMP_NUM} "
+                                f"* CAST({base} AS BIGINT)) "
                                 f"div {DAMP_DEN}").alias("rank_scaled"))
                  .localCheckpoint())
     return ranks
