@@ -169,3 +169,60 @@ WHERE c.op IS NULL OR c.op <> 'D'
 """
     want = sorted(tuple(r) for r in con.execute(sql).fetchall())
     assert got == want, f"merge case {j}: {(mu, ru, md, rd, mi, ri)}"
+
+
+# ---- window-function differential fuzz ----------------------------
+
+WINDOW_CASES = 20
+
+
+def _window_case(rng: random.Random) -> str:
+    part = rng.choice(["l_returnflag", "l_linestatus",
+                       "l_returnflag, l_linestatus", "l_suppkey % 10"])
+    # total order with full tie-break: the synthetic fixture has
+    # duplicate (orderkey, linenumber) pairs (not true TPC-H PK), so
+    # the order extends over every column the window functions read —
+    # remaining ties are complete duplicates, interchangeable for all
+    # outputs
+    order = ("l_orderkey, l_linenumber, l_partkey, l_suppkey, "
+             "l_quantity")
+    k1, k2 = rng.randint(0, 5), rng.randint(0, 5)
+    frame = rng.choice([
+        f"ROWS BETWEEN {k1} PRECEDING AND CURRENT ROW",
+        f"ROWS BETWEEN CURRENT ROW AND {k2} FOLLOWING",
+        f"ROWS BETWEEN {k1} PRECEDING AND {k2} FOLLOWING",
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+    ])
+    over = f"PARTITION BY {part} ORDER BY {order}"
+    fn = rng.choice([
+        f"SUM(CAST(l_quantity AS BIGINT)) OVER ({over} {frame})",
+        f"COUNT(*) OVER ({over} {frame})",
+        f"MIN(l_partkey) OVER ({over} {frame})",
+        f"MAX(l_partkey) OVER ({over} {frame})",
+        f"LAG(l_suppkey, {rng.randint(1, 3)}, -1) OVER ({over})",
+        f"LEAD(l_suppkey, {rng.randint(1, 3)}, -1) OVER ({over})",
+        f"ROW_NUMBER() OVER ({over})",
+        f"RANK() OVER (PARTITION BY {part} ORDER BY l_partkey)",
+        f"DENSE_RANK() OVER (PARTITION BY {part} ORDER BY l_partkey)",
+        f"NTILE({rng.randint(2, 7)}) OVER ({over})",
+    ])
+    return fn
+
+
+def _window_cases():
+    rng = random.Random(SEED + 777)
+    return [(i, _window_case(rng)) for i in range(WINDOW_CASES)]
+
+
+@pytest.mark.parametrize("i,expr", _window_cases())
+def test_window_function_agrees_across_engines(engines, i, expr):
+    """Random window specs (frames, offsets, ranking, ntile) over a
+    unique total order — integer outputs compared row-by-row. The
+    hand-written oracle queries cover the shapes someone thought of;
+    this sweeps the frame/function grid."""
+    spark, con = engines
+    sql = (f"SELECT l_orderkey, l_linenumber, {expr} AS w "
+           f"FROM fuzz_lineitem WHERE l_orderkey % 7 = 0")
+    got = sorted(tuple(r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want, f"window case {i}: {expr}"
