@@ -69,6 +69,7 @@ HEADLINE = [
     "weighted_sample",
     # iterative graph analytics (integer-scaled, oracle-checked)
     "pagerank",
+    "quantile_sketch",
 ]
 
 

@@ -106,3 +106,64 @@ def hll_distinct(df: DataFrame, group_cols: Sequence[str], key_col: str,
     """
     return hll_estimate(hll_registers(df, group_cols, key_col, p),
                         group_cols, p)
+
+
+def histogram_quantiles(df: DataFrame, group_cols: Sequence[str],
+                        value_col: str, quantiles: Sequence[float],
+                        n_bins: int = 64,
+                        lo: float = 0.0, hi: float = 2 ** 20,
+                        scale: int = 100) -> DataFrame:
+    """Mergeable fixed-bin quantile sketch: values integer-scale
+    (``scale``, e.g. 100 for money) and bucket into ``n_bins``
+    equal-width bins over [lo, hi); a quantile walks the cumulative
+    bin counts and LINEARLY interpolates inside the holding bin —
+    integer arithmetic until the one interpolation division, so the
+    estimate is bit-identical across engines (GK/t-digest trade this
+    determinism for adaptive accuracy; the fixed grid is the
+    oracle-checkable twin with the same O(bins) mergeable state).
+
+    Error bound: one bin width ((hi-lo)/n_bins) — pick the grid from
+    the column's domain. Out-of-range values clamp to the edge bins.
+
+    Scale shape: ONE map-side-combined shuffle to (group, bin) —
+    ≤ n_bins rows per group per partition survive to the exchange;
+    the finalize is a window cumsum over ≤ n_bins rows per group plus
+    one tiny aggregate per quantile (all codegen — no interpreted
+    HOFs). Bin counts merge by SUM, so the sketch streams and
+    re-merges exactly like the HLL registers above.
+
+    Output: group cols + ``n`` + one ``q_<pct>`` (double) column per
+    quantile.
+    """
+    from pyspark.sql import Window
+    gcols = list(group_cols)
+    span = int((hi - lo) * scale)
+    width = span // n_bins
+    lo_s = int(lo * scale)
+    v = (F.col(value_col).cast("decimal(18,2)") * scale).cast("bigint")
+    b = F.least(F.lit(n_bins - 1),
+                F.greatest(F.lit(0),
+                           F.expr(f"(v_scaled - {lo_s}) div {width}")))
+    bins = (df.select(*gcols, v.alias("v_scaled"))
+            .select(*gcols, b.alias("bin"))
+            .groupBy(*gcols, "bin")
+            .agg(F.count(F.lit(1)).alias("c")))
+    w_cum = (Window.partitionBy(*gcols).orderBy("bin")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy(*gcols)
+    cum = (bins.withColumn("cum", F.sum("c").over(w_cum))
+           .withColumn("n", F.sum("c").over(w_all)))
+    out = cum.select(*gcols, "n").distinct()
+    for q in quantiles:
+        pct = int(q * 100)
+        rank = F.ceil(F.col("n") * F.lit(q)).cast("bigint")
+        hit = (cum.filter((F.col("cum") >= rank)
+                          & (F.col("cum") - F.col("c") < rank))
+               .select(*gcols,
+                       ((F.lit(lo_s) + F.col("bin") * width
+                         + F.lit(width) * (rank - F.col("cum")
+                                           + F.col("c")) / F.col("c"))
+                        .cast("double") / scale).alias("est"))
+               .select(*gcols, F.round("est", 6).alias(f"q_{pct}")))
+        out = out.join(hit, gcols)
+    return out

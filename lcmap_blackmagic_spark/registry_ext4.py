@@ -21,7 +21,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .operators.merge import merge_into
-from .operators.sketches import H48, hll_alpha_numerator, hll_distinct
+from .operators.sketches import (H48, histogram_quantiles,
+                                 hll_alpha_numerator, hll_distinct)
 from .registry import _t
 
 # ------------------------------------------------- HyperLogLog ------
@@ -392,6 +393,67 @@ def _sql_pagerank(rounds: int = PR_ROUNDS, k: int = PR_TOPK) -> str:
             f"ORDER BY rank_scaled DESC, node LIMIT {k}")
 
 
+
+
+# ------------------------------------------ quantile sketch --------
+
+QS_BINS = 256
+QS_HI = 131072.0  # covers l_extendedprice's domain at any SF
+QS_QUANTILES = (0.5, 0.9, 0.99)
+
+
+def q_quantile_sketch(spark, sf_dir):
+    """Mergeable fixed-bin quantile estimates of l_extendedprice per
+    returnflag (operators/sketches.histogram_quantiles) — the
+    deterministic, oracle-checkable twin of percentile_approx with
+    O(bins) mergeable state (the same merge-by-SUM contract as the
+    HLL registers). Accuracy vs exact percentiles is pinned by
+    tests/test_ext4.py."""
+    l = _t(spark, sf_dir, "lineitem")
+    return histogram_quantiles(l, ["l_returnflag"], "l_extendedprice",
+                               QS_QUANTILES, n_bins=QS_BINS,
+                               lo=0.0, hi=QS_HI, scale=100)
+
+
+def _sql_quantile_sketch() -> str:
+    width = int(QS_HI * 100) // QS_BINS
+    qsel, qjoin = [], []
+    for q in QS_QUANTILES:
+        pct = int(q * 100)
+        qsel.append(f"""q{pct} AS (
+  SELECT l_returnflag,
+         ROUND(CAST(0 + bin * {width}
+                    + ({width} * (CAST(CEIL(n * {q}) AS BIGINT)
+                                  - cum + c)) / c AS DOUBLE) / 100,
+               6) AS q_{pct}
+  FROM cum
+  WHERE cum >= CAST(CEIL(n * {q}) AS BIGINT)
+    AND cum - c < CAST(CEIL(n * {q}) AS BIGINT))""")
+        qjoin.append(f"JOIN q{pct} USING (l_returnflag)")
+    return f"""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS v
+  FROM lineitem),
+b AS (
+  SELECT l_returnflag,
+         LEAST({QS_BINS - 1}, GREATEST(0, v // {width})) AS bin
+  FROM s),
+bc AS (SELECT l_returnflag, bin, COUNT(*) AS c FROM b GROUP BY 1, 2),
+cum AS (SELECT l_returnflag, bin, c,
+               SUM(c) OVER (PARTITION BY l_returnflag
+                            ORDER BY bin) AS cum,
+               SUM(c) OVER (PARTITION BY l_returnflag) AS n
+        FROM bc),
+base AS (SELECT DISTINCT l_returnflag, CAST(n AS BIGINT) AS n FROM cum),
+{",".join(qsel)}
+SELECT base.l_returnflag, base.n,
+       {", ".join(f"q_{int(q * 100)}" for q in QS_QUANTILES)}
+FROM base {" ".join(qjoin)}
+"""
+
+
 QUERIES_EXT4: dict[str, dict] = {
     "hll_sketch":       {"fn": q_hll_sketch, "sql": _sql_hll_sketch()},
     "llm_substr_dedup": {"fn": q_llm_substr_dedup,
@@ -405,4 +467,6 @@ QUERIES_EXT4: dict[str, dict] = {
     "llm_bpe_encode":   {"fn": q_llm_bpe_encode,
                          "sql": _sql_bpe_encode()},
     "pagerank":         {"fn": q_pagerank, "sql": _sql_pagerank()},
+    "quantile_sketch":  {"fn": q_quantile_sketch,
+                         "sql": _sql_quantile_sketch()},
 }

@@ -265,3 +265,36 @@ def test_pagerank_uniform_on_cycle(spark):
     # truncation of the damping arithmetic)
     assert max(ranks) - min(ranks) <= 2
     assert abs(ranks[0] - PR_SCALE // n) < PR_SCALE // n * 0.01
+
+
+# ---------------------------------------------- quantile sketch ----
+
+def test_histogram_quantiles_accuracy_and_merge(spark, sf_dir):
+    """Estimates land within one bin width of exact percentiles, and
+    the sketch merges: bin counts from disjoint halves re-aggregated
+    give the identical estimate (merge-by-SUM contract)."""
+    from lcmap_blackmagic_spark.operators.sketches import \
+        histogram_quantiles
+    l = _t(spark, sf_dir, "lineitem")
+    est = {r["l_returnflag"]: r for r in histogram_quantiles(
+        l, ["l_returnflag"], "l_extendedprice", (0.5, 0.9),
+        n_bins=256, lo=0.0, hi=131072.0).collect()}
+    width = 131072.0 / 256
+    for q, col in ((0.5, "q_50"), (0.9, "q_90")):
+        exact = {r["l_returnflag"]: r["e"] for r in
+                 l.groupBy("l_returnflag")
+                 .agg(F.expr(f"percentile(l_extendedprice, {q})")
+                      .alias("e")).collect()}
+        for flag, row in est.items():
+            assert abs(row[col] - exact[flag]) <= width + 1e-6, (
+                flag, col, row[col], exact[flag])
+    # mergeability: union of overlapping halves changes counts, so
+    # compare disjoint halves instead — identical input multiset
+    halves = (l.filter(F.col("l_orderkey") % 2 == 0)
+              .unionByName(l.filter(F.col("l_orderkey") % 2 == 1)))
+    re = {r["l_returnflag"]: r for r in histogram_quantiles(
+        halves, ["l_returnflag"], "l_extendedprice", (0.5, 0.9),
+        n_bins=256, lo=0.0, hi=131072.0).collect()}
+    for flag in est:
+        assert est[flag]["q_50"] == re[flag]["q_50"]
+        assert est[flag]["q_90"] == re[flag]["q_90"]
