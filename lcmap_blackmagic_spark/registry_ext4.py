@@ -454,6 +454,53 @@ FROM base {" ".join(qjoin)}
 """
 
 
+
+
+# ------------------------------------------------ Python UDTF ------
+
+def q_udtf_chunks(spark, sf_dir):
+    """The strided chunker as a Spark 4 PYTHON UDTF (table function in
+    a LATERAL join) — mechanism coverage for SURVEY §2.9's UDF/UDTF
+    surface. Same contract and SAME ORACLE as the declarative
+    ``llm_chunk`` (registry_llm2.q_chunk), so the two implementations
+    cross-check each other through the shared SQL. The declarative
+    Generate form remains the production path (codegen, no Python
+    workers); the UDTF is the escape hatch for row-generating logic
+    built-ins can't express — arrow-optimized, batched per partition.
+    """
+    from pyspark.sql.functions import udtf
+
+    from .registry_llm2 import CHUNK_SIZE, CHUNK_STRIDE
+
+    size, stride = CHUNK_SIZE, CHUNK_STRIDE
+
+    @udtf(returnType="doc_id bigint, chunk_id int, start int, "
+                     "n_tokens int, chunk_md5 string")
+    class ChunkUDTF:
+        def eval(self, doc_id, text):
+            import hashlib
+            toks = text.strip().lower().split(" ")
+            n = len(toks)
+            n_chunks = max(1, (n - size // 2) // stride + 1)
+            for i in range(n_chunks):
+                s = i * stride + 1
+                window = " ".join(toks[s - 1:s - 1 + size])
+                yield (doc_id, i, s, min(size, n - s + 1),
+                       hashlib.md5(window.encode()).hexdigest())
+
+    spark.udtf.register("chunk_udtf", ChunkUDTF)
+    d = _t(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        "SELECT c.* FROM udtf_docs, "
+        "LATERAL chunk_udtf(doc_id, text) AS c")
+
+
+def _sql_udtf_chunks() -> str:
+    from .registry_llm2 import SQL_CHUNK
+    return SQL_CHUNK
+
+
 QUERIES_EXT4: dict[str, dict] = {
     "hll_sketch":       {"fn": q_hll_sketch, "sql": _sql_hll_sketch()},
     "llm_substr_dedup": {"fn": q_llm_substr_dedup,
@@ -469,4 +516,6 @@ QUERIES_EXT4: dict[str, dict] = {
     "pagerank":         {"fn": q_pagerank, "sql": _sql_pagerank()},
     "quantile_sketch":  {"fn": q_quantile_sketch,
                          "sql": _sql_quantile_sketch()},
+    "udtf_chunks":      {"fn": q_udtf_chunks,
+                         "sql": _sql_udtf_chunks()},
 }
