@@ -122,8 +122,11 @@ def histogram_quantiles(df: DataFrame, group_cols: Sequence[str],
     determinism for adaptive accuracy; the fixed grid is the
     oracle-checkable twin with the same O(bins) mergeable state).
 
-    Error bound: one bin width ((hi-lo)/n_bins) — pick the grid from
-    the column's domain. Out-of-range values clamp to the edge bins.
+    Error bound: within one bin width ((hi-lo)/n_bins) of the exact
+    ceil(q·n)-th ORDER STATISTIC (the interpolating percentile() can
+    legitimately fall between distant values in sparse groups) — pick
+    the grid from the column's domain. Out-of-range values clamp to
+    the edge bins.
 
     Scale shape: ONE map-side-combined shuffle to (group, bin) —
     ≤ n_bins rows per group per partition survive to the exchange;

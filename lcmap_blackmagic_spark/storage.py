@@ -33,6 +33,7 @@ PARTITION_KEYS = {
     "tile": ("tx", "ty"),
     "rollup_partial": ("batch_id",),
     "distinct_partial": ("batch_id",),
+    "quantile_partial": ("batch_id",),
 }
 
 

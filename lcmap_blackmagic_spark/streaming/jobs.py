@@ -381,3 +381,77 @@ def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
                  .cast("double").alias("total_value"))
             .select(F.col("win.start").alias("bucket"), "event_type",
                     "n", "total_value"))
+
+
+QB_BINS = 64
+QB_HI = 1024.0  # events.value domain
+
+
+def persisted_quantile_rollup(spark: SparkSession, events_dir: str,
+                              root: str, checkpoint_dir: str,
+                              available_now: bool = True) -> StreamingQuery:
+    """Streaming APPROXIMATE-QUANTILE rollup: per micro-batch, the
+    per-hour fixed-bin histogram partial of ``value``
+    (operators/sketches.histogram_quantiles' bin stage) persists
+    under the batch's partition; bin counts merge by SUM at read, so
+    the merged estimate is bit-equal to the one-shot batch sketch —
+    the quantile member of the mergeable-sketch family beside
+    ``persisted_distinct_rollup`` (HLL registers, merge by MAX).
+    State is O(bins) per hour regardless of traffic."""
+    from .. import storage
+    from pyspark.sql import functions as FF
+
+    stream = events_stream(spark, events_dir)
+    width = int(QB_HI * 100) // QB_BINS
+
+    def write_partial(batch_df: DataFrame, batch_id: int) -> None:
+        v = (FF.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+        b = FF.least(FF.lit(QB_BINS - 1),
+                     FF.greatest(FF.lit(0),
+                                 FF.expr(f"v_scaled div {width}")))
+        part = (batch_df
+                .select(FF.date_trunc("hour", "ts").alias("bucket"),
+                        v.alias("v_scaled"))
+                .select("bucket", b.alias("bin"))
+                .groupBy("bucket", "bin")
+                .agg(FF.count(FF.lit(1)).alias("c"))
+                .withColumn("batch_id", FF.lit(batch_id)))
+        storage.overwrite_partitions(part, root, "quantile_partial")
+
+    writer = (stream.writeStream.foreachBatch(write_partial)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_quantile_rollup(spark: SparkSession, root: str,
+                         quantiles=(0.5, 0.9)) -> DataFrame:
+    """Merge histogram partials into per-hour quantile estimates —
+    the same finalize as the batch sketch, over SUM-merged bins."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as FF
+
+    from .. import storage
+    width = int(QB_HI * 100) // QB_BINS
+    bins = (storage.read(spark, root, "quantile_partial")
+            .groupBy("bucket", "bin").agg(FF.sum("c").alias("c")))
+    w_cum = (Window.partitionBy("bucket").orderBy("bin")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy("bucket")
+    cum = (bins.withColumn("cum", FF.sum("c").over(w_cum))
+           .withColumn("n", FF.sum("c").over(w_all)))
+    out = cum.select("bucket", "n").distinct()
+    for q in quantiles:
+        pct = int(q * 100)
+        rank = FF.ceil(FF.col("n") * FF.lit(q)).cast("bigint")
+        hit = (cum.filter((FF.col("cum") >= rank)
+                          & (FF.col("cum") - FF.col("c") < rank))
+               .select("bucket",
+                       ((FF.col("bin") * width
+                         + FF.lit(width) * (rank - FF.col("cum")
+                                            + FF.col("c")) / FF.col("c"))
+                        .cast("double") / 100).alias("est"))
+               .select("bucket", FF.round("est", 6).alias(f"q_{pct}")))
+        out = out.join(hit, ["bucket"])
+    return out

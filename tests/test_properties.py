@@ -85,3 +85,68 @@ def test_stratified_sample_respects_caps(spark, hist, target, cmin, cmax):
         cap = min(max(math.ceil(target * (n / total)), cmin), cmax)
         # never more than the cap, and exactly min(cap, available)
         assert counts.get(label, 0) == min(cap, n)
+
+
+# ---- round-5 operator laws (hypothesis) ---------------------------
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 1000)),
+                min_size=1, max_size=60),
+       st.lists(st.tuples(st.integers(0, 30), st.integers(0, 1000),
+                          st.sampled_from(["U", "D", "I"])),
+                max_size=30))
+def test_merge_into_laws(spark, target_rows, change_rows):
+    """MERGE invariants on random data: result keys = (target − D) ∪ I;
+    U rows carry the source value; rows without a change are
+    untouched. Duplicate change keys are excluded (MERGE's contract
+    requires at most one source row per key, like Delta's)."""
+    import pyspark.sql.functions as F
+
+    from lcmap_blackmagic_spark.operators.merge import merge_into
+    tgt = {}
+    for k, v in target_rows:
+        tgt[k] = v
+    seen, chg = set(), []
+    for k, v, op in change_rows:
+        if k in seen:
+            continue
+        seen.add(k)
+        if op == "I" and k in tgt:
+            op = "U"  # an insert of an existing key acts as update
+        if op in ("U", "D") and k not in tgt:
+            continue  # unmatched update/delete is a no-op; drop it
+        chg.append((k, v, op))
+    target = spark.createDataFrame(list(tgt.items()) or [(0, 0)],
+                                   "k LONG, v LONG")
+    if not tgt:
+        target = target.filter("false")
+    if chg:
+        source = spark.createDataFrame(chg, "k LONG, v LONG, op STRING")
+    else:
+        source = spark.createDataFrame([], "k LONG, v LONG, op STRING")
+    got = {r["k"]: r["v"] for r in merge_into(target, source, "k").collect()}
+    want = dict(tgt)
+    for k, v, op in chg:
+        if op == "D":
+            want.pop(k, None)
+        else:
+            want[k] = v
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(0, 10 ** 6), min_size=1, max_size=300))
+def test_hll_permutation_and_duplication_invariance(spark, keys):
+    """The HLL estimate depends only on the SET of keys: shuffling
+    and duplicating rows never changes it (register MAX is
+    idempotent/commutative)."""
+    import random as _r
+
+    from lcmap_blackmagic_spark.operators.sketches import hll_distinct
+    base = spark.createDataFrame([(k,) for k in keys], "k LONG")
+    dup = keys + keys[:: 2]
+    _r.Random(7).shuffle(dup)
+    mixed = spark.createDataFrame([(k,) for k in dup], "k LONG")
+    a = hll_distinct(base.withColumn("g", F.lit(1)), ["g"], "k").collect()
+    b = hll_distinct(mixed.withColumn("g", F.lit(1)), ["g"], "k").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

@@ -462,3 +462,40 @@ def test_persisted_distinct_rollup_matches_batch_sketch(spark, events_dir,
         if e <= 2.5 * 256 and zeros > 0:
             e = 256 * math.log(256 / zeros)
         assert abs(e - exact[bucket]) / exact[bucket] < 0.25
+
+
+def test_persisted_quantile_rollup_matches_batch_sketch(spark, events_dir,
+                                                        tmp_path):
+    """Histogram-bin partials persisted per micro-batch and SUM-merged
+    at read must be bit-equal to the one-shot batch sketch over the
+    same files — the quantile member of the mergeable-sketch family
+    (HLL registers merge by MAX, histogram bins by SUM)."""
+    from lcmap_blackmagic_spark.operators.sketches import \
+        histogram_quantiles
+    from lcmap_blackmagic_spark.streaming.jobs import (
+        QB_BINS, QB_HI, persisted_quantile_rollup, read_quantile_rollup)
+
+    root, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    q = persisted_quantile_rollup(spark, events_dir, root, ckpt)
+    q.awaitTermination(180)
+
+    got = {tuple(r) for r in read_quantile_rollup(spark, root).collect()}
+    batch = histogram_quantiles(
+        spark.read.parquet(events_dir)
+        .select(F.date_trunc("hour", "ts").alias("bucket"), "value"),
+        ["bucket"], "value", (0.5, 0.9), n_bins=QB_BINS,
+        lo=0.0, hi=QB_HI, scale=100)
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
+    # and the estimate sits within one bin width of the exact
+    # ceil-rank ORDER STATISTIC (the sketch's target; interpolating
+    # percentile() can fall between distant values in sparse buckets)
+    exact = {r["bucket"]: r["m"] for r in
+             spark.read.parquet(events_dir)
+             .groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+             .agg(F.expr("element_at(sort_array(collect_list(value)), "
+                         "cast(ceil(count(value) * 0.5) as int))")
+                  .alias("m")).collect()}
+    width = QB_HI / QB_BINS
+    for bucket, n, q50, q90 in got:
+        assert abs(q50 - exact[bucket]) <= width + 1e-6
