@@ -42,12 +42,13 @@ FEATURES = T.StructType([
 
 def library_decoder(payload: bytes, kind: str) -> np.ndarray:
     """Real pure-stdlib codec (no PIL/soundfile/av needed): decodes
-    binary PPM/PGM (P6/P5) and uncompressed 24-bit BMP rasters to a
-    float32 2-D grayscale array, and PCM WAV audio to a float32 1-D
-    array scaled to [-1, 1]. The format is sniffed from magic bytes;
-    anything else (JPEG/PNG/MP4/...) raises ValueError — that is the
-    integration point where PIL/av plug in on clusters that have them.
-    """
+    binary PPM/PGM (P6/P5), uncompressed 24-bit BMP, 8-bit PNG, and
+    baseline sequential JPEG rasters to a float32 2-D grayscale
+    array, and PCM WAV audio to a float32 1-D array scaled to
+    [-1, 1]. The format is sniffed from magic bytes; anything else
+    (progressive JPEG, MP4, ...) raises ValueError — that is the
+    integration point where PIL/av plug in on clusters that have
+    them."""
     if payload[:2] in (b"P6", b"P5"):
         return _decode_pnm(payload)
     if payload[:2] == b"BM":
@@ -290,8 +291,10 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     marker walk → DQT/DHT/SOF0/SOS parse → canonical-Huffman entropy
     decode (byte-stuffing removed, restart markers reset the DC
     predictors) → dequantize → de-zigzag → matrix IDCT → level shift.
-    Supports any sampling factors (chroma planes nearest-neighbor
-    upsample), 8-bit precision, 1 or 3 components. Progressive
+    Supports divisor sampling factors — each component's h/v divides
+    the maximum, which covers 4:4:4 / 4:2:2 / 4:2:0 / 4:1:1 (chroma
+    planes nearest-neighbor upsample) — 8-bit precision, 1 or 3
+    components. Progressive
     (SOF2), arithmetic coding, 12-bit precision, and hierarchical
     modes raise — that is the PIL integration point. 3-component
     output converts YCbCr→RGB (JFIF/BT.601 full range) and collapses
@@ -303,6 +306,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     comps: list[dict] = []
     w = h = 0
     restart_interval = 0
+    saw_sos = False
     pos = 2
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -353,6 +357,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             restart_interval = struct.unpack(">H", data)[0]
             continue
         if marker == 0xDA:                      # SOS — entropy data follows
+            saw_sos = True
             ns = data[0]
             for c in range(ns):
                 cid, tables = data[1 + 2 * c], data[2 + 2 * c]
@@ -361,7 +366,9 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 comp["ac"] = huff[(1, tables & 0x0F)]
             break
         # APPn / COM / anything else: skipped
-    else:
+    if not saw_sos:
+        # NOT a while/else: the EOI branch also breaks, which would
+        # bypass an else-guard and crash later with an opaque error
         raise ValueError("JPEG has no SOS scan")
 
     # entropy segment: strip stuffing, split at restart markers
@@ -388,6 +395,14 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
+    for c in comps:
+        if hmax % c["h"] or vmax % c["v"]:
+            # np.repeat upsampling needs integer ratios; exotic
+            # non-divisor factors (e.g. 3:2) go to the PIL path
+            raise ValueError(
+                f"non-divisor JPEG sampling factors "
+                f"({c['h']}x{c['v']} vs max {hmax}x{vmax}) "
+                f"not supported")
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     planes = [np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float32)

@@ -123,6 +123,13 @@ def rarity_scores(df: DataFrame, id_col: str = "doc_id",
     token stream — the corpus side never shuffles. At an extreme
     vocabulary (> ~100M terms) drop the two broadcast hints and let
     AQE pick the shuffle join.
+
+    Range bound: the 1e6 integer scaling holds to ~9×10^12 corpus
+    tokens (N·scale < 2^63) and per-doc sums of ≤ ~1000 hapax tokens
+    at that N; beyond that, drop RARITY_SCALE a decade per decade of
+    corpus growth (costing one digit of score resolution) or move the
+    two scaled expressions to DECIMAL(38,0) — the estimator is
+    unchanged either way.
     """
     toks = (df.select(F.col(id_col),
                       F.explode(F.split(F.lower(F.col(text_col)),

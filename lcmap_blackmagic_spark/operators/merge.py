@@ -6,23 +6,34 @@ storage.py dynamic-partition overwrite); ``merge_into`` generalizes it
 to row-level change capture: a source of U/D/I rows applied to a
 target in ONE full-outer shuffle join on the key.
 
-Semantics (Delta/Iceberg MERGE subset, deterministic):
-- source ``op`` = 'D'  → target row dropped,
-- source ``op`` = 'U'  → target row kept, non-null source columns win,
-- source ``op`` = 'I'  → source row appended (no target match),
-- no source match      → target row unchanged.
+Semantics (default path — deterministic, stated exactly):
+- ``op`` = 'D', key matched    → target row dropped,
+- ``op`` = 'D', no match       → no-op,
+- ``op`` = 'U', key matched    → row kept, non-null source columns win,
+- ``op`` = 'U', no match       → DROPPED (a stale update must not
+  resurrect a deleted key — Delta/Iceberg ignore it the same way),
+- ``op`` = 'I', no match       → source row appended,
+- ``op`` = 'I', key matched    → applied as an update (upsert
+  semantics; Delta would raise instead — documented deviation),
+- no source row for a key      → target row unchanged.
 
-A source row must carry the full target schema plus ``op``; updates
-use NULL for "keep the target value" (coalesce semantics — an update
-cannot set a column TO NULL; use D+I for that).
+Preconditions: at most ONE source row per key (like Delta, which
+errors on duplicates — here a duplicate key would fan the join out
+and duplicate the output row; enforce upstream with a last-wins
+dedup), and a source row carries the full target schema plus ``op``;
+updates use NULL for "keep the target value" (coalesce semantics — an
+update cannot set a column TO NULL; use D+I for that).
 
 Scale: one shuffle of each side on the join key. A CDC batch is
 normally tiny next to the target — pass ``broadcast_source=True`` to
-skip shuffling the target entirely (broadcast-hash full-outer is not
-supported, so the broadcast path splits into a left-anti union
-left-semi plan that still avoids the big-side exchange). Writing the
-result back through storage.write_partitioned keeps the overwrite
-idempotent per partition.
+skip shuffling the target entirely (anti-join + union; the big side
+is scanned once and never exchanged). The broadcast path trades two
+semantic corners for that scan shape, both documented in the
+function: it cannot consult target presence without a second pass,
+so unmatched 'U' rows append (resurrect) and updates must carry
+every column. Writing the result back through
+storage.overwrite_partitions keeps the rewrite idempotent per
+partition.
 """
 
 from __future__ import annotations
@@ -35,12 +46,16 @@ def merge_into(target: DataFrame, source: DataFrame, key: str,
                op_col: str = "op",
                broadcast_source: bool = False) -> DataFrame:
     """Apply a U/D/I change set to ``target``; returns the merged
-    frame with the target's schema."""
+    frame with the target's schema (see module docstring for the
+    exact matched/unmatched matrix)."""
     data_cols = [c for c in target.columns if c != key]
     if broadcast_source:
-        # big side never shuffles: anti-join drops matched rows, the
-        # replacement values come from the (tiny) source side alone —
-        # requires updates to carry every column (no NULL=keep).
+        # big side never shuffles: anti-join drops changed keys, the
+        # replacement values come from the (tiny) source side alone.
+        # Corners accepted for the single-scan shape: updates must
+        # carry every column (no NULL=keep), and an unmatched 'U'
+        # appends like an insert (strict unmatched-U drop needs a
+        # second target pass — use the default path for that).
         src = F.broadcast(source)
         untouched = target.join(src.select(key), key, "left_anti")
         replaced = (source.filter(F.col(op_col) != "D")
@@ -49,10 +64,14 @@ def merge_into(target: DataFrame, source: DataFrame, key: str,
     # string-qualified refs, not t[c]/s[c]: attribute-id resolution is
     # ambiguous when the change set is derived from the target itself
     # (the common CDC self-referential case)
-    t = target.alias("__t")
+    t = target.withColumn("__tp", F.lit(1)).alias("__t")
     s = source.alias("__s")
     j = t.join(s, key, "full_outer")
-    kept = j.filter(F.col(op_col).isNull() | (F.col(op_col) != "D"))
+    op = F.col(op_col)
+    matched = F.col("__t.__tp").isNotNull()
+    kept = j.filter(op.isNull()                  # untouched target row
+                    | (op == "I")                # insert (or upsert)
+                    | ((op == "U") & matched))   # update only if live
     picked = [F.coalesce(F.col(f"__s.{c}"), F.col(f"__t.{c}")).alias(c)
               if c in source.columns else F.col(f"__t.{c}").alias(c)
               for c in data_cols]

@@ -142,6 +142,10 @@ def histogram_quantiles(df: DataFrame, group_cols: Sequence[str],
     gcols = list(group_cols)
     span = int((hi - lo) * scale)
     width = span // n_bins
+    if width <= 0:
+        raise ValueError(
+            f"bin width is zero: span {span} scaled units over "
+            f"{n_bins} bins — raise `scale` or widen [lo, hi)")
     lo_s = int(lo * scale)
     v = (F.col(value_col).cast("decimal(18,2)") * scale).cast("bigint")
     b = F.least(F.lit(n_bins - 1),

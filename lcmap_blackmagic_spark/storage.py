@@ -259,30 +259,39 @@ def write_with_bloom(df: DataFrame, out_dir: str, key_col: str,
     contract as Parquet's optional bloom_filter column metadata or
     Delta's BLOOMFILTER index, expressed engine-side so ANY layout
     gets it. The bloom build is one distributed pass over the written
-    files (positions aggregated per file, OR-ed into bitsets on the
-    driver — m/8 bytes per file). Returns the file count."""
+    files with the bitset packed EXECUTOR-SIDE (positions fold into
+    64-bit words via bit_or partial aggregation), so the driver
+    collects exactly m/8 bytes per file — never the O(k·rows)
+    position stream. Returns the file count."""
     import base64
     import json
 
     spark = df.sparkSession
+    n_rows = df.count()
     (df.repartition(n_files, F.col(key_col))
        .write.mode("overwrite").parquet(out_dir))
-    n_rows = spark.read.parquet(out_dir).count()
     m = max(64, int(bits_per_key * n_rows / n_files))
-    per_file = (spark.read.parquet(out_dir)
-                .select(F.input_file_name().alias("f"),
-                        F.explode(_bloom_positions(F.col(key_col), m))
-                        .alias("pos"))
-                .groupBy("f")
-                .agg(F.collect_set("pos").alias("ps"))
-                .collect())
+    words = (spark.read.parquet(out_dir)
+             .select(F.input_file_name().alias("f"),
+                     F.explode(_bloom_positions(F.col(key_col), m))
+                     .alias("pos"))
+             .groupBy("f", F.shiftright(F.col("pos"), 6).alias("w"))
+             .agg(F.bit_or(F.expr(
+                 "shiftleft(CAST(1 AS BIGINT), pos % 64)")).alias("bits"))
+             .collect())
+    n_words = (m + 63) // 64
+    per_file: dict[str, list[int]] = {}
+    for row in words:
+        per_file.setdefault(os.path.basename(row["f"]),
+                            [0] * n_words)[row["w"]] = row["bits"]
     blooms = {}
-    for row in per_file:
+    for name, ws in per_file.items():
         bits = bytearray((m + 7) // 8)
-        for p in row["ps"]:
-            bits[p >> 3] |= 1 << (p & 7)
-        name = os.path.basename(row["f"])
-        blooms[name] = base64.b64encode(bytes(bits)).decode("ascii")
+        for wi, word in enumerate(ws):
+            bits[wi * 8:wi * 8 + 8] = (word & 0xFFFFFFFFFFFFFFFF
+                                       ).to_bytes(8, "little")
+        blooms[name] = base64.b64encode(
+            bytes(bits[: (m + 7) // 8])).decode("ascii")
     sidecar = {"key_col": key_col, "m": m, "k": BLOOM_K,
                "files": blooms}
     with open(os.path.join(out_dir, BLOOM_SIDECAR), "w") as fh:

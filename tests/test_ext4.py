@@ -106,7 +106,13 @@ def test_merge_upsert_moves_the_books(spark, sf_dir):
            .collect())[0]
     newv = (merged.filter(F.col("o_orderkey") == row["o_orderkey"])
             .collect())[0]["price"]
-    assert newv == round(row["price"] * 105, 0) / 100
+    # HALF_UP like Spark's F.round — Python round() is banker's
+    # rounding and diverges on exact half-cent boundaries
+    import decimal
+    want = (decimal.Decimal(row["price"]) * decimal.Decimal("1.05")
+            ).quantize(decimal.Decimal("0.01"),
+                       rounding=decimal.ROUND_HALF_UP)
+    assert newv == want
 
 
 # ------------------------------------------------- substring dedup --

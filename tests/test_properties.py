@@ -96,10 +96,12 @@ def test_stratified_sample_respects_caps(spark, hist, target, cmin, cmax):
                           st.sampled_from(["U", "D", "I"])),
                 max_size=30))
 def test_merge_into_laws(spark, target_rows, change_rows):
-    """MERGE invariants on random data: result keys = (target − D) ∪ I;
-    U rows carry the source value; rows without a change are
-    untouched. Duplicate change keys are excluded (MERGE's contract
-    requires at most one source row per key, like Delta's)."""
+    """MERGE invariants on random UNFILTERED change sets — the full
+    matched/unmatched matrix from the module docstring: matched D
+    deletes, unmatched D no-ops, matched U updates, unmatched U is
+    DROPPED (no resurrection), I upserts whether or not the key
+    exists. Only the at-most-one-source-row-per-key precondition is
+    enforced (as Delta does by erroring)."""
     import pyspark.sql.functions as F
 
     from lcmap_blackmagic_spark.operators.merge import merge_into
@@ -109,12 +111,8 @@ def test_merge_into_laws(spark, target_rows, change_rows):
     seen, chg = set(), []
     for k, v, op in change_rows:
         if k in seen:
-            continue
+            continue  # precondition: one source row per key
         seen.add(k)
-        if op == "I" and k in tgt:
-            op = "U"  # an insert of an existing key acts as update
-        if op in ("U", "D") and k not in tgt:
-            continue  # unmatched update/delete is a no-op; drop it
         chg.append((k, v, op))
     target = spark.createDataFrame(list(tgt.items()) or [(0, 0)],
                                    "k LONG, v LONG")
@@ -129,8 +127,11 @@ def test_merge_into_laws(spark, target_rows, change_rows):
     for k, v, op in chg:
         if op == "D":
             want.pop(k, None)
-        else:
-            want[k] = v
+        elif op == "I":
+            want[k] = v                       # insert or upsert
+        elif k in tgt:
+            want[k] = v                       # matched update
+        # unmatched U: dropped — no resurrection
     assert got == want
 
 
