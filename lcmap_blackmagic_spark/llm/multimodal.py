@@ -458,6 +458,90 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     return rgb.mean(axis=0).astype(np.float32)
 
 
+def probe_mp4(payload: bytes) -> dict:
+    """Pure-stdlib ISO-BMFF (MP4) METADATA probe: walk the box tree
+    (size/type headers, 64-bit largesize supported) and read
+    mvhd (movie timescale + duration) and the first video trak's
+    mdhd/stts (media timescale, sample count, per-sample durations).
+    No frame DECODE — codec payloads need av/ffmpeg — but duration
+    and frame timing are real, which is everything frame-SAMPLING
+    needs. Returns {duration_ms, timescale, n_samples,
+    sample_times_ms} (sample times from the stts run-length table).
+    """
+    import struct
+
+    def boxes(buf, start, end):
+        pos = start
+        while pos + 8 <= end:
+            size, tag = struct.unpack_from(">I4s", buf, pos)
+            hdr = 8
+            if size == 1:                     # 64-bit largesize
+                size = struct.unpack_from(">Q", buf, pos + 8)[0]
+                hdr = 16
+            elif size == 0:                   # to end of enclosing box
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise ValueError("malformed MP4 box")
+            yield tag, pos + hdr, pos + size
+            pos += size
+
+    def find(buf, start, end, tag):
+        for t, a, b in boxes(buf, start, end):
+            if t == tag:
+                return a, b
+        return None
+
+    if payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF/MP4 payload")
+    moov = find(payload, 0, len(payload), b"moov")
+    if moov is None:
+        raise ValueError("MP4 has no moov box")
+    out: dict = {}
+    mvhd = find(payload, *moov, b"mvhd")
+    if mvhd:
+        ver = payload[mvhd[0]]
+        if ver == 1:
+            ts, dur = struct.unpack_from(">IQ", payload, mvhd[0] + 20)
+        else:
+            ts, dur = struct.unpack_from(">II", payload, mvhd[0] + 12)
+        out["timescale"] = ts
+        out["duration_ms"] = int(dur * 1000 // ts) if ts else 0
+    for t, a, b in boxes(payload, *moov):
+        if t != b"trak":
+            continue
+        mdia = find(payload, a, b, b"mdia")
+        if mdia is None:
+            continue
+        mdhd = find(payload, *mdia, b"mdhd")
+        mts = None
+        if mdhd:
+            ver = payload[mdhd[0]]
+            mts = struct.unpack_from(
+                ">I", payload, mdhd[0] + (20 if ver == 1 else 12))[0]
+        minf = find(payload, *mdia, b"minf")
+        if minf is None:
+            continue
+        stbl = find(payload, *minf, b"stbl")
+        if stbl is None:
+            continue
+        stts = find(payload, *stbl, b"stts")
+        if stts is None or not mts:
+            continue
+        n_entries = struct.unpack_from(">I", payload, stts[0] + 4)[0]
+        times, t_acc, n_samples = [], 0, 0
+        for e in range(n_entries):
+            cnt, delta = struct.unpack_from(
+                ">II", payload, stts[0] + 8 + 8 * e)
+            for _ in range(cnt):
+                times.append(t_acc * 1000 // mts)
+                t_acc += delta
+                n_samples += 1
+        out["n_samples"] = n_samples
+        out["sample_times_ms"] = times
+        break                                  # first timed track
+    return out
+
+
 def fake_decoder(payload: bytes, kind: str) -> np.ndarray:
     """Deterministic stand-in decode: expand the payload digest into a
     16×16 pseudo-raster (image/video) or 256-sample wave (audio)."""
@@ -553,8 +637,12 @@ def resize_images(media: DataFrame, out_h: int = 8, out_w: int = 8,
 def frame_sample(media: DataFrame, every_ms: int = 1000,
                  decoder: Callable = fake_decoder) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled
-    frame (media_id, frame_idx, feat). Frame count derives from
-    duration metadata (fake: payload-size based)."""
+    frame (media_id, frame_idx, feat). For a REAL MP4 payload the
+    sampled frame indices come from the container's own timing
+    (probe_mp4 reads mvhd/mdhd/stts — one sampled frame per
+    ``every_ms`` of media time, snapped to the nearest true sample);
+    other payloads fall back to the size-derived fake frame count.
+    Frame DECODE stays pluggable (av/ffmpeg at the decoder= seam)."""
     schema = T.StructType([
         T.StructField("media_id", T.LongType()),
         T.StructField("frame_idx", T.IntegerType()),
@@ -570,8 +658,19 @@ def frame_sample(media: DataFrame, every_ms: int = 1000,
             for row in pdf.itertuples(index=False):
                 if row.kind != "video":
                     continue
-                n_frames = max(1, len(row.payload) // 100)
-                for i in range(n_frames):
+                payload = bytes(row.payload)
+                if payload[4:8] == b"ftyp":
+                    meta = probe_mp4(payload)
+                    times = meta.get("sample_times_ms", [])
+                    want = range(0, meta.get("duration_ms", 0) + 1,
+                                 every_ms)
+                    idxs = sorted({
+                        min(range(len(times)),
+                            key=lambda j, t=t: abs(times[j] - t))
+                        for t in want}) if times else []
+                else:
+                    idxs = range(max(1, len(payload) // 100))
+                for i in idxs:
                     frame = decoder(bytes(row.payload) + i.to_bytes(4, "big"),
                                     "video")
                     out.append({"media_id": row.media_id, "frame_idx": i,

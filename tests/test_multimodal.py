@@ -467,3 +467,61 @@ def test_decode_jpeg_rejects_progressive():
     payload[sof + 1] = 0xC2                    # pretend progressive
     with pytest.raises(ValueError, match="SOF0"):
         library_decoder(bytes(payload), "image")
+
+
+# ---- MP4 metadata probe (ISO-BMFF box walk) -----------------------
+
+def _box(tag, body):
+    import struct
+    return struct.pack(">I4s", len(body) + 8, tag) + body
+
+
+def _mp4_payload(timescale=1000, deltas=((3, 400), (2, 600)),
+                 media_ts=1000):
+    """Minimal valid ISO-BMFF: ftyp + moov{mvhd, trak{mdia{mdhd,
+    minf{stbl{stts}}}}}. 5 samples: 3x400ms + 2x600ms = 2400ms."""
+    import struct
+    total = sum(c * d for c, d in deltas)
+    mvhd = _box(b"mvhd", struct.pack(">B3xII", 0, 0, 0)
+                + struct.pack(">II", timescale, total)
+                + b"\x00" * 80)
+    mdhd = _box(b"mdhd", struct.pack(">B3xII", 0, 0, 0)
+                + struct.pack(">II", media_ts, total) + b"\x00" * 4)
+    stts = _box(b"stts", struct.pack(">B3xI", 0, len(deltas))
+                + b"".join(struct.pack(">II", c, d) for c, d in deltas))
+    stbl = _box(b"stbl", stts)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", mdhd + minf)
+    trak = _box(b"trak", mdia)
+    moov = _box(b"moov", mvhd + trak)
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    return ftyp + moov
+
+
+def test_probe_mp4_reads_real_timing():
+    from lcmap_blackmagic_spark.llm.multimodal import probe_mp4
+    meta = probe_mp4(_mp4_payload())
+    assert meta["duration_ms"] == 2400
+    assert meta["n_samples"] == 5
+    # 3x400 + 2x600: sample starts at 0,400,800,1200,1800
+    assert meta["sample_times_ms"] == [0, 400, 800, 1200, 1800]
+
+
+def test_probe_mp4_rejects_non_mp4():
+    from lcmap_blackmagic_spark.llm.multimodal import probe_mp4
+    with pytest.raises(ValueError, match="ISO-BMFF"):
+        probe_mp4(b"\x00" * 32)
+
+
+def test_frame_sample_uses_mp4_timing(spark):
+    from lcmap_blackmagic_spark.llm.multimodal import frame_sample
+    payload = _mp4_payload()
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(payload), None, None, None, None)],
+        "media_id LONG, kind STRING, payload BINARY, mime STRING, "
+        "width INT, height INT, duration_ms INT")
+    rows = frame_sample(media, every_ms=1000).collect()
+    # ticks 0,1000,2000 ms snap to samples 0 (0ms), 2 (800ms) or
+    # 3 (1200ms), 4 (1800ms): nearest-sample set {0, 2, 4} (tie at
+    # 1000 goes to the lower index via min-first scan)
+    assert [r["frame_idx"] for r in rows] == [0, 2, 4]
