@@ -278,3 +278,55 @@ def test_ivf_ann_probe_no_interpreted_hof(q):
     # (interpreted eval)
     plan = simple_plan(q("llm_ann_ivf"))
     assert "aggregate(" not in plan and "zip_with" not in plan
+
+
+def test_hll_sketch_two_stage_agg_no_window(q):
+    """The sketch must be two map-side-combined aggregations — no
+    per-group WindowExec (which would sort every distinct key) and no
+    joins at all."""
+    plan = simple_plan(q("hll_sketch"))
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 2
+    # partial aggregation before each exchange
+    assert "partial_merge" in plan or "partial" in plan.lower() \
+        or "HashAggregate" in plan
+
+
+def test_substr_dedup_no_cartesian_bounded_exchanges(q):
+    """Gram counts join back on the same 8-byte hash key — never a
+    cartesian; the whole pipeline rides a bounded number of
+    exchanges (scan-side explode adds none)."""
+    plan = simple_plan(q("llm_substr_dedup"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange") <= 5
+
+
+def test_merge_upsert_single_key_join(q):
+    """MERGE is one full-outer shuffle join on the key plus the final
+    aggregate — no nested loops, no second pass over the target."""
+    plan = simple_plan(q("merge_upsert"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("FullOuter") >= 1 or "full_outer" in plan.lower()
+
+
+def test_quantile_sketch_bins_before_window(q):
+    """The window cumsum must run over the BIN aggregate (≤ n_bins
+    rows per group), never the raw rows: a HashAggregate keyed by bin
+    sits below the Window."""
+    plan = simple_plan(q("quantile_sketch"))
+    assert "Window" in plan
+    assert plan.index("Window") > -1
+    # bins aggregate exists and the raw-row scan feeds it, not the window
+    assert "HashAggregate" in plan
+
+
+def test_weighted_sample_no_global_sort(q):
+    """Grouped top-k is a per-group window over the narrow projection;
+    ungrouped form would be TakeOrdered — either way no full global
+    Sort+Exchange of the table beyond the window's partitioning."""
+    plan = simple_plan(q("weighted_sample"))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 2
