@@ -469,3 +469,74 @@ def substring_dup_stats(df: DataFrame, id_col: str = "doc_id",
             .select(id_col, "n_grams", "n_dup_grams",
                     F.round(F.col("n_dup_grams") / F.col("n_grams"), 6)
                     .alias("dup_ratio")))
+
+
+def prefix_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", n: int = 2,
+                         t_num: int = 1, t_den: int = 2) -> DataFrame:
+    """Exact set-similarity self-join via PREFIX FILTERING (the
+    AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    WWW'08): all pairs with word-``n``-gram Jaccard ≥ t_num/t_den.
+
+    The third scale technique in this module, complementing LSH
+    banding (probabilistic recall) and block-bounded brute force
+    (quadratic within a block): prefix filtering is EXACT — identical
+    output to the all-pairs oracle — yet never forms the cross
+    product. Order each doc's gram set by ascending document
+    frequency (rarest first, gram hash as the tie-break); a pair with
+    Jaccard ≥ t must share at least one gram among each side's first
+    ``|s| - ceil(t·|s|) + 1`` grams (removing that many leaves fewer
+    than t·|s| grams, too few to reach t) — so candidates are an
+    equi-join on PREFIX grams only. Rare grams have short postings
+    lists, and frequent grams (the skew keys of a naive
+    token-inverted index) are exactly the ones prefixes exclude.
+
+    Plan shape at scale: one df-count aggregate over exploded grams
+    (map-side combined, vocab-sized output — broadcast back per
+    Heaps' law; flip to a shuffle join for an unbounded key domain),
+    one per-doc sort-aggregate, an equi-join on prefix gram hash, and
+    exact verification on the deduplicated candidates only. Jaccard
+    threshold is a RATIONAL (t_num/t_den): the prefix length uses
+    pure integer ceil-division, bit-identical in any engine.
+
+    Grams are hashed to 48-bit ints once per doc (identical modulo
+    negligible collisions; the oracle hashes the same way)."""
+    sh_ints = F.array_distinct(F.transform(
+        shingles(text_col, n),
+        lambda s: F.conv(F.substring(F.md5(s.cast("binary")), 1, 12),
+                         16, 10).cast("bigint")))
+    docs = (_spread_cols(df, F.col(id_col), F.col(text_col))
+            .select(F.col(id_col), sh_ints.alias("sh")))
+    ex = docs.select(id_col, F.explode("sh").alias("tok"))
+    dfreq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("dfr"))
+    # per-doc gram list sorted by (document frequency, gram hash) —
+    # array_sort on structs gives a deterministic global order no
+    # matter how collect_list interleaves
+    ranked = (ex.join(F.broadcast(dfreq), "tok")
+              .groupBy(id_col)
+              .agg(F.array_sort(F.collect_list(F.struct("dfr", "tok")))
+                   .alias("st")))
+    sz = F.size("st")
+    # L = |s| - ceil(t*|s|) + 1, integer-exact ceil division
+    pref_len = sz - F.floor((F.lit(t_num) * sz + F.lit(t_den - 1))
+                            / F.lit(t_den)).cast("int") + 1
+    prefixes = ranked.select(
+        F.col(id_col),
+        F.explode(F.transform(F.slice("st", 1, pref_len),
+                              lambda s: s["tok"])).alias("tok"))
+    cand = (prefixes.alias("a")
+            .join(prefixes.alias("b"), "tok")
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+    sets_a = docs.select(F.col(id_col).alias("id_a"),
+                         F.col("sh").alias("sh_a"))
+    sets_b = docs.select(F.col(id_col).alias("id_b"),
+                         F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (cand.join(sets_a, "id_a").join(sets_b, "id_b")
+            .filter(inter * F.lit(t_den) >= union * F.lit(t_num))
+            .select("id_a", "id_b",
+                    F.round(inter / union, 6).alias("jaccard")))

@@ -174,3 +174,146 @@ def histogram_quantiles(df: DataFrame, group_cols: Sequence[str],
                .select(*gcols, F.round("est", 6).alias(f"q_{pct}")))
         out = out.join(hit, gcols)
     return out
+
+
+def cms_counters(df: DataFrame, key_col: str, depth: int = 4,
+                 width: int = 256) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) counter
+    matrix: ``depth`` independent hash rows of ``width`` counters.
+    Row j hashes a key as the first 48 bits of ``md5(j || ':' ||
+    key)`` mod width — pure integer math, bit-identical in any
+    engine (the module-wide determinism rule).
+
+    The mergeable frequency twin of the HLL registers above: state is
+    a constant ``depth × width`` integer grid per (table, window,
+    micro-batch, …) that merges by SUM — the 100 TB / streaming
+    substitute for exact per-key counts when only heavy hitters
+    matter. ONE map-side-combined shuffle: each partition collapses
+    to ≤ depth·width partial rows before the exchange, regardless of
+    input rows.
+
+    Output: (cms_row, cms_col, c) — cells with zero count are simply
+    absent (estimates must treat a missing cell as 0)."""
+    rows = F.array(*[
+        F.struct(
+            F.lit(j).alias("cms_row"),
+            (F.conv(F.substring(
+                F.md5(F.concat(F.lit(f"{j}:"),
+                               F.col(key_col).cast("string"))),
+                1, 12), 16, 10).cast("bigint") % width).alias("cms_col"))
+        for j in range(depth)])
+    return (df.select(F.explode(rows).alias("rc"))
+            .select("rc.cms_row", "rc.cms_col")
+            .groupBy("cms_row", "cms_col")
+            .agg(F.count(F.lit(1)).alias("c")))
+
+
+def cms_estimate(counters: DataFrame, keys: DataFrame, key_col: str,
+                 depth: int = 4, width: int = 256) -> DataFrame:
+    """Point-estimate frequencies for ``keys`` from a (possibly
+    re-merged) counter matrix: est(key) = min over rows j of
+    counter[j][h_j(key)] — never an underestimate; over by at most
+    e·N/width with probability 1 - e^-depth. Counters may hold
+    duplicate (row, col) partials from separate merges; they re-SUM
+    here. The probe is a broadcast-sized join: depth rows per probed
+    key against a ≤ depth·width-cell grid."""
+    merged = (counters.groupBy("cms_row", "cms_col")
+              .agg(F.sum("c").alias("c")))
+    probes = keys.select(
+        key_col,
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(j).alias("cms_row"),
+                (F.conv(F.substring(
+                    F.md5(F.concat(F.lit(f"{j}:"),
+                                   F.col(key_col).cast("string"))),
+                    1, 12), 16, 10).cast("bigint") % width)
+                .alias("cms_col"))
+            for j in range(depth)])).alias("rc")) \
+        .select(key_col, "rc.cms_row", "rc.cms_col")
+    return (probes.join(merged, ["cms_row", "cms_col"], "left")
+            .groupBy(key_col)
+            .agg(F.min(F.coalesce(F.col("c"), F.lit(0)))
+                 .alias("cms_est")))
+
+
+def kmv_set_ops(df: DataFrame, key_col: str, member_col,
+                k: int = 64) -> DataFrame:
+    """Distinct-cardinality estimates for two sets and their
+    union/intersection from K-minimum-values sketches (Beyer et al.
+    SIGMOD'07) — the sketch algebra that answers "how many keys do
+    these two partitions/days/sources share?" without a wide
+    COUNT(DISTINCT) shuffle.
+
+    ``member_col`` is a boolean column splitting rows into set A
+    (true) / set B (false). Per set: the K smallest distinct 48-bit
+    md5 hashes of ``key_col``. The union sketch is the K smallest of
+    the merged hash stream (KMV is closed under union — merge =
+    concatenate + re-take-K); the Jaccard estimate is the fraction of
+    the union sketch's members present in BOTH sets; intersection =
+    jaccard · union. Deterministic md5 integer math until the final
+    divisions, so every output is bit-identical across engines; exact
+    when a set has < K distinct keys.
+
+    Scale shape: one dedup shuffle on (set, hash) partials, then
+    K-row-per-set window tails — sketch state is O(K) per set and
+    persists/merges like the HLL registers."""
+    from pyspark.sql import Window
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 12),
+               16, 10).cast("bigint")
+    hashed = (df.select(F.col(member_col).alias("in_a") if
+                        isinstance(member_col, str) else
+                        member_col.alias("in_a"), h.alias("h"))
+              .groupBy("h")
+              .agg(F.max(F.when(F.col("in_a"), 1).otherwise(0))
+                   .alias("a"),
+                   F.max(F.when(F.col("in_a"), 0).otherwise(1))
+                   .alias("b")))
+    sides = hashed.select(
+        "h", F.explode(F.array_compact(F.array(
+            F.when(F.col("a") == 1, F.lit("A")),
+            F.when(F.col("b") == 1, F.lit("B"))))).alias("s"))
+    w = Window.partitionBy("s").orderBy("h")
+    sk = (sides.withColumn("rn", F.row_number().over(w))
+          .filter(F.col("rn") <= k))
+    # estimate card(S) from a sketch: (K-1)*2^48/h_(K), exact count
+    # when fewer than K distinct hashes exist
+    per_set = (sk.groupBy("s")
+               .agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("kk"))
+               .select("s", F.when(F.col("kk") < k,
+                                   F.col("kk").cast("double"))
+                       .otherwise(F.lit(float(k - 1)) * F.lit(float(H48))
+                                  / F.col("hk")).alias("est")))
+    # union sketch: KMV is closed under union — merge the two K-row
+    # sketches and re-take the K smallest (≤ 2K rows feed this window,
+    # so the unpartitioned sort is constant work, not a data sort).
+    # The Jaccard estimator counts merged-sketch members present in
+    # BOTH per-set sketches (Beyer et al. §5.2) — membership is
+    # checked against the sketches, not the full sets, which is the
+    # sketch family's usual bounded-error trade, not a shortcut.
+    merged = (sk.groupBy("h")
+              .agg(F.max(F.when(F.col("s") == "A", 1).otherwise(0))
+                   .alias("a"),
+                   F.max(F.when(F.col("s") == "B", 1).otherwise(0))
+                   .alias("b")))
+    wu = Window.orderBy("h")
+    un = (merged.withColumn("rn", F.row_number().over(wu))
+          .filter(F.col("rn") <= k))
+    uest = (un.agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("kk"),
+                   F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1)
+                         .otherwise(0)).alias("both"))
+            .select(F.when(F.col("kk") < k, F.col("kk").cast("double"))
+                    .otherwise(F.lit(float(k - 1)) * F.lit(float(H48))
+                               / F.col("hk")).alias("union_est"),
+                    (F.col("both") / F.col("kk")).alias("jaccard_est")))
+    a_est = per_set.filter(F.col("s") == "A").select(
+        F.col("est").alias("a_est"))
+    b_est = per_set.filter(F.col("s") == "B").select(
+        F.col("est").alias("b_est"))
+    # NO rounding on the product: both engines compute the identical
+    # doubles from identical integer inputs, and round() itself is the
+    # engine-divergent op on raw doubles (SCALE.md float policy)
+    return (a_est.crossJoin(b_est).crossJoin(uest)
+            .select("a_est", "b_est", "union_est", "jaccard_est",
+                    (F.col("jaccard_est") * F.col("union_est"))
+                    .alias("intersect_est")))
