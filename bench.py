@@ -70,6 +70,21 @@ HEADLINE = [
     # iterative graph analytics (integer-scaled, oracle-checked)
     "pagerank",
     "quantile_sketch",
+    # round-5 session-2: exact prefix-filter similarity join,
+    # Count-Min heavy hitters, KMV set algebra, funnel, MAD outliers,
+    # and the pHash banding pipeline (Arrow decode + codegen verify)
+    "llm_jaccard_prefix",
+    "cms_topk",
+    "kmv_set_ops",
+    "funnel_steps",
+    "mad_outliers",
+    "mm_phash_pairs",
+    # triangle enumeration joins, basket self-join + lift, and the
+    # one-scan multi-distinct profiler
+    "triangle_count",
+    "item_cooccurrence",
+    "profile_table",
+    "ivm_agg",
 ]
 
 

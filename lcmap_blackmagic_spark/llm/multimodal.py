@@ -679,3 +679,171 @@ def frame_sample(media: DataFrame, every_ms: int = 1000,
             yield pd.DataFrame(out, columns=["media_id", "frame_idx", "feat"])
 
     return media.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------
+# Perceptual image hash + hamming near-dup
+
+
+def _dctn_matrix(n: int) -> np.ndarray:
+    """n×n orthonormal type-II DCT basis (generalizes the 8×8 JPEG
+    basis above to the 32×32 pHash grid)."""
+    u = np.arange(n).reshape(n, 1)
+    x = np.arange(n).reshape(1, n)
+    m = np.sqrt(2.0 / n) * np.cos((2 * x + 1) * u * np.pi / (2 * n))
+    m[0] /= np.sqrt(2)
+    return m
+
+
+def _area_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    ih, iw = img.shape
+    ys = np.linspace(0, ih, out_h + 1).astype(int)
+    xs = np.linspace(0, iw, out_w + 1).astype(int)
+    return np.array([
+        [img[ys[r]:max(ys[r + 1], ys[r] + 1),
+             xs[c]:max(xs[c + 1], xs[c] + 1)].mean()
+         for c in range(out_w)] for r in range(out_h)])
+
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit perceptual hash (the classic pHash recipe): area-resize
+    to 32×32 → 2-D DCT → keep the 8×8 lowest-frequency block → bit i
+    set iff coefficient i exceeds the block's median (DC coefficient
+    excluded from the median so flat brightness shifts don't flip
+    half the bits). Survives resize/rescale and small noise; hamming
+    distance between hashes ranks perceptual similarity. Returned as
+    a SIGNED 64-bit int (two's complement) so it lands in a Spark
+    bigint column unchanged."""
+    d = _dctn_matrix(32)
+    coef = d @ _area_resize(img, 32, 32) @ d.T
+    block = coef[:8, :8].ravel()
+    med = np.median(block[1:])
+    bits = 0
+    for i, v in enumerate(block):
+        if v > med:
+            bits |= 1 << (63 - i)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def phash_images(media: DataFrame,
+                 decoder: Callable = fake_decoder) -> DataFrame:
+    """(media_id, phash) for every raster row — the image analogue of
+    SimHash: the Python work is one Arrow-batched narrow pass, and
+    everything downstream (banding, hamming verify) is codegen."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ])
+    from ..session import ensure_worker_imports
+    ensure_worker_imports(media.sparkSession)
+    from .dedup import _spread
+    media = _spread(media)  # single-file scans must not serialize the
+    # CPU-bound decode+DCT pass on one core (same rule as the minhash
+    # digest stage — SCALE.md "known local-mode artifacts")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                if row.kind not in ("image", "video"):
+                    continue
+                img = decoder(bytes(row.payload), row.kind)
+                if img.ndim != 2:
+                    continue
+                out.append({"media_id": row.media_id,
+                            "phash": phash64(img)})
+            yield pd.DataFrame(out, columns=["media_id", "phash"])
+
+    return media.mapInPandas(run, schema=schema)
+
+
+def phash_pairs(hashes: DataFrame, max_hamming: int = 10) -> DataFrame:
+    """Image near-dup candidates by pigeonhole banding on the 64-bit
+    pHash: split into 8 byte-blocks and equi-join per block. The
+    pigeonhole bound guarantees every pair with hamming ≤ 7 shares a
+    block; the default radius 10 keeps high recall in practice
+    because perceptually-close images concentrate their differing
+    bits in few blocks. Then EXACT hamming via xor +
+    bit_count on the candidates only. All JVM-side codegen; the plan
+    never forms the cross product."""
+    blocks = hashes.select(
+        "media_id", "phash",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("blk"),
+                     F.expr(f"shiftrightunsigned(phash, {8 * b}) & 255")
+                     .alias("v"))
+            for b in range(8)])).alias("bv")) \
+        .select("media_id", "phash", "bv.blk", "bv.v")
+    a = blocks.withColumnsRenamed({"media_id": "id_a", "phash": "ha"})
+    b = blocks.withColumnsRenamed({"media_id": "id_b", "phash": "hb"})
+    cand = (a.join(b, ["blk", "v"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "ha", "hb")
+            .distinct())
+    ham = F.bit_count(F.expr("ha ^ hb"))
+    return (cand.select("id_a", "id_b", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))
+
+
+# ---------------------------------------------------------------------
+# Audio analysis
+
+AUDIO_FEATURES = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("n_samples", T.IntegerType()),
+    T.StructField("rms", T.FloatType()),
+    T.StructField("zcr", T.FloatType()),
+    T.StructField("centroid_hz", T.FloatType()),
+    T.StructField("rolloff_hz", T.FloatType()),
+])
+
+
+def audio_feature_vector(x: np.ndarray, sample_rate: int) -> dict:
+    """Classic clip-level audio descriptors from a mono float wave:
+    RMS energy, zero-crossing rate, and the spectral centroid /
+    85%-rolloff of the magnitude spectrum (numpy rFFT — no external
+    DSP dependency)."""
+    x = x.astype(np.float64).ravel()
+    n = len(x)
+    rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
+    zcr = (float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+           if n > 1 else 0.0)
+    mag = np.abs(np.fft.rfft(x)) if n else np.zeros(1)
+    freqs = np.fft.rfftfreq(max(n, 1), d=1.0 / sample_rate)
+    tot = mag.sum()
+    centroid = float((freqs * mag).sum() / tot) if tot > 0 else 0.0
+    if tot > 0:
+        roll_idx = int(np.searchsorted(np.cumsum(mag), 0.85 * tot))
+        rolloff = float(freqs[min(roll_idx, len(freqs) - 1)])
+    else:
+        rolloff = 0.0
+    return {"n_samples": n, "rms": rms, "zcr": zcr,
+            "centroid_hz": centroid, "rolloff_hz": rolloff}
+
+
+def audio_features(media: DataFrame, sample_rate: int = 8000,
+                   decoder: Callable = fake_decoder) -> DataFrame:
+    """Per-clip audio descriptors over opaque payloads: decode to a
+    float wave (PCM WAV via the stdlib codec; anything else via the
+    pluggable ``decoder=``) and reduce to a fixed feature row. One
+    narrow Arrow pass, no shuffle; non-audio rows are dropped."""
+    from ..session import ensure_worker_imports
+    ensure_worker_imports(media.sparkSession)
+    from .dedup import _spread
+    media = _spread(media)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                if row.kind != "audio":
+                    continue
+                wave = decoder(bytes(row.payload), row.kind).ravel()
+                feats = audio_feature_vector(wave, sample_rate)
+                out.append({"media_id": row.media_id, **{
+                    k: (np.float32(v) if k != "n_samples" else v)
+                    for k, v in feats.items()}})
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AUDIO_FEATURES.fields])
+
+    return media.mapInPandas(run, schema=AUDIO_FEATURES)

@@ -65,3 +65,33 @@ def pagerank(edges: DataFrame, rounds: int = 5,
                                 f"div {DAMP_DEN}").alias("rank_scaled"))
                  .localCheckpoint())
     return ranks
+
+
+def triangle_counts(edges: DataFrame, src: str = "src",
+                    dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation counts over an undirected
+    graph (edges canonicalized a < b, deduplicated here). The classic
+    enumeration join: triangles (a,b,c) with a < b < c are
+    e(a,b) ⋈ e(b,c) ⋈ e(a,c) — each triangle materializes exactly
+    once, then explodes to its three corners.
+
+    Scale shape: two equi-joins shuffling on single node keys plus
+    one count aggregate — never an all-pairs product. The a < b < c
+    orientation is also the work-bound trick: every wedge is
+    enumerated from its smallest corner only, so a high-degree hub
+    appearing as b or c never fans out quadratically from both ends
+    (production engines refine this to degree-ordering; id-ordering
+    keeps the oracle bit-exact). Output: (node, triangles)."""
+    e = (edges.select(F.least(src, dst).alias("a"),
+                      F.greatest(src, dst).alias("b"))
+         .filter(F.col("a") != F.col("b"))
+         .distinct())
+    ab = e.select(F.col("a").alias("t_a"), F.col("b").alias("t_b"))
+    bc = e.select(F.col("a").alias("t_b"), F.col("b").alias("t_c"))
+    ac = e.select(F.col("a").alias("t_a"), F.col("b").alias("t_c"))
+    tri = (ab.join(bc, "t_b").join(ac, ["t_a", "t_c"])
+           .select("t_a", "t_b", "t_c"))
+    return (tri.select(F.explode(F.array("t_a", "t_b", "t_c"))
+                       .alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("triangles")))

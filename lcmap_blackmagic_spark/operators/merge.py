@@ -76,3 +76,73 @@ def merge_into(target: DataFrame, source: DataFrame, key: str,
               if c in source.columns else F.col(f"__t.{c}").alias(c)
               for c in data_cols]
     return kept.select(F.col(key), *picked)
+
+
+def incremental_agg_update(base_facts: DataFrame, base_agg: DataFrame,
+                           changes: DataFrame, key: str, group_col: str,
+                           value_col: str,
+                           op_col: str = "op") -> DataFrame:
+    """Incremental view maintenance for a per-group (COUNT, SUM)
+    aggregate under a U/D/I change set — the merged table is never
+    re-aggregated; only the CHANGE ROWS and the touched base rows
+    move.
+
+    Semantics mirror ``merge_into``'s matched/unmatched matrix
+    exactly (U matched: coalesce per column; I matched: upsert;
+    U unmatched: dropped), so maintaining the aggregate incrementally
+    and re-aggregating the merged facts give identical results — the
+    IVM contract, pinned by sharing one oracle with ``merge_upsert``.
+
+    Delta contributions per change row (a group-moving update emits
+    two rows — one negative at the old group, one positive at the
+    new):
+      D matched   → (−1, −old_value) @ old group
+      U/I matched → (−1, −old_value) @ old group,
+                    (+1, +coalesced new value) @ coalesced new group
+      I unmatched → (+1, +value) @ group
+      U/D unmatched → nothing
+
+    Scale shape: the change set broadcasts into a semi-join lookup of
+    the touched base rows (file-pruned by bloom/z-order layout when
+    present); the delta aggregate is change-set-sized; the final join
+    touches only the (tiny) aggregate table. The base FACTS are read
+    only at those touched keys — this is the point: a 10⁹-row fact
+    table with a 10⁴-row CDC batch updates its rollup in
+    change-set-proportional work."""
+    ch = changes.alias("__c")
+    old = (base_facts
+           .join(F.broadcast(changes.select(key).distinct()), key,
+                 "left_semi")
+           .select(F.col(key),
+                   F.col(group_col).alias("__og"),
+                   F.col(value_col).alias("__ov"))
+           .alias("__o"))
+    j = ch.join(old, key, "left")
+    matched = F.col("__og").isNotNull()
+    op = F.col(f"__c.{op_col}")
+    minus = (j.filter(matched & op.isin("D", "U", "I"))
+             .select(F.col("__og").alias(group_col),
+                     F.lit(-1).cast("bigint").alias("__dn"),
+                     (-F.col("__ov")).alias("__dv")))
+    new_g = F.coalesce(F.col(f"__c.{group_col}"), F.col("__og"))
+    new_v = F.coalesce(F.col(f"__c.{value_col}"), F.col("__ov"))
+    plus = (j.filter((matched & op.isin("U", "I"))
+                     | (~matched & (op == "I")))
+            .select(new_g.alias(group_col),
+                    F.lit(1).cast("bigint").alias("__dn"),
+                    new_v.alias("__dv")))
+    delta = (minus.unionByName(plus)
+             .groupBy(group_col)
+             .agg(F.sum("__dn").alias("__dn"),
+                  F.sum("__dv").alias("__dv")))
+    agg_cols = [c for c in base_agg.columns if c != group_col]
+    n_col, sum_col = agg_cols[0], agg_cols[1]
+    out = (base_agg.join(delta, group_col, "full_outer")
+           .select(F.col(group_col),
+                   (F.coalesce(F.col(n_col), F.lit(0))
+                    + F.coalesce(F.col("__dn"), F.lit(0)))
+                   .alias(n_col),
+                   (F.coalesce(F.col(sum_col), F.lit(0))
+                    + F.coalesce(F.col("__dv"), F.lit(0)))
+                   .alias(sum_col)))
+    return out.filter(F.col(n_col) > 0)

@@ -176,8 +176,22 @@ def histogram_quantiles(df: DataFrame, group_cols: Sequence[str],
     return out
 
 
+def _cms_cells(key_col: str, depth: int, width: int):
+    """(cms_row, cms_col) struct array for a key — shared by the
+    counter build and the probe side so the two can never drift."""
+    return F.array(*[
+        F.struct(
+            F.lit(j).alias("cms_row"),
+            (F.conv(F.substring(
+                F.md5(F.concat(F.lit(f"{j}:"),
+                               F.col(key_col).cast("string"))),
+                1, 12), 16, 10).cast("bigint") % width).alias("cms_col"))
+        for j in range(depth)])
+
+
 def cms_counters(df: DataFrame, key_col: str, depth: int = 4,
-                 width: int = 256) -> DataFrame:
+                 width: int = 256,
+                 group_cols: Sequence[str] = ()) -> DataFrame:
     """Count-Min sketch (Cormode & Muthukrishnan 2005) counter
     matrix: ``depth`` independent hash rows of ``width`` counters.
     Row j hashes a key as the first 48 bits of ``md5(j || ':' ||
@@ -192,47 +206,46 @@ def cms_counters(df: DataFrame, key_col: str, depth: int = 4,
     to ≤ depth·width partial rows before the exchange, regardless of
     input rows.
 
-    Output: (cms_row, cms_col, c) — cells with zero count are simply
-    absent (estimates must treat a missing cell as 0)."""
-    rows = F.array(*[
-        F.struct(
-            F.lit(j).alias("cms_row"),
-            (F.conv(F.substring(
-                F.md5(F.concat(F.lit(f"{j}:"),
-                               F.col(key_col).cast("string"))),
-                1, 12), 16, 10).cast("bigint") % width).alias("cms_col"))
-        for j in range(depth)])
-    return (df.select(F.explode(rows).alias("rc"))
-            .select("rc.cms_row", "rc.cms_col")
-            .groupBy("cms_row", "cms_col")
+    Output: group cols + (cms_row, cms_col, c) — one grid per group
+    (e.g. per hour bucket in the streaming rollup); cells with zero
+    count are simply absent (estimates must treat a missing cell as
+    0)."""
+    gcols = list(group_cols)
+    return (df.select(*gcols,
+                      F.explode(_cms_cells(key_col, depth, width))
+                      .alias("rc"))
+            .select(*gcols, "rc.cms_row", "rc.cms_col")
+            .groupBy(*gcols, "cms_row", "cms_col")
             .agg(F.count(F.lit(1)).alias("c")))
 
 
 def cms_estimate(counters: DataFrame, keys: DataFrame, key_col: str,
-                 depth: int = 4, width: int = 256) -> DataFrame:
+                 depth: int = 4, width: int = 256,
+                 group_cols: Sequence[str] = ()) -> DataFrame:
     """Point-estimate frequencies for ``keys`` from a (possibly
     re-merged) counter matrix: est(key) = min over rows j of
     counter[j][h_j(key)] — never an underestimate; over by at most
     e·N/width with probability 1 - e^-depth. Counters may hold
     duplicate (row, col) partials from separate merges; they re-SUM
     here. The probe is a broadcast-sized join: depth rows per probed
-    key against a ≤ depth·width-cell grid."""
-    merged = (counters.groupBy("cms_row", "cms_col")
+    key against a ≤ depth·width-cell grid (per group). With
+    ``group_cols`` (e.g. the rollup's hour bucket), every key is
+    probed against every group's grid — pass grouped ``keys`` rows
+    with the same columns to probe selectively instead."""
+    gcols = list(group_cols)
+    merged = (counters.groupBy(*gcols, "cms_row", "cms_col")
               .agg(F.sum("c").alias("c")))
-    probes = keys.select(
-        key_col,
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(j).alias("cms_row"),
-                (F.conv(F.substring(
-                    F.md5(F.concat(F.lit(f"{j}:"),
-                                   F.col(key_col).cast("string"))),
-                    1, 12), 16, 10).cast("bigint") % width)
-                .alias("cms_col"))
-            for j in range(depth)])).alias("rc")) \
-        .select(key_col, "rc.cms_row", "rc.cms_col")
-    return (probes.join(merged, ["cms_row", "cms_col"], "left")
-            .groupBy(key_col)
+    if gcols:
+        grids = counters.select(*gcols).distinct()
+        keyed = keys.select(key_col).distinct().crossJoin(grids)
+    else:
+        keyed = keys.select(key_col)
+    probes = (keyed.select(
+        *gcols, key_col,
+        F.explode(_cms_cells(key_col, depth, width)).alias("rc"))
+        .select(*gcols, key_col, "rc.cms_row", "rc.cms_col"))
+    return (probes.join(merged, [*gcols, "cms_row", "cms_col"], "left")
+            .groupBy(*gcols, key_col)
             .agg(F.min(F.coalesce(F.col("c"), F.lit(0)))
                  .alias("cms_est")))
 

@@ -265,6 +265,295 @@ FROM dev d JOIN mad a USING (event_type)
 WHERE d.adev > {MAD_K} * a.mad
 """
 
+# ------------------------------------------- multimodal analysis ----
+
+
+def q_mm_phash_pairs(spark, sf_dir):
+    """Image near-duplicate pairs by perceptual hash: decode (fake
+    deterministic decoder — the real codecs swap in via decoder=) →
+    32×32 DCT pHash in one Arrow pass → byte-block pigeonhole
+    banding → exact hamming on candidates, all JVM-side. Rows-only:
+    the DCT lives in Python; golden + invariance tests in
+    tests/test_ext5.py pin the hash itself."""
+    from .llm.multimodal import attach_payloads, phash_images, phash_pairs
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_payloads(docs)
+    return (phash_pairs(phash_images(media), max_hamming=10)
+            .orderBy("id_a", "id_b"))
+
+
+def q_mm_audio_features(spark, sf_dir):
+    """Clip-level audio descriptors (RMS / zero-crossing rate /
+    spectral centroid / rolloff) over opaque payloads — rows-only;
+    the sine-wave golden test pins the DSP math against closed-form
+    expectations."""
+    from .llm.multimodal import attach_payloads, audio_features
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_payloads(docs.filter(F.col("doc_id") < 200))
+    return audio_features(media)
+
+
+
+
+# ------------------------------------------- triangle counting ------
+
+TRI_TOPK = 10
+
+
+def q_triangle_count(spark, sf_dir):
+    """Top-10 users by triangle participation in the behavioral
+    interaction graph (same lead-window edge derivation as
+    ``pagerank`` — operators/graph.py:triangle_counts). The a<b<c
+    enumeration join materializes each triangle once; everything is
+    integer, so the check is hash-exact."""
+    from pyspark.sql import Window
+    from .operators.graph import triangle_counts
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    edges = (e.select("event_type", "ts", "event_id", "user_id")
+             .withColumn("nxt", F.lead("user_id").over(w))
+             .filter(F.col("nxt").isNotNull()
+                     & (F.col("nxt") != F.col("user_id")))
+             .select(F.col("user_id").alias("src"),
+                     F.col("nxt").alias("dst")))
+    return (triangle_counts(edges)
+            .orderBy(F.desc("triangles"), "node")
+            .limit(TRI_TOPK))
+
+
+SQL_TRIANGLE_COUNT = f"""
+WITH seq AS (
+  SELECT user_id,
+         LEAD(user_id) OVER (PARTITION BY event_type
+                             ORDER BY ts, event_id) AS nxt
+  FROM events),
+e AS (SELECT DISTINCT LEAST(user_id, nxt) AS a,
+                      GREATEST(user_id, nxt) AS b
+      FROM seq WHERE nxt IS NOT NULL AND nxt <> user_id
+                 AND LEAST(user_id, nxt) <> GREATEST(user_id, nxt)),
+tri AS (SELECT ab.a AS ta, ab.b AS tb, bc.b AS tc
+        FROM e ab JOIN e bc ON ab.b = bc.a
+                  JOIN e ac ON ac.a = ab.a AND ac.b = bc.b),
+corners AS (SELECT ta AS node FROM tri UNION ALL
+            SELECT tb FROM tri UNION ALL SELECT tc FROM tri)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+FROM corners GROUP BY node
+ORDER BY triangles DESC, node LIMIT {TRI_TOPK}
+"""
+
+# ------------------------------------------- market basket ----------
+
+BASKET_TOPK = 20
+
+
+def q_item_cooccurrence(spark, sf_dir):
+    """Market-basket pair analysis over orders: the top-20 part
+    pairs by co-occurrence count, with support counts and LIFT
+    (n·c_ab / (c_a·c_b)). The self-join runs on the order key — pair
+    fan-out is bounded by basket size (TPC-H ≤ 7 lines), never the
+    catalog; item marginals broadcast back onto the reduced pair
+    aggregate. Lift divides exact bigint counts cast to double — one
+    deterministic IEEE op per side, no rounding."""
+    l = _t(spark, sf_dir, "lineitem")
+    items = l.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select("l_orderkey").distinct() \
+        .agg(F.count(F.lit(1)).alias("n"))
+    a = items.select("l_orderkey", F.col("l_partkey").alias("pk_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("pk_b"))
+    pairs = (a.join(b, "l_orderkey")
+             .filter(F.col("pk_a") < F.col("pk_b"))
+             .groupBy("pk_a", "pk_b")
+             .agg(F.count(F.lit(1)).alias("c_ab")))
+    marg = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    return (pairs
+            .join(F.broadcast(marg.withColumnsRenamed(
+                {"l_partkey": "pk_a", "c": "c_a"})), "pk_a")
+            .join(F.broadcast(marg.withColumnsRenamed(
+                {"l_partkey": "pk_b", "c": "c_b"})), "pk_b")
+            .crossJoin(F.broadcast(n_orders))
+            .select("pk_a", "pk_b", "c_ab", "c_a", "c_b",
+                    ((F.col("c_ab") * F.col("n")).cast("double")
+                     / (F.col("c_a") * F.col("c_b")).cast("double"))
+                    .alias("lift"))
+            .orderBy(F.desc("c_ab"), "pk_a", "pk_b")
+            .limit(BASKET_TOPK))
+
+
+SQL_ITEM_COOCCURRENCE = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM items),
+pairs AS (SELECT a.l_partkey AS pk_a, b.l_partkey AS pk_b,
+                 CAST(COUNT(*) AS BIGINT) AS c_ab
+          FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+                                   AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2),
+marg AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM items
+         GROUP BY 1)
+SELECT pk_a, pk_b, c_ab, ma.c AS c_a, mb.c AS c_b,
+       CAST(c_ab * n.n AS DOUBLE) / CAST(ma.c * mb.c AS DOUBLE) AS lift
+FROM pairs JOIN marg ma ON pairs.pk_a = ma.l_partkey
+           JOIN marg mb ON pairs.pk_b = mb.l_partkey
+           CROSS JOIN n
+ORDER BY c_ab DESC, pk_a, pk_b LIMIT {BASKET_TOPK}
+"""
+
+# ------------------------------------------- chi-square A/B ---------
+
+
+def q_chi2_abtest(spark, sf_dir):
+    """Two-proportion A/B analysis in the closed chi-square form:
+    variant = user_id parity (a deterministic assignment), conversion
+    = the user made a purchase above 150 (nearly every user has SOME
+    purchase, so the raw event would make conversion degenerate).
+    χ² = n(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) needs no transcendentals —
+    the contingency counts are two tiny aggregates, and the statistic
+    is computed in doubles cast from exact bigints with a pinned op
+    order (identical IEEE results in both engines; at 10⁹-user scale
+    the intermediate products overflow bigint, which is why the
+    arithmetic is double). A degenerate margin yields NULL, not a
+    divide-by-zero, identically on both sides."""
+    e = _t(spark, sf_dir, "events")
+    users = e.select("user_id").distinct() \
+        .withColumn("variant", (F.col("user_id") % 2 == 0))
+    conv = (e.filter((F.col("event_type") == "purchase")
+                     & (F.col("value") >= 150.0))
+            .select("user_id").distinct()
+            .withColumn("converted", F.lit(True)))
+    cells = (users.join(conv.select("user_id", "converted"),
+                        "user_id", "left")
+             .select("variant",
+                     F.coalesce("converted", F.lit(False))
+                     .alias("converted"))
+             .groupBy()
+             .agg(*[F.sum(F.when((F.col("variant") == va)
+                                 & (F.col("converted") == co), 1)
+                          .otherwise(0)).alias(nm)
+                    for nm, va, co in (("a", True, True),
+                                       ("b", True, False),
+                                       ("c", False, True),
+                                       ("d", False, False))]))
+    A, B, C, D = [F.col(x).cast("double") for x in "abcd"]
+    n = A + B + C + D
+    num = n * (A * D - B * C) * (A * D - B * C)
+    den = (A + B) * (C + D) * (A + C) * (B + D)
+    return cells.select("a", "b", "c", "d",
+                        F.when(den != 0, num / den).alias("chi2"))
+
+
+SQL_CHI2_ABTEST = """
+WITH users AS (SELECT DISTINCT user_id, user_id % 2 = 0 AS variant
+               FROM events),
+conv AS (SELECT DISTINCT user_id, TRUE AS converted FROM events
+         WHERE event_type = 'purchase' AND value >= 150.0),
+cells AS (
+  SELECT CAST(SUM(CASE WHEN variant AND COALESCE(converted, FALSE)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN variant AND NOT COALESCE(converted, FALSE)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN NOT variant AND COALESCE(converted, FALSE)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN NOT variant AND NOT COALESCE(converted, FALSE)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM users LEFT JOIN conv USING (user_id))
+SELECT a, b, c, d,
+       CASE WHEN (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+               * (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))
+               * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+               * (CAST(b AS DOUBLE) + CAST(d AS DOUBLE)) = 0 THEN NULL
+       ELSE
+       ((CAST(a AS DOUBLE) + CAST(b AS DOUBLE) + CAST(c AS DOUBLE)
+         + CAST(d AS DOUBLE))
+        * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+           - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+        * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+           - CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+       / ((CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+          * (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))
+          * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+          * (CAST(b AS DOUBLE) + CAST(d AS DOUBLE)))
+       END AS chi2
+FROM cells
+"""
+
+# ------------------------------------------- data profiling ---------
+
+PROFILE_COLS = ["o_orderkey", "o_custkey", "o_totalprice",
+                "o_orderdate", "o_orderpriority"]
+
+
+def q_profile_table(spark, sf_dir):
+    """One-pass table profiler over orders: per column, row/null/
+    distinct counts and min/max (stringified — one schema for every
+    type). ONE aggregate computes all columns' stats (Catalyst plans
+    multi-distinct via Expand — a single scan), then `stack` unpivots
+    to (column, metric…) rows. At 100 TB swap the exact distinct for
+    the HLL sketch twin (`hll_sketch`); everything else is the same
+    one-pass shape."""
+    o = _t(spark, sf_dir, "orders")
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in PROFILE_COLS)
+    return wide.select(F.expr(
+        f"stack({len(PROFILE_COLS)}, {stack}) AS "
+        "(column_name, n_rows, n_nulls, n_distinct, min_str, max_str)"))
+
+
+def _sql_profile_table() -> str:
+    parts = [f"""
+SELECT '{c}' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       MIN(CAST({c} AS VARCHAR)) AS min_str,
+       MAX(CAST({c} AS VARCHAR)) AS max_str
+FROM orders""" for c in PROFILE_COLS]
+    return "\nUNION ALL\n".join(parts)
+
+
+# ------------------------------------------- incremental view maint -
+
+
+def q_ivm_agg(spark, sf_dir):
+    """Incremental maintenance of the per-status (count, total)
+    rollup under the SAME U/D/I change set as ``merge_upsert`` — and
+    checked against the SAME oracle: re-aggregating the fully merged
+    table must equal base aggregate + change-derived delta
+    (operators/merge.py:incremental_agg_update). The incremental path
+    touches only the change rows, the touched base keys, and the tiny
+    aggregate table — never re-scans the merged facts."""
+    from .operators.merge import incremental_agg_update
+    from .registry_ext4 import _order_changes
+    o = (_t(spark, sf_dir, "orders")
+         .select("o_orderkey", "o_orderstatus",
+                 F.col("o_totalprice").cast("decimal(18,2)")
+                 .alias("price")))
+    base_agg = (o.groupBy("o_orderstatus")
+                .agg(F.count(F.lit(1)).alias("n_orders"),
+                     F.sum("price").alias("total_dec")))
+    out = incremental_agg_update(o, base_agg, _order_changes(o),
+                                 "o_orderkey", "o_orderstatus",
+                                 "price")
+    return out.select("o_orderstatus", "n_orders",
+                      F.col("total_dec").cast("double")
+                      .alias("total_price"))
+
+
+def _sql_ivm_agg() -> str:
+    from .registry_ext4 import SQL_MERGE_UPSERT
+    return SQL_MERGE_UPSERT
+
+
 QUERIES_EXT5: dict[str, dict] = {
     "llm_jaccard_prefix": {"fn": q_jaccard_prefix,
                            "sql": SQL_JACCARD_PREFIX},
@@ -275,4 +564,14 @@ QUERIES_EXT5: dict[str, dict] = {
                            "sql": SQL_FUNNEL_STEPS},
     "mad_outliers":       {"fn": q_mad_outliers,
                            "sql": SQL_MAD_OUTLIERS},
+    "mm_phash_pairs":     {"fn": q_mm_phash_pairs,     "sql": None},
+    "mm_audio_features":  {"fn": q_mm_audio_features,  "sql": None},
+    "triangle_count":     {"fn": q_triangle_count,
+                           "sql": SQL_TRIANGLE_COUNT},
+    "item_cooccurrence":  {"fn": q_item_cooccurrence,
+                           "sql": SQL_ITEM_COOCCURRENCE},
+    "chi2_abtest":        {"fn": q_chi2_abtest,  "sql": SQL_CHI2_ABTEST},
+    "profile_table":      {"fn": q_profile_table,
+                           "sql": _sql_profile_table()},
+    "ivm_agg":            {"fn": q_ivm_agg, "sql": _sql_ivm_agg()},
 }

@@ -34,6 +34,7 @@ PARTITION_KEYS = {
     "rollup_partial": ("batch_id",),
     "distinct_partial": ("batch_id",),
     "quantile_partial": ("batch_id",),
+    "cms_partial": ("batch_id",),
 }
 
 

@@ -455,3 +455,55 @@ def read_quantile_rollup(spark: SparkSession, root: str,
                .select("bucket", FF.round("est", 6).alias(f"q_{pct}")))
         out = out.join(hit, ["bucket"])
     return out
+
+
+def persisted_cms_rollup(spark: SparkSession, events_dir: str,
+                         root: str, checkpoint_dir: str,
+                         available_now: bool = True,
+                         depth: int = 4, width: int = 256) -> StreamingQuery:
+    """Streaming HEAVY-HITTER rollup: per micro-batch, the per-hour
+    Count-Min counter-grid partial (operators/sketches.cms_counters)
+    persists under the batch's own partition — the same idempotent
+    dynamic-overwrite scheme as the other persisted rollups, so a
+    replayed batch replaces itself and never double-counts.
+
+    Counter cells merge by SUM, so ``read_cms_rollup`` re-merging
+    partials at read time is EXACTLY the sketch over all events —
+    bit-equal to the one-shot batch grid (asserted against the batch
+    twin in tests/test_streaming.py). Exact streaming per-key counts
+    keep state per DISTINCT KEY; the grid is ≤ depth·width rows per
+    hour no matter the key cardinality — the frequency member of the
+    mergeable-sketch family beside the HLL (distinct) and histogram
+    (quantile) rollups."""
+    from .. import storage
+    from ..operators.sketches import cms_counters
+
+    stream = events_stream(spark, events_dir)
+
+    def write_partial(batch_df: DataFrame, batch_id: int) -> None:
+        part = (cms_counters(
+                    batch_df.select(
+                        F.date_trunc("hour", "ts").alias("bucket"),
+                        "user_id"),
+                    "user_id", depth=depth, width=width,
+                    group_cols=["bucket"])
+                .withColumn("batch_id", F.lit(batch_id)))
+        storage.overwrite_partitions(part, root, "cms_partial")
+
+    writer = (stream.writeStream.foreachBatch(write_partial)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_cms_rollup(spark: SparkSession, root: str, keys: DataFrame,
+                    depth: int = 4, width: int = 256) -> DataFrame:
+    """Merge counter partials and estimate per-(hour, key)
+    frequencies for the probed ``keys``."""
+    from .. import storage
+    from ..operators.sketches import cms_estimate
+
+    return cms_estimate(storage.read(spark, root, "cms_partial"),
+                        keys, "user_id", depth=depth, width=width,
+                        group_cols=["bucket"])

@@ -150,3 +150,181 @@ def test_ext5_entries_registered():
     for name in ("llm_jaccard_prefix", "cms_topk", "kmv_set_ops",
                  "funnel_steps", "mad_outliers"):
         assert name in QUERIES and QUERIES[name].get("sql")
+
+
+# ---------------------------------------- pHash ---------------------
+
+def _texture_ppm(scale):
+    """The SAME 16×16 random scene rendered at 16·scale pixels — a
+    rich spectrum (every pHash coefficient far from the median), so
+    scale invariance is tested on signal, not on the arbitrary signs
+    of near-zero coefficients a flat gradient would produce."""
+    import numpy as np
+    base = np.random.default_rng(42).integers(0, 256, (16, 16))
+    g = np.repeat(np.repeat(base, scale, 0), scale, 1).astype(np.uint8)
+    h, w = g.shape
+    body = np.stack([g, g, g], axis=-1).tobytes()
+    return f"P6\n{w} {h}\n255\n".encode() + body
+
+
+def test_phash_is_resize_and_brightness_invariant():
+    import numpy as np
+    from lcmap_blackmagic_spark.llm.multimodal import (
+        library_decoder, phash64)
+    small = phash64(library_decoder(_texture_ppm(3), "image"))    # 48px
+    big = phash64(library_decoder(_texture_ppm(12), "image"))     # 192px
+    ham = bin((small ^ big) & ((1 << 64) - 1)).count("1")
+    assert ham <= 4  # same scene, 4x scale: near-identical hash
+    # flat brightness shift barely moves it (DC excluded from median)
+    img = library_decoder(_texture_ppm(3), "image")
+    bright = phash64(np.clip(img + 30, 0, 255))
+    assert bin((small ^ bright) & ((1 << 64) - 1)).count("1") <= 6
+    # a different scene must be far
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, (64, 64)).astype(np.float32)
+    ham2 = bin((small ^ phash64(noise)) & ((1 << 64) - 1)).count("1")
+    assert ham2 > 16
+
+
+def test_phash_pairs_find_duplicate_payloads(spark):
+    from lcmap_blackmagic_spark.llm.multimodal import (
+        phash_images, phash_pairs)
+    rows = [(1, "image", b"P6-one-payload-xx"),
+            (2, "image", b"P6-one-payload-xx"),   # exact dup of 1
+            (3, "image", b"completely different")]
+    media = spark.createDataFrame(
+        [(i, k, p, None, None, None, None) for i, k, p in rows],
+        "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int")
+    got = {(r.id_a, r.id_b, r.hamming)
+           for r in phash_pairs(phash_images(media), 0).collect()}
+    assert got == {(1, 2, 0)}
+
+
+def test_phash_pairs_plan_has_no_cartesian(spark, sf_dir):
+    from lcmap_blackmagic_spark.registry_ext5 import q_mm_phash_pairs
+    plan = q_mm_phash_pairs(spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------- audio features ------------
+
+def test_audio_features_sine_golden():
+    """1 kHz sine at 8 kHz: RMS = A/sqrt(2), ZCR = 2f/sr, centroid
+    and rolloff pinned at the tone frequency."""
+    import numpy as np
+    from lcmap_blackmagic_spark.llm.multimodal import audio_feature_vector
+    sr, f, n = 8000, 1000, 8000
+    t = np.arange(n) / sr
+    x = 0.5 * np.sin(2 * np.pi * f * t)
+    feats = audio_feature_vector(x, sr)
+    assert abs(feats["rms"] - 0.5 / np.sqrt(2)) < 1e-3
+    assert abs(feats["zcr"] - 2 * f / sr) < 0.01
+    assert abs(feats["centroid_hz"] - f) < 25
+    assert abs(feats["rolloff_hz"] - f) < 25
+
+
+def test_audio_features_query_runs(spark, sf_dir):
+    from lcmap_blackmagic_spark.registry_ext5 import q_mm_audio_features
+    out = q_mm_audio_features(spark, sf_dir).collect()
+    assert len(out) > 0
+    assert all(r.rms >= 0 and 0 <= r.zcr <= 1 for r in out)
+
+
+# ---------------------------------------- triangles -----------------
+
+def test_triangle_counts_on_known_graphs(spark):
+    from lcmap_blackmagic_spark.operators.graph import triangle_counts
+    # K4: every vertex sits in C(3,2) = 3 triangles
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    # a disjoint path 10-11-12: no triangles at all
+    path = [(10, 11), (11, 12)]
+    # duplicate + reversed edges must not inflate counts
+    edges = spark.createDataFrame(
+        k4 + path + [(1, 0), (2, 3), (3, 2)], "src long, dst long")
+    got = {(r.node, r.triangles)
+           for r in triangle_counts(edges).collect()}
+    assert got == {(0, 3), (1, 3), (2, 3), (3, 3)}
+
+
+# ---------------------------------------- market basket -------------
+
+def test_cooccurrence_lift_identity(spark, sf_dir):
+    """For every returned pair: lift = n·c_ab / (c_a·c_b) recomputed
+    from the row's own exact counts, and c_ab ≤ min(c_a, c_b)."""
+    from lcmap_blackmagic_spark.registry_ext5 import q_item_cooccurrence
+    rows = q_item_cooccurrence(spark, sf_dir).collect()
+    assert len(rows) > 0
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n = l.select("l_orderkey").distinct().count()
+    for r in rows:
+        assert r.c_ab <= min(r.c_a, r.c_b)
+        assert r.lift == (r.c_ab * n) / (r.c_a * r.c_b)
+
+
+# ---------------------------------------- chi-square ----------------
+
+def test_chi2_nonnull_and_nonnegative(spark, sf_dir):
+    from lcmap_blackmagic_spark.registry_ext5 import q_chi2_abtest
+    row = q_chi2_abtest(spark, sf_dir).collect()[0]
+    assert min(row.a + row.b, row.c + row.d,
+               row.a + row.c, row.b + row.d) > 0
+    assert row.chi2 is not None and row.chi2 >= 0.0
+
+
+# ---------------------------------------- profiler ------------------
+
+def test_profile_single_scan(spark, sf_dir):
+    """The profiler must be ONE pass over the table: a single scan
+    node (multi-distinct goes through Expand, not repeated scans)."""
+    from lcmap_blackmagic_spark.registry_ext5 import q_profile_table
+    plan = q_profile_table(spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    out = {r.column_name: r for r in
+           q_profile_table(spark, sf_dir).collect()}
+    assert out["o_orderkey"].n_distinct == out["o_orderkey"].n_rows
+
+
+# ---------------------------------------- incremental view maint ----
+
+def test_ivm_handles_group_moving_updates(spark):
+    """An update that changes the GROUP column must emit a negative
+    contribution at the old group and a positive at the new — the
+    case the shared merge_upsert oracle can't isolate (its updates
+    keep the status)."""
+    from lcmap_blackmagic_spark.operators.merge import (
+        incremental_agg_update, merge_into)
+    facts = spark.createDataFrame(
+        [(1, "x", 10), (2, "x", 20), (3, "y", 30)],
+        "k long, g string, v long")
+    changes = spark.createDataFrame(
+        [(2, "y", None, "U"),     # moves group x -> y, keeps value
+         (3, None, 35, "U"),      # stays in y, value changes
+         (4, "z", 40, "I"),       # new group appears
+         (1, None, None, "D")],   # group x empties out entirely
+        "k long, g string, v long, op string")
+    base_agg = facts.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    inc = {(r.g, r.n, r.s) for r in incremental_agg_update(
+        facts, base_agg, changes, "k", "g", "v").collect()}
+    full = {(r.g, r.n, r.s) for r in
+            merge_into(facts, changes, "k")
+            .groupBy("g").agg(F.count(F.lit(1)).alias("n"),
+                              F.sum("v").alias("s")).collect()}
+    assert inc == full == {("y", 2, 55), ("z", 1, 40)}
+
+
+def test_ivm_unmatched_update_is_dropped(spark):
+    from lcmap_blackmagic_spark.operators.merge import (
+        incremental_agg_update)
+    facts = spark.createDataFrame([(1, "x", 10)], "k long, g string, v long")
+    changes = spark.createDataFrame([(99, "x", 7, "U")],
+                                    "k long, g string, v long, op string")
+    base_agg = facts.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    got = {(r.g, r.n, r.s) for r in incremental_agg_update(
+        facts, base_agg, changes, "k", "g", "v").collect()}
+    assert got == {("x", 1, 10)}

@@ -499,3 +499,38 @@ def test_persisted_quantile_rollup_matches_batch_sketch(spark, events_dir,
     width = QB_HI / QB_BINS
     for bucket, n, q50, q90 in got:
         assert abs(q50 - exact[bucket]) <= width + 1e-6
+
+
+def test_persisted_cms_rollup_matches_batch_sketch(spark, events_dir,
+                                                   tmp_path):
+    """Count-Min grid partials persisted per micro-batch and
+    SUM-merged at read must estimate BIT-EQUAL to the one-shot batch
+    sketch over the same files — the frequency member of the
+    mergeable-sketch family (HLL: MAX, histogram: SUM, CMS: SUM) —
+    and never under-estimate the exact per-(hour, user) counts."""
+    from lcmap_blackmagic_spark.operators.sketches import (
+        cms_counters, cms_estimate)
+    from lcmap_blackmagic_spark.streaming.jobs import (
+        persisted_cms_rollup, read_cms_rollup)
+
+    root, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    q = persisted_cms_rollup(spark, events_dir, root, ckpt)
+    q.awaitTermination(180)
+
+    ev = spark.read.parquet(events_dir)
+    keys = ev.select("user_id").distinct()
+    got = {tuple(r) for r in
+           read_cms_rollup(spark, root, keys).collect()}
+    batch = cms_estimate(
+        cms_counters(ev.select(F.date_trunc("hour", "ts")
+                               .alias("bucket"), "user_id"),
+                     "user_id", group_cols=["bucket"]),
+        keys, "user_id", group_cols=["bucket"])
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(got) > 0
+    exact = {(r["bucket"], r["user_id"]): r["n"] for r in
+             ev.groupBy(F.date_trunc("hour", "ts").alias("bucket"),
+                        "user_id")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    for bucket, user, est in got:
+        assert est >= exact.get((bucket, user), 0)
