@@ -534,6 +534,7 @@ from .registry_tpch import QUERIES_TPCH  # noqa: E402
 from .registry_ext3 import QUERIES_EXT3  # noqa: E402
 from .registry_ext4 import QUERIES_EXT4  # noqa: E402
 from .registry_ext5 import QUERIES_EXT5  # noqa: E402
+from .registry_ext6 import QUERIES_EXT6  # noqa: E402
 from .sql_catalog import QUERIES_SQL  # noqa: E402
 
 QUERIES.update(QUERIES_LLM)
@@ -545,6 +546,7 @@ QUERIES.update(QUERIES_TPCH)
 QUERIES.update(QUERIES_EXT3)
 QUERIES.update(QUERIES_EXT4)
 QUERIES.update(QUERIES_EXT5)
+QUERIES.update(QUERIES_EXT6)
 QUERIES.update(QUERIES_SQL)
 
 
