@@ -256,38 +256,52 @@ BM25_TOPK = 20
 def q_bm25_topk(spark, sf_dir):
     """Okapi BM25 of a fixed query over the corpus, top-k.
 
-    Scale shape: ONE token explode feeding both the tf counts and
-    (via a two-row reduction) the corpus stats; the per-term df table
-    is |terms| rows and broadcast; no per-document Python.  The
-    top-k cut sorts by the ROUNDED score (then doc_id), so the
-    sub-1e-6 float tail — the only place the engines could disagree
-    after identical-order arithmetic — can never reorder the cut."""
+    Scale shape: NO explode and no wide shuffle at all — per-term tf
+    comes from codegen ``regexp_count`` with zero-width boundary
+    lookarounds (the stopword-count trick, llm/text.py:47-50), the
+    corpus stats (n_docs, Σdl, per-term df) are ONE single-row
+    reduction that broadcasts back, and the per-document score is a
+    straight-line projection summing the |q| per-term contributions
+    (a tf=0 term contributes exactly 0.0).  The whole query is
+    scan → project → tiny agg ⨝ → TakeOrdered: it would run on
+    100 TB without shuffling the corpus once.  The top-k cut sorts
+    by the ROUNDED score (then doc_id) so the sub-1e-6 float tail —
+    the only place the engines could disagree after identical-order
+    arithmetic — can never reorder the cut."""
+    import re as _re
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.size(F.split(F.lower(F.trim("text")), " ")).alias("dl"),
-        F.explode(F.split(F.lower(F.trim("text")), " ")).alias("tok"))
-    matched = toks.filter(F.col("tok").isin(BM25_TERMS))
-    tf = matched.groupBy("doc_id", "dl", "tok").agg(
-        F.count(F.lit(1)).alias("tf"))
-    df_t = (matched.select("tok", "doc_id").distinct()
-            .groupBy("tok").agg(F.count(F.lit(1)).alias("df")))
-    corpus = d.agg(
+    lowered = F.lower(F.trim("text"))
+    padded = F.concat(F.lit(" "), lowered, F.lit(" "))
+    tf_cols = [F.regexp_count(
+        padded, F.lit(f"(?<= ){_re.escape(t)}(?= )")).alias(f"tf_{i}")
+        for i, t in enumerate(BM25_TERMS)]
+    base = d.select("doc_id",
+                    F.size(F.split(lowered, " ")).alias("dl"), *tf_cols)
+    stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(F.split(F.lower(F.trim("text")), " ")))
-        .alias("total_dl"))
-    scored = (tf.join(F.broadcast(df_t), "tok")
-              .crossJoin(F.broadcast(corpus)))
-    idf = F.log((2 * F.col("n_docs") + 2).cast("double")
-                / (2 * F.col("df") + 1))
+        F.sum("dl").alias("total_dl"),
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"df_{i}")
+          for i in range(len(BM25_TERMS))])
+    joined = base.crossJoin(F.broadcast(stats))
     dl_norm = (F.col("dl") * F.col("n_docs")).cast("double") / F.col("total_dl")
-    term_score = idf * ((F.col("tf") * (BM25_K1 + 1))
-                        / (F.col("tf") + BM25_K1
-                           * (1 - BM25_B + BM25_B * dl_norm)))
-    per_doc = (scored.groupBy("doc_id")
-               .agg(F.round(F.sum(term_score), 6).alias("bm25"),
-                    F.count(F.lit(1)).alias("n_terms")))
-    return (per_doc.orderBy(F.desc("bm25"), "doc_id")
+    denom_k = BM25_K1 * (1 - BM25_B + BM25_B * dl_norm)
+
+    def term_score(i):
+        tf, df = F.col(f"tf_{i}"), F.col(f"df_{i}")
+        idf = F.log((2 * F.col("n_docs") + 2).cast("double")
+                    / (2 * df + 1))
+        return idf * ((tf * (BM25_K1 + 1)) / (tf + denom_k))
+
+    from functools import reduce
+    score = reduce(lambda a, b: a + b,
+                   [term_score(i) for i in range(len(BM25_TERMS))])
+    hits = reduce(lambda a, b: a + b,
+                  [(F.col(f"tf_{i}") > 0).cast("bigint")
+                   for i in range(len(BM25_TERMS))])
+    per_doc = joined.select(
+        "doc_id", F.round(score, 6).alias("bm25"), hits.alias("n_terms"))
+    return (per_doc.filter(F.col("n_terms") > 0)
+            .orderBy(F.desc("bm25"), "doc_id")
             .limit(BM25_TOPK))
 
 
@@ -301,7 +315,7 @@ WITH toks AS (
 matched AS (SELECT * FROM toks WHERE tok IN ({terms})),
 tf AS (SELECT doc_id, dl, tok, COUNT(*) AS tf
        FROM matched GROUP BY doc_id, dl, tok),
-df_t AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM matched GROUP BY tok),
+df_t AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
 corpus AS (SELECT COUNT(*) AS n_docs,
                   SUM(len(string_split(lower(trim(text)), ' '))) AS total_dl
            FROM documents)
@@ -366,21 +380,27 @@ def q_pmi_bigrams(spark, sf_dir):
     score = ((c_xy * 10^6) // c_x) * N_bi // c_y — monotone in
     pointwise mutual information (log is monotone), exact in int64
     through ~sf10 corpora, and log-free so both engines agree
-    bit-for-bit.  The bigram stream is a per-document lead() window
-    (document-partitioned — parallel at corpus scale); unigram
-    counts are a broadcastable vocabulary aggregate."""
+    bit-for-bit.
+
+    Shape: bigrams come from codegen ``arrays_zip``/``slice`` over
+    the token array — NO per-document window sort, no shuffle before
+    the (tok, tok2) count; the bigram total is derived arithmetically
+    (Σ tokens − n_docs), so the corpus is token-exploded exactly
+    twice (unigrams + bigrams), each a single pass."""
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.posexplode(F.split(F.lower(F.trim("text")), " "))
-        .alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    bi = (toks.select("doc_id", "tok",
-                      F.lead("tok").over(w).alias("tok2"))
-          .filter(F.col("tok2").isNotNull()))
+    arr = d.select("doc_id",
+                   F.split(F.lower(F.trim("text")), " ").alias("toks"))
+    bi = arr.select(F.expr(
+        "inline(arrays_zip(slice(toks, 1, size(toks) - 1),"
+        "                  slice(toks, 2, size(toks) - 1)))")) \
+        .toDF("tok", "tok2")
     c_xy = bi.groupBy("tok", "tok2").agg(F.count(F.lit(1)).alias("c_xy"))
-    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    n_bi = bi.select(F.count(F.lit(1)).alias("n_bi"))
+    uni = (arr.select(F.explode("toks").alias("tok"))
+           .groupBy("tok").agg(F.count(F.lit(1)).alias("c")))
+    n_docs = d.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    n_bi = (uni.groupBy().agg(F.sum("c").alias("n_tok"))
+            .crossJoin(n_docs)
+            .select((F.col("n_tok") - F.col("n_docs")).alias("n_bi")))
     scored = (c_xy.filter(F.col("c_xy") >= PMI_MIN_COUNT)
               .join(F.broadcast(uni.withColumnRenamed("c", "c_x")), "tok")
               .join(F.broadcast(uni.select(F.col("tok").alias("tok2"),

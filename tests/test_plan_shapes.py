@@ -330,3 +330,67 @@ def test_weighted_sample_no_global_sort(q):
     plan = simple_plan(q("weighted_sample"))
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange") <= 2
+
+
+def test_bm25_no_explode_no_wide_shuffle(q):
+    """BM25 is scan -> codegen regexp_count projection -> one-row
+    stats broadcast -> TakeOrdered: no token explode (Generate), no
+    join that shuffles the corpus — the shape that survives 100 TB."""
+    plan = fmt_plan(q("bm25_topk"))
+    assert "Generate" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastExchange (") == 1
+    # the only Exchange is the single-row stats reduction
+    assert plan.count("Exchange (") <= 2
+
+
+def test_pmi_broadcasts_vocab_no_sort_join(q):
+    """Collocation scoring joins the bigram counts to the (tiny)
+    vocabulary aggregates via broadcast only; bigrams come from
+    arrays_zip, not a per-document window sort."""
+    plan = fmt_plan(q("pmi_bigrams"))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_kmeans_assign_broadcasts_centroids(q):
+    """The E-step broadcasts the 8-row centroid table (BNLJ over a
+    broadcast is fine at k rows); the vectors are never shuffled
+    before the per-vector argmin window, and the argmin window is
+    vec-partitioned."""
+    plan = fmt_plan(q("kmeans_assign"))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange (") == 1
+    assert re.search(r"Window.*?vec_id", plan, re.S)
+
+
+def test_ewma_single_sort_single_exchange(q):
+    """The smoother is exactly one user-hash Exchange + one Sort +
+    one Window — nothing else; 8 lags evaluate in the same window
+    frame pass."""
+    plan = fmt_plan(q("ewma_smooth"))
+    assert plan.count("Exchange (") == 1
+    assert plan.count("Sort (") == 1
+    assert plan.count("Window (") == 1
+    assert "HashAggregate" not in plan
+
+
+def test_eval_auc_windows_share_one_sort(q):
+    """rank() and the tie-count window run over ONE sort of each
+    priority group (compatible orderings), then reduce — the whole
+    AUC costs one sort, not the O(P*N) pair expansion."""
+    plan = fmt_plan(q("eval_auc"))
+    assert plan.count("Sort (") == 1
+    # one partition exchange for the window + one for the group agg at most
+    assert plan.count("Exchange (") <= 2
+
+
+def test_salted_join_replicates_and_keys_on_salt(q):
+    """The salt demo must actually salt: the small side is replicated
+    via Generate (explode of the salt sequence) and the join keys
+    include __salt."""
+    plan = fmt_plan(q("salted_join"))
+    assert "Generate" in plan
+    assert "__salt" in plan
