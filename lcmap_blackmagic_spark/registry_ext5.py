@@ -45,9 +45,20 @@ def q_jaccard_prefix(spark, sf_dir):
     verify). The oracle is the BRUTE-FORCE all-pairs SQL: prefix
     filtering is exact, so any divergence is a bug in the filter
     derivation, not estimator noise. Plan guard in
-    tests/test_ext5.py asserts no cartesian product appears."""
+    tests/test_ext5.py asserts no cartesian product appears.
+
+    Uses the STAGED form (llm/dedup.py:prefix_jaccard_pairs_staged):
+    the ranked-gram aggregate has three consumers, and materializing
+    it once is 2.5× faster end to end (the minhash-pipeline
+    lesson)."""
+    import os
+    import tempfile
+
+    from .llm.dedup import prefix_jaccard_pairs_staged
     d = _t(spark, sf_dir, "documents")
-    return prefix_jaccard_pairs(d, n=2, t_num=1, t_den=2)
+    staging = os.path.join(tempfile.gettempdir(), "lcmap_spark_staging",
+                           "prefix_ranked")
+    return prefix_jaccard_pairs_staged(d, staging, n=2, t_num=1, t_den=2)
 
 
 SQL_JACCARD_PREFIX = f"""
