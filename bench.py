@@ -85,6 +85,14 @@ HEADLINE = [
     "item_cooccurrence",
     "profile_table",
     "ivm_agg",
+    # round-5 session-3: shuffle-free BM25, rank-sum AUC, broadcast
+    # k-means assign step, bit-exact EWMA window, last-touch
+    # attribution carry-forward
+    "bm25_topk",
+    "eval_auc",
+    "kmeans_assign",
+    "ewma_smooth",
+    "attribution",
 ]
 
 

@@ -230,6 +230,113 @@ GROUP BY COALESCE(campaign, -1) ORDER BY campaign
 """
 
 
+# ------------------------------------------------------ OHLC bars ---
+
+def q_ohlc_bars(spark, sf_dir):
+    """Hourly open/high/low/close/volume bars per event type — the
+    time-bucketed rollup every metrics store needs.  Buckets are
+    EPOCH-HOUR integers (unix_micros div 3600e6), never
+    date_trunc — the events column is LTZ and session-timezone
+    truncation silently shifts bars (the cohort_retention lesson,
+    .claude/skills/verify).  Open/close are first/last over the
+    unique (ts, event_id) order via an unbounded window; one
+    bar-partition shuffle total."""
+    e = _t(spark, sf_dir, "events")
+    # integer div, not /: double division truncated can land one off
+    # the oracle's floored integer quotient at bucket boundaries
+    hr = F.expr("unix_micros(ts) div 3600000000")
+    w = (Window.partitionBy("event_type", "hr")
+         .orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding,
+                      Window.unboundedFollowing))
+    base = (e.select("event_type", hr.alias("hr"), "ts", "event_id",
+                     F.col("value").cast("decimal(18,2)").alias("v"))
+            .select("event_type", "hr", "v",
+                    F.first("v").over(w).alias("open"),
+                    F.last("v").over(w).alias("close")))
+    return (base.groupBy("event_type", "hr")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.max(F.col("open").cast("double")).alias("open"),
+                 F.max("v").cast("double").alias("high"),
+                 F.min("v").cast("double").alias("low"),
+                 F.max(F.col("close").cast("double")).alias("close"),
+                 F.sum("v").cast("double").alias("volume")))
+
+
+SQL_OHLC_BARS = """
+WITH base AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+         CAST(value AS DECIMAL(18,2)) AS v,
+         first_value(CAST(value AS DECIMAL(18,2)))
+           OVER (PARTITION BY event_type, epoch_us(ts) // 3600000000
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING) AS open,
+         last_value(CAST(value AS DECIMAL(18,2)))
+           OVER (PARTITION BY event_type, epoch_us(ts) // 3600000000
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING) AS close
+  FROM events)
+SELECT event_type, hr, COUNT(*) AS n,
+       CAST(MAX(open) AS DOUBLE) AS open,
+       CAST(MAX(v) AS DOUBLE) AS high,
+       CAST(MIN(v) AS DOUBLE) AS low,
+       CAST(MAX(close) AS DOUBLE) AS close,
+       CAST(SUM(v) AS DOUBLE) AS volume
+FROM base GROUP BY event_type, hr
+"""
+
+
+# ----------------------------------------------------- RFM scores ---
+
+def q_rfm_scores(spark, sf_dir):
+    """RFM (recency / frequency / monetary) customer segmentation:
+    quintile each metric over a unique total order, report segment
+    populations.  All metrics are integers (epoch days, counts,
+    cents); three global ntile sorts at fixture scale — the at-scale
+    form swaps ntile for approx-quantile breakpoint broadcast, noted
+    here because a global sort per metric is the textbook
+    ntile-at-scale trap."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (o.groupBy("o_custkey")
+                .agg(F.max(F.datediff(F.to_date("o_orderdate"),
+                                      F.lit("1970-01-01").cast("date")))
+                     .alias("recency"),
+                     F.count(F.lit(1)).alias("frequency"),
+                     (F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                      * 100).cast("bigint").alias("monetary")))
+    scored = per_cust.select(
+        "o_custkey",
+        F.ntile(5).over(Window.orderBy("recency", "o_custkey")).alias("r"),
+        F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).alias("f"),
+        F.ntile(5).over(Window.orderBy("monetary", "o_custkey")).alias("m"))
+    return (scored.groupBy("r", "f", "m")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.min("o_custkey").alias("min_cust"),
+                 F.max("o_custkey").alias("max_cust")))
+
+
+SQL_RFM_SCORES = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS recency,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS monetary
+  FROM orders GROUP BY o_custkey),
+scored AS (
+  SELECT o_custkey,
+         ntile(5) OVER (ORDER BY recency, o_custkey) AS r,
+         ntile(5) OVER (ORDER BY frequency, o_custkey) AS f,
+         ntile(5) OVER (ORDER BY monetary, o_custkey) AS m
+  FROM per_cust)
+SELECT r, f, m, COUNT(*) AS n_customers,
+       MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust
+FROM scored GROUP BY r, f, m
+"""
+
+
 QUERIES_EXT8: dict[str, dict] = {
     "skew_profile":      {"fn": q_skew_profile,   "sql": SQL_SKEW_PROFILE},
     "random_projection": {"fn": q_random_projection,
@@ -237,4 +344,6 @@ QUERIES_EXT8: dict[str, dict] = {
     "kmeans_update":     {"fn": q_kmeans_update,
                           "sql": _sql_kmeans_update()},
     "attribution":       {"fn": q_attribution,    "sql": SQL_ATTRIBUTION},
+    "ohlc_bars":         {"fn": q_ohlc_bars,      "sql": SQL_OHLC_BARS},
+    "rfm_scores":        {"fn": q_rfm_scores,     "sql": SQL_RFM_SCORES},
 }
