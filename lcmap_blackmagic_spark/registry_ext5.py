@@ -286,10 +286,20 @@ def q_mm_phash_pairs(spark, sf_dir):
     banding → exact hamming on candidates, all JVM-side. Rows-only:
     the DCT lives in Python; golden + invariance tests in
     tests/test_ext5.py pin the hash itself."""
+    import os
+    import tempfile
+
     from .llm.multimodal import attach_payloads, phash_images, phash_pairs
     docs = _t(spark, sf_dir, "documents")
     media = attach_payloads(docs)
-    return (phash_pairs(phash_images(media), max_hamming=10)
+    # the banding self-join consumes the hash table twice; staging the
+    # (media_id, phash) rows runs the Python DCT pass ONCE (the
+    # minhash/prefix staging lesson — measured 4.1 s → ~2 s at sf0.1)
+    staging = os.path.join(tempfile.gettempdir(), "lcmap_spark_staging",
+                           "phash")
+    phash_images(media).write.mode("overwrite").parquet(staging)
+    hashes = spark.read.parquet(staging)
+    return (phash_pairs(hashes, max_hamming=10)
             .orderBy("id_a", "id_b"))
 
 
