@@ -122,6 +122,73 @@ SESSION_STATE = T.StructType([
 ])
 
 
+EWMA_OUT = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ewma", T.DoubleType()),
+])
+
+EWMA_STATE = T.StructType([
+    T.StructField("s", T.DoubleType()),
+    T.StructField("last_us", T.LongType()),
+])
+
+
+def ewma_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stateful streaming EWMA (alpha = 1/2) of event values per
+    user: s = (x + s_prev) / 2 — the O(1)-state streaming twin of the
+    batch window smoother (registry_ext7.q_ewma_smooth keeps 8 lags;
+    the recursion keeps ONE double per user regardless of stream
+    length).  Emits one row per event.
+
+    Ordering contract: events are folded in (ts, event_id) order
+    within each micro-batch, and an event older than the last folded
+    timestamp is DROPPED (the late-data policy — state carries
+    last_us), so the emitted sequence is deterministic for in-order
+    input and never silently corrupts the recursion on stragglers.
+    Dyadic alpha keeps every update exact: the stream and an offline
+    replay produce bit-identical doubles."""
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+        user_id = key[0]
+        if state.exists:
+            s, last_us = state.get
+        else:
+            s, last_us = None, -1
+        ids, vals = [], []
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ts_us = (pdf["ts"].astype("datetime64[ns]").astype("int64")
+                     // 1000)
+            for t, eid, x in zip(ts_us, pdf["event_id"], pdf["value"]):
+                t = int(t)
+                if t < last_us:
+                    continue  # late event: drop, never rewind state
+                last_us = t
+                x = float(x) if x == x else 0.0
+                s = x if s is None else (x + s) / 2
+                ids.append(int(eid))
+                vals.append(s)
+        if s is not None:
+            state.update((s, last_us))
+        if ids:
+            yield pd.DataFrame({"user_id": [user_id] * len(ids),
+                                "event_id": ids, "ewma": vals})
+
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(fn, EWMA_OUT, EWMA_STATE, "append",
+                                    _no_timeout()))
+
+
+def _no_timeout():
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    return GroupStateTimeout.NoTimeout
+
+
 def session_windows(events: DataFrame, gap_minutes: int = 30,
                     watermark: str = "2 hours") -> DataFrame:
     """Custom stateful streaming operator: gap-based sessionization via

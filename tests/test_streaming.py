@@ -534,3 +534,32 @@ def test_persisted_cms_rollup_matches_batch_sketch(spark, events_dir,
              .agg(F.count(F.lit(1)).alias("n")).collect()}
     for bucket, user, est in got:
         assert est >= exact.get((bucket, user), 0)
+
+
+def test_ewma_stream_matches_offline_replay(spark, events_dir,
+                                            state_provider):
+    """The stateful streaming EWMA must produce bit-identical values
+    to an offline replay of the same recursion over (ts, event_id)
+    ordered events — dyadic alpha makes the comparison exact, not
+    approximate."""
+    from lcmap_blackmagic_spark.streaming.jobs import ewma_stream
+    stream = events_stream(spark, events_dir, max_files_per_trigger=1)
+    q = (ewma_stream(stream).writeStream.format("memory")
+         .queryName("ewma_" + state_provider)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r["user_id"], r["event_id"]): r["ewma"]
+           for r in spark.table("ewma_" + state_provider).collect()}
+
+    e = (spark.read.parquet(events_dir)
+         .select("user_id", "event_id", "ts", "value")
+         .orderBy("user_id", "ts", "event_id").collect())
+    want = {}
+    state = {}
+    for r in e:
+        x = r["value"] if r["value"] == r["value"] else 0.0
+        s = state.get(r["user_id"])
+        s = x if s is None else (x + s) / 2
+        state[r["user_id"]] = s
+        want[(r["user_id"], r["event_id"])] = s
+    assert got == want  # exact float equality, every event emitted
