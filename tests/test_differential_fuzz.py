@@ -226,3 +226,75 @@ def test_window_function_agrees_across_engines(engines, i, expr):
     got = sorted(tuple(r) for r in spark.sql(sql).collect())
     want = sorted(tuple(r) for r in con.execute(sql).fetchall())
     assert got == want, f"window case {i}: {expr}"
+
+
+# ---- join-family differential fuzz --------------------------------
+
+JOIN_CASES = 24
+
+
+@pytest.fixture(scope="module")
+def engines2(engines, sf_dir):
+    """engines + the orders view on both sides (join fuzz needs a
+    second relation)."""
+    spark, con = engines
+    spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .createOrReplaceTempView("fuzz_orders")
+    con.execute(f"CREATE VIEW IF NOT EXISTS fuzz_orders AS "
+                f"SELECT * FROM read_parquet('{sf_dir}/orders.parquet')")
+    return spark, con
+
+
+ORD_NUM = [("o_orderkey", 1, 6_000_000), ("o_custkey", 1, 150_000)]
+
+
+def _rand_orders_pred(rng: random.Random) -> str:
+    roll = rng.random()
+    if roll < 0.4:
+        col, lo, hi = rng.choice(ORD_NUM[:2])
+        return f"{col} {rng.choice(CMP)} {rng.randint(lo, hi)}"
+    if roll < 0.7:
+        vals = ["F", "O", "P"]
+        picks = ", ".join(f"'{v}'" for v in
+                          rng.sample(vals, rng.randint(1, 3)))
+        return f"o_orderstatus IN ({picks})"
+    return (f"o_orderpriority "
+            f"{rng.choice(['=', '<>'])} "
+            f"'{rng.choice(['1-URGENT', '2-HIGH', '3-MEDIUM'])}'")
+
+
+def _join_cases():
+    rng = random.Random(SEED + 777)
+    cases = []
+    for i in range(JOIN_CASES):
+        shape = rng.choice(["INNER JOIN", "LEFT JOIN", "FULL JOIN",
+                            "SEMI", "ANTI"])
+        cases.append((i, shape, _rand_pred(rng), _rand_orders_pred(rng)))
+    return cases
+
+
+@pytest.mark.parametrize("i,shape,p1,p2", _join_cases())
+def test_join_agrees_across_engines(engines2, i, shape, p1, p2):
+    """Random join shapes over randomly-filtered sides, integer
+    aggregates compared exactly. Semi/anti run as EXISTS/NOT EXISTS —
+    the one spelling both engines parse identically."""
+    spark, con = engines2
+    a = (f"(SELECT l_orderkey AS k, CAST(l_linenumber AS BIGINT) AS v "
+         f"FROM fuzz_lineitem WHERE {p1})")
+    b = (f"(SELECT o_orderkey AS k, o_custkey % 7 + 1 "
+         f"AS w FROM fuzz_orders WHERE {p2})")
+    if shape in ("SEMI", "ANTI"):
+        neg = "NOT " if shape == "ANTI" else ""
+        sql = (f"SELECT COUNT(*) AS n, COALESCE(SUM(v), 0) AS sv, "
+               f"COALESCE(MIN(k), -1) AS mn, COALESCE(MAX(k), -1) AS mx "
+               f"FROM {a} a WHERE {neg}EXISTS "
+               f"(SELECT 1 FROM {b} b WHERE b.k = a.k)")
+    else:
+        sql = (f"SELECT COUNT(*) AS n, COALESCE(SUM(a.v), 0) AS sv, "
+               f"COALESCE(SUM(b.w), 0) AS sw, "
+               f"COALESCE(MIN(a.k), -1) AS mn, "
+               f"COALESCE(MAX(b.k), -1) AS mx "
+               f"FROM {a} a {shape} {b} b ON a.k = b.k")
+    got = tuple(spark.sql(sql).first())
+    want = tuple(con.execute(sql).fetchone())
+    assert got == want, f"case {i} [{shape}]: {p1} / {p2}"
