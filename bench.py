@@ -93,6 +93,9 @@ HEADLINE = [
     "kmeans_assign",
     "ewma_smooth",
     "attribution",
+    # the end-to-end curation funnel (quality -> staged-minhash dedup
+    # -> decontam), composed from the repo's own operators
+    "llm_curation",
 ]
 
 

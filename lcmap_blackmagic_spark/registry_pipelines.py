@@ -359,7 +359,118 @@ def _sql_minhash_pipeline() -> str:
     return SQL_MINHASH_PAIRS
 
 
+CURATE_TOK_MIN = 30
+CURATE_TOK_MAX = 100
+
+
+def q_llm_curation(spark, sf_dir):
+    """END-TO-END corpus curation — the pipeline a pre-training data
+    job actually runs, composed from this repo's own operators:
+
+      1. quality cut: token count in [30, 100] (integer rule —
+         the oracle-safe core of llm/text.quality_scores),
+      2. near-dup dedup: MinHash LSH pairs (STAGED single-pass form,
+         llm/dedup.minhash_pairs_staged, threshold 0.2) → pointer-
+         jumping connected components → one representative per
+         cluster (largest n_chars, then smallest id),
+      3. decontamination: drop survivors sharing any word 5-gram
+         with the 'src0' benchmark split (broadcast gram semi-join),
+         benchmark docs themselves leave the corpus here.
+
+    Emits the per-stage funnel (docs + tokens surviving) — the
+    verifiable summary a curation run reports.  Every stage is
+    integer-exact, so the WHOLE pipeline carries a composed DuckDB
+    oracle (the dedup stage embeds the recursive-CTE components
+    oracle re-pointed at the quality-filtered CTE)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from .llm.dedup import dedup_components, minhash_pairs_staged, shingles
+    d = _t(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.lower(F.trim("text")), " "))
+    q = (d.withColumn("n_tok", ntok.cast("bigint"))
+         .filter(ntok.between(CURATE_TOK_MIN, CURATE_TOK_MAX)))
+
+    staging = os.path.join(tempfile.gettempdir(), "lcmap_spark_staging",
+                           "curation_minhash")
+    pairs = minhash_pairs_staged(q, staging, threshold=0.2)
+    comp = dedup_components(pairs, q.select("doc_id"))
+    sized = comp.join(q.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), "doc_id")
+    rep_ids = (sized.select("doc_id", F.row_number().over(w).alias("rn"))
+               .filter(F.col("rn") == 1).select("doc_id"))
+    repd = q.join(rep_ids, "doc_id")
+
+    corpus = repd.filter(F.col("source") != "src0")
+    bench = (q.filter(F.col("source") == "src0")
+             .select(F.explode(shingles("text", 5)).alias("g")).distinct())
+    cont = (corpus.select("doc_id", F.explode(shingles("text", 5)).alias("g"))
+            .join(F.broadcast(bench), "g").select("doc_id").distinct())
+    clean = corpus.join(cont, "doc_id", "left_anti")
+
+    def stage(i, name, df):
+        return df.agg(F.lit(i).alias("stage_id"),
+                      F.lit(name).alias("stage"),
+                      F.count(F.lit(1)).alias("n_docs"),
+                      F.sum(F.size(F.split(F.lower(F.trim("text")), " "))
+                            .cast("bigint")).alias("n_tokens"))
+
+    return (stage(1, "start", d)
+            .unionByName(stage(2, "quality", q.drop("n_tok")))
+            .unionByName(stage(3, "dedup", repd))
+            .unionByName(stage(4, "decontam", clean))
+            .orderBy("stage_id"))
+
+
+def _sql_llm_curation() -> str:
+    from .registry_llm2 import sql_dedup_groups
+    groups = sql_dedup_groups().replace("FROM documents", "FROM qdocs")
+    gram5 = ("UNNEST(list_transform(generate_series(1, len(ws) - 4), "
+             "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' "
+             "|| ws[i+3] || ' ' || ws[i+4]))")
+    tok = "len(string_split(lower(trim(text)), ' '))"
+    return f"""
+WITH qdocs AS (
+  SELECT * FROM documents
+  WHERE {tok} BETWEEN {CURATE_TOK_MIN} AND {CURATE_TOK_MAX}),
+comp AS (SELECT * FROM ({groups}) g),
+reps AS (
+  SELECT c.doc_id,
+         ROW_NUMBER() OVER (PARTITION BY c.component
+                            ORDER BY d.n_chars DESC, c.doc_id) AS rn
+  FROM comp c JOIN qdocs d USING (doc_id)),
+repd AS (SELECT d.* FROM qdocs d
+         JOIN reps r ON r.doc_id = d.doc_id AND r.rn = 1),
+corpus AS (SELECT * FROM repd WHERE source <> 'src0'),
+bench AS (
+  SELECT DISTINCT {gram5} AS g
+  FROM (SELECT string_split(lower(trim(text)), ' ') AS ws
+        FROM qdocs WHERE source = 'src0')),
+cont AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, {gram5} AS g
+        FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws
+              FROM corpus)) cg
+  JOIN bench USING (g)),
+clean AS (SELECT * FROM corpus
+          WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+SELECT 1 AS stage_id, 'start' AS stage, COUNT(*) AS n_docs,
+       CAST(SUM({tok}) AS BIGINT) AS n_tokens FROM documents
+UNION ALL SELECT 2, 'quality', COUNT(*), CAST(SUM({tok}) AS BIGINT)
+FROM qdocs
+UNION ALL SELECT 3, 'dedup', COUNT(*), CAST(SUM({tok}) AS BIGINT)
+FROM repd
+UNION ALL SELECT 4, 'decontam', COUNT(*), CAST(SUM({tok}) AS BIGINT)
+FROM clean
+ORDER BY stage_id
+"""
+
+
 QUERIES_PIPELINES: dict[str, dict] = {
+    "llm_curation":         {"fn": q_llm_curation,
+                             "sql": _sql_llm_curation()},
     "lcmap_segment_detect": {"fn": q_lcmap_segment_detect,
                              "sql": _sql_segment_detect()},
     "llm_minhash_pipeline": {"fn": q_llm_minhash_pipeline,
