@@ -72,6 +72,38 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_group_split(spark, sf_dir):
+    """GROUP-level train/test holdout: whole USERS hash to a split
+    (md5 permille < 800 → train), so no user's events leak across
+    the boundary — the GroupShuffleSplit to kfold_split's row-level
+    folds.  The split is a per-row expression on the grouping key:
+    no join, no shuffle beyond the 2-row rollup."""
+    e = _t(spark, sf_dir, "events")
+    split = F.when(
+        _md48(F.concat(F.lit("g:"), F.col("user_id"))) % 1000 < 800,
+        F.lit("train")).otherwise(F.lit("test"))
+    return (e.select(split.alias("split"), "user_id", "event_type")
+            .groupBy("split")
+            .agg(F.countDistinct("user_id").alias("n_users"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.sum((F.col("event_type") == "purchase").cast("bigint"))
+                 .alias("n_purchases"))
+            .orderBy("split"))
+
+
+SQL_GROUP_SPLIT = """
+SELECT CASE WHEN CAST('0x' || substr(md5('g:' || user_id), 1, 12)
+                 AS BIGINT) % 1000 < 800
+            THEN 'train' ELSE 'test' END AS split,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchases
+FROM events
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # ------------------------------------------- k-means assign step ----
 
 KM_DIM = 64
@@ -283,6 +315,7 @@ FROM ranked GROUP BY decile ORDER BY decile
 
 QUERIES_EXT7: dict[str, dict] = {
     "kfold_split":     {"fn": q_kfold_split,     "sql": SQL_KFOLD_SPLIT},
+    "group_split":     {"fn": q_group_split,     "sql": SQL_GROUP_SPLIT},
     "kmeans_assign":   {"fn": q_kmeans_assign,
                         "sql": _sql_kmeans_assign()},
     "salted_join":     {"fn": q_salted_join,     "sql": SQL_SALTED_JOIN},

@@ -170,3 +170,16 @@ def test_skew_profile_ratio_at_least_1000(spark, sf_dir):
     assert all(r["skew_x1000"] >= 1000 for r in rows)
     cnts = [r["cnt"] for r in rows]
     assert cnts == sorted(cnts, reverse=True)
+
+
+def test_curation_funnel_monotone(spark, sf_dir):
+    rows = {r["stage"]: r for r in run(spark, sf_dir, "llm_curation").collect()}
+    assert list(rows) == ["start", "quality", "dedup", "decontam"]
+    ns = [rows[s]["n_docs"] for s in ["start", "quality", "dedup",
+                                      "decontam"]]
+    ts = [rows[s]["n_tokens"] for s in ["start", "quality", "dedup",
+                                        "decontam"]]
+    assert ns == sorted(ns, reverse=True) and ns[-1] > 0
+    assert ts == sorted(ts, reverse=True)
+    # quality stage really cut something and dedup really merged
+    assert ns[1] < ns[0]
