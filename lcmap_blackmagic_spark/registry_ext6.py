@@ -444,7 +444,70 @@ LIMIT {PMI_TOPK}
 """
 
 
+# ------------------------------------------- n-gram LM scoring ------
+
+def q_lm_score(spark, sf_dir):
+    """Bigram language-model log-probability per document (add-one
+    smoothing), trained on the corpus itself — the model-based
+    quality signal beside the log-free unigram rarity
+    (llm/text.rarity_scores).  avg_logprob = Σ ln((c12+1)/(c1+V))/n
+    over the doc's bigrams.
+
+    Shape: bigrams via codegen arrays_zip (the pmi_bigrams pass); the
+    bigram/unigram count tables are vocabulary-sized and broadcast;
+    one (doc) aggregate.  ln enters only through ratios of exact
+    integers, and the per-doc sum is wrapped in ROUND(6) — the
+    cross-engine float policy the BM25 scorer documents."""
+    d = _t(spark, sf_dir, "documents")
+    arr = d.select("doc_id",
+                   F.split(F.lower(F.trim("text")), " ").alias("toks"))
+    bi = (arr.select("doc_id", F.expr(
+        "inline(arrays_zip(slice(toks, 1, size(toks) - 1),"
+        "                  slice(toks, 2, size(toks) - 1)))"))
+        .toDF("doc_id", "tok", "tok2"))
+    c_xy = bi.groupBy("tok", "tok2").agg(F.count(F.lit(1)).alias("c_xy"))
+    uni = (arr.select(F.explode("toks").alias("tok"))
+           .groupBy("tok").agg(F.count(F.lit(1)).alias("c_x")))
+    vocab = uni.groupBy().agg(F.count(F.lit(1)).alias("v"))
+    scored = (bi.join(F.broadcast(c_xy), ["tok", "tok2"])
+              .join(F.broadcast(uni), "tok")
+              .crossJoin(F.broadcast(vocab)))
+    logp = F.log((F.col("c_xy") + 1).cast("double")
+                 / (F.col("c_x") + F.col("v")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(F.sum(logp)
+                         / F.count(F.lit(1)), 6).alias("avg_logprob"))
+            .orderBy("doc_id"))
+
+
+SQL_LM_SCORE = """
+WITH arr AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws
+  FROM documents),
+bi AS (
+  SELECT doc_id,
+         UNNEST(list_transform(generate_series(1, len(ws) - 1),
+                               i -> ws[i])) AS tok,
+         UNNEST(list_transform(generate_series(1, len(ws) - 1),
+                               i -> ws[i + 1])) AS tok2
+  FROM arr),
+c_xy AS (SELECT tok, tok2, COUNT(*) AS c_xy FROM bi GROUP BY tok, tok2),
+uni AS (
+  SELECT tok, COUNT(*) AS c_x
+  FROM (SELECT UNNEST(ws) AS tok FROM arr) GROUP BY tok),
+vocab AS (SELECT COUNT(*) AS v FROM uni)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(SUM(ln(CAST(c_xy + 1 AS DOUBLE) / (c_x + v)))
+             / COUNT(*), 6) AS avg_logprob
+FROM bi JOIN c_xy USING (tok, tok2) JOIN uni USING (tok)
+CROSS JOIN vocab
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES_EXT6: dict[str, dict] = {
+    "llm_lm_score":     {"fn": q_lm_score,         "sql": SQL_LM_SCORE},
     "eval_auc":         {"fn": q_eval_auc,         "sql": SQL_EVAL_AUC},
     "eval_confusion":   {"fn": q_eval_confusion,
                          "sql": SQL_EVAL_CONFUSION},
