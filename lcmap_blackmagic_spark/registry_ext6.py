@@ -444,6 +444,128 @@ LIMIT {PMI_TOPK}
 """
 
 
+# ------------------------------------------------- Brier score ------
+
+def q_eval_brier(spark, sf_dir):
+    """Brier score (mean squared error of the predicted probability)
+    per order priority, over the same deterministic
+    prediction/outcome streams as the calibration bins.  With p in
+    permille, (p − 1000·y)² is an exact integer, so the group score
+    is one bigint sum and ONE final division — a probabilistic
+    metric with a bit-exact distributed form."""
+    o = _t(spark, sf_dir, "orders")
+    h1 = _md48(F.concat(F.lit("p:"), F.col("o_orderkey"))) % 1000
+    h2 = _md48(F.concat(F.lit("y:"), F.col("o_orderkey"))) % 1000
+    base = (o.select(F.col("o_orderpriority").alias("grp"),
+                     h1.alias("p_mille"), h2.alias("draw"))
+            .select("grp", "p_mille",
+                    (F.col("draw") < 100 + F.expr("(p_mille * 8) div 10"))
+                    .cast("bigint").alias("y")))
+    sq = (F.col("p_mille") - 1000 * F.col("y"))
+    agg = base.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(sq * sq).alias("ss"))
+    return (agg.select(
+        "grp", "n",
+        F.round(F.col("ss").cast("double") / (F.col("n") * 1000000), 6)
+        .alias("brier"))
+        .orderBy("grp"))
+
+
+SQL_EVAL_BRIER = """
+WITH base AS (
+  SELECT o_orderpriority AS grp,
+         CAST('0x' || substr(md5('p:' || o_orderkey), 1, 12) AS BIGINT)
+           % 1000 AS p_mille,
+         CASE WHEN CAST('0x' || substr(md5('y:' || o_orderkey), 1, 12)
+                        AS BIGINT) % 1000
+                   < 100 + (CAST('0x' || substr(md5('p:' || o_orderkey),
+                                                1, 12) AS BIGINT)
+                            % 1000 * 8) // 10
+              THEN 1 ELSE 0 END AS y
+  FROM orders),
+agg AS (
+  SELECT grp, COUNT(*) AS n,
+         CAST(SUM((p_mille - 1000 * y) * (p_mille - 1000 * y)) AS BIGINT)
+           AS ss
+  FROM base GROUP BY grp)
+SELECT grp, n, ROUND(CAST(ss AS DOUBLE) / (n * 1000000), 6) AS brier
+FROM agg ORDER BY grp
+"""
+
+
+# ---------------------------------------- data-quality checks -------
+
+def q_dq_checks(spark, sf_dir):
+    """Declarative data-quality expectations (the dbt-tests /
+    Deequ-style constraint sweep) over the orders/customer pair:
+    per rule, rows checked and rows violating.  Each rule is one
+    conditional aggregate over a single scan + one broadcast-able
+    anti-join for referential integrity — the constraint report a
+    100 TB ingest job runs before publishing a partition."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    single = o.agg(
+        F.count(F.lit(1)).alias("checked"),
+        F.sum(F.col("o_orderkey").isNull().cast("bigint"))
+        .alias("null_key"),
+        F.sum((F.col("o_totalprice") <= 0).cast("bigint"))
+        .alias("nonpos_price"),
+        F.sum((~F.col("o_orderstatus").isin("F", "O", "P"))
+              .cast("bigint")).alias("bad_status"))
+    dup = (o.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("k"))
+           .agg(F.count(F.lit(1)).alias("checked"),
+                F.sum((F.col("k") > 1).cast("bigint")).alias("viol")))
+    orphan = (o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+              .agg(F.count(F.lit(1)).alias("viol"))
+              .crossJoin(o.agg(F.count(F.lit(1)).alias("checked"))))
+    rows = [
+        single.select(F.lit("orderkey_not_null").alias("rule"),
+                      "checked", F.col("null_key").alias("violations")),
+        single.select(F.lit("price_positive").alias("rule"),
+                      "checked", F.col("nonpos_price").alias("violations")),
+        single.select(F.lit("status_accepted").alias("rule"),
+                      "checked", F.col("bad_status").alias("violations")),
+        dup.select(F.lit("orderkey_unique").alias("rule"),
+                   "checked", F.col("viol").alias("violations")),
+        orphan.select(F.lit("custkey_in_customer").alias("rule"),
+                      "checked", F.col("viol").alias("violations")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("rule")
+
+
+SQL_DQ_CHECKS = """
+WITH single AS (
+  SELECT COUNT(*) AS checked,
+         CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS null_key,
+         CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS nonpos_price,
+         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS bad_status
+  FROM orders),
+dup AS (
+  SELECT COUNT(*) AS checked,
+         CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS viol
+  FROM (SELECT o_orderkey, COUNT(*) AS k FROM orders GROUP BY o_orderkey)),
+orphan AS (
+  SELECT (SELECT COUNT(*) FROM orders) AS checked,
+         (SELECT COUNT(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey)) AS viol)
+SELECT 'custkey_in_customer' AS rule, checked, viol AS violations
+FROM orphan
+UNION ALL SELECT 'orderkey_not_null', checked, null_key FROM single
+UNION ALL SELECT 'orderkey_unique', checked, viol FROM dup
+UNION ALL SELECT 'price_positive', checked, nonpos_price FROM single
+UNION ALL SELECT 'status_accepted', checked, bad_status FROM single
+ORDER BY rule
+"""
+
+
 # ------------------------------------------- n-gram LM scoring ------
 
 def q_lm_score(spark, sf_dir):
@@ -508,6 +630,8 @@ GROUP BY doc_id ORDER BY doc_id
 
 QUERIES_EXT6: dict[str, dict] = {
     "llm_lm_score":     {"fn": q_lm_score,         "sql": SQL_LM_SCORE},
+    "eval_brier":       {"fn": q_eval_brier,       "sql": SQL_EVAL_BRIER},
+    "dq_checks":        {"fn": q_dq_checks,        "sql": SQL_DQ_CHECKS},
     "eval_auc":         {"fn": q_eval_auc,         "sql": SQL_EVAL_AUC},
     "eval_confusion":   {"fn": q_eval_confusion,
                          "sql": SQL_EVAL_CONFUSION},
