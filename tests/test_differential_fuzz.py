@@ -298,3 +298,68 @@ def test_join_agrees_across_engines(engines2, i, shape, p1, p2):
     got = tuple(spark.sql(sql).first())
     want = tuple(con.execute(sql).fetchone())
     assert got == want, f"case {i} [{shape}]: {p1} / {p2}"
+
+
+# ---- string-function differential fuzz ----------------------------
+
+STR_CASES = 20
+
+
+@pytest.fixture(scope="module")
+def engines3(engines, sf_dir):
+    spark, con = engines
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("fuzz_docs")
+    con.execute(f"CREATE VIEW IF NOT EXISTS fuzz_docs AS "
+                f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')")
+    return spark, con
+
+
+def _rand_str_expr(rng: random.Random, depth: int = 0) -> str:
+    """A random string expression from the ANSI-shared function set —
+    spelled once, parsed by both engines."""
+    base = rng.choice(["text", "lang", "source", "lower(text)"])
+    if depth >= 2:
+        return base
+    roll = rng.random()
+    inner = _rand_str_expr(rng, depth + 1)
+    if roll < 0.2:
+        return f"upper({inner})"
+    if roll < 0.4:
+        i = rng.randint(1, 8)
+        n = rng.randint(1, 30)
+        return f"substr({inner}, {i}, {n})"
+    if roll < 0.55:
+        return f"trim({inner})"
+    if roll < 0.7:
+        a = rng.choice(["a", "e", "row", "the", " "])
+        b = rng.choice(["", "X", "zz"])
+        return f"replace({inner}, '{a}', '{b}')"
+    if roll < 0.85:
+        other = _rand_str_expr(rng, depth + 1)
+        return f"({inner} || '_' || {other})"
+    return f"lower({inner})"
+
+
+def _str_cases():
+    rng = random.Random(SEED + 4242)
+    out = []
+    for i in range(STR_CASES):
+        e = _rand_str_expr(rng)
+        pat = rng.choice(["%row%", "%a%", "sp%", "%" + "z%", "%er%"])
+        out.append((i, e, pat))
+    return out
+
+
+@pytest.mark.parametrize("i,expr,pat", _str_cases())
+def test_string_funcs_agree_across_engines(engines3, i, expr, pat):
+    spark, con = engines3
+    sql = (f"SELECT COUNT(*) AS n, "
+           f"CAST(SUM(length({expr})) AS BIGINT) AS sl, "
+           f"CAST(SUM(CASE WHEN {expr} LIKE '{pat}' THEN 1 ELSE 0 END) "
+           f"AS BIGINT) AS nl, "
+           f"MIN(length({expr})) AS mn, MAX(length({expr})) AS mx "
+           f"FROM fuzz_docs")
+    got = tuple(spark.sql(sql).first())
+    want = tuple(con.execute(sql).fetchone())
+    assert got == want, f"case {i}: {expr} LIKE {pat}"
