@@ -61,6 +61,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _staging(sf_dir: str, name: str) -> str:
+    """Staging dir for the materialize-once query forms, keyed by the
+    INPUT path: a plan built against sf_dir A must never read data a
+    later call staged for sf_dir B (caught in review — the fixed
+    shared path did exactly that across tmp-fixture tests), and two
+    fixtures never clobber each other's files."""
+    import hashlib
+    import tempfile
+    h = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), "lcmap_spark_staging",
+                        f"{name}-{h}")
+
+
 # ---------------------------------------------------------------- A1 --
 
 def q_pricing_summary(spark, sf_dir):

@@ -22,7 +22,6 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .llm.dedup import prefix_jaccard_pairs
 from .operators.sketches import H48, cms_counters, cms_estimate, kmv_set_ops
 from .registry import _t
 
@@ -51,14 +50,11 @@ def q_jaccard_prefix(spark, sf_dir):
     the ranked-gram aggregate has three consumers, and materializing
     it once is 2.5× faster end to end (the minhash-pipeline
     lesson)."""
-    import os
-    import tempfile
-
     from .llm.dedup import prefix_jaccard_pairs_staged
+    from .registry import _staging
     d = _t(spark, sf_dir, "documents")
-    staging = os.path.join(tempfile.gettempdir(), "lcmap_spark_staging",
-                           "prefix_ranked")
-    return prefix_jaccard_pairs_staged(d, staging, n=2, t_num=1, t_den=2)
+    return prefix_jaccard_pairs_staged(d, _staging(sf_dir, "prefix_ranked"),
+                                       n=2, t_num=1, t_den=2)
 
 
 SQL_JACCARD_PREFIX = f"""
@@ -286,17 +282,14 @@ def q_mm_phash_pairs(spark, sf_dir):
     banding → exact hamming on candidates, all JVM-side. Rows-only:
     the DCT lives in Python; golden + invariance tests in
     tests/test_ext5.py pin the hash itself."""
-    import os
-    import tempfile
-
     from .llm.multimodal import attach_payloads, phash_images, phash_pairs
+    from .registry import _staging
     docs = _t(spark, sf_dir, "documents")
     media = attach_payloads(docs)
     # the banding self-join consumes the hash table twice; staging the
     # (media_id, phash) rows runs the Python DCT pass ONCE (the
     # minhash/prefix staging lesson — measured 4.1 s → ~2 s at sf0.1)
-    staging = os.path.join(tempfile.gettempdir(), "lcmap_spark_staging",
-                           "phash")
+    staging = _staging(sf_dir, "phash")
     phash_images(media).write.mode("overwrite").parquet(staging)
     hashes = spark.read.parquet(staging)
     return (phash_pairs(hashes, max_hamming=10)

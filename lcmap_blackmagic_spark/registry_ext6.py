@@ -39,8 +39,6 @@ from pyspark.sql import functions as F
 
 from .registry import _t
 
-H48 = 2 ** 48  # 12 hex digits of md5 as an integer
-
 
 def _md48(col):
     """48-bit integer prefix of md5 — the repo-wide deterministic
@@ -264,10 +262,15 @@ def q_bm25_topk(spark, sf_dir):
     straight-line projection summing the |q| per-term contributions
     (a tf=0 term contributes exactly 0.0).  The whole query is
     scan → project → tiny agg ⨝ → TakeOrdered: it would run on
-    100 TB without shuffling the corpus once.  The top-k cut sorts
-    by the ROUNDED score (then doc_id) so the sub-1e-6 float tail —
-    the only place the engines could disagree after identical-order
-    arithmetic — can never reorder the cut."""
+    100 TB without shuffling the corpus once.
+
+    Float policy: the oracle's SUM accumulates the matched terms in
+    engine order, so the two engines can differ in the last ulp of a
+    per-doc score; both sides ROUND to 6 before the cut (and the
+    cut orders by the rounded score, then doc_id), leaving only the
+    astronomically thin round-boundary window — the documented
+    residual risk of every ln-bearing query in this registry (the
+    integer-exact operators avoid even that)."""
     import re as _re
     d = _t(spark, sf_dir, "documents")
     lowered = F.lower(F.trim("text"))
@@ -499,10 +502,13 @@ FROM agg ORDER BY grp
 def q_dq_checks(spark, sf_dir):
     """Declarative data-quality expectations (the dbt-tests /
     Deequ-style constraint sweep) over the orders/customer pair:
-    per rule, rows checked and rows violating.  Each rule is one
-    conditional aggregate over a single scan + one broadcast-able
-    anti-join for referential integrity — the constraint report a
-    100 TB ingest job runs before publishing a partition."""
+    per rule, rows checked and rows violating.  Three scans total,
+    each irreducible: ONE conditional aggregate covers every row-level
+    rule (unpivoted to rows via stack — NOT one union branch per rule,
+    which would re-execute the scan per rule), one groupBy for the
+    uniqueness rule, one anti-join (+ count reuse) for referential
+    integrity — the constraint report a 100 TB ingest job runs before
+    publishing a partition."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     single = o.agg(
@@ -513,28 +519,22 @@ def q_dq_checks(spark, sf_dir):
         .alias("nonpos_price"),
         F.sum((~F.col("o_orderstatus").isin("F", "O", "P"))
               .cast("bigint")).alias("bad_status"))
+    row_rules = single.select(F.expr(
+        "stack(3, 'orderkey_not_null', checked, null_key, "
+        "         'price_positive', checked, nonpos_price, "
+        "         'status_accepted', checked, bad_status) "
+        "AS (rule, checked, violations)"))
     dup = (o.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("k"))
            .agg(F.count(F.lit(1)).alias("checked"),
-                F.sum((F.col("k") > 1).cast("bigint")).alias("viol")))
+                F.sum((F.col("k") > 1).cast("bigint")).alias("viol"))
+           .select(F.lit("orderkey_unique").alias("rule"),
+                   "checked", F.col("viol").alias("violations")))
     orphan = (o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
               .agg(F.count(F.lit(1)).alias("viol"))
-              .crossJoin(o.agg(F.count(F.lit(1)).alias("checked"))))
-    rows = [
-        single.select(F.lit("orderkey_not_null").alias("rule"),
-                      "checked", F.col("null_key").alias("violations")),
-        single.select(F.lit("price_positive").alias("rule"),
-                      "checked", F.col("nonpos_price").alias("violations")),
-        single.select(F.lit("status_accepted").alias("rule"),
-                      "checked", F.col("bad_status").alias("violations")),
-        dup.select(F.lit("orderkey_unique").alias("rule"),
-                   "checked", F.col("viol").alias("violations")),
-        orphan.select(F.lit("custkey_in_customer").alias("rule"),
-                      "checked", F.col("viol").alias("violations")),
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("rule")
+              .crossJoin(o.agg(F.count(F.lit(1)).alias("checked")))
+              .select(F.lit("custkey_in_customer").alias("rule"),
+                      "checked", F.col("viol").alias("violations")))
+    return row_rules.unionByName(dup).unionByName(orphan).orderBy("rule")
 
 
 SQL_DQ_CHECKS = """

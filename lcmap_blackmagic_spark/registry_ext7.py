@@ -122,25 +122,50 @@ def _sq_dist(e_col: str, c_col: str):
     return reduce(lambda a, b: a + b, [term(i) for i in range(1, KM_DIM + 1)])
 
 
-def q_kmeans_assign(spark, sf_dir):
-    """Nearest-centroid assignment (the k-means E-step) of every
-    embedding to 8 fixed centroids, reported as per-cell population
-    plus exact min/max distance.  Shape: centroids broadcast (8
-    rows), vectors never shuffled until the 8-row-per-vector argmin
-    window — at 100 TB the argmin swaps to the groupBy(min_by)
-    form so the only shuffle is the k-row cell rollup."""
-    e = _t(spark, sf_dir, "embeddings")
+def assign_nearest(e):
+    """The k-means E-STEP as a reusable DataFrame transform: one row
+    per vector with its nearest fixed centroid (vec_id, embedding,
+    cid, dist) — shared by the assign query here and the M-step in
+    registry_ext8 so the tie-break and distance unrolling exist
+    exactly once.  Centroids broadcast (k rows); vectors are never
+    shuffled until the k-row-per-vector argmin window — at 100 TB
+    the argmin swaps to the groupBy(min_by) form so the only shuffle
+    is the k-row cell rollup."""
     cent = (e.filter(F.col("vec_id") < KM_CENTROIDS)
             .select(F.col("vec_id").alias("cid"),
                     F.col("embedding").alias("c_emb")))
     joined = (e.select("vec_id", "embedding")
               .crossJoin(F.broadcast(cent))
-              .select("vec_id", "cid",
+              .select("vec_id", "embedding", "cid",
                       _sq_dist("embedding", "c_emb").alias("dist")))
     w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-    best = joined.select("vec_id", "cid", "dist",
-                         F.row_number().over(w).alias("rn")).filter(
-        F.col("rn") == 1)
+    return (joined.select("vec_id", "embedding", "cid", "dist",
+                          F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") == 1).drop("rn"))
+
+
+def sql_assign_best(extra_cols: str = "") -> str:
+    """The matching dists/best CTE prefix for the oracle SQL —
+    ONE generated copy of the 64-term unrolled distance."""
+    terms = " + ".join(
+        f"(CAST(e.embedding[{i}] AS DOUBLE) - CAST(c.embedding[{i}] AS DOUBLE))"
+        f" * (CAST(e.embedding[{i}] AS DOUBLE) - CAST(c.embedding[{i}] AS DOUBLE))"
+        for i in range(1, KM_DIM + 1))
+    return f"""
+WITH dists AS (
+  SELECT e.vec_id{extra_cols}, c.vec_id AS cid, {terms} AS dist
+  FROM embeddings e JOIN embeddings c ON c.vec_id < {KM_CENTROIDS}),
+best AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM dists)"""
+
+
+def q_kmeans_assign(spark, sf_dir):
+    """Nearest-centroid assignment (the k-means E-step,
+    ``assign_nearest``) of every embedding to 8 fixed centroids,
+    reported as per-cell population plus exact min/max distance."""
+    best = assign_nearest(_t(spark, sf_dir, "embeddings"))
     return (best.groupBy("cid")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.min("dist").alias("min_dist"),
@@ -149,18 +174,7 @@ def q_kmeans_assign(spark, sf_dir):
 
 
 def _sql_kmeans_assign() -> str:
-    terms = " + ".join(
-        f"(CAST(e.embedding[{i}] AS DOUBLE) - CAST(c.embedding[{i}] AS DOUBLE))"
-        f" * (CAST(e.embedding[{i}] AS DOUBLE) - CAST(c.embedding[{i}] AS DOUBLE))"
-        for i in range(1, KM_DIM + 1))
-    return f"""
-WITH dists AS (
-  SELECT e.vec_id, c.vec_id AS cid, {terms} AS dist
-  FROM embeddings e JOIN embeddings c ON c.vec_id < {KM_CENTROIDS}),
-best AS (
-  SELECT vec_id, cid, dist,
-         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-  FROM dists)
+    return f"""{sql_assign_best()}
 SELECT cid, COUNT(*) AS n, MIN(dist) AS min_dist, MAX(dist) AS max_dist
 FROM best WHERE rn = 1
 GROUP BY cid ORDER BY cid

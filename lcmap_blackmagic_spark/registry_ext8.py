@@ -132,20 +132,11 @@ def q_kmeans_update(spark, sf_dir):
     order-free bigint sum with exactly two float divisions at the
     end — the update is bit-identical across engines and across
     cluster re-partitionings (the property that makes distributed
-    k-means converge reproducibly)."""
-    from .registry_ext7 import KM_CENTROIDS, _sq_dist
-    e = _t(spark, sf_dir, "embeddings")
-    cent = (e.filter(F.col("vec_id") < KM_CENTROIDS)
-            .select(F.col("vec_id").alias("cid"),
-                    F.col("embedding").alias("c_emb")))
-    joined = (e.select("vec_id", "embedding")
-              .crossJoin(F.broadcast(cent))
-              .select("vec_id", "embedding", "cid",
-                      _sq_dist("embedding", "c_emb").alias("dist")))
-    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-    best = (joined.select("vec_id", "embedding", "cid",
-                          F.row_number().over(w).alias("rn"))
-            .filter(F.col("rn") == 1))
+    k-means converge reproducibly).  The E-step itself is the shared
+    ``registry_ext7.assign_nearest`` — one copy of the tie-break and
+    the unrolled distance across both queries."""
+    from .registry_ext7 import assign_nearest
+    best = assign_nearest(_t(spark, sf_dir, "embeddings"))
     qcols = [F.floor(F.element_at("embedding", i).cast("double") * KM_Q)
              .alias(f"q{i}") for i in range(1, KM_MEAN_DIMS + 1)]
     quant = best.select("cid", *qcols)
@@ -158,11 +149,7 @@ def q_kmeans_update(spark, sf_dir):
 
 
 def _sql_kmeans_update() -> str:
-    from .registry_ext7 import KM_CENTROIDS, KM_DIM
-    terms = " + ".join(
-        f"(CAST(e.embedding[{i}] AS DOUBLE) - CAST(c.embedding[{i}] AS DOUBLE))"
-        f" * (CAST(e.embedding[{i}] AS DOUBLE) - CAST(c.embedding[{i}] AS DOUBLE))"
-        for i in range(1, KM_DIM + 1))
+    from .registry_ext7 import sql_assign_best
     qs = ", ".join(
         f"CAST(FLOOR(CAST(embedding[{i}] AS DOUBLE) * {KM_Q}) AS BIGINT)"
         f" AS q{i}" for i in range(1, KM_MEAN_DIMS + 1))
@@ -171,14 +158,7 @@ def _sql_kmeans_update() -> str:
     means = ", ".join(
         f"(CAST(s{i} AS DOUBLE) / n) / {KM_Q} AS m{i}"
         for i in range(1, KM_MEAN_DIMS + 1))
-    return f"""
-WITH dists AS (
-  SELECT e.vec_id, e.embedding, c.vec_id AS cid, {terms} AS dist
-  FROM embeddings e JOIN embeddings c ON c.vec_id < {KM_CENTROIDS}),
-best AS (
-  SELECT vec_id, embedding, cid,
-         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-  FROM dists),
+    return f"""{sql_assign_best(extra_cols=", e.embedding")},
 quant AS (SELECT cid, {qs} FROM best WHERE rn = 1),
 agg AS (SELECT cid, COUNT(*) AS n, {sums} FROM quant GROUP BY cid)
 SELECT cid, n, {means} FROM agg ORDER BY cid

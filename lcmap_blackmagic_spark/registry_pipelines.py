@@ -117,14 +117,11 @@ def q_llm_minhash_pipeline(spark, sf_dir):
     oracle to ``llm_minhash_pairs``. The staging dir is a fixed temp
     path overwritten per run — in production it would be the
     signature store a dedup job checkpoints to anyway."""
-    import os
-    import tempfile
-
     from .llm.dedup import minhash_pairs_staged
+    from .registry import _staging
     d = _t(spark, sf_dir, "documents")
-    staging = os.path.join(tempfile.gettempdir(), "lcmap_spark_staging",
-                           "minhash_agg")
-    return minhash_pairs_staged(d, staging, threshold=0.2)
+    return minhash_pairs_staged(d, _staging(sf_dir, "minhash_agg"),
+                                threshold=0.2)
 
 
 def q_llm_ann_topk(spark, sf_dir):
@@ -382,20 +379,17 @@ def q_llm_curation(spark, sf_dir):
     integer-exact, so the WHOLE pipeline carries a composed DuckDB
     oracle (the dedup stage embeds the recursive-CTE components
     oracle re-pointed at the quality-filtered CTE)."""
-    import os
-    import tempfile
-
     from pyspark.sql import Window
 
     from .llm.dedup import dedup_components, minhash_pairs_staged, shingles
+    from .registry import _staging
     d = _t(spark, sf_dir, "documents")
     ntok = F.size(F.split(F.lower(F.trim("text")), " "))
     q = (d.withColumn("n_tok", ntok.cast("bigint"))
          .filter(ntok.between(CURATE_TOK_MIN, CURATE_TOK_MAX)))
 
-    staging = os.path.join(tempfile.gettempdir(), "lcmap_spark_staging",
-                           "curation_minhash")
-    pairs = minhash_pairs_staged(q, staging, threshold=0.2)
+    pairs = minhash_pairs_staged(q, _staging(sf_dir, "curation_minhash"),
+                                 threshold=0.2)
     comp = dedup_components(pairs, q.select("doc_id"))
     sized = comp.join(q.select("doc_id", "n_chars"), "doc_id")
     w = Window.partitionBy("component").orderBy(F.desc("n_chars"), "doc_id")

@@ -155,11 +155,15 @@ def ewma_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
             s, last_us = state.get
         else:
             s, last_us = None, -1
+        # a group bigger than one Arrow batch arrives as SEVERAL
+        # chunks; each is internally ordered at best — concatenate
+        # the whole micro-batch BEFORE the one sort, or chunk 2's
+        # earlier rows would hit the late-event drop below
+        chunks = [pdf for pdf in pdf_iter if not pdf.empty]
         ids, vals = [], []
-        for pdf in pdf_iter:
-            if pdf.empty:
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"])
+        if chunks:
+            pdf = (pd.concat(chunks, ignore_index=True)
+                   .sort_values(["ts", "event_id"]))
             ts_us = (pdf["ts"].astype("datetime64[ns]").astype("int64")
                      // 1000)
             for t, eid, x in zip(ts_us, pdf["event_id"], pdf["value"]):
