@@ -550,6 +550,7 @@ from .registry_ext5 import QUERIES_EXT5  # noqa: E402
 from .registry_ext6 import QUERIES_EXT6  # noqa: E402
 from .registry_ext7 import QUERIES_EXT7  # noqa: E402
 from .registry_ext8 import QUERIES_EXT8  # noqa: E402
+from .registry_ext9 import QUERIES_EXT9  # noqa: E402
 from .sql_catalog import QUERIES_SQL  # noqa: E402
 
 QUERIES.update(QUERIES_LLM)
@@ -564,6 +565,7 @@ QUERIES.update(QUERIES_EXT5)
 QUERIES.update(QUERIES_EXT6)
 QUERIES.update(QUERIES_EXT7)
 QUERIES.update(QUERIES_EXT8)
+QUERIES.update(QUERIES_EXT9)
 QUERIES.update(QUERIES_SQL)
 
 

@@ -1,0 +1,260 @@
+"""Tenth extension wave — statistics & ranking evaluation:
+
+- ``eval_ndcg``: NDCG@10 of the BM25 ranking against deterministic
+  md5 relevance grades — the ranking-quality metric beside the
+  classification metrics in registry_ext6; log2 discounts enter as
+  build-time literals so both engines multiply identical doubles,
+- ``bootstrap_ci``: percentile bootstrap of the mean via
+  DETERMINISTIC Poisson(1) resample weights (inverse-CDF on the md5
+  permille — integer thresholds, no RNG state): B=32 replicate
+  means from integer-cent sums, exact to the final division; the
+  one-pass weighted form of the classic resampling loop,
+- ``ab_ttest``: Welch's t-test between two hash-assigned arms —
+  integer-cent moment sums (order-free exact), one closed-form
+  float expression per group pair at the end.
+
+Determinism contract as registry.py: md5 48-bit hashes, integer
+sums, ROUND(·, 6) on emitted floats, identical expression order.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .registry import _t
+from .registry_ext6 import _md48
+
+# ---------------------------------------------------- NDCG@10 -------
+
+NDCG_K = 10
+# 1/log2(i+1) discounts as exact build-time literals (repr round-trips
+# to the same double in Python, Spark, and DuckDB)
+_DISC = [1.0 / math.log2(i + 1) for i in range(1, NDCG_K + 1)]
+
+
+def q_eval_ndcg(spark, sf_dir):
+    """NDCG@10 of the BM25 top-k (registry_ext6.q_bm25_topk) scored
+    against md5-derived relevance grades (0-3).  DCG sums the
+    graded gains with literal 1/log2(i+1) discounts in rank order;
+    IDCG re-sorts the same 10 grades descending.  One row out; all
+    the heavy lifting is the BM25 query's own shuffle-free plan plus
+    two 10-row windows."""
+    from .registry_ext6 import q_bm25_topk
+    top = q_bm25_topk(spark, sf_dir)  # ranked: bm25 desc, doc_id
+    rel = (_md48(F.concat(F.lit("rel:"), F.col("doc_id"))) % 4)
+    w_rank = Window.orderBy(F.desc("bm25"), "doc_id")
+    ranked = (top.select(
+        "doc_id", rel.alias("rel"),
+        F.row_number().over(w_rank).alias("pos"))
+        .filter(F.col("pos") <= NDCG_K))
+    disc = F.element_at(F.array(*[F.lit(d) for d in _DISC]), F.col("pos"))
+    w_ideal = Window.orderBy(F.desc("rel"), "doc_id")
+    ideal = ranked.select(
+        "rel", F.row_number().over(w_ideal).alias("ipos"))
+    idisc = F.element_at(F.array(*[F.lit(d) for d in _DISC]),
+                         F.col("ipos"))
+    dcg = ranked.agg(F.sum(F.col("rel") * disc).alias("dcg"))
+    idcg = ideal.agg(F.sum(F.col("rel") * idisc).alias("idcg"))
+    return (dcg.crossJoin(idcg)
+            .select(F.round("dcg", 6).alias("dcg"),
+                    F.round("idcg", 6).alias("idcg"),
+                    F.round(F.col("dcg") / F.col("idcg"), 6)
+                    .alias("ndcg")))
+
+
+def _sql_eval_ndcg() -> str:
+    from .registry_ext6 import _sql_bm25_topk
+    disc = ", ".join(repr(d) for d in _DISC)
+    return f"""
+WITH top AS ({_sql_bm25_topk()}),
+ranked AS (
+  SELECT * FROM (
+    SELECT doc_id,
+           CAST('0x' || substr(md5('rel:' || doc_id), 1, 12) AS BIGINT)
+             % 4 AS rel,
+           ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS pos
+    FROM top)
+  WHERE pos <= {NDCG_K}),
+dcg AS (SELECT SUM(rel * ([{disc}])[pos]) AS dcg FROM ranked),
+ideal AS (
+  SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS ipos
+  FROM ranked),
+idcg AS (SELECT SUM(rel * ([{disc}])[ipos]) AS idcg FROM ideal)
+SELECT ROUND(dcg, 6) AS dcg, ROUND(idcg, 6) AS idcg,
+       ROUND(dcg / idcg, 6) AS ndcg
+FROM dcg CROSS JOIN idcg
+"""
+
+
+# ---------------------------------------------- bootstrap CI --------
+
+BOOT_B = 32
+# inverse-CDF thresholds for Poisson(1) on a permille draw:
+# P(X<=0)=.368, <=1 .736, <=2 .920, <=3 .981, <=4 .996, else 5
+_POIS = [368, 736, 920, 981, 996]
+
+
+def _pois_weight(h):
+    w = F.lit(5)
+    for k in range(len(_POIS) - 1, -1, -1):
+        w = F.when(h < _POIS[k], k).otherwise(w)
+    return w
+
+
+def q_bootstrap_ci(spark, sf_dir):
+    """Percentile-bootstrap 90% CI of mean order value, one pass:
+    each of B=32 replicates weights every row by a DETERMINISTIC
+    Poisson(1) draw (md5 permille through integer inverse-CDF
+    thresholds — the standard multinomial→Poisson bootstrap
+    approximation, and the only distributed-bootstrap form that
+    needs no shuffle of the data).  Replicate means are exact
+    integer-cent ratios; the CI bounds are order statistics of the
+    32 means.  Explode factor B on a PROJECTED two-column row — at
+    100 TB the scan stays one pass and the only shuffle is B rows."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("cents"))
+    rep = o.select(
+        "o_orderkey", "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"))
+    h = _md48(F.concat(F.lit("boot:"), F.col("b"), F.lit(":"),
+                       F.col("o_orderkey"))) % 1000
+    weighted = rep.select("b", "cents", _pois_weight(h).alias("w"))
+    means = (weighted.groupBy("b")
+             .agg((F.sum(F.col("w") * F.col("cents")).cast("double")
+                   / (F.sum("w") * 100)).alias("mean")))
+    w_rank = Window.orderBy("mean")
+    ranked = means.select("mean", F.row_number().over(w_rank).alias("r"))
+    lo_r = max(1, int(BOOT_B * 0.05))
+    hi_r = int(math.ceil(BOOT_B * 0.95))
+    return (ranked.agg(
+        F.round(F.min(F.when(F.col("r") == lo_r, F.col("mean"))), 6)
+        .alias("ci_lo"),
+        F.round(F.min(F.when(F.col("r") == hi_r, F.col("mean"))), 6)
+        .alias("ci_hi"),
+        F.count(F.lit(1)).alias("n_replicates")))
+
+
+def _sql_bootstrap_ci() -> str:
+    lo_r = max(1, int(BOOT_B * 0.05))
+    hi_r = int(math.ceil(BOOT_B * 0.95))
+    cases = "".join(
+        f"WHEN h < {t} THEN {k} " for k, t in enumerate(_POIS))
+    return f"""
+WITH rep AS (
+  SELECT b, CAST(o_totalprice * 100 AS BIGINT) AS cents,
+         CAST('0x' || substr(md5('boot:' || b || ':' || o_orderkey),
+                             1, 12) AS BIGINT) % 1000 AS h
+  FROM orders CROSS JOIN (SELECT UNNEST(generate_series(0, {BOOT_B - 1}))
+                          AS b)),
+weighted AS (SELECT b, cents, CASE {cases}ELSE 5 END AS w FROM rep),
+means AS (
+  SELECT b, CAST(SUM(w * cents) AS DOUBLE) / (SUM(w) * 100) AS mean
+  FROM weighted GROUP BY b),
+ranked AS (SELECT mean, ROW_NUMBER() OVER (ORDER BY mean) AS r
+           FROM means)
+SELECT ROUND(MIN(CASE WHEN r = {lo_r} THEN mean END), 6) AS ci_lo,
+       ROUND(MIN(CASE WHEN r = {hi_r} THEN mean END), 6) AS ci_hi,
+       COUNT(*) AS n_replicates
+FROM ranked
+"""
+
+
+# ------------------------------------------------ Welch t-test ------
+
+def q_ab_ttest(spark, sf_dir):
+    """Welch's t-test on order value between two md5-assigned arms —
+    the continuous-metric A/B companion to the chi-square proportion
+    test (registry_ext5.q_chi2_abtest).  Moments are integer-cent
+    sums (order-free exact); the t statistic and Welch dof are ONE
+    closed-form float expression over the six exact integers, so
+    both engines evaluate bit-identically before the final
+    ROUND."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("cents"))
+    arm = F.when(
+        _md48(F.concat(F.lit("arm:"), F.col("o_orderkey"))) % 2 == 0,
+        "A").otherwise("B")
+    # cents² sums exceed int64 at sf0.1 (DuckDB silently promotes to
+    # HUGEINT, Spark bigint would WRAP — caught in design review):
+    # accumulate the second moment in DECIMAL(38,0), exact in both
+    agg = (o.select(arm.alias("arm"), "cents")
+           .groupBy("arm")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("s"),
+                F.sum((F.col("cents") * F.col("cents"))
+                      .cast("decimal(38,0)")).alias("ss")))
+    a = agg.filter(F.col("arm") == "A").select(
+        F.col("n").alias("na"), F.col("s").alias("sa"),
+        F.col("ss").alias("ssa"))
+    b = agg.filter(F.col("arm") == "B").select(
+        F.col("n").alias("nb"), F.col("s").alias("sb"),
+        F.col("ss").alias("ssb"))
+    j = a.crossJoin(b)
+    ma = F.col("sa").cast("double") / F.col("na")
+    mb = F.col("sb").cast("double") / F.col("nb")
+    # all-double moment algebra in pinned order: s² would overflow
+    # int64 too, so square the double (both engines round the same
+    # product identically)
+    va = ((F.col("ssa").cast("double")
+           - F.col("sa").cast("double") * F.col("sa") / F.col("na"))
+          / (F.col("na") - 1))
+    vb = ((F.col("ssb").cast("double")
+           - F.col("sb").cast("double") * F.col("sb") / F.col("nb"))
+          / (F.col("nb") - 1))
+    se2 = va / F.col("na") + vb / F.col("nb")
+    t = (ma - mb) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        (va / F.col("na")) * (va / F.col("na")) / (F.col("na") - 1)
+        + (vb / F.col("nb")) * (vb / F.col("nb")) / (F.col("nb") - 1))
+    return j.select(
+        "na", "nb",
+        F.round(ma / 100, 6).alias("mean_a"),
+        F.round(mb / 100, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 6).alias("welch_dof"))
+
+
+SQL_AB_TTEST = """
+WITH base AS (
+  SELECT CASE WHEN CAST('0x' || substr(md5('arm:' || o_orderkey), 1, 12)
+                   AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         CAST(o_totalprice * 100 AS BIGINT) AS cents
+  FROM orders),
+agg AS (
+  SELECT arm, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS s,
+         SUM(cents * cents) AS ss
+  FROM base GROUP BY arm),
+j AS (
+  SELECT a.n AS na, a.s AS sa, CAST(a.ss AS DOUBLE) AS ssa,
+         b.n AS nb, b.s AS sb, CAST(b.ss AS DOUBLE) AS ssb
+  FROM (SELECT * FROM agg WHERE arm = 'A') a
+  CROSS JOIN (SELECT * FROM agg WHERE arm = 'B') b),
+v AS (
+  SELECT na, nb, sa, sb,
+         (ssa - CAST(sa AS DOUBLE) * sa / na) / (na - 1) AS va,
+         (ssb - CAST(sb AS DOUBLE) * sb / nb) / (nb - 1) AS vb
+  FROM j)
+SELECT na, nb,
+       ROUND(CAST(sa AS DOUBLE) / na / 100, 6) AS mean_a,
+       ROUND(CAST(sb AS DOUBLE) / nb / 100, 6) AS mean_b,
+       ROUND((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+             / SQRT(va / na + vb / nb), 6) AS t_stat,
+       ROUND((va / na + vb / nb) * (va / na + vb / nb)
+             / ((va / na) * (va / na) / (na - 1)
+                + (vb / nb) * (vb / nb) / (nb - 1)), 6) AS welch_dof
+FROM v
+"""
+
+
+QUERIES_EXT9: dict[str, dict] = {
+    "eval_ndcg":    {"fn": q_eval_ndcg,    "sql": _sql_eval_ndcg()},
+    "bootstrap_ci": {"fn": q_bootstrap_ci, "sql": _sql_bootstrap_ci()},
+    "ab_ttest":     {"fn": q_ab_ttest,     "sql": SQL_AB_TTEST},
+}
