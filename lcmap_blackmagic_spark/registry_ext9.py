@@ -253,7 +253,101 @@ FROM v
 """
 
 
+# ------------------------------------- semantic decontamination -----
+
+SEM_THRESH = 0.35  # cosine flag level for the weakly-clustered fixture
+
+
+def q_semantic_decon(spark, sf_dir):
+    """Embedding-space decontamination: flag corpus vectors whose
+    cosine against ANY benchmark vector (vec_id % 10 == 0 plays the
+    held-out set) clears the threshold — the semantic companion to
+    the exact 5-gram decontaminate (registry_ext3).  The benchmark
+    side is tiny and broadcast (benchmarks always are); norms are
+    computed once per row before the join; cosines are rounded
+    BEFORE the max on both engines so the flag can never flip on the
+    float tail."""
+    from .llm.similarity import _as_double, _dot
+    e = _t(spark, sf_dir, "embeddings")
+    bench = (e.filter(F.col("vec_id") % 10 == 0)
+             .select(_as_double(F.col("embedding")).alias("bvec")))
+    bench = bench.withColumn(
+        "bnorm", F.sqrt(_dot(F.col("bvec"), F.col("bvec"))))
+    corpus = (e.filter(F.col("vec_id") % 10 != 0)
+              .select("vec_id", _as_double(F.col("embedding"))
+                      .alias("qvec")))
+    corpus = corpus.withColumn(
+        "qnorm", F.sqrt(_dot(F.col("qvec"), F.col("qvec"))))
+    cos = F.round(_dot(F.col("qvec"), F.col("bvec"))
+                  / (F.col("qnorm") * F.col("bnorm")), 6)
+    return (corpus.crossJoin(F.broadcast(bench))
+            .select("vec_id", cos.alias("cos"))
+            .groupBy("vec_id")
+            .agg(F.max("cos").alias("max_sim"))
+            .select("vec_id", "max_sim",
+                    (F.col("max_sim") >= SEM_THRESH).cast("int")
+                    .alias("contaminated")))
+
+
+_SQL_DOT9 = ("list_sum(list_transform(generate_series(1, 64), "
+             "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))")
+
+SQL_SEMANTIC_DECON = f"""
+WITH bench AS (
+  SELECT embedding AS bv FROM embeddings WHERE vec_id % 10 = 0),
+corpus AS (
+  SELECT vec_id, embedding AS qv FROM embeddings WHERE vec_id % 10 <> 0),
+pairs AS (
+  SELECT vec_id,
+         ROUND({_SQL_DOT9.format(a='qv', b='bv')} /
+               (sqrt({_SQL_DOT9.format(a='qv', b='qv')}) *
+                sqrt({_SQL_DOT9.format(a='bv', b='bv')})), 6) AS cos
+  FROM corpus, bench)
+SELECT vec_id, MAX(cos) AS max_sim,
+       CASE WHEN MAX(cos) >= {SEM_THRESH} THEN 1 ELSE 0 END
+         AS contaminated
+FROM pairs GROUP BY vec_id
+"""
+
+
+# ----------------------------------------------- CSV roundtrip ------
+
+def q_src_csv(spark, sf_dir):
+    """CSV source/sink surface: write a projection of orders as
+    headered CSV (integer cents — text floats don't round-trip),
+    read it back with an explicit schema, and aggregate.  The oracle
+    aggregates the parquet directly, so the hash-match proves the
+    CSV writer/reader pair is lossless for the typed projection —
+    the same write-then-read contract the gzip-JSON object sink
+    tests byte-wise (storage.py)."""
+    from .registry import _staging
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("cents"))
+    path = _staging(sf_dir, "csv_orders")
+    o.write.mode("overwrite").option("header", True).csv(path)
+    back = (spark.read.option("header", True)
+            .schema("o_orderkey long, o_orderstatus string, cents long")
+            .csv(path))
+    return (back.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 (F.sum("cents").cast("double") / 100).alias("total"))
+            .orderBy("o_orderstatus"))
+
+
+SQL_SRC_CSV = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(o_totalprice * 100 AS BIGINT)) AS DOUBLE)
+            / 100 AS DOUBLE) AS total
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 QUERIES_EXT9: dict[str, dict] = {
+    "semantic_decon": {"fn": q_semantic_decon,
+                       "sql": SQL_SEMANTIC_DECON},
+    "src_csv":        {"fn": q_src_csv, "sql": SQL_SRC_CSV},
     "eval_ndcg":    {"fn": q_eval_ndcg,    "sql": _sql_eval_ndcg()},
     "bootstrap_ci": {"fn": q_bootstrap_ci, "sql": _sql_bootstrap_ci()},
     "ab_ttest":     {"fn": q_ab_ttest,     "sql": SQL_AB_TTEST},
