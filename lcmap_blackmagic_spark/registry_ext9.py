@@ -42,6 +42,8 @@ def q_eval_ndcg(spark, sf_dir):
     IDCG re-sorts the same 10 grades descending.  One row out; all
     the heavy lifting is the BM25 query's own shuffle-free plan plus
     two 10-row windows."""
+    from functools import reduce
+
     from .registry_ext6 import q_bm25_topk
     top = q_bm25_topk(spark, sf_dir)  # ranked: bm25 desc, doc_id
     rel = (_md48(F.concat(F.lit("rel:"), F.col("doc_id"))) % 4)
@@ -50,24 +52,43 @@ def q_eval_ndcg(spark, sf_dir):
         "doc_id", rel.alias("rel"),
         F.row_number().over(w_rank).alias("pos"))
         .filter(F.col("pos") <= NDCG_K))
-    disc = F.element_at(F.array(*[F.lit(d) for d in _DISC]), F.col("pos"))
     w_ideal = Window.orderBy(F.desc("rel"), "doc_id")
-    ideal = ranked.select(
-        "rel", F.row_number().over(w_ideal).alias("ipos"))
-    idisc = F.element_at(F.array(*[F.lit(d) for d in _DISC]),
-                         F.col("ipos"))
-    dcg = ranked.agg(F.sum(F.col("rel") * disc).alias("dcg"))
-    idcg = ideal.agg(F.sum(F.col("rel") * idisc).alias("idcg"))
-    return (dcg.crossJoin(idcg)
-            .select(F.round("dcg", 6).alias("dcg"),
-                    F.round("idcg", 6).alias("idcg"),
-                    F.round(F.col("dcg") / F.col("idcg"), 6)
-                    .alias("ndcg")))
+    both = ranked.select(
+        "rel", "pos", F.row_number().over(w_ideal).alias("ipos"))
+    # pivot the ≤10 (position, grade) pairs to integer columns, THEN
+    # combine with the discount literals in ONE pinned-order
+    # expression: a float SUM over rows accumulates in engine order
+    # and flipped a ROUND boundary between engines (caught live by
+    # the vanilla-session verify probe)
+    pivot = both.agg(
+        *[F.sum(F.when(F.col("pos") == i, F.col("rel")).otherwise(0))
+          .alias(f"r{i}") for i in range(1, NDCG_K + 1)],
+        *[F.sum(F.when(F.col("ipos") == i, F.col("rel")).otherwise(0))
+          .alias(f"s{i}") for i in range(1, NDCG_K + 1)])
+    dcg = reduce(lambda a, b: a + b,
+                 [F.col(f"r{i}") * F.lit(_DISC[i - 1])
+                  for i in range(1, NDCG_K + 1)])
+    idcg = reduce(lambda a, b: a + b,
+                  [F.col(f"s{i}") * F.lit(_DISC[i - 1])
+                   for i in range(1, NDCG_K + 1)])
+    return pivot.select(
+        F.round(dcg, 6).alias("dcg"),
+        F.round(idcg, 6).alias("idcg"),
+        F.round(dcg / idcg, 6).alias("ndcg"))
 
 
 def _sql_eval_ndcg() -> str:
     from .registry_ext6 import _sql_bm25_topk
-    disc = ", ".join(repr(d) for d in _DISC)
+    rcols = ", ".join(
+        f"CAST(SUM(CASE WHEN pos = {i} THEN rel ELSE 0 END) AS BIGINT)"
+        f" AS r{i}" for i in range(1, NDCG_K + 1))
+    scols = ", ".join(
+        f"CAST(SUM(CASE WHEN ipos = {i} THEN rel ELSE 0 END) AS BIGINT)"
+        f" AS s{i}" for i in range(1, NDCG_K + 1))
+    dcg = " + ".join(f"r{i} * CAST({_DISC[i - 1]!r} AS DOUBLE)"
+                     for i in range(1, NDCG_K + 1))
+    idcg = " + ".join(f"s{i} * CAST({_DISC[i - 1]!r} AS DOUBLE)"
+                      for i in range(1, NDCG_K + 1))
     return f"""
 WITH top AS ({_sql_bm25_topk()}),
 ranked AS (
@@ -78,14 +99,15 @@ ranked AS (
            ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS pos
     FROM top)
   WHERE pos <= {NDCG_K}),
-dcg AS (SELECT SUM(rel * ([{disc}])[pos]) AS dcg FROM ranked),
-ideal AS (
-  SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS ipos
+ranks2 AS (
+  SELECT rel, pos,
+         ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS ipos
   FROM ranked),
-idcg AS (SELECT SUM(rel * ([{disc}])[ipos]) AS idcg FROM ideal)
-SELECT ROUND(dcg, 6) AS dcg, ROUND(idcg, 6) AS idcg,
-       ROUND(dcg / idcg, 6) AS ndcg
-FROM dcg CROSS JOIN idcg
+wide AS (SELECT {rcols}, {scols} FROM ranks2)
+SELECT ROUND({dcg}, 6) AS dcg,
+       ROUND({idcg}, 6) AS idcg,
+       ROUND(({dcg}) / ({idcg}), 6) AS ndcg
+FROM wide
 """
 
 
