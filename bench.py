@@ -96,6 +96,11 @@ HEADLINE = [
     # the end-to-end curation funnel (quality -> staged-minhash dedup
     # -> decontam), composed from the repo's own operators
     "llm_curation",
+    # statistics wave: one-pass Poisson bootstrap, bigram LM scoring,
+    # embedding-space decontamination
+    "bootstrap_ci",
+    "llm_lm_score",
+    "semantic_decon",
 ]
 
 

@@ -394,3 +394,21 @@ def test_salted_join_replicates_and_keys_on_salt(q):
     plan = fmt_plan(q("salted_join"))
     assert "Generate" in plan
     assert "__salt" in plan
+
+
+def test_bootstrap_one_scan_one_generate(q):
+    """The weighted bootstrap is ONE scan of orders + the replicate
+    explode + a B-row aggregate — never B resamples of the data."""
+    plan = simple_plan(q("bootstrap_ci"))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Generate") == 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_semantic_decon_broadcasts_benchmark(q):
+    """The benchmark embedding side broadcasts; the corpus is never
+    shuffled before the per-vector max."""
+    plan = fmt_plan(q("semantic_decon"))
+    assert plan.count("BroadcastExchange (") == 1
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
