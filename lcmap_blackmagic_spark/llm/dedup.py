@@ -549,16 +549,34 @@ def _prefix_pairs_from_ranked(ranked: DataFrame, id_col: str,
     # L = |s| - ceil(t*|s|) + 1, integer-exact ceil division
     pref_len = sz - F.floor((F.lit(t_num) * sz + F.lit(t_den - 1))
                             / F.lit(t_den)).cast("int") + 1
+    # prefixes carry (size, 1-based position) for the PPJoin
+    # positional filter below
     prefixes = (ranked.select(
-        F.col(id_col),
-        F.explode(F.slice("st", 1, pref_len)).alias("s"))
-        .select(F.col(id_col), F.col("s.tok").alias("tok")))
+        F.col(id_col), sz.alias("sz"),
+        F.posexplode(F.slice("st", 1, pref_len)).alias("p", "s"))
+        .select(F.col(id_col), "sz", (F.col("p") + 1).alias("p"),
+                F.col("s.tok").alias("tok")))
+    # POSITIONAL upper bound (PPJoin, Xiao et al. WWW'08): with both
+    # gram lists in the same global (df, hash) order, the earliest
+    # shared gram at positions (pa, pb) caps the overlap at
+    # min(|a|-pa, |b|-pb) + 1; pairs whose cap can't reach the
+    # required overlap α = ceil(t·(|a|+|b|)/(1+t)) never enter the
+    # verify join. Grouping keeps the MIN position per side —
+    # each side's earliest shared gram bounds that side
+    # independently, so independent mins are a valid (tighter) cap.
     cand = (prefixes.alias("a")
             .join(prefixes.alias("b"), "tok")
             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"))
-            .distinct())
+            .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"),
+                     F.col("a.sz").alias("sz_a"),
+                     F.col("b.sz").alias("sz_b"))
+            .agg(F.min("a.p").alias("pa"), F.min("b.p").alias("pb"))
+            .filter(
+                F.least(F.col("sz_a") - F.col("pa") + 1,
+                        F.col("sz_b") - F.col("pb") + 1)
+                * (t_den + t_num) >= t_num * (F.col("sz_a") + F.col("sz_b")))
+            .select("id_a", "id_b"))
     sets_a = ranked.select(F.col(id_col).alias("id_a"),
                            F.col("st.tok").alias("sh_a"))
     sets_b = ranked.select(F.col(id_col).alias("id_b"),
