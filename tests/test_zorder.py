@@ -117,3 +117,21 @@ def test_zorder_blocks_bound_both_columns(spark):
         ys = [r["y"] for r in rows[b:b + block]]
         assert max(xs) - min(xs) <= n // 2
         assert max(ys) - min(ys) <= n // 2
+
+
+def test_hive_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
+    """A filter on the hive partition column must become a
+    PartitionFilter (directory-level pruning) — zero data files from
+    other partitions are opened, the property that makes
+    partitionBy layouts worth their small-file cost at 100 TB."""
+    from pyspark.sql import functions as F
+    out = str(tmp_path / "events_by_type")
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = back._sc._jvm.PythonSQLUtils.explainString(
+        back._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters", 1)[1][:200]
+    n_click = e.filter(F.col("event_type") == "click").count()
+    assert back.count() == n_click
