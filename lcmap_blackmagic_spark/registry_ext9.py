@@ -387,7 +387,121 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+# ------------------------------------------------ focal (3x3) ------
+
+GRID_N = 32
+
+
+def q_focal_mean(spark, sf_dir):
+    """Spatial FOCAL statistics — the chip-grid neighborhood rollup
+    of the reference's domain (every LCMAP chip has 8 neighbors on
+    the ARD grid): hash events onto a 32×32 cell grid, aggregate per
+    cell, then 3×3 focal count/mean per cell.
+
+    Scale shape: the corpus is touched ONCE (the per-cell
+    aggregate); the 9-way neighbor expansion explodes the
+    GRID-sized aggregate (1024 rows), never the events — at 100 TB
+    the focal pass costs the same as at 1 GB.  Edge cells keep their
+    partial neighborhoods (no wraparound)."""
+    e = _t(spark, sf_dir, "events")
+    x = _md48(F.concat(F.lit("x:"), F.col("user_id"))) % GRID_N
+    y = _md48(F.concat(F.lit("y:"), F.col("user_id"))) % GRID_N
+    grid = (e.select(x.alias("x"), y.alias("y"),
+                     F.col("value").cast("decimal(18,2)").alias("v"))
+            .groupBy("x", "y")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 (F.sum("v") * 100).cast("bigint").alias("cents")))
+    offsets = F.expr(
+        "explode(array(" + ", ".join(
+            f"struct({dx} as dx, {dy} as dy)"
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)) + "))")
+    contrib = (grid.select("x", "y", "n", "cents", offsets.alias("o"))
+               .select((F.col("x") + F.col("o.dx")).alias("tx"),
+                       (F.col("y") + F.col("o.dy")).alias("ty"),
+                       "n", "cents")
+               .filter((F.col("tx") >= 0) & (F.col("tx") < GRID_N)
+                       & (F.col("ty") >= 0) & (F.col("ty") < GRID_N)))
+    focal = (contrib.groupBy("tx", "ty")
+             .agg(F.sum("n").alias("focal_n"),
+                  F.sum("cents").alias("focal_cents")))
+    return (grid.join(focal, (grid["x"] == focal["tx"])
+                      & (grid["y"] == focal["ty"]))
+            .select("x", "y", "n", "focal_n",
+                    F.round(F.col("focal_cents").cast("double")
+                            / (100 * F.col("focal_n")), 6)
+                    .alias("focal_mean")))
+
+
+SQL_FOCAL_MEAN = f"""
+WITH grid AS (
+  SELECT CAST('0x' || substr(md5('x:' || user_id), 1, 12) AS BIGINT)
+           % {GRID_N} AS x,
+         CAST('0x' || substr(md5('y:' || user_id), 1, 12) AS BIGINT)
+           % {GRID_N} AS y,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2),
+offs AS (SELECT dx, dy FROM (VALUES (-1), (0), (1)) a(dx)
+         CROSS JOIN (VALUES (-1), (0), (1)) b(dy)),
+contrib AS (
+  SELECT g.x + o.dx AS tx, g.y + o.dy AS ty, g.n, g.cents
+  FROM grid g CROSS JOIN offs o
+  WHERE g.x + o.dx BETWEEN 0 AND {GRID_N - 1}
+    AND g.y + o.dy BETWEEN 0 AND {GRID_N - 1}),
+focal AS (
+  SELECT tx, ty, CAST(SUM(n) AS BIGINT) AS focal_n,
+         CAST(SUM(cents) AS BIGINT) AS focal_cents
+  FROM contrib GROUP BY tx, ty)
+SELECT g.x, g.y, g.n, f.focal_n,
+       ROUND(CAST(f.focal_cents AS DOUBLE) / (100 * f.focal_n), 6)
+         AS focal_mean
+FROM grid g JOIN focal f ON f.tx = g.x AND f.ty = g.y
+"""
+
+
+# ---------------------------------------- week-over-week growth -----
+
+def q_wow_growth(spark, sf_dir):
+    """Week-over-week revenue growth in integer basis points — the
+    period-over-period report every metrics pipeline ships.  Weeks
+    are epoch-day integer division (Monday-agnostic but TZ-proof and
+    engine-identical); growth = (cur − prev)·10⁴ div prev stays in
+    int64.  One date-bucket aggregate + one ordered window over the
+    (tiny) weekly rollup."""
+    o = _t(spark, sf_dir, "orders")
+    wk = F.expr("datediff(to_date(o_orderdate), date'1970-01-01') div 7")
+    weekly = (o.select(wk.alias("wk"),
+                       (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                       .cast("bigint").alias("cents"))
+              .groupBy("wk")
+              .agg(F.count(F.lit(1)).alias("n_orders"),
+                   F.sum("cents").alias("cents")))
+    return (weekly.select(
+        "wk", "n_orders",
+        (F.col("cents").cast("double") / 100).alias("revenue"),
+        F.expr("(cents - lag(cents) over (order by wk)) * 10000 "
+               "div lag(cents) over (order by wk)").alias("growth_bp"))
+        .orderBy("wk"))
+
+
+SQL_WOW_GROWTH = """
+WITH weekly AS (
+  SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7 AS wk,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1)
+SELECT wk, n_orders,
+       CAST(cents AS DOUBLE) / 100 AS revenue,
+       (cents - lag(cents) OVER (ORDER BY wk)) * 10000
+         // lag(cents) OVER (ORDER BY wk) AS growth_bp
+FROM weekly ORDER BY wk
+"""
+
+
 QUERIES_EXT9: dict[str, dict] = {
+    "focal_mean":     {"fn": q_focal_mean,   "sql": SQL_FOCAL_MEAN},
+    "wow_growth":     {"fn": q_wow_growth,   "sql": SQL_WOW_GROWTH},
     "semantic_decon": {"fn": q_semantic_decon,
                        "sql": SQL_SEMANTIC_DECON},
     "src_csv":        {"fn": q_src_csv, "sql": SQL_SRC_CSV},
