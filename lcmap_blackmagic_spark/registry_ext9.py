@@ -459,6 +459,76 @@ FROM grid g JOIN focal f ON f.tx = g.x AND f.ty = g.y
 """
 
 
+# ------------------------------------------ CUSUM changepoints ------
+
+def q_cusum_changepoints(spark, sf_dir):
+    """Declarative CUSUM mean-shift detection per user — the
+    streaming-light cousin of the reference's per-pixel change
+    detection (PyCCD segments; plans/segment.py carries the science
+    core).  The CUSUM recursion s_t = max(0, s_{t-1} + dev_t) is NOT
+    window-expressible directly, but the prefix-min identity
+    s_t = cum_t − min(0, min_{j≤t} cum_j) turns it into two exact
+    integer windows (running sum + running min) — no recursion, no
+    UDF, engine-identical.  Deviations are against the user's own
+    integer mean (sum div n); a flag fires when the CUSUM exceeds
+    4× the mean.  Output: per-user change summary."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        "user_id", "ts", "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("cents"))
+    mu = (base.groupBy("user_id")
+          .agg(F.expr("sum(cents) div count(1)").alias("mu"),
+               F.count(F.lit(1)).alias("n_events")))
+    j = base.join(F.broadcast(mu), "user_id")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    # two window LEVELS (nested window functions are illegal in both
+    # engines); the second window sorts the already-sorted partition,
+    # so it costs a pass, not a second shuffle
+    cummed = j.select("user_id", "n_events", "mu", "ts", "event_id",
+                      F.sum(F.col("cents") - F.col("mu")).over(w)
+                      .alias("cum"))
+    cusum = F.col("cum") - F.least(F.min("cum").over(w), F.lit(0))
+    scored = cummed.select("user_id", "n_events", "mu",
+                           cusum.alias("cusum"))
+    return (scored.groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events"),
+                 F.max("cusum").alias("max_cusum"),
+                 F.sum((F.col("cusum") > 4 * F.col("mu"))
+                       .cast("bigint")).alias("n_flags"))
+            .filter(F.col("n_flags") > 0))
+
+
+SQL_CUSUM = """
+WITH base AS (
+  SELECT user_id, ts, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events),
+mu AS (SELECT user_id, SUM(cents) // COUNT(*) AS mu,
+              COUNT(*) AS n_events
+       FROM base GROUP BY user_id),
+cummed AS (
+  SELECT b.user_id, m.n_events, m.mu, b.ts, b.event_id,
+         SUM(b.cents - m.mu) OVER w AS cum
+  FROM base b JOIN mu m USING (user_id)
+  WINDOW w AS (PARTITION BY b.user_id ORDER BY b.ts, b.event_id
+               ROWS UNBOUNDED PRECEDING)),
+scored AS (
+  SELECT user_id, n_events, mu,
+         cum - LEAST(MIN(cum) OVER w2, 0) AS cusum
+  FROM cummed
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING))
+SELECT user_id, MAX(n_events) AS n_events,
+       CAST(MAX(cusum) AS BIGINT) AS max_cusum,
+       CAST(SUM(CASE WHEN cusum > 4 * mu THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flags
+FROM scored GROUP BY user_id
+HAVING SUM(CASE WHEN cusum > 4 * mu THEN 1 ELSE 0 END) > 0
+"""
+
+
 # ---------------------------------------- week-over-week growth -----
 
 def q_wow_growth(spark, sf_dir):
@@ -501,6 +571,8 @@ FROM weekly ORDER BY wk
 
 QUERIES_EXT9: dict[str, dict] = {
     "focal_mean":     {"fn": q_focal_mean,   "sql": SQL_FOCAL_MEAN},
+    "cusum_changepoints": {"fn": q_cusum_changepoints,
+                           "sql": SQL_CUSUM},
     "wow_growth":     {"fn": q_wow_growth,   "sql": SQL_WOW_GROWTH},
     "semantic_decon": {"fn": q_semantic_decon,
                        "sql": SQL_SEMANTIC_DECON},
