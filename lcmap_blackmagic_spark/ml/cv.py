@@ -17,11 +17,11 @@ from .train import evaluate, train_model
 
 
 def fold_of(id_col: str, k: int):
-    """md5-hash fold in [0, k) — the repo-wide deterministic split
-    (operators/sampling.py:137 hash contract)."""
-    return (F.conv(F.substring(
-        F.md5(F.concat(F.lit("f:"), F.col(id_col))), 1, 12), 16, 10)
-        .cast("bigint") % k)
+    """md5-hash fold in [0, k) — the repo-wide deterministic hash
+    (registry_ext6._md48, same contract as q_kfold_split)."""
+    from .. import registry  # noqa: F401 — complete the import graph
+    from ..registry_ext6 import _md48
+    return _md48(F.concat(F.lit("f:"), F.col(id_col))) % k
 
 
 def cross_validate(df: DataFrame, id_col: str, k: int = 5,
@@ -34,6 +34,10 @@ def cross_validate(df: DataFrame, id_col: str, k: int = 5,
     fold column into the feature store) so the lineage isn't re-read
     k times."""
     folded = df.withColumn("__fold", fold_of(id_col, k))
+    # fold sizes in ONE job, not 2k count() lineage replays
+    sizes = {r["__fold"]: r["count"]
+             for r in folded.groupBy("__fold").count().collect()}
+    total = sum(sizes.values())
     out = []
     for fold in range(k):
         train = folded.filter(F.col("__fold") != fold)
@@ -41,8 +45,8 @@ def cross_validate(df: DataFrame, id_col: str, k: int = 5,
         model = train_model(train.drop("__fold"), trainer=trainer)
         out.append({
             "fold": fold,
-            "n_train": train.count(),
-            "n_test": test.count(),
+            "n_train": total - sizes.get(fold, 0),
+            "n_test": sizes.get(fold, 0),
             "mlogloss": evaluate(model, test.drop("__fold")),
         })
     return out

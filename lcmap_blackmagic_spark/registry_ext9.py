@@ -303,8 +303,8 @@ SEM_BENCH_MOD = 50  # ~2% of vectors play the benchmark (they're small)
 
 def q_semantic_decon(spark, sf_dir):
     """Embedding-space decontamination: flag corpus vectors whose
-    cosine against ANY benchmark vector (vec_id % 10 == 0 plays the
-    held-out set) clears the threshold — the semantic companion to
+    cosine against ANY benchmark vector (vec_id % SEM_BENCH_MOD == 0,
+    ~2% of the corpus, plays the held-out set) clears the threshold — the semantic companion to
     the exact 5-gram decontaminate (registry_ext3).  The benchmark
     side is tiny and broadcast (benchmarks always are); norms are
     computed once per row before the join; cosines are rounded

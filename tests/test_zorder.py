@@ -128,9 +128,9 @@ def test_hive_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
     out = str(tmp_path / "events_by_type")
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     e.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    from .test_plan_shapes import fmt_plan
     back = spark.read.parquet(out).filter(F.col("event_type") == "click")
-    plan = back._sc._jvm.PythonSQLUtils.explainString(
-        back._jdf.queryExecution(), "formatted")
+    plan = fmt_plan(back)
     assert "PartitionFilters" in plan
     assert "event_type" in plan.split("PartitionFilters", 1)[1][:200]
     n_click = e.filter(F.col("event_type") == "click").count()
