@@ -183,3 +183,28 @@ def test_curation_funnel_monotone(spark, sf_dir):
     assert ts == sorted(ts, reverse=True)
     # quality stage really cut something and dedup really merged
     assert ns[1] < ns[0]
+
+
+def test_focal_mean_conserves_events(spark, sf_dir):
+    rows = run(spark, sf_dir, "focal_mean").collect()
+    e = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+    assert sum(r["n"] for r in rows) == e
+    for r in rows:
+        # the 3x3 neighborhood always contains the cell itself
+        assert r["focal_n"] >= r["n"]
+
+
+def test_wow_growth_first_week_null_and_bp_sane(spark, sf_dir):
+    rows = run(spark, sf_dir, "wow_growth").collect()
+    assert rows[0]["growth_bp"] is None
+    assert all(r["growth_bp"] is not None for r in rows[1:])
+    wks = [r["wk"] for r in rows]
+    assert wks == sorted(wks)
+
+
+def test_cusum_flags_only_positive(spark, sf_dir):
+    rows = run(spark, sf_dir, "cusum_changepoints").collect()
+    assert rows  # the fixture's bursty values trip some users
+    for r in rows:
+        assert r["n_flags"] >= 1
+        assert r["max_cusum"] > 0
