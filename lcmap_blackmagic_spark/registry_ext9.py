@@ -387,6 +387,56 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+# ------------------------------------- incremental-ingest dedup -----
+
+def q_incremental_dedup(spark, sf_dir):
+    """Cross-corpus dedup — the INCREMENTAL-INGEST form: which
+    incoming documents ('src1' plays the new batch) near-duplicate
+    any document already in the corpus?  Built on the same MinHash
+    band machinery as the self-join pairs (llm/dedup.minhash_pairs);
+    the production form stages the EXISTING corpus signatures once
+    (the signature store minhash_pairs_staged writes) and only the
+    incoming batch is hashed per ingest.  Output: one row per
+    flagged incoming doc with its duplicate-partner count and the
+    canonical existing partner."""
+    from .llm.dedup import minhash_pairs
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_pairs(d, threshold=0.2)
+    src = d.select("doc_id", (F.col("source") == "src1").alias("inc"))
+    j = (pairs
+         .join(src.withColumnsRenamed({"doc_id": "id_a", "inc": "inc_a"}),
+               "id_a")
+         .join(src.withColumnsRenamed({"doc_id": "id_b", "inc": "inc_b"}),
+               "id_b"))
+    cross = j.filter(F.col("inc_a") != F.col("inc_b")).select(
+        F.when(F.col("inc_a"), F.col("id_a")).otherwise(F.col("id_b"))
+        .alias("incoming_id"),
+        F.when(F.col("inc_a"), F.col("id_b")).otherwise(F.col("id_a"))
+        .alias("existing_id"))
+    return (cross.groupBy("incoming_id")
+            .agg(F.count(F.lit(1)).alias("n_partners"),
+                 F.min("existing_id").alias("canonical_partner"))
+            .orderBy("incoming_id"))
+
+
+def _sql_incremental_dedup() -> str:
+    from .registry_llm import SQL_MINHASH_PAIRS
+    return f"""
+WITH pairs AS ({SQL_MINHASH_PAIRS}),
+src AS (SELECT doc_id, source = 'src1' AS inc FROM documents),
+cross_pairs AS (
+  SELECT CASE WHEN a.inc THEN p.id_a ELSE p.id_b END AS incoming_id,
+         CASE WHEN a.inc THEN p.id_b ELSE p.id_a END AS existing_id
+  FROM pairs p
+  JOIN src a ON a.doc_id = p.id_a
+  JOIN src b ON b.doc_id = p.id_b
+  WHERE a.inc <> b.inc)
+SELECT incoming_id, COUNT(*) AS n_partners,
+       MIN(existing_id) AS canonical_partner
+FROM cross_pairs GROUP BY incoming_id ORDER BY incoming_id
+"""
+
+
 # ------------------------------------------------ focal (3x3) ------
 
 GRID_N = 32
@@ -573,6 +623,8 @@ QUERIES_EXT9: dict[str, dict] = {
     "focal_mean":     {"fn": q_focal_mean,   "sql": SQL_FOCAL_MEAN},
     "cusum_changepoints": {"fn": q_cusum_changepoints,
                            "sql": SQL_CUSUM},
+    "llm_incremental_dedup": {"fn": q_incremental_dedup,
+                              "sql": _sql_incremental_dedup()},
     "wow_growth":     {"fn": q_wow_growth,   "sql": SQL_WOW_GROWTH},
     "semantic_decon": {"fn": q_semantic_decon,
                        "sql": SQL_SEMANTIC_DECON},
