@@ -203,6 +203,40 @@ def _minhash_pairs_from_agg(agg: DataFrame, id_col: str, bands: int,
              .filter(F.col("jaccard") >= threshold))
 
 
+def minhash_cross_flags(inc_agg: DataFrame, base_agg: DataFrame,
+                        id_col: str = "doc_id", bands: int = N_BANDS,
+                        threshold: float = 0.5) -> DataFrame:
+    """CROSS-corpus near-dup flags from two per-doc minhash
+    aggregates (``_minhash_doc_aggregate`` outputs): which incoming
+    ids near-duplicate any base id?  Banded equi-join between the
+    sides, exact-Jaccard verify on the hashed-shingle sets, one row
+    per flagged incoming id (partner count + canonical partner).
+    This is the incremental-ingest primitive: the base aggregate is
+    the persisted signature store; only the incoming batch is ever
+    re-hashed."""
+    def sig(agg, prefix):
+        return agg.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.posexplode(F.array(*[F.col(f"m{b}") for b in range(bands)]))
+            .alias("band", "minh"))
+    cand = (sig(inc_agg, "inc").join(sig(base_agg, "base"),
+                                     ["band", "minh"])
+            .select("inc_id", "base_id").distinct())
+    j = (cand
+         .join(inc_agg.select(F.col(id_col).alias("inc_id"),
+                              F.col("si").alias("si_a")), "inc_id")
+         .join(base_agg.select(F.col(id_col).alias("base_id"),
+                               F.col("si").alias("si_b")), "base_id"))
+    inter = F.size(F.array_intersect("si_a", "si_b"))
+    union = F.size("si_a") + F.size("si_b") - inter
+    verified = (j.select("inc_id", "base_id",
+                         F.round(inter / union, 6).alias("jaccard"))
+                .filter(F.col("jaccard") >= threshold))
+    return (verified.groupBy("inc_id")
+            .agg(F.count(F.lit(1)).alias("n_partners"),
+                 F.min("base_id").alias("canonical_partner")))
+
+
 def minhash_pairs_staged(df: DataFrame, staging_dir: str,
                          id_col: str = "doc_id", text_col: str = "text",
                          n: int = 3, bands: int = N_BANDS,

@@ -193,6 +193,54 @@ def _no_timeout():
     return GroupStateTimeout.NoTimeout
 
 
+DOCUMENT = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("source", T.StringType()),
+    T.StructField("n_chars", T.LongType()),
+])
+
+
+def documents_stream(spark: SparkSession, docs_dir: str,
+                     max_files_per_trigger: int = 1) -> DataFrame:
+    """Parquet-directory document stream with the DOCUMENTS schema —
+    the ingest feed of a streaming curation pipeline."""
+    return (spark.readStream.schema(DOCUMENT)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(docs_dir))
+
+
+def ingest_dedup_stream(docs: DataFrame, signature_dir: str,
+                        out_dir: str, threshold: float = 0.2):
+    """STREAMING ingest dedup: per micro-batch, hash the incoming
+    documents ONCE (the per-doc minhash aggregate) and flag any that
+    near-duplicate the persisted SIGNATURE STORE — the streaming
+    twin of the batch `llm_incremental_dedup` query, via
+    ``foreachBatch`` (the blessed pattern for stream ⨝ static with
+    an aggregate inside; the store itself is exactly what
+    ``minhash_pairs_staged`` checkpoints).
+
+    Per batch: incoming docs are hashed (one explode + hash-agg),
+    banded against the static store, exact-verified, and the flags
+    APPEND to ``out_dir`` — idempotent per batch id, O(batch) work
+    regardless of corpus size, and the store is never re-hashed.
+    Returns the DataStreamWriter (caller starts it)."""
+    from ..llm.dedup import _minhash_doc_aggregate, minhash_cross_flags
+    spark = docs.sparkSession
+    static = spark.read.parquet(signature_dir)
+
+    def fb(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        inc = _minhash_doc_aggregate(batch_df, "doc_id", "text", 3, 8)
+        flags = minhash_cross_flags(inc, static, threshold=threshold)
+        (flags.withColumnRenamed("inc_id", "incoming_id")
+         .write.mode("append").parquet(out_dir))
+
+    return docs.writeStream.foreachBatch(fb)
+
+
 def session_windows(events: DataFrame, gap_minutes: int = 30,
                     watermark: str = "2 hours") -> DataFrame:
     """Custom stateful streaming operator: gap-based sessionization via

@@ -563,3 +563,45 @@ def test_ewma_stream_matches_offline_replay(spark, events_dir,
         state[r["user_id"]] = s
         want[(r["user_id"], r["event_id"])] = s
     assert got == want  # exact float equality, every event emitted
+
+
+def test_ingest_dedup_stream_matches_batch(spark, sf_dir):
+    """Streaming ingest dedup (foreachBatch against the static
+    signature store) must flag exactly the incoming docs the batch
+    cross-corpus query flags, with identical partner counts."""
+    from pyspark.sql import functions as FF
+
+    from lcmap_blackmagic_spark.llm.dedup import _minhash_doc_aggregate
+    from lcmap_blackmagic_spark.registry import QUERIES
+    from lcmap_blackmagic_spark.streaming.jobs import (documents_stream,
+                                                       ingest_dedup_stream)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = tempfile.mkdtemp(prefix="ingest_dedup_")
+    docs_dir = os.path.join(base, "incoming")
+    sig_dir = os.path.join(base, "signatures")
+    out_dir = os.path.join(base, "flags")
+    ckpt = os.path.join(base, "ckpt")
+
+    # signature store = the EXISTING corpus, hashed once
+    existing = docs.filter(FF.col("source") != "src1")
+    _minhash_doc_aggregate(existing, "doc_id", "text", 3, 8) \
+        .write.mode("overwrite").parquet(sig_dir)
+    # incoming batch streamed as several files
+    incoming = docs.filter(FF.col("source") == "src1")
+    for i in range(3):
+        incoming.filter(FF.col("doc_id") % 3 == i) \
+            .coalesce(1).write.mode("append").parquet(docs_dir)
+
+    q = (ingest_dedup_stream(documents_stream(spark, docs_dir), sig_dir,
+                             out_dir, threshold=0.2)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {(r["incoming_id"], r["n_partners"], r["canonical_partner"])
+           for r in spark.read.parquet(out_dir).collect()}
+    want = {(r["incoming_id"], r["n_partners"], r["canonical_partner"])
+            for r in QUERIES["llm_incremental_dedup"]["fn"](
+                spark, sf_dir).collect()}
+    assert got == want and got
