@@ -3,10 +3,8 @@
 metric laws on constructed edge cases, partition/conservation
 checks on the fixture outputs."""
 
-import math
 import os
 
-import pytest
 from pyspark.sql import functions as F
 
 from lcmap_blackmagic_spark.registry import QUERIES
