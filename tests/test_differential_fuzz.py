@@ -363,3 +363,39 @@ def test_string_funcs_agree_across_engines(engines3, i, expr, pat):
     got = tuple(spark.sql(sql).first())
     want = tuple(con.execute(sql).fetchone())
     assert got == want, f"case {i}: {expr} LIKE {pat}"
+
+
+# ---- date-function differential fuzz ------------------------------
+
+DATE_CASES = 15
+
+
+def _date_cases():
+    rng = random.Random(SEED + 909)
+    parts = ["year", "month", "day"]
+    out = []
+    for i in range(DATE_CASES):
+        p = rng.choice(parts)
+        y = rng.randint(1992, 1998)
+        out.append((i, p, y))
+    return out
+
+
+@pytest.mark.parametrize("i,part,year", _date_cases())
+def test_date_funcs_agree_across_engines(engines2, i, part, year):
+    """Calendar extraction and date arithmetic over the NTZ-read
+    orders dates — the functions whose TZ semantics diverge first
+    when an engine localizes (the events LTZ column is deliberately
+    excluded; its contract is epoch-integer only, see the verify
+    skill)."""
+    spark, con = engines2
+    sql = (f"SELECT CAST({part}(CAST(o_orderdate AS DATE)) AS BIGINT)"
+           f" AS p, COUNT(*) AS n, "
+           f"CAST(SUM(CAST(o_orderdate AS DATE) - DATE '{year}-01-01'"
+           f") AS BIGINT) AS dsum "
+           f"FROM fuzz_orders "
+           f"WHERE year(CAST(o_orderdate AS DATE)) = {year} "
+           f"GROUP BY 1 ORDER BY 1")
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    want = [tuple(r) for r in con.execute(sql).fetchall()]
+    assert got == want, f"case {i}: {part}/{year}"
