@@ -101,6 +101,19 @@ HEADLINE = [
     "bootstrap_ci",
     "llm_lm_score",
     "semantic_decon",
+    # round-6: the last unbenched round-5 statistics operators, plus
+    # the breakpoint-broadcast quantile twins (the at-scale forms of
+    # the ntile queries — no global sort anywhere in their plans)
+    "quality_deciles_bp",
+    "rfm_scores_bp",
+    "eval_ndcg",
+    "ab_ttest",
+    "focal_mean",
+    "cusum_changepoints",
+    # round-6 wave: sort-free exact grouped median (prefix-sum
+    # pyramid) and the integer-only rolling anomaly window
+    "group_median_bp",
+    "rolling_zscore",
 ]
 
 

@@ -80,6 +80,19 @@ def connector_available(spark: SparkSession) -> bool:
         return False
 
 
+def prepare_write(df: DataFrame, entity: str) -> DataFrame:
+    """The connector-independent half of the write protocol: the
+    DataFrame repartitioned on the entity's Cassandra PARTITION KEY,
+    so every CQL partition's rows arrive in exactly one Spark task
+    and the connector's token-aware routing sends that task's batch
+    to the replica set owning the token — no coordinator fan-out.
+    Split out from ``write`` so the grouping contract is testable
+    without the connector jar (tests/test_cassandra_sink.py drives a
+    fake endpoint over these partitions)."""
+    pk, _ = TABLE_KEYS[entity]
+    return df.repartition(*pk)
+
+
 def write(df: DataFrame, entity: str, keyspace: str = "lcmap") -> None:
     """Token-aware bulk write: repartition on the Cassandra partition
     key so each Spark task lands on one replica set."""
@@ -89,8 +102,7 @@ def write(df: DataFrame, entity: str, keyspace: str = "lcmap") -> None:
             "spark-cassandra-connector not on classpath; add "
             "com.datastax.spark:spark-cassandra-connector and set "
             "spark.cassandra.connection.host")
-    pk, _ = TABLE_KEYS[entity]
-    (df.repartition(*pk)
+    (prepare_write(df, entity)
        .write.format(CONNECTOR_FORMAT)
        .options(table=entity, keyspace=keyspace)
        .mode("append").save())

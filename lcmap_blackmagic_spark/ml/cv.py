@@ -40,13 +40,21 @@ def cross_validate(df: DataFrame, id_col: str, k: int = 5,
     total = sum(sizes.values())
     out = []
     for fold in range(k):
+        n_test = sizes.get(fold, 0)
+        if n_test == 0:
+            # tiny input can leave a hash fold empty; evaluate() on
+            # zero rows would np.mean an empty array into a silent
+            # NaN — report the fold as skipped instead
+            out.append({"fold": fold, "n_train": total, "n_test": 0,
+                        "mlogloss": None})
+            continue
         train = folded.filter(F.col("__fold") != fold)
         test = folded.filter(F.col("__fold") == fold)
         model = train_model(train.drop("__fold"), trainer=trainer)
         out.append({
             "fold": fold,
-            "n_train": total - sizes.get(fold, 0),
-            "n_test": sizes.get(fold, 0),
+            "n_train": total - n_test,
+            "n_test": n_test,
             "mlogloss": evaluate(model, test.drop("__fold")),
         })
     return out

@@ -66,12 +66,22 @@ def _staging(sf_dir: str, name: str) -> str:
     INPUT path: a plan built against sf_dir A must never read data a
     later call staged for sf_dir B (caught in review — the fixed
     shared path did exactly that across tmp-fixture tests), and two
-    fixtures never clobber each other's files."""
+    fixtures never clobber each other's files.
+
+    The root also carries a per-process (uid, pid) token: the path
+    must be predictable WITHIN a session (staging is a cache across a
+    query's consumers and reruns) but never SHARED across sessions —
+    a concurrent session's overwrite would delete parquet files under
+    this session's deferred scan, and a fixed world-writable /tmp
+    path is squattable on multi-user hosts.  ``LCMAP_SPARK_SCRATCH``
+    overrides the root for clusters with a managed scratch volume."""
     import hashlib
     import tempfile
     h = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:10]
-    return os.path.join(tempfile.gettempdir(), "lcmap_spark_staging",
-                        f"{name}-{h}")
+    root = os.environ.get("LCMAP_SPARK_SCRATCH") or os.path.join(
+        tempfile.gettempdir(), "lcmap_spark_staging")
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    return os.path.join(root, f"u{uid}-p{os.getpid()}", f"{name}-{h}")
 
 
 # ---------------------------------------------------------------- A1 --
@@ -551,6 +561,8 @@ from .registry_ext6 import QUERIES_EXT6  # noqa: E402
 from .registry_ext7 import QUERIES_EXT7  # noqa: E402
 from .registry_ext8 import QUERIES_EXT8  # noqa: E402
 from .registry_ext9 import QUERIES_EXT9  # noqa: E402
+from .registry_ext10 import QUERIES_EXT10  # noqa: E402
+from .registry_ext11 import QUERIES_EXT11  # noqa: E402
 from .sql_catalog import QUERIES_SQL  # noqa: E402
 
 QUERIES.update(QUERIES_LLM)
@@ -566,6 +578,8 @@ QUERIES.update(QUERIES_EXT6)
 QUERIES.update(QUERIES_EXT7)
 QUERIES.update(QUERIES_EXT8)
 QUERIES.update(QUERIES_EXT9)
+QUERIES.update(QUERIES_EXT10)
+QUERIES.update(QUERIES_EXT11)
 QUERIES.update(QUERIES_SQL)
 
 

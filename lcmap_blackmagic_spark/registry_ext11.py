@@ -1,0 +1,470 @@
+"""Twelfth extension wave — training-data mixing, streamed anomaly
+flags, and the remaining relational surface a curation pipeline
+leans on:
+
+- ``source_mix_weights``: temperature-sampling mixture weights per
+  corpus source (w_s ∝ n_s^0.5, the data-mixing rule used for
+  multi-source LM training sets) with planned per-source sample
+  counts — sqrt is integer-scaled (floor(sqrt·2^20)) so the
+  normalizing sum is order-free across engines,
+- ``class_weights``: inverse-frequency class weights
+  N/(K·n_c) over the language label — the loss-weighting table a
+  trainer broadcasts,
+- ``rolling_zscore``: per-type rolling-window anomaly flags over the
+  event stream — mean/variance from integer-cent sums over the
+  trailing 32 rows, the 3σ test cross-multiplied to ONE integer
+  comparison ((n·x−S)² > 9(n·Q−S²)) so no sqrt/float enters,
+- ``group_median_bp``: EXACT per-group median without any sort —
+  the grouped form of the registry_ext10 prefix-sum pyramid (every
+  level equi-shaped once a group key exists),
+- ``mode_per_group``: most-frequent value per group with a
+  deterministic (count desc, value asc) tie-break,
+- ``unpivot_long``: wide→long melt of the per-customer RFM metrics
+  via native ``DataFrame.unpivot`` (one Expand, no join),
+- ``doc_length_hist``: power-of-two document-length histogram —
+  floor(log2) via binary-string length, no floating log,
+- ``dup_ratio_by_source``: exact-duplicate share per source from a
+  distinct-md5 count.
+
+Determinism contract as registry.py: integer math until one final
+division, ROUND(·, 6) on emitted doubles, md5 as the only hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .registry import _t
+from .registry_ext10 import _sql_cum, cum_below
+
+# ------------------------------------- source mixture weights ------
+
+MIX_ALPHA_SCALE = 1 << 20  # sqrt(n) fixed-point scale
+
+
+def q_source_mix_weights(spark, sf_dir):
+    """Temperature-sampling mixture weights per source, α = 1/2:
+    w_s = n_s^α / Σ n_t^α.  sqrt(bigint→double) is correctly
+    rounded in IEEE-754 (both engines), and floor(·2^20) makes each
+    term an exact bigint, so the normalizer is an order-free integer
+    sum — the final division is the only float op.  planned_docs
+    resamples the corpus to its own size under the mixture."""
+    d = _t(spark, sf_dir, "documents")
+    per_src = (d.groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n_docs")))
+    scaled = per_src.withColumn(
+        "w_fix", F.floor(F.sqrt(F.col("n_docs").cast("double"))
+                         * MIX_ALPHA_SCALE).cast("bigint"))
+    tot = scaled.agg(F.sum("w_fix").alias("w_tot"),
+                     F.sum("n_docs").alias("n_tot"))
+    return (scaled.join(F.broadcast(tot))
+            .select("source", "n_docs",
+                    F.round(F.col("w_fix") / F.col("w_tot"), 6)
+                    .alias("weight"),
+                    F.expr("(w_fix * n_tot) div w_tot")
+                    .alias("planned_docs"))
+            .orderBy("source"))
+
+
+SQL_SOURCE_MIX_WEIGHTS = f"""
+WITH per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source),
+scaled AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * {MIX_ALPHA_SCALE})
+              AS BIGINT) AS w_fix
+  FROM per_src),
+tot AS (SELECT CAST(SUM(w_fix) AS BIGINT) AS w_tot,
+               CAST(SUM(n_docs) AS BIGINT) AS n_tot FROM scaled)
+SELECT source, n_docs,
+       ROUND(CAST(w_fix AS DOUBLE) / w_tot, 6) AS weight,
+       (w_fix * n_tot) // w_tot AS planned_docs
+FROM scaled CROSS JOIN tot ORDER BY source
+"""
+
+
+# --------------------------------------------- class weights -------
+
+def q_class_weights(spark, sf_dir):
+    """Inverse-frequency class weights over the language label:
+    w_c = N / (K · n_c) — integers until the one division.  The
+    output is the tiny table a trainer broadcasts into its loss."""
+    d = _t(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per_lang.agg(F.sum("n_docs").alias("n_tot"),
+                       F.count(F.lit(1)).alias("k"))
+    return (per_lang.join(F.broadcast(tot))
+            .select("lang", "n_docs",
+                    F.round(F.col("n_tot")
+                            / (F.col("k") * F.col("n_docs")), 6)
+                    .alias("weight"))
+            .orderBy("lang"))
+
+
+SQL_CLASS_WEIGHTS = """
+WITH per_lang AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_tot,
+               CAST(COUNT(*) AS BIGINT) AS k FROM per_lang)
+SELECT lang, n_docs,
+       ROUND(CAST(n_tot AS DOUBLE) / (k * n_docs), 6) AS weight
+FROM per_lang CROSS JOIN tot ORDER BY lang
+"""
+
+
+# ------------------------------------------- rolling z-score -------
+
+ZS_WIN = 32     # trailing window rows
+ZS_MIN_N = 8    # minimum history before flagging
+ZS_K = 3        # |x - μ| > 3σ
+
+
+def q_rolling_zscore(spark, sf_dir):
+    """Per-type rolling anomaly flags: an event is anomalous when
+    its cents value deviates > 3σ from the trailing-32-row mean.
+    The test is cross-multiplied to one integer comparison,
+    (n·x − S)² > 9·(n·Q − S²), evaluated in DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB) so cents² sums can never wrap (the ab_ttest
+    lesson) — no float, no sqrt, bit-identical flags.  Window is
+    partitioned by event_type and ordered by the epoch-microsecond
+    integer (never calendar functions — the events column is LTZ)."""
+    e = _t(spark, sf_dir, "events")
+    # null values are excluded OUTRIGHT (not null-skipped inside the
+    # sums) so the row count n and the moment sums always describe
+    # the same window — and the streaming twin (zscore_stream) can
+    # mirror the semantics exactly
+    base = e.filter(F.col("value").isNotNull()).select(
+        "event_id", "event_type",
+        F.expr("unix_micros(ts)").alias("t_us"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("cents"))
+    w = (Window.partitionBy("event_type").orderBy("t_us", "event_id")
+         .rowsBetween(-ZS_WIN, -1))
+    stats = base.select(
+        "event_id", "event_type", "cents",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("cents").over(w).alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("q"))
+    dn = F.col("n").cast("decimal(38,0)")
+    dx = F.col("cents").cast("decimal(38,0)")
+    ds = F.col("s").cast("decimal(38,0)")
+    dq = F.col("q").cast("decimal(38,0)")
+    dev = dn * dx - ds
+    var_n2 = dn * dq - ds * ds
+    return (stats
+            .filter((F.col("n") >= ZS_MIN_N)
+                    & (dev * dev > ZS_K * ZS_K * var_n2))
+            .select("event_id", "event_type", "cents", "n"))
+
+
+SQL_ROLLING_ZSCORE = f"""
+WITH base AS (
+  SELECT event_id, event_type, epoch_us(ts) AS t_us,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL),
+stats AS (
+  SELECT event_id, event_type, cents,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(cents) OVER w AS BIGINT) AS s,
+         CAST(SUM(cents * cents) OVER w AS BIGINT) AS q
+  FROM base
+  WINDOW w AS (PARTITION BY event_type ORDER BY t_us, event_id
+               ROWS BETWEEN {ZS_WIN} PRECEDING AND 1 PRECEDING))
+SELECT event_id, event_type, cents, n
+FROM stats
+WHERE n >= {ZS_MIN_N}
+  AND (CAST(n AS HUGEINT) * cents - s) * (CAST(n AS HUGEINT) * cents - s)
+      > {ZS_K * ZS_K} * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+"""
+
+
+# ------------------------------------- exact per-group median ------
+
+def q_group_median_bp(spark, sf_dir):
+    """EXACT per-group median order value (cents) with NO sort in
+    the plan: the grouped prefix-sum pyramid (registry_ext10) gives
+    each distinct value its below-count, and the median is the
+    smallest value whose inclusive count reaches half the group —
+    2·(cum_lt + c) ≥ n.  With a group key every pyramid level is an
+    equi-join, so the plan is shuffle-bounded by the distinct-value
+    table, never a global ordering."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("cents"))
+    cum = cum_below(o, "cents", by=("grp",))
+    n = o.groupBy("grp").agg(F.count(F.lit(1)).alias("n_grp"))
+    return (cum.join(F.broadcast(n), "grp")
+            .filter(2 * (F.col("cum_lt") + F.col("c"))
+                    >= F.col("n_grp"))
+            .groupBy("grp", "n_grp")
+            .agg(F.min("v").alias("median_cents"))
+            .orderBy("grp"))
+
+
+SQL_GROUP_MEDIAN_BP = f"""
+WITH src AS (
+  SELECT o_orderpriority AS grp,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM orders),
+{_sql_cum("src", "cents", "g_", by=("grp",))},
+n AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_grp
+      FROM src GROUP BY grp)
+SELECT c.grp, n.n_grp, MIN(c.v) AS median_cents
+FROM g_cum c JOIN n ON c.grp = n.grp
+WHERE 2 * (c.cum_lt + c.c) >= n.n_grp
+GROUP BY c.grp, n.n_grp ORDER BY c.grp
+"""
+
+
+# ----------------------------------------------- grouped mode ------
+
+def q_mode_per_group(spark, sf_dir):
+    """Most-frequent order priority per order status, deterministic
+    tie-break (highest count, then lexicographically smallest
+    value) — the categorical summary ``mode()`` gives in one engine
+    and a two-level aggregate gives portably.  The rank window runs
+    over the COUNTS table (groups × values), never the fact rows."""
+    o = _t(spark, sf_dir, "orders")
+    counts = (o.groupBy("o_orderstatus", "o_orderpriority")
+              .agg(F.count(F.lit(1)).alias("n")))
+    w = (Window.partitionBy("o_orderstatus")
+         .orderBy(F.desc("n"), "o_orderpriority"))
+    return (counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("o_orderstatus",
+                    F.col("o_orderpriority").alias("mode_priority"),
+                    F.col("n").alias("n_mode"))
+            .orderBy("o_orderstatus"))
+
+
+SQL_MODE_PER_GROUP = """
+WITH counts AS (
+  SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY o_orderstatus, o_orderpriority),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                               ORDER BY n DESC, o_orderpriority) AS rn
+  FROM counts)
+SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS n_mode
+FROM ranked WHERE rn = 1 ORDER BY o_orderstatus
+"""
+
+
+# -------------------------------------------- wide→long melt -------
+
+def q_unpivot_long(spark, sf_dir):
+    """Wide→long melt of the per-customer RFM metrics via native
+    ``DataFrame.unpivot`` (one Expand node — row-generating
+    projection, no join, pipelines into the downstream aggregate),
+    then per-metric summary stats.  The relational surface every
+    feature store needs for metric-at-a-time processing."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (o.groupBy("o_custkey")
+                .agg(F.max(F.datediff(
+                        F.to_date("o_orderdate"),
+                        F.lit("1970-01-01").cast("date")))
+                     .cast("bigint").alias("recency"),
+                     F.count(F.lit(1)).alias("frequency"),
+                     (F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                      * 100).cast("bigint").alias("monetary")))
+    long = per_cust.unpivot(
+        ["o_custkey"], ["recency", "frequency", "monetary"],
+        "metric", "val")
+    return (long.groupBy("metric")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("val").alias("min_val"),
+                 F.max("val").alias("max_val"),
+                 F.sum("val").alias("sum_val"))
+            .orderBy("metric"))
+
+
+SQL_UNPIVOT_LONG = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(MAX(CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+              AS BIGINT) AS recency,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS monetary
+  FROM orders GROUP BY o_custkey),
+long AS (
+  SELECT o_custkey, 'recency' AS metric, recency AS val FROM per_cust
+  UNION ALL
+  SELECT o_custkey, 'frequency', frequency FROM per_cust
+  UNION ALL
+  SELECT o_custkey, 'monetary', monetary FROM per_cust)
+SELECT metric, COUNT(*) AS n, MIN(val) AS min_val,
+       MAX(val) AS max_val, CAST(SUM(val) AS BIGINT) AS sum_val
+FROM long GROUP BY metric ORDER BY metric
+"""
+
+
+# ------------------------------------ doc length histogram ---------
+
+def q_doc_length_hist(spark, sf_dir):
+    """Power-of-two document-length histogram: bucket =
+    floor(log2(n_chars + 1)) computed as the LENGTH OF THE BINARY
+    STRING minus one — both engines print minimal binary (no
+    leading zeros), so no floating log ever runs."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = (F.length(F.expr("bin(n_chars + 1)")) - 1).cast("bigint")
+    return (d.groupBy(bucket.alias("log2_bucket"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.max("n_chars").alias("max_chars"))
+            .orderBy("log2_bucket"))
+
+
+SQL_DOC_LENGTH_HIST = """
+SELECT CAST(length(bin(n_chars + 1)) - 1 AS BIGINT) AS log2_bucket,
+       COUNT(*) AS n_docs, MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------- exact-dup share by source ------
+
+def q_dup_ratio_by_source(spark, sf_dir):
+    """Exact-duplicate share per corpus source: 1 − distinct/total
+    over the md5 text digest — the per-slice health metric behind
+    the global ``dedup_exact`` operator.  COUNT(DISTINCT md5) is a
+    16-byte-key distinct aggregate, map-side partial, no full-text
+    shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct(F.md5("text")).alias("n_distinct"))
+            .select("source", "n_docs", "n_distinct",
+                    F.round((F.col("n_docs") - F.col("n_distinct"))
+                            .cast("double") / F.col("n_docs"), 6)
+                    .alias("dup_ratio"))
+            .orderBy("source"))
+
+
+SQL_DUP_RATIO_BY_SOURCE = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+       ROUND(CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE)
+             / COUNT(*), 6) AS dup_ratio
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+# ------------------------------ recursive hierarchy rollup ---------
+
+# The Spark side spells integer division `div`, DuckDB spells it
+# `//` — otherwise the two recursive texts are identical.
+_RECURSIVE_ROLLUP = """
+WITH RECURSIVE up(user_id, anc, lvl) AS (
+  SELECT user_id, user_id, 0 FROM {src}
+  UNION ALL
+  SELECT user_id, anc {intdiv} 10, lvl + 1 FROM up WHERE anc > 0
+),
+roll AS (
+  SELECT lvl, anc, CAST(SUM(n_events) AS BIGINT) AS sub_events,
+         CAST(SUM(cents) AS BIGINT) AS sub_cents
+  FROM up JOIN {src} USING (user_id) GROUP BY lvl, anc)
+SELECT lvl, COUNT(*) AS n_nodes,
+       CAST(MAX(sub_events) AS BIGINT) AS max_sub_events,
+       CAST(SUM(sub_events) AS BIGINT) AS sum_events,
+       CAST(SUM(sub_cents) AS BIGINT) AS sum_cents
+FROM roll GROUP BY lvl ORDER BY lvl
+"""
+
+
+def q_recursive_rollup(spark, sf_dir):
+    """Hierarchical subtree rollup via a RECURSIVE CTE (the Spark 4
+    UnionLoop operator — org-chart/BOM recursion, new SQL surface):
+    each user id climbs its decimal-radix ancestor chain (parent =
+    id div 10, a functional graph — one parent per node, so the
+    UNION ALL recursion is linear, never a path explosion) and event
+    counts/cents roll up into every ancestor at every level.  All
+    emitted values are order-free integer sums — hash-exact against
+    DuckDB's recursive evaluation of the same text."""
+    e = _t(spark, sf_dir, "events")
+    (e.groupBy("user_id")
+     .agg(F.count(F.lit(1)).alias("n_events"),
+          F.sum((F.col("value").cast("decimal(18,2)") * 100)
+                .cast("bigint")).alias("cents"))
+     .createOrReplaceTempView("rr_per_user"))
+    return spark.sql(_RECURSIVE_ROLLUP.format(src="rr_per_user",
+                                              intdiv="div"))
+
+
+# same recursive text, DuckDB spelling, with the per-user aggregate
+# prepended to the (shared) WITH RECURSIVE list
+SQL_RECURSIVE_ROLLUP = (
+    "WITH RECURSIVE per_user AS (SELECT user_id, "
+    "CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) "
+    "AS BIGINT) AS cents FROM events GROUP BY user_id),\n"
+    + _RECURSIVE_ROLLUP.format(src="per_user", intdiv="//")
+    .strip().replace("WITH RECURSIVE up", "up", 1)
+)
+
+
+# ----------------------------------------------- ORC roundtrip -----
+
+def q_src_orc(spark, sf_dir):
+    """ORC source/sink surface (the second columnar format Spark
+    ships a vectorized reader for): write a typed projection of
+    orders — including a DATE column — as ORC, read it back, and
+    aggregate.  The oracle aggregates the parquet directly, so the
+    hash-match proves the ORC writer/reader pair is lossless for
+    integers, strings, and dates (the src_csv contract, columnar
+    edition)."""
+    from .registry import _staging
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.to_date("o_orderdate").alias("odate"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("cents"))
+    path = _staging(sf_dir, "orc_orders")
+    o.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (back.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("odate").alias("first_date"),
+                 F.max("odate").alias("last_date"),
+                 (F.sum("cents").cast("double") / 100).alias("total"))
+            .orderBy("o_orderstatus"))
+
+
+SQL_SRC_ORC = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       MIN(CAST(o_orderdate AS DATE)) AS first_date,
+       MAX(CAST(o_orderdate AS DATE)) AS last_date,
+       CAST(CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT)) AS DOUBLE) / 100 AS DOUBLE)
+         AS total
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+QUERIES_EXT11: dict[str, dict] = {
+    "source_mix_weights": {"fn": q_source_mix_weights,
+                           "sql": SQL_SOURCE_MIX_WEIGHTS},
+    "class_weights":      {"fn": q_class_weights,
+                           "sql": SQL_CLASS_WEIGHTS},
+    "rolling_zscore":     {"fn": q_rolling_zscore,
+                           "sql": SQL_ROLLING_ZSCORE},
+    "group_median_bp":    {"fn": q_group_median_bp,
+                           "sql": SQL_GROUP_MEDIAN_BP},
+    "mode_per_group":     {"fn": q_mode_per_group,
+                           "sql": SQL_MODE_PER_GROUP},
+    "unpivot_long":       {"fn": q_unpivot_long,
+                           "sql": SQL_UNPIVOT_LONG},
+    "doc_length_hist":    {"fn": q_doc_length_hist,
+                           "sql": SQL_DOC_LENGTH_HIST},
+    "dup_ratio_by_source": {"fn": q_dup_ratio_by_source,
+                            "sql": SQL_DUP_RATIO_BY_SOURCE},
+    "recursive_rollup":   {"fn": q_recursive_rollup,
+                           "sql": SQL_RECURSIVE_ROLLUP},
+    "src_orc":            {"fn": q_src_orc, "sql": SQL_SRC_ORC},
+}

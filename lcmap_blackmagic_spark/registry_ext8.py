@@ -217,8 +217,8 @@ def q_ohlc_bars(spark, sf_dir):
     time-bucketed rollup every metrics store needs.  Buckets are
     EPOCH-HOUR integers (unix_micros div 3600e6), never
     date_trunc — the events column is LTZ and session-timezone
-    truncation silently shifts bars (the cohort_retention lesson,
-    .claude/skills/verify).  Open/close are first/last over the
+    truncation silently shifts bars (the cohort_retention timezone
+    lesson).  Open/close are first/last over the
     unique (ts, event_id) order via an unbounded window; one
     bar-partition shuffle total."""
     e = _t(spark, sf_dir, "events")

@@ -131,6 +131,7 @@ EWMA_OUT = T.StructType([
 EWMA_STATE = T.StructType([
     T.StructField("s", T.DoubleType()),
     T.StructField("last_us", T.LongType()),
+    T.StructField("last_eid", T.LongType()),
 ])
 
 
@@ -142,19 +143,22 @@ def ewma_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     length).  Emits one row per event.
 
     Ordering contract: events are folded in (ts, event_id) order
-    within each micro-batch, and an event older than the last folded
-    timestamp is DROPPED (the late-data policy — state carries
-    last_us), so the emitted sequence is deterministic for in-order
-    input and never silently corrupts the recursion on stragglers.
-    Dyadic alpha keeps every update exact: the stream and an offline
-    replay produce bit-identical doubles."""
+    within each micro-batch, and an event at or before the last
+    folded (ts, event_id) COMPOSITE is DROPPED (the late-data
+    policy — state carries both keys, so a ts tie straddling a
+    micro-batch boundary folds iff its event_id is later, exactly as
+    the offline (ts, event_id) replay would order it; a bare-ts
+    check would fold boundary ties after already-processed same-ts
+    rows with larger ids and silently diverge).  Dyadic alpha keeps
+    every update exact: the stream and an offline replay produce
+    bit-identical doubles."""
     def fn(key, pdf_iter, state):
         import pandas as pd
         user_id = key[0]
         if state.exists:
-            s, last_us = state.get
+            s, last_us, last_eid = state.get
         else:
-            s, last_us = None, -1
+            s, last_us, last_eid = None, -1, -1
         # a group bigger than one Arrow batch arrives as SEVERAL
         # chunks; each is internally ordered at best — concatenate
         # the whole micro-batch BEFORE the one sort, or chunk 2's
@@ -167,16 +171,16 @@ def ewma_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
             ts_us = (pdf["ts"].astype("datetime64[ns]").astype("int64")
                      // 1000)
             for t, eid, x in zip(ts_us, pdf["event_id"], pdf["value"]):
-                t = int(t)
-                if t < last_us:
-                    continue  # late event: drop, never rewind state
-                last_us = t
+                t, eid = int(t), int(eid)
+                if (t, eid) <= (last_us, last_eid):
+                    continue  # late or re-delivered: never rewind state
+                last_us, last_eid = t, eid
                 x = float(x) if x == x else 0.0
                 s = x if s is None else (x + s) / 2
-                ids.append(int(eid))
+                ids.append(eid)
                 vals.append(s)
         if s is not None:
-            state.update((s, last_us))
+            state.update((s, last_us, last_eid))
         if ids:
             yield pd.DataFrame({"user_id": [user_id] * len(ids),
                                 "event_id": ids, "ewma": vals})
@@ -191,6 +195,92 @@ def ewma_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
 def _no_timeout():
     from pyspark.sql.streaming.state import GroupStateTimeout
     return GroupStateTimeout.NoTimeout
+
+
+ZSCORE_OUT = T.StructType([
+    T.StructField("event_type", T.StringType()),
+    T.StructField("event_id", T.LongType()),
+    T.StructField("cents", T.LongType()),
+    T.StructField("n", T.LongType()),
+])
+
+ZSCORE_STATE = T.StructType([
+    T.StructField("hist", T.ArrayType(T.LongType())),
+    T.StructField("last_us", T.LongType()),
+    T.StructField("last_eid", T.LongType()),
+])
+
+
+def zscore_stream(events: DataFrame, watermark: str = "2 hours",
+                  win: int = 32, min_n: int = 8,
+                  k: int = 3) -> DataFrame:
+    """Stateful streaming anomaly detector — the streaming twin of
+    the batch ``rolling_zscore`` query (registry_ext11): an event is
+    flagged when its integer-cent value deviates more than k·σ from
+    the trailing ``win`` events of its type, with mean/variance from
+    exact integer sums and the test cross-multiplied to ONE integer
+    comparison ((n·x − S)² > k²·(n·Q − S²)) — Python ints are
+    arbitrary-precision, so the stream is flag-identical to the
+    batch query's DECIMAL(38) arithmetic.
+
+    State per event_type is the bounded ring of the last ``win``
+    cent values plus the (ts, event_id) ordering watermark — ≤32
+    longs per key regardless of stream length, sharded by key in the
+    state store.  Ordering contract as ``ewma_stream``: in-order
+    fold on the (ts, event_id) composite, late events dropped, never
+    rewound."""
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+        etype = key[0]
+        if state.exists:
+            hist, last_us, last_eid = state.get
+            hist = list(hist)
+        else:
+            hist, last_us, last_eid = [], -1, -1
+        chunks = [pdf for pdf in pdf_iter if not pdf.empty]
+        out_ids, out_cents, out_n = [], [], []
+        if chunks:
+            pdf = (pd.concat(chunks, ignore_index=True)
+                   .sort_values(["ts", "event_id"]))
+            ts_us = (pdf["ts"].astype("datetime64[ns]").astype("int64")
+                     // 1000)
+            for t, eid, x in zip(ts_us, pdf["event_id"], pdf["value"]):
+                t, eid = int(t), int(eid)
+                if (t, eid) <= (last_us, last_eid):
+                    continue  # late or re-delivered: drop
+                if x != x:
+                    continue  # null/NaN value: excluded as in batch
+                last_us, last_eid = t, eid
+                # decimal(18,2)*100 twin: shortest-repr decimal of
+                # the double, HALF_UP at 2 dp exactly like Spark's
+                # decimal cast, then exact integer scaling
+                from decimal import ROUND_HALF_UP, Decimal
+                cents = int(Decimal(repr(float(x)))
+                            .quantize(Decimal("0.01"), ROUND_HALF_UP)
+                            * 100)
+                n = len(hist)
+                if n >= min_n:
+                    s = sum(hist)
+                    q = sum(v * v for v in hist)
+                    dev = n * cents - s
+                    if dev * dev > k * k * (n * q - s * s):
+                        out_ids.append(eid)
+                        out_cents.append(cents)
+                        out_n.append(n)
+                hist.append(cents)
+                if len(hist) > win:
+                    hist.pop(0)
+        state.update((hist, last_us, last_eid))
+        if out_ids:
+            yield pd.DataFrame({
+                "event_type": [etype] * len(out_ids),
+                "event_id": out_ids, "cents": out_cents, "n": out_n})
+
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy("event_type")
+            .applyInPandasWithState(fn, ZSCORE_OUT, ZSCORE_STATE,
+                                    "append", _no_timeout()))
 
 
 DOCUMENT = T.StructType([
@@ -212,7 +302,8 @@ def documents_stream(spark: SparkSession, docs_dir: str,
 
 
 def ingest_dedup_stream(docs: DataFrame, signature_dir: str,
-                        out_dir: str, threshold: float = 0.2):
+                        out_dir: str, threshold: float = 0.2,
+                        update_store: bool = True):
     """STREAMING ingest dedup: per micro-batch, hash the incoming
     documents ONCE (the per-doc minhash aggregate) and flag any that
     near-duplicate the persisted SIGNATURE STORE — the streaming
@@ -221,22 +312,49 @@ def ingest_dedup_stream(docs: DataFrame, signature_dir: str,
     an aggregate inside; the store itself is exactly what
     ``minhash_pairs_staged`` checkpoints).
 
-    Per batch: incoming docs are hashed (one explode + hash-agg),
-    banded against the static store, exact-verified, and the flags
-    APPEND to ``out_dir`` — idempotent per batch id, O(batch) work
-    regardless of corpus size, and the store is never re-hashed.
+    Per batch: incoming docs are hashed (one explode + hash-agg) and
+    the signatures are persisted FIRST, under the batch's own
+    ``batch_id=`` partition of ``<signature_dir>_updates`` (dynamic
+    partition overwrite — a replayed batch rewrites its own
+    partition, so the store never double-counts).  Flags are then
+    computed from that staged parquet (the hash pass runs once, not
+    once per consumer) against base store ∪ updates from STRICTLY
+    EARLIER batches — so a duplicate arriving two micro-batches
+    after its partner is caught, and a crash-replay never compares a
+    batch against itself.  Flags land in ``out_dir`` partitioned by
+    batch_id with the same dynamic-overwrite idempotency as the
+    persisted_* rollup sinks.  O(batch) hashing per trigger
+    regardless of corpus size; the base store is never re-hashed.
+    ``update_store=False`` pins the static-store twin semantics
+    (flags exactly equal batch ``llm_incremental_dedup``).
     Returns the DataStreamWriter (caller starts it)."""
     from ..llm.dedup import _minhash_doc_aggregate, minhash_cross_flags
     spark = docs.sparkSession
-    static = spark.read.parquet(signature_dir)
+    base = spark.read.parquet(signature_dir)
+    updates_dir = signature_dir.rstrip("/") + "_updates"
 
     def fb(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         inc = _minhash_doc_aggregate(batch_df, "doc_id", "text", 3, 8)
-        flags = minhash_cross_flags(inc, static, threshold=threshold)
+        store = base
+        if update_store:
+            (inc.withColumn("batch_id", F.lit(batch_id))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id").parquet(updates_dir))
+            updates = spark.read.parquet(updates_dir)
+            inc = (updates.filter(F.col("batch_id") == batch_id)
+                   .drop("batch_id"))
+            store = base.unionByName(
+                updates.filter(F.col("batch_id") < batch_id)
+                .drop("batch_id"))
+        flags = minhash_cross_flags(inc, store, threshold=threshold)
         (flags.withColumnRenamed("inc_id", "incoming_id")
-         .write.mode("append").parquet(out_dir))
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(out_dir))
 
     return docs.writeStream.foreachBatch(fb)
 

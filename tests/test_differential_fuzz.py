@@ -173,10 +173,19 @@ WHERE c.op IS NULL OR c.op <> 'D'
 
 # ---- window-function differential fuzz ----------------------------
 
-WINDOW_CASES = 20
+WINDOW_CASES = 40
+
+# a nullable integer both engines derive identically — the
+# IGNORE NULLS cases need real null gaps to skip over
+_NULLABLE = "(CASE WHEN l_partkey % 3 = 0 THEN NULL ELSE l_suppkey END)"
 
 
-def _window_case(rng: random.Random) -> str:
+def _window_case(rng: random.Random) -> tuple[str, str]:
+    """One random window expression, rendered PER ENGINE: the ANSI
+    dialects disagree on where IGNORE NULLS sits (Spark:
+    ``f(args) IGNORE NULLS OVER``; DuckDB: ``f(args IGNORE NULLS)
+    OVER``), so each case is a (spark_sql, duck_sql) pair — identical
+    strings except for that clause."""
     part = rng.choice(["l_returnflag", "l_linestatus",
                        "l_returnflag, l_linestatus", "l_suppkey % 10"])
     # total order with full tie-break: the synthetic fixture has
@@ -192,40 +201,135 @@ def _window_case(rng: random.Random) -> str:
         f"ROWS BETWEEN CURRENT ROW AND {k2} FOLLOWING",
         f"ROWS BETWEEN {k1} PRECEDING AND {k2} FOLLOWING",
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
     ])
     over = f"PARTITION BY {part} ORDER BY {order}"
-    fn = rng.choice([
-        f"SUM(CAST(l_quantity AS BIGINT)) OVER ({over} {frame})",
-        f"COUNT(*) OVER ({over} {frame})",
-        f"MIN(l_partkey) OVER ({over} {frame})",
-        f"MAX(l_partkey) OVER ({over} {frame})",
-        f"LAG(l_suppkey, {rng.randint(1, 3)}, -1) OVER ({over})",
-        f"LEAD(l_suppkey, {rng.randint(1, 3)}, -1) OVER ({over})",
-        f"ROW_NUMBER() OVER ({over})",
-        f"RANK() OVER (PARTITION BY {part} ORDER BY l_partkey)",
-        f"DENSE_RANK() OVER (PARTITION BY {part} ORDER BY l_partkey)",
-        f"NTILE({rng.randint(2, 7)}) OVER ({over})",
-    ])
-    return fn
+    roll = rng.random()
+    if roll < 0.18:
+        # RANGE frame over a single integer order key: peers (tied
+        # orderkeys) enter the frame together in both engines, and
+        # the integer SUM over the peer set is order-free
+        r1, r2 = rng.randint(0, 40), rng.randint(0, 40)
+        rframe = rng.choice([
+            f"RANGE BETWEEN {r1} PRECEDING AND CURRENT ROW",
+            f"RANGE BETWEEN CURRENT ROW AND {r2} FOLLOWING",
+            f"RANGE BETWEEN {r1} PRECEDING AND {r2} FOLLOWING",
+        ])
+        agg = rng.choice(["SUM(CAST(l_quantity AS BIGINT))", "COUNT(*)",
+                          "MIN(l_partkey)", "MAX(l_partkey)"])
+        e = (f"{agg} OVER (PARTITION BY {part} "
+             f"ORDER BY l_orderkey {rframe})")
+        return e, e
+    if roll < 0.40:
+        # IGNORE NULLS offset/positional functions over null gaps
+        fn, args = rng.choice([
+            ("LAG", f"{_NULLABLE}, {rng.randint(1, 3)}"),
+            ("LEAD", f"{_NULLABLE}, {rng.randint(1, 3)}"),
+            ("FIRST_VALUE", _NULLABLE),
+            ("LAST_VALUE", _NULLABLE),
+            ("NTH_VALUE", f"{_NULLABLE}, {rng.randint(1, 3)}"),
+        ])
+        suffix = "" if fn in ("LAG", "LEAD") else f" {frame}"
+        spark_e = f"{fn}({args}) IGNORE NULLS OVER ({over}{suffix})"
+        duck_e = f"{fn}({args} IGNORE NULLS) OVER ({over}{suffix})"
+        return spark_e, duck_e
+    if roll < 0.55:
+        # positional functions with explicit frames, nulls respected
+        fn, args = rng.choice([
+            ("FIRST_VALUE", "l_partkey"),
+            ("LAST_VALUE", "l_partkey"),
+            ("NTH_VALUE", f"l_suppkey, {rng.randint(1, 4)}"),
+        ])
+        e = f"{fn}({args}) OVER ({over} {frame})"
+        return e, e
+    if roll < 0.72:
+        e = rng.choice([
+            f"SUM(CAST(l_quantity AS BIGINT)) OVER ({over} {frame})",
+            f"COUNT(*) OVER ({over} {frame})",
+            f"MIN(l_partkey) OVER ({over} {frame})",
+            f"MAX(l_partkey) OVER ({over} {frame})",
+        ])
+        return e, e
+    if roll < 0.85:
+        e = rng.choice([
+            f"LAG(l_suppkey, {rng.randint(1, 3)}, -1) OVER ({over})",
+            f"LEAD(l_suppkey, {rng.randint(1, 3)}, -1) OVER ({over})",
+            f"ROW_NUMBER() OVER ({over})",
+            f"NTILE({rng.randint(2, 7)}) OVER ({over})",
+        ])
+        return e, e
+    # rank family under HEAVY ties (l_quantity has ~50 distinct
+    # values): peer rows share a rank in both engines, so the
+    # per-row output is deterministic even without a total order
+    tie_order = rng.choice(["l_partkey", "l_quantity",
+                            "l_quantity, l_partkey"])
+    e = (f"{rng.choice(['RANK', 'DENSE_RANK'])}() "
+         f"OVER (PARTITION BY {part} ORDER BY {tie_order})")
+    return e, e
 
 
 def _window_cases():
     rng = random.Random(SEED + 777)
-    return [(i, _window_case(rng)) for i in range(WINDOW_CASES)]
+    return [(i, *_window_case(rng)) for i in range(WINDOW_CASES)]
 
 
-@pytest.mark.parametrize("i,expr", _window_cases())
-def test_window_function_agrees_across_engines(engines, i, expr):
-    """Random window specs (frames, offsets, ranking, ntile) over a
-    unique total order — integer outputs compared row-by-row. The
-    hand-written oracle queries cover the shapes someone thought of;
-    this sweeps the frame/function grid."""
+@pytest.mark.parametrize("i,spark_expr,duck_expr", _window_cases())
+def test_window_function_agrees_across_engines(engines, i, spark_expr,
+                                               duck_expr):
+    """Random window specs (ROWS and RANGE frames, offsets,
+    IGNORE NULLS, positional and ranking functions, tie-heavy rank
+    orders) — integer outputs compared row-by-row. The hand-written
+    oracle queries cover the shapes someone thought of; this sweeps
+    the frame/function grid."""
     spark, con = engines
-    sql = (f"SELECT l_orderkey, l_linenumber, {expr} AS w "
-           f"FROM fuzz_lineitem WHERE l_orderkey % 7 = 0")
+    body = (" FROM fuzz_lineitem WHERE l_orderkey % 7 = 0")
+    # None-safe sort: NTH_VALUE / IGNORE NULLS legitimately emit NULL
+    # when the frame runs dry
+    key = (lambda t: tuple((v is None, v if v is not None else 0)
+                           for v in t))
+    got = sorted((tuple(r) for r in spark.sql(
+        f"SELECT l_orderkey, l_linenumber, {spark_expr} AS w{body}"
+    ).collect()), key=key)
+    want = sorted((tuple(r) for r in con.execute(
+        f"SELECT l_orderkey, l_linenumber, {duck_expr} AS w{body}"
+    ).fetchall()), key=key)
+    assert got == want, f"window case {i}: {spark_expr}"
+
+
+NTILE_TIE_CASES = 12
+
+
+def _ntile_tie_cases():
+    rng = random.Random(SEED + 1717)
+    out = []
+    for i in range(NTILE_TIE_CASES):
+        part = rng.choice(["l_returnflag", "l_linestatus",
+                           "l_suppkey % 5"])
+        order = rng.choice(["l_quantity", "l_linenumber",
+                            "l_partkey % 17"])
+        out.append((i, part, order, rng.randint(2, 9),
+                    rng.choice([2, 3, 5, 7, 11])))
+    return out
+
+
+@pytest.mark.parametrize("i,part,order,nb,mod", _ntile_tie_cases())
+def test_ntile_ties_bucket_histogram_agrees(engines, i, part, order,
+                                            nb, mod):
+    """ntile over a NON-unique order splits tied rows across buckets
+    in an engine-chosen (row-order-dependent) way — the per-row
+    assignment is legitimately nondeterministic, but the bucket
+    SIZES are fully determined by the partition sizes.  Compare the
+    (partition, bucket) histogram, the strongest tie-invariant
+    check."""
+    spark, con = engines
+    sql = (f"SELECT p, w, COUNT(*) AS n FROM ("
+           f"SELECT {part} AS p, NTILE({nb}) OVER "
+           f"(PARTITION BY {part} ORDER BY {order}) AS w "
+           f"FROM fuzz_lineitem WHERE l_orderkey % {mod} = 0) "
+           f"GROUP BY p, w")
     got = sorted(tuple(r) for r in spark.sql(sql).collect())
     want = sorted(tuple(r) for r in con.execute(sql).fetchall())
-    assert got == want, f"window case {i}: {expr}"
+    assert got == want, f"ntile-tie case {i}: {part}/{order}/{nb}"
 
 
 # ---- join-family differential fuzz --------------------------------

@@ -8,7 +8,10 @@ Rules:
 - no row-at-a-time Python UDF (BatchEvalPython) — Python is allowed
   only through Arrow (ArrowEvalPython / MapInPandas /
   FlatMapGroupsInPandas), which the multimodal / detect / pack
-  operators legitimately use.
+  operators legitimately use;
+- no UNPARTITIONED WindowExec (empty PARTITION BY = every row
+  through one task's sort — an OOM at 10^12 rows) unless the
+  window's input is argued constant-bounded in the allowlist.
 
 An explicit allowlist documents any exception; additions to it should
 be argued in the PR, not silently accumulated.
@@ -26,10 +29,63 @@ ROW_UDF_OK: set[str] = {
     # of the same operator is llm_chunk (one Generate, no Python)
     "udtf_chunks",
 }
+# global (empty-partition-spec) windows whose input is provably NOT
+# table-sized — each entry argues the constant bound
+GLOBAL_WINDOW_OK: set[str] = {
+    # rank window over the B=32 bootstrap replicate means — constant
+    "bootstrap_ci",
+    # rank + ideal-rank windows over the NDCG@10 cut — ≤10 rows each
+    "eval_ndcg",
+    # union of two KMV sketches — ≤ 2·K = 2048 rows by construction
+    "kmv_set_ops",
+    # lag over per-week revenue totals — rows bounded by the calendar
+    # span (weeks since epoch), not by table size
+    "wow_growth",
+    # ntile oracle-parity twins; the at-scale forms are the _bp
+    # breakpoint queries (registry_ext10), which pass unallowlisted
+    "quality_deciles",
+    "rfm_scores",
+}
 
 
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _global_windows(plan: str) -> list[str]:
+    """Window nodes with an empty partition spec.  WindowExec prints
+    up to three top-level bracket groups —
+    ``Window [exprs], [partitionSpec], [orderSpec]`` — omitting
+    whichever spec is empty.  Three groups ⇒ partitioned; two groups
+    is ambiguous (partition-only windows also print two), so the
+    last group is inspected: an order spec carries ``ASC NULLS`` /
+    ``DESC NULLS`` markers, a partition spec is a bare column list.
+    Bracket depth is tracked so nested brackets inside window
+    expressions don't miscount."""
+    out = []
+    for line in plan.splitlines():
+        stripped = line.lstrip(" +-:*")
+        if not stripped.startswith("Window "):
+            continue
+        groups: list[str] = []
+        depth = 0
+        start = -1
+        for i, ch in enumerate(stripped):
+            if ch == "[":
+                if depth == 0:
+                    start = i + 1
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append(stripped[start:i])
+        if len(groups) >= 3:
+            continue  # [exprs], [partition], [order]
+        if len(groups) == 2 and not (
+                "ASC NULLS" in groups[1] or "DESC NULLS" in groups[1]):
+            continue  # [exprs], [partition] — partition-only window
+        out.append(stripped)
+    return out
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
@@ -42,3 +98,9 @@ def test_no_cartesian_no_row_udf(spark, sf_dir, name):
     if name not in ROW_UDF_OK:
         assert "BatchEvalPython" not in plan, \
             f"{name}: row-at-a-time Python UDF in physical plan"
+    if name not in GLOBAL_WINDOW_OK:
+        offenders = _global_windows(plan)
+        assert not offenders, (
+            f"{name}: unpartitioned WindowExec in physical plan "
+            f"(single-task global sort — the ntile-at-scale trap):\n"
+            + "\n".join(offenders))

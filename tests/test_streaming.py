@@ -565,6 +565,27 @@ def test_ewma_stream_matches_offline_replay(spark, events_dir,
     assert got == want  # exact float equality, every event emitted
 
 
+def test_zscore_stream_matches_batch(spark, events_dir, sf_dir,
+                                     state_provider):
+    """The stateful streaming anomaly detector must flag EXACTLY the
+    rows the batch rolling_zscore query flags — integer moments make
+    the comparison exact, and the time-ordered file batches satisfy
+    the in-order contract (equal timestamps never straddle a file)."""
+    from lcmap_blackmagic_spark.registry import QUERIES
+    from lcmap_blackmagic_spark.streaming.jobs import zscore_stream
+    stream = events_stream(spark, events_dir, max_files_per_trigger=1)
+    q = (zscore_stream(stream).writeStream.format("memory")
+         .queryName("zscore_" + state_provider)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r["event_type"], r["event_id"], r["cents"], r["n"])
+           for r in spark.table("zscore_" + state_provider).collect()}
+    want = {(r["event_type"], r["event_id"], r["cents"], r["n"])
+            for r in QUERIES["rolling_zscore"]["fn"](
+                spark, sf_dir).collect()}
+    assert got == want and got
+
+
 def test_ingest_dedup_stream_matches_batch(spark, sf_dir):
     """Streaming ingest dedup (foreachBatch against the static
     signature store) must flag exactly the incoming docs the batch
@@ -593,8 +614,11 @@ def test_ingest_dedup_stream_matches_batch(spark, sf_dir):
         incoming.filter(FF.col("doc_id") % 3 == i) \
             .coalesce(1).write.mode("append").parquet(docs_dir)
 
+    # update_store=False pins the STATIC-store twin semantics: flags
+    # must exactly equal the batch cross-corpus query (incoming docs
+    # are never compared against each other)
     q = (ingest_dedup_stream(documents_stream(spark, docs_dir), sig_dir,
-                             out_dir, threshold=0.2)
+                             out_dir, threshold=0.2, update_store=False)
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     q.awaitTermination(180)
@@ -605,3 +629,71 @@ def test_ingest_dedup_stream_matches_batch(spark, sf_dir):
             for r in QUERIES["llm_incremental_dedup"]["fn"](
                 spark, sf_dir).collect()}
     assert got == want and got
+
+
+def test_ingest_dedup_store_grows_across_batches(spark, sf_dir):
+    """With update_store=True the signature store must GROW inside the
+    stream: a duplicate whose partner arrived in an EARLIER micro-batch
+    is flagged even though neither doc is in the base store.  Every
+    batch's flags must equal the batch cross-corpus query run against
+    base ∪ strictly-earlier batches (reconstructed from the persisted
+    batch_id partitions, so the check is file-order independent)."""
+    from pyspark.sql import functions as FF
+
+    from lcmap_blackmagic_spark.llm.dedup import (_minhash_doc_aggregate,
+                                                  minhash_cross_flags)
+    from lcmap_blackmagic_spark.streaming.jobs import (documents_stream,
+                                                       ingest_dedup_stream)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base_dir = tempfile.mkdtemp(prefix="ingest_grow_")
+    docs_dir = os.path.join(base_dir, "incoming")
+    sig_dir = os.path.join(base_dir, "signatures")
+    out_dir = os.path.join(base_dir, "flags")
+    ckpt = os.path.join(base_dir, "ckpt")
+
+    existing = docs.filter(FF.col("source") != "src1")
+    _minhash_doc_aggregate(existing, "doc_id", "text", 3, 8) \
+        .write.mode("overwrite").parquet(sig_dir)
+
+    # incoming split into 3 files; a synthetic near-dup PAIR whose
+    # text appears nowhere in the base store spans two of them
+    incoming = docs.filter(FF.col("source") == "src1")
+    novel = "the quick zebra vaults over a sleeping aardvark " * 8
+    twin = spark.createDataFrame(
+        [(900001, novel, "en", "src1", len(novel)),
+         (900002, novel + "tail", "en", "src1", len(novel) + 4)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    for i in range(2):
+        (incoming.filter(FF.col("doc_id") % 2 == i)
+         .unionByName(twin.filter(FF.col("doc_id") == 900001 + i))
+         .coalesce(1).write.mode("append").parquet(docs_dir))
+
+    q = (ingest_dedup_stream(documents_stream(spark, docs_dir), sig_dir,
+                             out_dir, threshold=0.2)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {(r["incoming_id"], r["n_partners"], r["canonical_partner"])
+           for r in spark.read.parquet(out_dir).collect()}
+
+    # replay the same per-batch computation in BATCH mode from the
+    # persisted signature partitions: store_b = base ∪ batches < b
+    base = spark.read.parquet(sig_dir)
+    updates = spark.read.parquet(sig_dir + "_updates")
+    want = set()
+    for b in sorted(r["batch_id"] for r in
+                    updates.select("batch_id").distinct().collect()):
+        inc = updates.filter(FF.col("batch_id") == b).drop("batch_id")
+        store = base.unionByName(
+            updates.filter(FF.col("batch_id") < b).drop("batch_id"))
+        want |= {(r["inc_id"], r["n_partners"], r["canonical_partner"])
+                 for r in minhash_cross_flags(inc, store,
+                                              threshold=0.2).collect()}
+    assert got == want and got
+    # the loop is closed: one twin doc was flagged against the OTHER
+    # twin — a partner that lives only in an earlier batch's update
+    # partition, never in the base store
+    cross = {(i, p) for i, _, p in got if p >= 900001}
+    assert cross, "no cross-batch duplicate was flagged"
