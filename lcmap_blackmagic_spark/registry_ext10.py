@@ -61,29 +61,45 @@ def cum_below(df: DataFrame, vcol: str, by: tuple = ()) -> DataFrame:
     """(by..., v, c, cum_lt) — for each distinct value of ``vcol``
     (within each ``by`` group), its row count and the EXACT number
     of rows with a strictly smaller value, via per-value counts and
-    a three-level prefix sum.  All integer math; every join
-    equi-shaped except the keyless level-2 prefix (group-total rows,
-    bounded by value_domain / 2^20, broadcast) — and with ``by``
-    keys even that level is equi-shaped."""
+    a three-level prefix sum.
+
+    Levels 0 and 1 are PARTITIONED windows (≤1024 rows per
+    partition by construction — a bounded local sort, never the
+    global-ntile single-partition trap and never a pair blowup: the
+    first cut of this helper self-joined within each level and hit
+    ~50M compared pairs on dense cent domains, 8 s at sf0.1 vs
+    sub-second for the window form).  Only the level-2 prefix over
+    the g2 group totals is a join — domain / 2^20 rows, broadcast
+    in the keyless case, equi-shaped once ``by`` keys exist.  All
+    integer math either way."""
     by = list(by)
+    from pyspark.sql import Window
     cnt = (df.groupBy(*by, F.col(vcol).alias("v"))
            .agg(F.count(F.lit(1)).alias("c"))
            .select(*by, "v", "c",
                    F.expr("v div {}".format(_G1)).alias("g1"),
                    F.expr("v div {}".format(_G2)).alias("g2")))
+    # level-0 strict prefix within each g1 partition (≤1024 distinct
+    # values — v is unique within cnt, so the ROWS frame is exact)
+    w0 = (Window.partitionBy(*by, "g1").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    cnt = cnt.withColumn(
+        "below0", F.coalesce(F.sum("c").over(w0), F.lit(0)))
+    # level-1 strict prefix of g1 totals within each g2 partition
     t1 = cnt.groupBy(*by, "g1", "g2").agg(F.sum("c").alias("tc1"))
-    t2 = t1.groupBy(*by, "g2").agg(F.sum("tc1").alias("tc2"))
+    w1 = (Window.partitionBy(*by, "g2").orderBy("g1")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    p1 = t1.withColumn(
+        "below1", F.coalesce(F.sum("tc1").over(w1), F.lit(0)))
     # level-2 strict prefix: rows = distinct g2 = domain / 2^20 per
     # by-group — tiny; broadcast NLJ only in the keyless case
+    t2 = t1.groupBy(*by, "g2").agg(F.sum("tc1").alias("tc2"))
     p2 = _strict_prefix(t2, by, "g2", "tc2", "below2", by + ["g2"],
                         broadcast_b=not by)
-    # level-1 strict prefix within each g2: ≤1024 g1 rows per group
-    p1 = _strict_prefix(t1, by + ["g2"], "g1", "tc1", "below1",
-                        by + ["g1", "g2"])
-    # level-0 strict prefix within each g1: ≤1024 distinct values
-    p0 = _strict_prefix(cnt, by + ["g1"], "v", "c", "below0",
-                        by + ["v", "c", "g1", "g2"])
-    return (p0.join(p1, by + ["g1", "g2"]).join(p2, by + ["g2"])
+    return (cnt
+            .join(p1.select(*by, "g1", "g2", "below1"),
+                  by + ["g1", "g2"])
+            .join(p2, by + ["g2"])
             .select(*by, "v", "c",
                     (F.col("below0") + F.col("below1")
                      + F.col("below2")).alias("cum_lt")))
@@ -206,9 +222,25 @@ def q_rfm_scores_bp(spark, sf_dir):
     staging = _staging(sf_dir, "rfm_percust")
     per_cust.write.mode("overwrite").parquet(staging)
     pc = spark.read.parquet(staging)
-    b = bucketize(pc, "recency", 5, "r")
-    b = bucketize(b, "frequency", 5, "f")
-    b = bucketize(b, "monetary", 5, "m")
+    n = pc.agg(F.count(F.lit(1)).alias("n_total"))
+
+    # one bucket MAP per metric, each computed straight from the
+    # staged scan (chaining bucketize() would fold each previous
+    # join into the next pyramid's lineage and re-execute it), then
+    # one 3-way join of the maps onto the staged rows
+    def bucket_map(vcol: str, out: str):
+        return (cum_below(pc, vcol)
+                .join(F.broadcast(n))
+                .select(F.col("v").alias(f"__{out}_v"),
+                        F.expr("((5 * cum_lt) div n_total) + 1")
+                        .alias(out)))
+
+    r = bucket_map("recency", "r")
+    f = bucket_map("frequency", "f")
+    m = bucket_map("monetary", "m")
+    b = (pc.join(r, pc["recency"] == r["__r_v"])
+         .join(f, pc["frequency"] == f["__f_v"])
+         .join(m, pc["monetary"] == m["__m_v"]))
     return (b.groupBy("r", "f", "m")
             .agg(F.count(F.lit(1)).alias("n_customers"),
                  F.min("o_custkey").alias("min_cust"),
