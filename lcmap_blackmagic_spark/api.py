@@ -150,6 +150,15 @@ def run_segment_job(spark, params: dict, storage_root: str,
 
     p = validate_segment_params(params)
 
+    # UD4 telemetry: an Observation rides the detection plan and the
+    # save action populates it — per-job metrics with ZERO extra
+    # passes over the data (the Spark-native form of the reference's
+    # per-request log counters; cluster-level metrics stay with the
+    # Spark UI/listeners as documented in COVERAGE.md)
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+    obs = Observation("segment_metrics")
+
     def load(ctx):
         a = ard if ard is not None else synth_ard(
             spark, cx=p["cx"], cy=p["cy"], side=side)
@@ -167,7 +176,11 @@ def run_segment_job(spark, params: dict, storage_root: str,
         return ctx
 
     def detection(ctx):
-        ctx["detections"] = detect(ctx["ts"], detector=det)
+        ctx["detections"] = detect(ctx["ts"], detector=det).observe(
+            obs,
+            F.count(F.lit(1)).alias("n_detections"),
+            F.min("sday").alias("first_sday"),
+            F.max("eday").alias("last_eday"))
         return ctx
 
     def save(ctx):
@@ -191,7 +204,9 @@ def run_segment_job(spark, params: dict, storage_root: str,
                           ("save", save)], test_exception)
     except StageError as e:
         return respond(p, e)
-    return respond(p)
+    out = respond(p)
+    out["metrics"] = dict(obs.get)  # populated by the save action
+    return out
 
 
 def run_tile_job(spark, params: dict, storage_root: str,

@@ -221,6 +221,52 @@ GROUP BY c.grp, n.n_grp ORDER BY c.grp
 """
 
 
+def q_group_quartiles_bp(spark, sf_dir):
+    """p25/p50/p75 per group in ONE pass over the same grouped
+    prefix-sum pyramid as ``group_median_bp``: quartile k is the
+    smallest value whose inclusive count reaches k/4 of the group,
+    so all three emerge as conditional MINs of one aggregate — no
+    sort, no percentile UDF, one extra comparison per threshold."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("cents"))
+    cum = cum_below(o, "cents", by=("grp",))
+    n = o.groupBy("grp").agg(F.count(F.lit(1)).alias("n_grp"))
+    j = cum.join(F.broadcast(n), "grp")
+    incl4 = 4 * (F.col("cum_lt") + F.col("c"))
+
+    def q_at(k, name):
+        return F.min(F.when(incl4 >= k * F.col("n_grp"),
+                            F.col("v"))).alias(name)
+
+    return (j.groupBy("grp", "n_grp")
+            .agg(q_at(1, "q25_cents"), q_at(2, "q50_cents"),
+                 q_at(3, "q75_cents"))
+            .orderBy("grp"))
+
+
+SQL_GROUP_QUARTILES_BP = f"""
+WITH src AS (
+  SELECT o_orderpriority AS grp,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM orders),
+{_sql_cum("src", "cents", "q_", by=("grp",))},
+n AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_grp
+      FROM src GROUP BY grp)
+SELECT c.grp, n.n_grp,
+       MIN(CASE WHEN 4 * (c.cum_lt + c.c) >= 1 * n.n_grp
+                THEN c.v END) AS q25_cents,
+       MIN(CASE WHEN 4 * (c.cum_lt + c.c) >= 2 * n.n_grp
+                THEN c.v END) AS q50_cents,
+       MIN(CASE WHEN 4 * (c.cum_lt + c.c) >= 3 * n.n_grp
+                THEN c.v END) AS q75_cents
+FROM q_cum c JOIN n ON c.grp = n.grp
+GROUP BY c.grp, n.n_grp ORDER BY c.grp
+"""
+
+
 # ----------------------------------------------- grouped mode ------
 
 def q_mode_per_group(spark, sf_dir):
@@ -356,6 +402,101 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+# --------------------------- k-center diversity sampling -----------
+
+KC_K = 8         # centers to select
+KC_QSCALE = 1024  # 2^10 coordinate quantization (exact: double*2^10)
+KC_DIM = 64
+
+
+def q_kcenter_diverse(spark, sf_dir):
+    """Greedy k-center (farthest-point) diversity sampling over the
+    embedding corpus — the coverage-maximizing subset selection a
+    curation pipeline uses to pick representative documents (2-approx
+    of the optimal k-center cover).
+
+    Determinism without a single float: coordinates are quantized
+    ONCE by floor(x · 2^10) — multiplying a double by a power of two
+    is exact, so the bigint grid is bit-identical across engines —
+    and every distance is thereafter an exact integer squared-L2.
+    Greedy rounds: seed = min vec_id; each next center is the point
+    with the MAXIMUM distance to its nearest chosen center
+    (tie-break min vec_id).  Distances run in LONG FORM — corpus
+    exploded to (vec_id, i, qv), broadcast-joined to the ≤8×64-row
+    center table, two map-side-combined aggregates — because the
+    unrolled 8-center×64-dim expression tree blows janino's 64 KB
+    method limit and silently drops to interpreted row mode (first
+    cut of this query; the _bucket_keys_udf lesson).  Each round
+    ends in a TakeOrdered(1); chosen centers re-enter as a literal
+    broadcast table (an 8-row model, not a data collect).  The
+    DuckDB oracle recomputes the identical greedy pyramid from
+    scratch as unrolled materialized CTEs."""
+    e = _t(spark, sf_dir, "embeddings")
+    long = (e.select("vec_id", F.posexplode("embedding")
+                     .alias("i", "x"))
+            .select("vec_id", "i",
+                    F.floor(F.col("x").cast("double") * KC_QSCALE)
+                    .cast("bigint").alias("qv")))
+    seed_id = e.agg(F.min("vec_id")).collect()[0][0]
+
+    def coords(vid):
+        return {int(r["i"]): int(r["qv"]) for r in
+                long.filter(F.col("vec_id") == vid).collect()}
+
+    centers = [coords(seed_id)]
+    picked = [(0, int(seed_id), None)]
+    for r in range(1, KC_K):
+        cdf = spark.createDataFrame(
+            [(j, i, c[i]) for j, c in enumerate(centers)
+             for i in range(KC_DIM)], "j int, i int, cv long")
+        diff = F.col("qv") - F.col("cv")
+        far = (long.join(F.broadcast(cdf), "i")
+               .groupBy("vec_id", "j")
+               .agg(F.sum(diff * diff).alias("dj"))
+               .groupBy("vec_id").agg(F.min("dj").alias("d"))
+               .orderBy(F.desc("d"), "vec_id").limit(1).collect()[0])
+        centers.append(coords(far["vec_id"]))
+        picked.append((r, int(far["vec_id"]), int(far["d"])))
+    return spark.createDataFrame(
+        picked, "sel_round int, vec_id long, d2 long")
+
+
+def _sql_kcenter() -> str:
+    """Unrolled greedy pyramid: cN selects round N's center from the
+    min-distance-to-priors table; AS MATERIALIZED stops DuckDB from
+    inlining the pyramid exponentially (the BPE/PageRank lesson)."""
+    gs = f"generate_series(1, {KC_DIM})"
+    quant = (f"list_transform(embedding, x -> CAST(floor("
+             f"CAST(x AS DOUBLE) * {KC_QSCALE}) AS BIGINT))")
+    parts = [f"q AS MATERIALIZED (SELECT vec_id, {quant} AS qv "
+             f"FROM embeddings)",
+             "c0 AS MATERIALIZED (SELECT vec_id, qv FROM q "
+             "ORDER BY vec_id LIMIT 1)"]
+    for r in range(1, KC_K):
+        dists = ", ".join(
+            f"CAST(list_sum(list_transform({gs}, i -> "
+            f"(q.qv[i] - c{j}.qv[i]) * (q.qv[i] - c{j}.qv[i]))) "
+            f"AS BIGINT) AS d{j}" for j in range(r))
+        froms = ", ".join(f"c{j}" for j in range(r))
+        dmin = (f"LEAST({', '.join(f'd{j}' for j in range(r))})"
+                if r > 1 else "d0")
+        parts.append(
+            f"t{r} AS MATERIALIZED (SELECT q.vec_id, q.qv, {dists} "
+            f"FROM q, {froms})")
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT vec_id, qv, {dmin} AS d "
+            f"FROM t{r} ORDER BY {dmin} DESC, vec_id LIMIT 1)")
+    rows = ["SELECT 0 AS sel_round, vec_id, CAST(NULL AS BIGINT) "
+            "AS d2 FROM c0"]
+    rows += [f"SELECT {r}, vec_id, d FROM c{r}"
+             for r in range(1, KC_K)]
+    return ("WITH " + ",\n".join(parts) + "\n"
+            + "\nUNION ALL\n".join(rows))
+
+
+SQL_KCENTER_DIVERSE = _sql_kcenter()
+
+
 # ------------------------------ recursive hierarchy rollup ---------
 
 # The Spark side spells integer division `div`, DuckDB spells it
@@ -464,6 +605,10 @@ QUERIES_EXT11: dict[str, dict] = {
                            "sql": SQL_DOC_LENGTH_HIST},
     "dup_ratio_by_source": {"fn": q_dup_ratio_by_source,
                             "sql": SQL_DUP_RATIO_BY_SOURCE},
+    "group_quartiles_bp": {"fn": q_group_quartiles_bp,
+                           "sql": SQL_GROUP_QUARTILES_BP},
+    "kcenter_diverse":    {"fn": q_kcenter_diverse,
+                           "sql": SQL_KCENTER_DIVERSE},
     "recursive_rollup":   {"fn": q_recursive_rollup,
                            "sql": SQL_RECURSIVE_ROLLUP},
     "src_orc":            {"fn": q_src_orc, "sql": SQL_SRC_ORC},

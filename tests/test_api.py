@@ -80,6 +80,10 @@ def test_segment_job_writes_all_entities(spark, tmp_path):
     assert storage.read(spark, root, "segment").count() == 25
     assert storage.read(spark, root, "pixel").count() == 25
     assert storage.read(spark, root, "chip").count() == 1
+    # UD4: the Observation rode the detection plan — populated by the
+    # save action itself, no extra pass over the data
+    assert r["metrics"]["n_detections"] == 25
+    assert r["metrics"]["first_sday"] <= r["metrics"]["last_eday"]
 
 
 @pytest.mark.parametrize("stage", ["timeseries", "detection", "save"])

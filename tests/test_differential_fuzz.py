@@ -332,6 +332,65 @@ def test_ntile_ties_bucket_histogram_agrees(engines, i, part, order,
     assert got == want, f"ntile-tie case {i}: {part}/{order}/{nb}"
 
 
+# ---- grouping-sets differential fuzz ------------------------------
+
+GSETS_CASES = 15
+
+_GS_DIMS = ["l_returnflag", "l_linestatus", "l_suppkey % 5",
+            "l_linenumber"]
+
+
+def _gsets_cases():
+    rng = random.Random(SEED + 2626)
+    out = []
+    for i in range(GSETS_CASES):
+        a, b = rng.sample(_GS_DIMS, 2)
+        shape = rng.choice([
+            f"ROLLUP({a}, {b})",
+            f"CUBE({a}, {b})",
+            f"GROUPING SETS (({a}), ({a}, {b}), ())",
+            f"GROUPING SETS (({a}, {b}), ({b}))",
+        ])
+        out.append((i, a, b, shape, _rand_pred(rng)))
+    return out
+
+
+@pytest.mark.parametrize("i,a,b,shape,pred", _gsets_cases())
+def test_grouping_sets_agree_across_engines(engines, i, a, b, shape,
+                                            pred):
+    """Random ROLLUP/CUBE/GROUPING SETS shapes with GROUPING()
+    markers (so a NULL super-aggregate key is distinguishable from a
+    NULL data key) — integer aggregates compared row-by-row under a
+    repr sort (rows mix None with ints/strings).
+
+    KNOWN DIVERGENCE (found by this fuzzer): over EMPTY input,
+    DuckDB emits the SQL-standard grand-total row for the ()
+    grouping set (COUNT=0) while Spark emits no rows at all.  The
+    case is asserted explicitly rather than papered over — registry
+    queries must not rely on the grand-total row existing when a
+    filter can empty the input."""
+    spark, con = engines
+    sql = (f"SELECT {a} AS ka, {b} AS kb, "
+           f"CAST(GROUPING({a}) AS BIGINT) AS ga, "
+           f"CAST(GROUPING({b}) AS BIGINT) AS gb, "
+           f"COUNT(*) AS n, "
+           f"COALESCE(SUM(CAST(l_quantity AS BIGINT)), 0) AS s "
+           f"FROM fuzz_lineitem WHERE {pred} "
+           f"GROUP BY {shape}")
+    got = sorted((tuple(r) for r in spark.sql(sql).collect()), key=repr)
+    want = sorted((tuple(r) for r in con.execute(sql).fetchall()),
+                  key=repr)
+    if not got:
+        n_in = con.execute(
+            f"SELECT COUNT(*) FROM fuzz_lineitem WHERE {pred}"
+        ).fetchone()[0]
+        assert n_in == 0, f"gsets case {i}: spark empty on data"
+        assert all(r[4] == 0 for r in want), \
+            f"gsets case {i}: duckdb grand-total rows should count 0"
+        return
+    assert got == want, f"gsets case {i}: {shape} / {pred}"
+
+
 # ---- join-family differential fuzz --------------------------------
 
 JOIN_CASES = 24
