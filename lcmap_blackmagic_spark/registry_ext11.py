@@ -402,6 +402,177 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+# ------------------------------------- hour-of-day seasonality -----
+
+def q_seasonal_profile(spark, sf_dir):
+    """Hour-of-day seasonality profile per event type — the weekly/
+    daily load-shape table behind capacity planning and anomaly
+    baselines.  Hour-of-day comes from EPOCH-HOUR integers
+    ((unix_micros div 3600e6) mod 24, UTC by definition) — never
+    calendar extraction, which would shift under the session
+    timezone on the LTZ events column."""
+    e = _t(spark, sf_dir, "events")
+    hod = F.expr("(unix_micros(ts) div 3600000000) % 24")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    return (e.select("event_type", hod.alias("hour_of_day"),
+                     cents.alias("cents"))
+            .groupBy("event_type", "hour_of_day")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("cents").cast("double")
+                         / (100 * F.count(F.lit(1))), 6)
+                 .alias("mean_value"),
+                 F.max("cents").alias("max_cents"))
+            .orderBy("event_type", "hour_of_day"))
+
+
+SQL_SEASONAL_PROFILE = """
+WITH base AS (
+  SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events)
+SELECT event_type, hour_of_day, COUNT(*) AS n,
+       ROUND(CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE)
+             / (100 * COUNT(*)), 6) AS mean_value,
+       MAX(cents) AS max_cents
+FROM base GROUP BY event_type, hour_of_day
+ORDER BY event_type, hour_of_day
+"""
+
+
+# --------------------------------------- rank-ratio windows --------
+
+def q_rank_ratios(spark, sf_dir):
+    """percent_rank and cume_dist per order priority over a UNIQUE
+    total order (cents, orderkey) — the relative-standing columns a
+    feature pipeline derives per entity.  With a unique order both
+    ratios are exact rationals ((rn−1)/(N−1), rn/N); identical
+    integer divisions give identical IEEE doubles in both engines,
+    no rounding needed."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("grp"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("cents"))
+    w = Window.partitionBy("grp").orderBy("cents", "k")
+    return (o.select("k", "grp", "cents",
+                     F.percent_rank().over(w).alias("pct_rank"),
+                     F.cume_dist().over(w).alias("cume"))
+            .filter(F.col("k") % 7 == 0))
+
+
+SQL_RANK_RATIOS = """
+WITH src AS (
+  SELECT o_orderkey AS k, o_orderpriority AS grp,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM orders)
+SELECT k, grp, cents,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM src
+WINDOW w AS (PARTITION BY grp ORDER BY cents, k)
+QUALIFY k % 7 = 0
+"""
+
+
+# ----------------------------- label-propagation communities -------
+
+LPA_ROUNDS = 3
+
+
+def q_label_propagation(spark, sf_dir):
+    """Synchronous label-propagation community detection on the
+    behavioral interaction graph (same lead-window edge derivation
+    as pagerank/triangle_count) — the lightweight community
+    assignment beside the exact connected components.
+
+    Fully deterministic: labels start as node ids; each round every
+    node adopts the MODE of its neighbors' labels with a (count
+    desc, label asc) tie-break — one equi-join + one count aggregate
+    + one partitioned rank window per round, rounds unrolled (3).
+    Nodes are (event_type, user) composites, so communities are
+    scoped per behavior stream — the whole-user graph is so dense
+    that LPA collapses it to a single label (verified), which would
+    make the check vacuous.  String labels compare byte-wise
+    identically in both engines."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = (e.select("event_type", "ts", "event_id", "user_id")
+           .withColumn("nxt", F.lead("user_id").over(w))
+           .filter(F.col("nxt").isNotNull()
+                   & (F.col("nxt") != F.col("user_id"))))
+    node = lambda c: F.concat("event_type", F.lit(":"),  # noqa: E731
+                              F.col(c).cast("string"))
+    und = (seq.select(F.least(node("user_id"), node("nxt")).alias("a"),
+                      F.greatest(node("user_id"), node("nxt"))
+                      .alias("b"))
+           .distinct())
+    und = (und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+           .unionByName(und.select(F.col("b").alias("src"),
+                                   F.col("a").alias("dst"))))
+    labels = und.select(F.col("src").alias("u")).distinct() \
+        .withColumn("lbl", F.col("u"))
+    wmode = None
+    for _ in range(LPA_ROUNDS):
+        nbr = (und.join(labels, und["dst"] == labels["u"])
+               .select("src", "lbl"))
+        cnt = nbr.groupBy("src", "lbl").agg(F.count(F.lit(1)).alias("n"))
+        wmode = Window.partitionBy("src").orderBy(F.desc("n"), "lbl")
+        labels = (cnt.withColumn("rn", F.row_number().over(wmode))
+                  .filter(F.col("rn") == 1)
+                  .select(F.col("src").alias("u"), "lbl"))
+    return (labels.groupBy("lbl")
+            .agg(F.count(F.lit(1)).alias("community_size"),
+                 F.min("u").alias("min_member"),
+                 F.max("u").alias("max_member"))
+            .orderBy(F.desc("community_size"), "lbl"))
+
+
+def _sql_label_propagation() -> str:
+    rounds = []
+    prev = "l0"
+    for r in range(1, LPA_ROUNDS + 1):
+        rounds.append(f"""
+cnt{r} AS MATERIALIZED (
+  SELECT u.src, p.lbl, CAST(COUNT(*) AS BIGINT) AS n
+  FROM und u JOIN {prev} p ON u.dst = p.u
+  GROUP BY u.src, p.lbl),
+l{r} AS MATERIALIZED (
+  SELECT src AS u, lbl FROM (
+    SELECT src, lbl,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY n DESC, lbl) AS rn
+    FROM cnt{r}) WHERE rn = 1)""")
+        prev = f"l{r}"
+    return f"""
+WITH seq AS MATERIALIZED (
+  SELECT event_type, user_id,
+         LEAD(user_id) OVER (PARTITION BY event_type
+                             ORDER BY ts, event_id) AS nxt
+  FROM events),
+edges AS MATERIALIZED (
+  SELECT DISTINCT
+         LEAST(event_type || ':' || CAST(user_id AS VARCHAR),
+               event_type || ':' || CAST(nxt AS VARCHAR)) AS a,
+         GREATEST(event_type || ':' || CAST(user_id AS VARCHAR),
+                  event_type || ':' || CAST(nxt AS VARCHAR)) AS b
+  FROM seq WHERE nxt IS NOT NULL AND nxt <> user_id),
+und AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM edges
+  UNION ALL SELECT b, a FROM edges),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT src AS u, src AS lbl FROM und),
+{",".join(rounds)}
+SELECT lbl, CAST(COUNT(*) AS BIGINT) AS community_size,
+       MIN(u) AS min_member, MAX(u) AS max_member
+FROM {prev} GROUP BY lbl
+ORDER BY community_size DESC, lbl
+"""
+
+
+SQL_LABEL_PROPAGATION = _sql_label_propagation()
+
+
 # --------------------------- k-center diversity sampling -----------
 
 KC_K = 8         # centers to select
@@ -609,6 +780,12 @@ QUERIES_EXT11: dict[str, dict] = {
                            "sql": SQL_GROUP_QUARTILES_BP},
     "kcenter_diverse":    {"fn": q_kcenter_diverse,
                            "sql": SQL_KCENTER_DIVERSE},
+    "seasonal_profile":   {"fn": q_seasonal_profile,
+                           "sql": SQL_SEASONAL_PROFILE},
+    "rank_ratios":        {"fn": q_rank_ratios,
+                           "sql": SQL_RANK_RATIOS},
+    "label_propagation":  {"fn": q_label_propagation,
+                           "sql": SQL_LABEL_PROPAGATION},
     "recursive_rollup":   {"fn": q_recursive_rollup,
                            "sql": SQL_RECURSIVE_ROLLUP},
     "src_orc":            {"fn": q_src_orc, "sql": SQL_SRC_ORC},

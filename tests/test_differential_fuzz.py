@@ -391,6 +391,38 @@ def test_grouping_sets_agree_across_engines(engines, i, a, b, shape,
     assert got == want, f"gsets case {i}: {shape} / {pred}"
 
 
+# ---- set-operation differential fuzz ------------------------------
+
+SETOP_CASES = 12
+
+
+def _setop_cases():
+    rng = random.Random(SEED + 5151)
+    out = []
+    for i in range(SETOP_CASES):
+        op = rng.choice(["INTERSECT", "INTERSECT ALL", "EXCEPT",
+                         "EXCEPT ALL", "UNION", "UNION ALL"])
+        out.append((i, op, _rand_pred(rng), _rand_pred(rng)))
+    return out
+
+
+@pytest.mark.parametrize("i,op,p1,p2", _setop_cases())
+def test_set_ops_agree_across_engines(engines, i, op, p1, p2):
+    """Random INTERSECT/EXCEPT/UNION [ALL] between two filtered
+    projections of the same relation — bag vs set semantics and the
+    duplicate-count arithmetic behind them, compared exactly through
+    an integer aggregate over the result."""
+    spark, con = engines
+    proj = "l_orderkey AS k, l_linenumber AS ln, l_returnflag AS f"
+    sql = (f"SELECT COUNT(*) AS n, COALESCE(SUM(k), 0) AS sk, "
+           f"COALESCE(SUM(ln), 0) AS sl "
+           f"FROM (SELECT {proj} FROM fuzz_lineitem WHERE {p1} "
+           f"{op} SELECT {proj} FROM fuzz_lineitem WHERE {p2})")
+    got = tuple(spark.sql(sql).first())
+    want = tuple(con.execute(sql).fetchone())
+    assert got == want, f"setop case {i} [{op}]: {p1} / {p2}"
+
+
 # ---- join-family differential fuzz --------------------------------
 
 JOIN_CASES = 24
