@@ -114,6 +114,14 @@ HEADLINE = [
     # pyramid) and the integer-only rolling anomaly window
     "group_median_bp",
     "rolling_zscore",
+    # round-6 second wave: one-pass grouped quartiles, Spark 4
+    # recursive-CTE rollup, deterministic LPA communities, quantized
+    # k-center diversity selection, and the composed mixing pipeline
+    "group_quartiles_bp",
+    "recursive_rollup",
+    "label_propagation",
+    "kcenter_diverse",
+    "llm_trainprep",
 ]
 
 

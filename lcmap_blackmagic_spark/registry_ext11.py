@@ -475,6 +475,99 @@ QUALIFY k % 7 = 0
 """
 
 
+# ------------------------- training-prep mixing pipeline -----------
+
+TP_TOK_MIN, TP_TOK_MAX = 30, 100   # the llm_curation quality rule
+TP_HASH_MOD = 1 << 20
+
+
+def q_llm_trainprep(spark, sf_dir):
+    """COMPOSED training-prep pipeline: quality cut → temperature
+    mixture weights over the survivors (w ∝ n^0.5, the
+    source_mix_weights rule) → DETERMINISTIC per-source Bernoulli
+    sampling at each source's planned rate (keep doc iff
+    md48('mix:'||doc_id) mod 2^20 < (planned·2^20) div n — an exact
+    integer threshold, so the sample is reproducible across shards,
+    engines, and reruns).  Emits the per-source funnel: survivors,
+    fixed-point weight, planned docs, actually-sampled docs and
+    their token mass — the plan-vs-actual table a data-mixing job
+    reports.  Every stage is integer-exact end to end."""
+    from .registry_ext6 import _md48
+    d = _t(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.lower(F.trim("text")), " ")).cast("bigint")
+    q = d.withColumn("n_tok", ntok).filter(
+        F.col("n_tok").between(TP_TOK_MIN, TP_TOK_MAX))
+    per_src = (q.groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n_docs")))
+    scaled = per_src.withColumn(
+        "w_fix", F.floor(F.sqrt(F.col("n_docs").cast("double"))
+                         * MIX_ALPHA_SCALE).cast("bigint"))
+    tot = scaled.agg(F.sum("w_fix").alias("w_tot"),
+                     F.sum("n_docs").alias("n_tot"))
+    plan = (scaled.join(F.broadcast(tot))
+            .withColumn("planned_docs",
+                        F.expr("(w_fix * n_tot) div w_tot"))
+            .withColumn("keep_thresh",
+                        F.expr(f"(planned_docs * {TP_HASH_MOD})"
+                               " div n_docs"))
+            .select("source", "n_docs", "w_fix", "planned_docs",
+                    "keep_thresh"))
+    h = _md48(F.concat(F.lit("mix:"), F.col("doc_id"))) % TP_HASH_MOD
+    sampled = (q.join(F.broadcast(plan), "source")
+               .filter(h < F.col("keep_thresh")))
+    samp_stats = (sampled.groupBy("source")
+                  .agg(F.count(F.lit(1)).alias("n_sampled"),
+                       F.sum("n_tok").alias("tok_sampled")))
+    return (plan.join(samp_stats, "source", "left")
+            .select("source", "n_docs", "w_fix", "planned_docs",
+                    F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+                    F.coalesce("tok_sampled", F.lit(0))
+                    .alias("tok_sampled"))
+            .orderBy("source"))
+
+
+SQL_LLM_TRAINPREP = f"""
+WITH q AS (
+  SELECT source, doc_id,
+         CAST(length(lower(trim(text)))
+              - length(replace(lower(trim(text)), ' ', '')) + 1
+              AS BIGINT) AS n_tok
+  FROM documents
+  WHERE CAST(length(lower(trim(text)))
+             - length(replace(lower(trim(text)), ' ', '')) + 1
+             AS BIGINT) BETWEEN {TP_TOK_MIN} AND {TP_TOK_MAX}),
+per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM q GROUP BY source),
+scaled AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * {MIX_ALPHA_SCALE})
+              AS BIGINT) AS w_fix
+  FROM per_src),
+tot AS (SELECT CAST(SUM(w_fix) AS BIGINT) AS w_tot,
+               CAST(SUM(n_docs) AS BIGINT) AS n_tot FROM scaled),
+plan AS (
+  SELECT source, n_docs, w_fix,
+         (w_fix * n_tot) // w_tot AS planned_docs,
+         (((w_fix * n_tot) // w_tot) * {TP_HASH_MOD}) // n_docs
+           AS keep_thresh
+  FROM scaled CROSS JOIN tot),
+sampled AS (
+  SELECT q.source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+         CAST(SUM(q.n_tok) AS BIGINT) AS tok_sampled
+  FROM q JOIN plan ON q.source = plan.source
+  WHERE CAST('0x' || substr(md5('mix:' || CAST(q.doc_id AS VARCHAR)),
+                            1, 12) AS BIGINT) % {TP_HASH_MOD}
+        < plan.keep_thresh
+  GROUP BY q.source)
+SELECT p.source, p.n_docs, p.w_fix, p.planned_docs,
+       COALESCE(s.n_sampled, 0) AS n_sampled,
+       COALESCE(s.tok_sampled, 0) AS tok_sampled
+FROM plan p LEFT JOIN sampled s ON p.source = s.source
+ORDER BY p.source
+"""
+
+
 # ----------------------------- label-propagation communities -------
 
 LPA_ROUNDS = 3
@@ -786,6 +879,8 @@ QUERIES_EXT11: dict[str, dict] = {
                            "sql": SQL_RANK_RATIOS},
     "label_propagation":  {"fn": q_label_propagation,
                            "sql": SQL_LABEL_PROPAGATION},
+    "llm_trainprep":      {"fn": q_llm_trainprep,
+                           "sql": SQL_LLM_TRAINPREP},
     "recursive_rollup":   {"fn": q_recursive_rollup,
                            "sql": SQL_RECURSIVE_ROLLUP},
     "src_orc":            {"fn": q_src_orc, "sql": SQL_SRC_ORC},
