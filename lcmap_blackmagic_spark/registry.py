@@ -81,7 +81,28 @@ def _staging(sf_dir: str, name: str) -> str:
     root = os.environ.get("LCMAP_SPARK_SCRATCH") or os.path.join(
         tempfile.gettempdir(), "lcmap_spark_staging")
     uid = os.getuid() if hasattr(os, "getuid") else 0
-    return os.path.join(root, f"u{uid}-p{os.getpid()}", f"{name}-{h}")
+    mine = os.path.join(root, f"u{uid}-p{os.getpid()}")
+    _reap_staging(mine)
+    return os.path.join(mine, f"{name}-{h}")
+
+
+_STAGING_REGISTERED = False
+
+
+def _reap_staging(mine: str) -> None:
+    """Per-pid staging roots would otherwise accumulate forever
+    (pids rarely recycle; the old fixed path was self-bounding via
+    overwrite): remove THIS process's root at exit.  Stale roots
+    from crashed siblings fall to tmp reaping / LCMAP_SPARK_SCRATCH
+    retention — they cannot be deleted safely here, since a live
+    process with a recycled-looking pid may still be scanning."""
+    global _STAGING_REGISTERED
+    if _STAGING_REGISTERED:
+        return
+    _STAGING_REGISTERED = True
+    import atexit
+    import shutil
+    atexit.register(shutil.rmtree, mine, ignore_errors=True)
 
 
 # ---------------------------------------------------------------- A1 --

@@ -43,6 +43,47 @@ from .registry_ext10 import _sql_cum, cum_below
 MIX_ALPHA_SCALE = 1 << 20  # sqrt(n) fixed-point scale
 
 
+def _mix_plan(per_src):
+    """The n^0.5 temperature-mixing plan, shared by
+    ``source_mix_weights`` and the composed ``llm_trainprep``
+    (one definition, so the pipeline cannot desynchronize from the
+    operator it composes): fixed-point sqrt weights, order-free
+    integer normalizer, and the exact planned-docs quotient.
+    w_fix·n_tot exceeds int64 once a source passes ~4×10^8 docs
+    (w_fix ≈ sqrt(n)·2^20), so the product runs in DECIMAL(38,0)
+    and `div` returns the exact bigint quotient — the ab_ttest
+    wide-intermediate rule applied to planning math."""
+    scaled = per_src.withColumn(
+        "w_fix", F.floor(F.sqrt(F.col("n_docs").cast("double"))
+                         * MIX_ALPHA_SCALE).cast("bigint"))
+    tot = scaled.agg(F.sum("w_fix").alias("w_tot"),
+                     F.sum("n_docs").alias("n_tot"))
+    return (scaled.join(F.broadcast(tot))
+            .withColumn("planned_docs",
+                        F.expr("(CAST(w_fix AS DECIMAL(38,0)) * n_tot)"
+                               " div w_tot")))
+
+
+def _sql_mix(src: str) -> str:
+    """DuckDB CTE block mirroring ``_mix_plan`` over ``src``; emits
+    CTE ``mixplan``(source, n_docs, w_fix, w_tot, n_tot,
+    planned_docs) — HUGEINT intermediates as the Spark side's
+    DECIMAL(38,0)."""
+    return f"""
+scaled AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * {MIX_ALPHA_SCALE})
+              AS BIGINT) AS w_fix
+  FROM {src}),
+tot AS (SELECT CAST(SUM(w_fix) AS BIGINT) AS w_tot,
+               CAST(SUM(n_docs) AS BIGINT) AS n_tot FROM scaled),
+mixplan AS (
+  SELECT source, n_docs, w_fix, w_tot, n_tot,
+         CAST((CAST(w_fix AS HUGEINT) * n_tot) // w_tot AS BIGINT)
+           AS planned_docs
+  FROM scaled CROSS JOIN tot)"""
+
+
 def q_source_mix_weights(spark, sf_dir):
     """Temperature-sampling mixture weights per source, α = 1/2:
     w_s = n_s^α / Σ n_t^α.  sqrt(bigint→double) is correctly
@@ -53,17 +94,11 @@ def q_source_mix_weights(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     per_src = (d.groupBy("source")
                .agg(F.count(F.lit(1)).alias("n_docs")))
-    scaled = per_src.withColumn(
-        "w_fix", F.floor(F.sqrt(F.col("n_docs").cast("double"))
-                         * MIX_ALPHA_SCALE).cast("bigint"))
-    tot = scaled.agg(F.sum("w_fix").alias("w_tot"),
-                     F.sum("n_docs").alias("n_tot"))
-    return (scaled.join(F.broadcast(tot))
+    return (_mix_plan(per_src)
             .select("source", "n_docs",
                     F.round(F.col("w_fix") / F.col("w_tot"), 6)
                     .alias("weight"),
-                    F.expr("(w_fix * n_tot) div w_tot")
-                    .alias("planned_docs"))
+                    "planned_docs")
             .orderBy("source"))
 
 
@@ -71,17 +106,11 @@ SQL_SOURCE_MIX_WEIGHTS = f"""
 WITH per_src AS (
   SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
   FROM documents GROUP BY source),
-scaled AS (
-  SELECT source, n_docs,
-         CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * {MIX_ALPHA_SCALE})
-              AS BIGINT) AS w_fix
-  FROM per_src),
-tot AS (SELECT CAST(SUM(w_fix) AS BIGINT) AS w_tot,
-               CAST(SUM(n_docs) AS BIGINT) AS n_tot FROM scaled)
+{_sql_mix("per_src")}
 SELECT source, n_docs,
        ROUND(CAST(w_fix AS DOUBLE) / w_tot, 6) AS weight,
-       (w_fix * n_tot) // w_tot AS planned_docs
-FROM scaled CROSS JOIN tot ORDER BY source
+       planned_docs
+FROM mixplan ORDER BY source
 """
 
 
@@ -143,15 +172,19 @@ def q_rolling_zscore(spark, sf_dir):
         .cast("bigint").alias("cents"))
     w = (Window.partitionBy("event_type").orderBy("t_us", "event_id")
          .rowsBetween(-ZS_WIN, -1))
+    # the moment sums themselves accumulate in DECIMAL(38,0): a
+    # single cents·cents product wraps int64 at ~$30M values, and
+    # casting only AFTER the sum would inherit the wrap
+    dcents = F.col("cents").cast("decimal(38,0)")
     stats = base.select(
         "event_id", "event_type", "cents",
         F.count(F.lit(1)).over(w).alias("n"),
-        F.sum("cents").over(w).alias("s"),
-        F.sum(F.col("cents") * F.col("cents")).over(w).alias("q"))
+        F.sum(dcents).over(w).alias("s"),
+        F.sum(dcents * F.col("cents")).over(w).alias("q"))
     dn = F.col("n").cast("decimal(38,0)")
     dx = F.col("cents").cast("decimal(38,0)")
-    ds = F.col("s").cast("decimal(38,0)")
-    dq = F.col("q").cast("decimal(38,0)")
+    ds = F.col("s")
+    dq = F.col("q")
     dev = dn * dx - ds
     var_n2 = dn * dq - ds * ds
     return (stats
@@ -168,8 +201,8 @@ WITH base AS (
 stats AS (
   SELECT event_id, event_type, cents,
          CAST(COUNT(*) OVER w AS BIGINT) AS n,
-         CAST(SUM(cents) OVER w AS BIGINT) AS s,
-         CAST(SUM(cents * cents) OVER w AS BIGINT) AS q
+         SUM(CAST(cents AS HUGEINT)) OVER w AS s,
+         SUM(CAST(cents AS HUGEINT) * cents) OVER w AS q
   FROM base
   WINDOW w AS (PARTITION BY event_type ORDER BY t_us, event_id
                ROWS BETWEEN {ZS_WIN} PRECEDING AND 1 PRECEDING))
@@ -177,7 +210,7 @@ SELECT event_id, event_type, cents, n
 FROM stats
 WHERE n >= {ZS_MIN_N}
   AND (CAST(n AS HUGEINT) * cents - s) * (CAST(n AS HUGEINT) * cents - s)
-      > {ZS_K * ZS_K} * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+      > {ZS_K * ZS_K} * (CAST(n AS HUGEINT) * q - s * s)
 """
 
 
@@ -477,7 +510,6 @@ QUALIFY k % 7 = 0
 
 # ------------------------- training-prep mixing pipeline -----------
 
-TP_TOK_MIN, TP_TOK_MAX = 30, 100   # the llm_curation quality rule
 TP_HASH_MOD = 1 << 20
 
 
@@ -493,23 +525,19 @@ def q_llm_trainprep(spark, sf_dir):
     their token mass — the plan-vs-actual table a data-mixing job
     reports.  Every stage is integer-exact end to end."""
     from .registry_ext6 import _md48
+    from .registry_pipelines import CURATE_TOK_MAX, CURATE_TOK_MIN
     d = _t(spark, sf_dir, "documents")
     ntok = F.size(F.split(F.lower(F.trim("text")), " ")).cast("bigint")
     q = d.withColumn("n_tok", ntok).filter(
-        F.col("n_tok").between(TP_TOK_MIN, TP_TOK_MAX))
+        F.col("n_tok").between(CURATE_TOK_MIN, CURATE_TOK_MAX))
     per_src = (q.groupBy("source")
                .agg(F.count(F.lit(1)).alias("n_docs")))
-    scaled = per_src.withColumn(
-        "w_fix", F.floor(F.sqrt(F.col("n_docs").cast("double"))
-                         * MIX_ALPHA_SCALE).cast("bigint"))
-    tot = scaled.agg(F.sum("w_fix").alias("w_tot"),
-                     F.sum("n_docs").alias("n_tot"))
-    plan = (scaled.join(F.broadcast(tot))
-            .withColumn("planned_docs",
-                        F.expr("(w_fix * n_tot) div w_tot"))
+    # planned·2^20 also clears int64 at large corpus sizes — same
+    # DECIMAL(38,0) rule as inside _mix_plan
+    plan = (_mix_plan(per_src)
             .withColumn("keep_thresh",
-                        F.expr(f"(planned_docs * {TP_HASH_MOD})"
-                               " div n_docs"))
+                        F.expr("(CAST(planned_docs AS DECIMAL(38,0))"
+                               f" * {TP_HASH_MOD}) div n_docs"))
             .select("source", "n_docs", "w_fix", "planned_docs",
                     "keep_thresh"))
     h = _md48(F.concat(F.lit("mix:"), F.col("doc_id"))) % TP_HASH_MOD
@@ -526,6 +554,9 @@ def q_llm_trainprep(spark, sf_dir):
             .orderBy("source"))
 
 
+from .registry_pipelines import CURATE_TOK_MAX as _TPMAX  # noqa: E402
+from .registry_pipelines import CURATE_TOK_MIN as _TPMIN  # noqa: E402
+
 SQL_LLM_TRAINPREP = f"""
 WITH q AS (
   SELECT source, doc_id,
@@ -535,23 +566,16 @@ WITH q AS (
   FROM documents
   WHERE CAST(length(lower(trim(text)))
              - length(replace(lower(trim(text)), ' ', '')) + 1
-             AS BIGINT) BETWEEN {TP_TOK_MIN} AND {TP_TOK_MAX}),
+             AS BIGINT) BETWEEN {{tpmin}} AND {{tpmax}}),
 per_src AS (
   SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
   FROM q GROUP BY source),
-scaled AS (
-  SELECT source, n_docs,
-         CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * {MIX_ALPHA_SCALE})
-              AS BIGINT) AS w_fix
-  FROM per_src),
-tot AS (SELECT CAST(SUM(w_fix) AS BIGINT) AS w_tot,
-               CAST(SUM(n_docs) AS BIGINT) AS n_tot FROM scaled),
+{_sql_mix("per_src")},
 plan AS (
-  SELECT source, n_docs, w_fix,
-         (w_fix * n_tot) // w_tot AS planned_docs,
-         (((w_fix * n_tot) // w_tot) * {TP_HASH_MOD}) // n_docs
-           AS keep_thresh
-  FROM scaled CROSS JOIN tot),
+  SELECT source, n_docs, w_fix, planned_docs,
+         CAST((CAST(planned_docs AS HUGEINT) * {TP_HASH_MOD})
+              // n_docs AS BIGINT) AS keep_thresh
+  FROM mixplan),
 sampled AS (
   SELECT q.source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
          CAST(SUM(q.n_tok) AS BIGINT) AS tok_sampled
@@ -565,7 +589,7 @@ SELECT p.source, p.n_docs, p.w_fix, p.planned_docs,
        COALESCE(s.tok_sampled, 0) AS tok_sampled
 FROM plan p LEFT JOIN sampled s ON p.source = s.source
 ORDER BY p.source
-"""
+""".format(tpmin=_TPMIN, tpmax=_TPMAX)
 
 
 # ----------------------------- label-propagation communities -------
@@ -695,34 +719,53 @@ def q_kcenter_diverse(spark, sf_dir):
     broadcast table (an 8-row model, not a data collect).  The
     DuckDB oracle recomputes the identical greedy pyramid from
     scratch as unrolled materialized CTEs."""
+    from .registry import _staging
     e = _t(spark, sf_dir, "embeddings")
     long = (e.select("vec_id", F.posexplode("embedding")
                      .alias("i", "x"))
             .select("vec_id", "i",
                     F.floor(F.col("x").cast("double") * KC_QSCALE)
                     .cast("bigint").alias("qv")))
-    seed_id = e.agg(F.min("vec_id")).collect()[0][0]
+    # the greedy loop consumes the quantized long form ~2K times per
+    # round chain (distance pass + coordinate fetch per round):
+    # stage it once and every consumer reads the narrow parquet
+    staging = _staging(sf_dir, "kcenter_long")
+    long.write.mode("overwrite").parquet(staging)
+    longq = spark.read.parquet(staging)
+    seed_id = longq.agg(F.min("vec_id")).collect()[0][0]
 
     def coords(vid):
         return {int(r["i"]): int(r["qv"]) for r in
-                long.filter(F.col("vec_id") == vid).collect()}
+                longq.filter(F.col("vec_id") == vid).collect()}
 
     centers = [coords(seed_id)]
     picked = [(0, int(seed_id), None)]
     for r in range(1, KC_K):
-        cdf = spark.createDataFrame(
-            [(j, i, c[i]) for j, c in enumerate(centers)
-             for i in range(KC_DIM)], "j int, i int, cv long")
-        diff = F.col("qv") - F.col("cv")
-        far = (long.join(F.broadcast(cdf), "i")
-               .groupBy("vec_id", "j")
-               .agg(F.sum(diff * diff).alias("dj"))
-               .groupBy("vec_id").agg(F.min("dj").alias("d"))
+        far = (kcenter_round(longq, centers)
                .orderBy(F.desc("d"), "vec_id").limit(1).collect()[0])
         centers.append(coords(far["vec_id"]))
         picked.append((r, int(far["vec_id"]), int(far["d"])))
     return spark.createDataFrame(
         picked, "sel_round int, vec_id long, d2 long")
+
+
+def kcenter_round(long_df, centers) -> "F.DataFrame":
+    """ONE lazy greedy round: per-vector min distance to the chosen
+    centers — (vec_id, d).  Split out of q_kcenter_diverse because
+    the selection loop must execute eagerly (each pick feeds the
+    next round), which makes the registry-level plan audit see only
+    the final 8-row literal: tests/test_plan_shapes.py audits THIS
+    plan instead (broadcast center join, no cartesian/row-UDF/global
+    window)."""
+    spark = long_df.sparkSession
+    cdf = spark.createDataFrame(
+        [(j, i, c[i]) for j, c in enumerate(centers)
+         for i in range(KC_DIM)], "j int, i int, cv long")
+    diff = F.col("qv") - F.col("cv")
+    return (long_df.join(F.broadcast(cdf), "i")
+            .groupBy("vec_id", "j")
+            .agg(F.sum(diff * diff).alias("dj"))
+            .groupBy("vec_id").agg(F.min("dj").alias("d")))
 
 
 def _sql_kcenter() -> str:

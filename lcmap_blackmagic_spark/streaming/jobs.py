@@ -128,6 +128,13 @@ EWMA_OUT = T.StructType([
     T.StructField("ewma", T.DoubleType()),
 ])
 
+# NOTE: last_eid was added to the state (composite late-drop key) —
+# a STATE SCHEMA CHANGE. A checkpoint written by the earlier 2-field
+# (s, last_us) schema cannot restart under this one (Spark's state
+# schema check rejects it); restarting deployments must either drain
+# under the old version or start a fresh checkpoint (the stream is
+# replayable from the source, and the fold is deterministic, so a
+# re-run converges to identical output).
 EWMA_STATE = T.StructType([
     T.StructField("s", T.DoubleType()),
     T.StructField("last_us", T.LongType()),

@@ -412,3 +412,29 @@ def test_semantic_decon_broadcasts_benchmark(q):
     assert plan.count("BroadcastExchange (") == 1
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_kcenter_round_plan_is_codegen_broadcast(spark, sf_dir):
+    """The k-center greedy loop executes eagerly (each pick feeds
+    the next round), so the registry-level audit only sees the final
+    8-row literal — audit the per-round plan directly: center table
+    broadcast, both aggregates present, and none of the banned
+    shapes (cartesian, row-UDF, unpartitioned window, interpreted
+    Project fallback from an oversized codegen method)."""
+    from pyspark.sql import functions as F
+
+    from lcmap_blackmagic_spark.registry import _t
+    from lcmap_blackmagic_spark.registry_ext11 import (KC_DIM, KC_QSCALE,
+                                                       kcenter_round)
+    e = _t(spark, sf_dir, "embeddings")
+    long = (e.select("vec_id", F.posexplode("embedding").alias("i", "x"))
+            .select("vec_id", "i",
+                    F.floor(F.col("x").cast("double") * KC_QSCALE)
+                    .cast("bigint").alias("qv")))
+    centers = [{i: 0 for i in range(KC_DIM)},
+               {i: 1 for i in range(KC_DIM)}]
+    plan = simple_plan(kcenter_round(long, centers))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
