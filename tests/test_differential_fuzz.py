@@ -391,6 +391,47 @@ def test_grouping_sets_agree_across_engines(engines, i, a, b, shape,
     assert got == want, f"gsets case {i}: {shape} / {pred}"
 
 
+# ---- aggregate-function differential fuzz -------------------------
+
+AGG_CASES = 12
+
+
+def _agg_cases():
+    rng = random.Random(SEED + 6363)
+    out = []
+    for i in range(AGG_CASES):
+        m = rng.choice([2, 3, 5, 7])
+        agg = rng.choice([
+            f"count_if(l_quantity > {rng.randint(5, 45)})",
+            f"CAST(bool_and(l_quantity > {rng.randint(1, 10)}) AS INT)",
+            f"CAST(bool_or(l_quantity > {rng.randint(40, 49)}) AS INT)",
+            "CAST(SUM(DISTINCT l_suppkey) AS BIGINT)",
+            # arg-min/max over a UNIQUE ordering key (the full
+            # composite) — ties would be engine-chosen otherwise
+            "min_by(l_partkey, l_orderkey * 10 + l_linenumber)",
+            "max_by(l_partkey, l_orderkey * 10 + l_linenumber)",
+            "CAST(COUNT(DISTINCT l_quantity) AS BIGINT)",
+        ])
+        out.append((i, agg, m, _rand_pred(rng)))
+    return out
+
+
+@pytest.mark.parametrize("i,agg,m,pred", _agg_cases())
+def test_aggregate_functions_agree_across_engines(engines, i, agg, m,
+                                                  pred):
+    """Random portable aggregates (count_if, bool_and/or, DISTINCT
+    sums, arg-min/max over a unique key) grouped by a derived key —
+    the aggregate surface beyond the plain SUM/COUNT families the
+    oracles already pin."""
+    spark, con = engines
+    sql = (f"SELECT l_suppkey % {m} AS g, {agg} AS a, COUNT(*) AS n "
+           f"FROM fuzz_lineitem WHERE {pred} GROUP BY l_suppkey % {m}")
+    got = sorted((tuple(r) for r in spark.sql(sql).collect()), key=repr)
+    want = sorted((tuple(r) for r in con.execute(sql).fetchall()),
+                  key=repr)
+    assert got == want, f"agg case {i}: {agg} / {pred}"
+
+
 # ---- set-operation differential fuzz ------------------------------
 
 SETOP_CASES = 12
