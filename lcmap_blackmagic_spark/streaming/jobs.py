@@ -335,35 +335,48 @@ def ingest_dedup_stream(docs: DataFrame, signature_dir: str,
     ``update_store=False`` pins the static-store twin semantics
     (flags exactly equal batch ``llm_incremental_dedup``).
     Returns the DataStreamWriter (caller starts it)."""
-    from ..llm.dedup import _minhash_doc_aggregate, minhash_cross_flags
-    spark = docs.sparkSession
-    base = spark.read.parquet(signature_dir)
-    updates_dir = signature_dir.rstrip("/") + "_updates"
-
     def fb(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        inc = _minhash_doc_aggregate(batch_df, "doc_id", "text", 3, 8)
-        store = base
-        if update_store:
-            (inc.withColumn("batch_id", F.lit(batch_id))
-             .write.mode("overwrite")
-             .option("partitionOverwriteMode", "dynamic")
-             .partitionBy("batch_id").parquet(updates_dir))
-            updates = spark.read.parquet(updates_dir)
-            inc = (updates.filter(F.col("batch_id") == batch_id)
-                   .drop("batch_id"))
-            store = base.unionByName(
-                updates.filter(F.col("batch_id") < batch_id)
-                .drop("batch_id"))
-        flags = minhash_cross_flags(inc, store, threshold=threshold)
-        (flags.withColumnRenamed("inc_id", "incoming_id")
-         .withColumn("batch_id", F.lit(batch_id))
-         .write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("batch_id").parquet(out_dir))
+        ingest_dedup_batch(batch_df, batch_id, signature_dir, out_dir,
+                           threshold=threshold,
+                           update_store=update_store)
 
     return docs.writeStream.foreachBatch(fb)
+
+
+def ingest_dedup_batch(batch_df: DataFrame, batch_id: int,
+                       signature_dir: str, out_dir: str,
+                       threshold: float = 0.2,
+                       update_store: bool = True) -> None:
+    """One micro-batch of the ingest-dedup protocol, module-level so
+    crash-replay idempotency is directly testable (re-running the
+    same (batch_df, batch_id) must leave the store and flags
+    byte-identical — both writes land in the batch's own partition
+    under dynamic overwrite)."""
+    from ..llm.dedup import _minhash_doc_aggregate, minhash_cross_flags
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    base = spark.read.parquet(signature_dir)
+    updates_dir = signature_dir.rstrip("/") + "_updates"
+    inc = _minhash_doc_aggregate(batch_df, "doc_id", "text", 3, 8)
+    store = base
+    if update_store:
+        (inc.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(updates_dir))
+        updates = spark.read.parquet(updates_dir)
+        inc = (updates.filter(F.col("batch_id") == batch_id)
+               .drop("batch_id"))
+        store = base.unionByName(
+            updates.filter(F.col("batch_id") < batch_id)
+            .drop("batch_id"))
+    flags = minhash_cross_flags(inc, store, threshold=threshold)
+    (flags.withColumnRenamed("inc_id", "incoming_id")
+     .withColumn("batch_id", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id").parquet(out_dir))
 
 
 def session_windows(events: DataFrame, gap_minutes: int = 30,

@@ -631,6 +631,40 @@ def test_ingest_dedup_stream_matches_batch(spark, sf_dir):
     assert got == want and got
 
 
+def test_ingest_dedup_batch_replay_is_idempotent(spark, sf_dir):
+    """Crash-replay contract: re-running the SAME (batch_df,
+    batch_id) — the exact scenario after a failure between the
+    signature write and the flag commit — must leave both the
+    signature store and the flags byte-identical, and must not
+    compare the batch against its own first delivery."""
+    from pyspark.sql import functions as FF
+
+    from lcmap_blackmagic_spark.llm.dedup import _minhash_doc_aggregate
+    from lcmap_blackmagic_spark.streaming.jobs import ingest_dedup_batch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = tempfile.mkdtemp(prefix="ingest_replay_")
+    sig_dir = os.path.join(base, "signatures")
+    out_dir = os.path.join(base, "flags")
+    existing = docs.filter(FF.col("source") != "src1")
+    _minhash_doc_aggregate(existing, "doc_id", "text", 3, 8) \
+        .write.mode("overwrite").parquet(sig_dir)
+    batch = docs.filter(FF.col("source") == "src1")
+
+    def snapshot():
+        flags = {tuple(r) for r in spark.read.parquet(out_dir)
+                 .select("incoming_id", "n_partners",
+                         "canonical_partner", "batch_id").collect()}
+        sigs = spark.read.parquet(sig_dir + "_updates") \
+            .groupBy("batch_id").count().collect()
+        return flags, {(r["batch_id"], r["count"]) for r in sigs}
+
+    ingest_dedup_batch(batch, 7, sig_dir, out_dir, threshold=0.2)
+    first = snapshot()
+    ingest_dedup_batch(batch, 7, sig_dir, out_dir, threshold=0.2)
+    assert snapshot() == first and first[0]
+
+
 def test_ingest_dedup_store_grows_across_batches(spark, sf_dir):
     """With update_store=True the signature store must GROW inside the
     stream: a duplicate whose partner arrived in an EARLIER micro-batch
