@@ -601,6 +601,13 @@ def _prefix_pairs_from_ranked(ranked: DataFrame, id_col: str,
     cand = (prefixes.alias("a")
             .join(prefixes.alias("b"), "tok")
             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            # LENGTH filter (AllPairs): J ≥ t ⟹ overlap ≤ min and
+            # overlap ≥ t·union ≥ t·max, so t_den·min ≥ t_num·max is
+            # a necessary condition — the positional cap below
+            # subsumes it, but applying it as a row predicate HERE
+            # prunes candidate rows before the aggregate shuffle
+            .filter(F.least("a.sz", "b.sz") * t_den
+                    >= F.greatest("a.sz", "b.sz") * t_num)
             .groupBy(F.col(f"a.{id_col}").alias("id_a"),
                      F.col(f"b.{id_col}").alias("id_b"),
                      F.col("a.sz").alias("sz_a"),
