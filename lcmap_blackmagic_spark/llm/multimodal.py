@@ -329,11 +329,14 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                     i += 65
                 qt[tq] = vals.astype(np.int32)
             continue
-        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        if marker == 0xC2:                      # SOF2: progressive
+            return _decode_jpeg_progressive(payload)
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                       0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential JPEG (SOF0) "
-                             "supported — progressive/arithmetic "
-                             "decode via the PIL integration point")
+            raise ValueError("only baseline (SOF0) and progressive "
+                             "(SOF2) JPEG supported — extended/"
+                             "arithmetic/lossless decode via the PIL "
+                             "integration point")
         if marker == 0xC0:                      # SOF0
             prec, h, w, nc = struct.unpack_from(">BHHB", data, 0)
             if prec != 8:
@@ -451,6 +454,269 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     if len(full) == 1:
         return np.clip(np.rint(full[0]), 0, 255).astype(np.float32)
     y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([np.clip(np.rint(c), 0, 255) for c in (r, g, b)])
+    return rgb.mean(axis=0).astype(np.float32)
+
+
+def _entropy_intervals(payload: bytes, pos: int) -> tuple[list, int]:
+    """Entropy-coded data starting at ``pos``: byte-stuffing removed,
+    split at RSTn markers; returns (intervals, position of the next
+    non-RST marker's 0xFF)."""
+    intervals: list[bytes] = []
+    cur = bytearray()
+    i = pos
+    while i < len(payload):
+        b = payload[i]
+        if b == 0xFF:
+            nxt = payload[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:             # RSTn
+                intervals.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break                               # real marker
+        cur.append(b)
+        i += 1
+    intervals.append(bytes(cur))
+    return intervals, i
+
+
+def _decode_jpeg_progressive(payload: bytes) -> np.ndarray:
+    """Progressive-DCT JFIF decoder (SOF2, T.81 Annex G.1.2): the
+    coefficient arrays accumulate across every SOS scan — DC
+    first/refinement (interleaved or not), AC spectral-selection
+    bands with EOB runs, and AC successive-approximation refinement
+    with correction bits — then dequantize + IDCT exactly like the
+    baseline path.  Restart markers reset the DC predictors and the
+    EOB run per interval.  Conformance is pinned by golden tests
+    against the repo's own spec-following progressive encoder: the
+    progressive rendition of an image must decode bit-identically to
+    its baseline rendition (same quantized coefficients)."""
+    import struct
+
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffTable] = {}
+    comps: list[dict] = []
+    w = h = 0
+    restart_interval = 0
+    coeffs: list[np.ndarray] = []               # per comp: (by, bx, 64)
+    geom = None
+    pos = 2
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = payload[pos + 1]
+        if marker == 0xD9:                      # EOI
+            break
+        seglen = struct.unpack_from(">H", payload, pos + 2)[0]
+        data = payload[pos + 4:pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 0x0F
+                if pq:
+                    vals = np.frombuffer(data[i + 1:i + 129], ">u2")
+                    i += 129
+                else:
+                    vals = np.frombuffer(data[i + 1:i + 65], np.uint8)
+                    i += 65
+                qt[tq] = vals.astype(np.int32)
+            continue
+        if marker == 0xC4:
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 0x0F
+                bits = list(data[i + 1:i + 17])
+                n = sum(bits)
+                huff[(tc, th)] = _HuffTable(bits, data[i + 17:i + 17 + n])
+                i += 17 + n
+            continue
+        if marker == 0xDD:
+            restart_interval = struct.unpack(">H", data)[0]
+            continue
+        if marker == 0xC2:                      # SOF2
+            prec, h, w, nc = struct.unpack_from(">BHHB", data, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG precision supported")
+            for c in range(nc):
+                cid, samp, tq = struct.unpack_from(
+                    ">BBB", data, 6 + 3 * c)
+                comps.append({"id": cid, "h": samp >> 4,
+                              "v": samp & 0x0F, "tq": tq})
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for c in comps:
+                if hmax % c["h"] or vmax % c["v"]:
+                    raise ValueError("non-divisor JPEG sampling "
+                                     "factors not supported")
+                # full padded grid (interleaved scans touch the MCU
+                # padding blocks) and the component's own block count
+                # (non-interleaved scans traverse only those)
+                c["bw"], c["bh"] = mcux * c["h"], mcuy * c["v"]
+                cw = -(-(w * c["h"]) // hmax)   # component pixel dims
+                chh = -(-(h * c["v"]) // vmax)
+                c["nbx"] = -(-cw // 8)
+                c["nby"] = -(-chh // 8)
+                coeffs.append(np.zeros((c["bh"], c["bw"], 64), np.int32))
+            geom = (hmax, vmax, mcux, mcuy)
+            continue
+        if marker != 0xDA:                      # APPn/COM/...
+            continue
+        # ---- SOS: scan header + entropy data, processed now ----
+        if geom is None:
+            raise ValueError("JPEG SOS before SOF2")
+        hmax, vmax, mcux, mcuy = geom
+        ns = data[0]
+        scan = []
+        for c in range(ns):
+            cid, tables = data[1 + 2 * c], data[2 + 2 * c]
+            ci = next(i for i, x in enumerate(comps) if x["id"] == cid)
+            scan.append((ci, tables >> 4, tables & 0x0F))
+        ss, se, a = data[1 + 2 * ns:4 + 2 * ns]
+        ah, al = a >> 4, a & 0x0F
+        intervals, pos = _entropy_intervals(payload, pos)
+        reader = _BitReader(intervals[0])
+        iv = 0
+        pred = [0] * len(comps)
+        eobrun = 0
+
+        def restart(unit):
+            nonlocal reader, iv, pred, eobrun
+            if restart_interval and unit and unit % restart_interval == 0:
+                iv += 1
+                reader = _BitReader(intervals[iv])
+                pred = [0] * len(comps)
+                eobrun = 0
+
+        if ss == 0:                             # ---- DC scan ----
+            if ns > 1:                          # interleaved MCU order
+                units = [(ci, (my * comps[ci]["v"] + by),
+                          (mx * comps[ci]["h"] + bx), mcu)
+                         for mcu in range(mcux * mcuy)
+                         for my, mx in [divmod(mcu, mcux)]
+                         for ci, _, _ in scan
+                         for by in range(comps[ci]["v"])
+                         for bx in range(comps[ci]["h"])]
+            else:
+                ci = scan[0][0]
+                units = [(ci, by, bx, by * comps[ci]["nbx"] + bx)
+                         for by in range(comps[ci]["nby"])
+                         for bx in range(comps[ci]["nbx"])]
+            tables = {ci: huff[(0, td)] for ci, td, _ in scan}
+            last_unit = -1
+            for ci, by, bx, unit in units:
+                if unit != last_unit:
+                    restart(unit)
+                    last_unit = unit
+                blk = coeffs[ci][by, bx]
+                if ah == 0:                     # first DC pass
+                    s = reader.decode(tables[ci])
+                    pred[ci] += _extend(reader.read_bits(s), s)
+                    blk[0] = pred[ci] << al
+                else:                           # DC refinement
+                    blk[0] |= reader.read_bit() << al
+            continue
+        # ---- AC scan: single component, own block raster ----
+        if ns != 1:
+            raise ValueError("progressive AC scan must be "
+                             "non-interleaved")
+        ci, _, ta = scan[0]
+        ac = huff[(1, ta)]
+        nbx, nby = comps[ci]["nbx"], comps[ci]["nby"]
+        for unit in range(nby * nbx):
+            restart(unit)
+            by, bx = divmod(unit, nbx)
+            blk = coeffs[ci][by, bx]
+            if ah == 0:                         # ---- first AC pass
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = reader.decode(ac)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:             # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break
+                    k += r
+                    blk[k] = _extend(reader.read_bits(s), s) << al
+                    k += 1
+                continue
+            # ---- AC refinement (T.81 G.1.2.3 correction bits) ----
+            plus, minus = 1 << al, -1 << al
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = reader.decode(ac)
+                    r, s = rs >> 4, rs & 0x0F
+                    val = 0
+                    if s == 0:
+                        if r != 15:             # EOBn
+                            eobrun = (1 << r)
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break
+                        # r == 15: pass 16 zero-history coefficients
+                    else:                       # newly-significant ±1
+                        val = plus if reader.read_bit() else minus
+                    while k <= se:
+                        if blk[k]:
+                            # history coefficient: correction bit
+                            if reader.read_bit() and not (
+                                    blk[k] & plus):
+                                blk[k] += plus if blk[k] > 0 else minus
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val and k <= se:
+                        blk[k] = val
+                    k += 1
+            if eobrun:
+                # EOB band remainder: correction bits only
+                while k <= se:
+                    if blk[k]:
+                        if reader.read_bit() and not (blk[k] & plus):
+                            blk[k] += plus if blk[k] > 0 else minus
+                    k += 1
+                eobrun -= 1
+    if geom is None:
+        raise ValueError("JPEG has no SOF2 frame header")
+
+    hmax, vmax, mcux, mcuy = geom
+    m = _dct_matrix()
+    planes = []
+    for ci, comp in enumerate(comps):
+        plane = np.zeros((comp["bh"] * 8, comp["bw"] * 8), np.float32)
+        q = qt[comp["tq"]]
+        for by in range(comp["bh"]):
+            for bx in range(comp["bw"]):
+                block = np.zeros(64, np.float32)
+                block[_ZIGZAG] = coeffs[ci][by, bx] * q
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                    m.T @ block.reshape(8, 8) @ m + 128.0
+        plane = np.repeat(np.repeat(plane, vmax // comp["v"], axis=0),
+                          hmax // comp["h"], axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return np.clip(np.rint(planes[0]), 0, 255).astype(np.float32)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb

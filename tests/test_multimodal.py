@@ -458,15 +458,282 @@ def test_decode_jpeg_restart_markers():
     assert np.array_equal(plain, with_rst)
 
 
-def test_decode_jpeg_rejects_progressive():
-    import struct
-
+def test_decode_jpeg_rejects_lossless():
     import numpy as np
     payload = bytearray(_jpeg_payload(np.full((8, 8), 99.0)))
     sof = payload.index(b"\xff\xc0")
-    payload[sof + 1] = 0xC2                    # pretend progressive
+    payload[sof + 1] = 0xC3                    # pretend lossless
     with pytest.raises(ValueError, match="SOF0"):
         library_decoder(bytes(payload), "image")
+
+
+# ---- progressive JPEG: encoder (test-side) + golden tests ---------
+
+def _quantized_blocks(img, subsample, qval):
+    """Per-component zigzag-quantized coefficient blocks + geometry —
+    the shared front half of the baseline and progressive encoders."""
+    import numpy as np
+
+    from lcmap_blackmagic_spark.llm.multimodal import _ZIGZAG, _dct_matrix
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    qtab = np.full(64, qval, np.float64)
+    if gray:
+        planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        rgb = img.astype(np.float64)
+        y = (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
+             + 0.114 * rgb[:, :, 2])
+        cb = 128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] \
+            + 0.5 * rgb[:, :, 2]
+        cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] \
+            - 0.081312 * rgb[:, :, 2]
+        if subsample:
+            def down(p):
+                ph = p[:(h // 2) * 2, :(w // 2) * 2]
+                return ph.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            planes = [y, down(cb), down(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1)] * (1 if gray else 3)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    m = _dct_matrix()
+    blocks = []                                # per comp: (bh, bw, 64)
+    for p, (sh, sv) in zip(planes, samp):
+        th, tw = mcuy * sv * 8, mcux * sh * 8
+        pp = np.empty((th, tw))
+        ph, pw = p.shape
+        pp[:ph, :pw] = p
+        pp[ph:, :pw] = p[ph - 1:ph, :]
+        pp[:, pw:] = pp[:, pw - 1:pw]
+        q = np.empty((th // 8, tw // 8, 64), int)
+        for by in range(th // 8):
+            for bx in range(tw // 8):
+                coef = m @ (pp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                            - 128.0) @ m.T
+                q[by, bx] = np.rint(
+                    coef.reshape(64) / qtab).astype(int)[_ZIGZAG]
+        blocks.append(q)
+    return blocks, samp, (h, w, hmax, vmax, mcux, mcuy), qtab
+
+
+def _pjpeg_write_val(w, codes, run, v):
+    s = abs(v).bit_length()
+    ln, code = codes[(run << 4) | s]
+    w.write(code, ln)
+    w.write(v if v >= 0 else v + (1 << s) - 1, s)
+
+
+def _pjpeg_ac_first(w, ac_codes, blk, ss, se, al):
+    """One block of a first-pass AC scan: point transform toward
+    zero, run/size with ZRL, EOB (=EOB run of 1) on trailing zeros."""
+    hv = [int(blk[k]) // 2 ** al if blk[k] >= 0
+          else -((-int(blk[k])) // 2 ** al) for k in range(64)]
+    last = 0
+    for k in range(ss, se + 1):
+        if hv[k]:
+            last = k
+    if not any(hv[k] for k in range(ss, se + 1)):
+        ln, code = ac_codes[0x00]
+        w.write(code, ln)
+        return
+    run = 0
+    for k in range(ss, last + 1):
+        if hv[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = ac_codes[0xF0]
+            w.write(code, ln)
+            run -= 16
+        _pjpeg_write_val(w, ac_codes, run, hv[k])
+        run = 0
+    if last < se:
+        ln, code = ac_codes[0x00]
+        w.write(code, ln)
+
+
+def _pjpeg_ac_refine(w, ac_codes, blk, ss, se):
+    """One block of the Ah=1→Al=0 AC refinement scan — the exact
+    mirror of the decoder's correction-bit walk (T.81 G.1.2.3)."""
+    def hi(k):
+        v = int(blk[k])
+        return v // 2 if v >= 0 else -((-v) // 2)
+
+    k = ss
+    while k <= se:
+        j = next((p for p in range(k, se + 1)
+                  if hi(p) == 0 and blk[p] != 0), None)
+        if j is None:
+            ln, code = ac_codes[0x00]          # EOB(run=1)
+            w.write(code, ln)
+            for p in range(k, se + 1):
+                if hi(p) != 0:
+                    w.write(abs(int(blk[p])) & 1, 1)
+            return
+        r = sum(1 for p in range(k, j) if hi(p) == 0)
+        if r > 15:
+            ln, code = ac_codes[0xF0]          # ZRL: 16 zero-history
+            w.write(code, ln)
+            zeros = 0
+            while zeros < 16:
+                if hi(k) != 0:
+                    w.write(abs(int(blk[k])) & 1, 1)
+                else:
+                    zeros += 1
+                k += 1
+            continue
+        ln, code = ac_codes[(r << 4) | 1]
+        w.write(code, ln)
+        w.write(1 if blk[j] > 0 else 0, 1)     # sign of the new ±1
+        for p in range(k, j):
+            if hi(p) != 0:
+                w.write(abs(int(blk[p])) & 1, 1)
+        k = j + 1
+
+
+def _jpeg_progressive_payload(img, subsample=False, qval=8,
+                              succ_approx=False):
+    """Minimal progressive JFIF encoder (test-side only): SOF2 with
+    either pure spectral selection (DC scan + two AC band scans per
+    component) or DC+AC successive approximation (Al=1 first passes
+    followed by refinement scans)."""
+    import struct
+
+    blocks, samp, (h, w, hmax, vmax, mcux, mcuy), qtab = \
+        _quantized_blocks(img, subsample, qval)
+    (dcb, dcv), (acb, acv) = _jpeg_tables()
+    dc_codes = _canonical_codes(dcb, dcv)
+    ac_codes = _canonical_codes(acb, acv)
+    ncomp = len(blocks)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(body) + 2) + body
+
+    def sos(scan_comps, ss, se, ah, al, body_bits):
+        head = bytes([len(scan_comps)])
+        for cid in scan_comps:
+            head += bytes([cid + 1, 0x00])
+        head += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, head) + body_bits
+
+    def nb(ci):
+        cw = -(-(w * samp[ci][0]) // hmax)
+        ch = -(-(h * samp[ci][1]) // vmax)
+        return -(-cw // 8), -(-ch // 8)
+
+    dc_al = 1 if succ_approx else 0
+    scans = []
+    # DC first pass: all components, interleaved MCU order
+    bw_ = _BitWriter()
+    pred = [0] * ncomp
+    for mcu in range(mcux * mcuy):
+        my, mx = divmod(mcu, mcux)
+        for ci in range(ncomp):
+            for by in range(samp[ci][1]):
+                for bx in range(samp[ci][0]):
+                    q0 = int(blocks[ci][my * samp[ci][1] + by,
+                                        mx * samp[ci][0] + bx, 0])
+                    hi = q0 >> dc_al            # DC: arithmetic shift
+                    diff = hi - pred[ci]
+                    pred[ci] = hi
+                    s = abs(diff).bit_length()
+                    ln, code = dc_codes[s]
+                    bw_.write(code, ln)
+                    if s:
+                        bw_.write(diff if diff >= 0
+                                  else diff + (1 << s) - 1, s)
+    scans.append(sos(list(range(ncomp)), 0, 0, 0, dc_al, bw_.flush()))
+    if succ_approx:                             # DC refinement bits
+        bw_ = _BitWriter()
+        for mcu in range(mcux * mcuy):
+            my, mx = divmod(mcu, mcux)
+            for ci in range(ncomp):
+                for by in range(samp[ci][1]):
+                    for bx in range(samp[ci][0]):
+                        q0 = int(blocks[ci][my * samp[ci][1] + by,
+                                            mx * samp[ci][0] + bx, 0])
+                        bw_.write(q0 & 1, 1)
+        scans.append(sos(list(range(ncomp)), 0, 0, 1, 0, bw_.flush()))
+    # AC scans: per component over its OWN block raster
+    for ci in range(ncomp):
+        nbx, nby = nb(ci)
+        if succ_approx:
+            bands = [(1, 63)]
+        else:
+            bands = [(1, 5), (6, 63)]
+        for ss, se in bands:
+            bw_ = _BitWriter()
+            for u in range(nby * nbx):
+                by, bx = divmod(u, nbx)
+                _pjpeg_ac_first(bw_, ac_codes, blocks[ci][by, bx],
+                                ss, se, 1 if succ_approx else 0)
+            scans.append(sos([ci], ss, se, 0,
+                             1 if succ_approx else 0, bw_.flush()))
+        if succ_approx:
+            bw_ = _BitWriter()
+            for u in range(nby * nbx):
+                by, bx = divmod(u, nbx)
+                _pjpeg_ac_refine(bw_, ac_codes, blocks[ci][by, bx],
+                                 1, 63)
+            scans.append(sos([ci], 1, 63, 1, 0, bw_.flush()))
+
+    dqt = seg(0xDB, bytes([0]) + bytes(int(v) for v in qtab))
+    sof_body = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof_body += bytes([ci + 1,
+                           (samp[ci][0] << 4) | samp[ci][1], 0])
+    dht = seg(0xC4, bytes([0x00]) + bytes(dcb) + dcv) + \
+        seg(0xC4, bytes([0x10]) + bytes(acb) + acv)
+    return b"".join([b"\xff\xd8", dqt, seg(0xC2, sof_body), dht]
+                    + scans + [b"\xff\xd9"])
+
+
+def test_decode_jpeg_progressive_spectral_matches_baseline():
+    """A progressive (spectral-selection) rendition carries the SAME
+    quantized coefficients as the baseline rendition — the decoded
+    pixels must be bit-identical."""
+    import numpy as np
+    rng = np.random.RandomState(21)
+    img = rng.randint(0, 256, (24, 40)).astype(np.float64)
+    base = library_decoder(_jpeg_payload(img), "image")
+    prog = library_decoder(_jpeg_progressive_payload(img), "image")
+    assert np.array_equal(base, prog)
+
+
+def test_decode_jpeg_progressive_succ_approx_matches_baseline():
+    """DC+AC successive approximation (Al=1 first passes + correction
+    -bit refinement scans) reconstructs the full-precision
+    coefficients exactly."""
+    import numpy as np
+    rng = np.random.RandomState(23)
+    img = rng.randint(0, 256, (24, 40)).astype(np.float64)
+    base = library_decoder(_jpeg_payload(img), "image")
+    prog = library_decoder(
+        _jpeg_progressive_payload(img, succ_approx=True), "image")
+    assert np.array_equal(base, prog)
+
+
+def test_decode_jpeg_progressive_color_and_subsampled():
+    """Color 4:4:4 and 4:2:0 progressive renditions: interleaved DC
+    MCU order + per-component AC rasters with differing block
+    grids — still bit-identical to baseline."""
+    import numpy as np
+    rng = np.random.RandomState(29)
+    rgb = rng.randint(40, 216, (24, 24, 3)).astype(np.float64)
+    for sub in (False, True):
+        base = library_decoder(_jpeg_payload(rgb, subsample=sub),
+                               "image")
+        for sa in (False, True):
+            prog = library_decoder(
+                _jpeg_progressive_payload(rgb, subsample=sub,
+                                          succ_approx=sa), "image")
+            assert np.array_equal(base, prog), (sub, sa)
 
 
 # ---- MP4 metadata probe (ISO-BMFF box walk) -----------------------
