@@ -142,12 +142,25 @@ def test_extract_features_through_real_codec(spark):
          "mime": "audio/wav", "width": None, "height": None,
          "duration_ms": 1},
     ]
+    import numpy as np
+    rng = np.random.RandomState(31)
+    img = rng.randint(0, 256, (16, 16)).astype(np.float64)
+    rows.append({"media_id": 4, "kind": "image",
+                 "payload": _jpeg_progressive_payload(img,
+                                                      succ_approx=True),
+                 "mime": "image/jpeg", "width": 16, "height": 16,
+                 "duration_ms": None})
     media = spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA)
     feats = extract_features(media, n_features=2, decoder=library_decoder)
     got = {r["media_id"]: r["feat"] for r in feats.collect()}
     assert got[1] == [30.0, 187.5]   # mean of (60,0) / (255,120)
     assert got[2] == [30.0, 187.5]   # BMP decodes to the same raster
     assert len(got[3]) == 2
+    # progressive JPEG decodes on the executors too: the pooled
+    # features equal the locally-decoded raster's pooled means
+    want = library_decoder(rows[3]["payload"], "image").ravel()
+    want = want.reshape(2, -1).mean(axis=1)
+    assert np.allclose(got[4], want, atol=1e-4)
 
 
 # ---- PNG: stdlib zlib + per-scanline unfiltering ------------------
