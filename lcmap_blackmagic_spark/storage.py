@@ -329,3 +329,87 @@ def read_bloom_pruned(spark: SparkSession, out_dir: str,
         return empty, 0, total
     df = spark.read.parquet(*keep).filter(F.col(key_col) == value)
     return df, len(keep), total
+
+
+# ---- versioned snapshot store (manifest-committed time travel) -----
+
+SNAP_MANIFESTS = "_manifests"
+
+
+def _snap_versions(table_dir: str) -> list[int]:
+    mdir = os.path.join(table_dir, SNAP_MANIFESTS)
+    if not os.path.isdir(mdir):
+        return []
+    return sorted(int(f[1:-5]) for f in os.listdir(mdir)
+                  if f.startswith("v") and f.endswith(".json"))
+
+
+def latest_version(table_dir: str) -> int | None:
+    vs = _snap_versions(table_dir)
+    return vs[-1] if vs else None
+
+
+def write_snapshot(df: DataFrame, table_dir: str,
+                   mode: str = "overwrite") -> int:
+    """Transactional snapshot write — the minimal table-format
+    commit protocol (what Delta/Iceberg do under their logs),
+    expressed with nothing but parquet + one JSON manifest:
+
+    1. data lands in an immutable, uniquely named commit directory
+       (never touching live files — readers of any version are
+       undisturbed),
+    2. the version manifest (the list of commit dirs that make up
+       the snapshot; prior dirs carried forward under ``append``) is
+       published with an EXCLUSIVE create — on POSIX ``open(x)`` is
+       atomic, so two concurrent writers racing to the same version
+       cannot both win; the loser re-reads the log and retries at
+       the next version (optimistic concurrency).
+
+    Readers pin a version with ``read_snapshot(..., version=n)`` —
+    TIME TRAVEL over the unchanged old commit dirs.  On an object
+    store the exclusive create maps to a put-if-absent; everything
+    else is identical.  Returns the committed version number."""
+    import json
+    import uuid
+
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"unknown snapshot mode {mode!r}")
+    commit = f"c-{uuid.uuid4().hex[:12]}"
+    data_dir = os.path.join(table_dir, "data", commit)
+    df.write.mode("error").parquet(data_dir)
+    mdir = os.path.join(table_dir, SNAP_MANIFESTS)
+    os.makedirs(mdir, exist_ok=True)
+    while True:
+        vs = _snap_versions(table_dir)
+        version = (vs[-1] + 1) if vs else 1
+        dirs = [commit]
+        if mode == "append" and vs:
+            with open(os.path.join(mdir, f"v{vs[-1]}.json")) as fh:
+                dirs = json.load(fh)["dirs"] + dirs
+        body = json.dumps({"version": version, "mode": mode,
+                           "dirs": dirs})
+        try:
+            with open(os.path.join(mdir, f"v{version}.json"), "x") as fh:
+                fh.write(body)
+            return version
+        except FileExistsError:
+            continue        # lost the race: re-read the log, retry
+
+
+def read_snapshot(spark: SparkSession, table_dir: str,
+                  version: int | None = None) -> DataFrame:
+    """Read a pinned snapshot version (default: latest). The
+    returned plan lists exactly the manifest's commit dirs, so later
+    commits — even overwrites — cannot change what this DataFrame
+    scans."""
+    import json
+
+    if version is None:
+        version = latest_version(table_dir)
+        if version is None:
+            raise FileNotFoundError(f"no snapshots in {table_dir}")
+    with open(os.path.join(table_dir, SNAP_MANIFESTS,
+                           f"v{version}.json")) as fh:
+        man = json.load(fh)
+    paths = [os.path.join(table_dir, "data", d) for d in man["dirs"]]
+    return spark.read.parquet(*paths)

@@ -1,0 +1,69 @@
+"""Versioned snapshot store: manifest-committed writes, time travel,
+append lineage, and optimistic-concurrency commit races."""
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from lcmap_blackmagic_spark import storage
+
+
+def _vals(df):
+    return sorted(r["v"] for r in df.collect())
+
+
+def test_overwrite_versions_and_time_travel(spark):
+    t = tempfile.mkdtemp(prefix="snap_")
+    v1 = storage.write_snapshot(
+        spark.range(5).select(F.col("id").alias("v")), t)
+    v2 = storage.write_snapshot(
+        spark.range(10, 13).select(F.col("id").alias("v")), t)
+    assert (v1, v2) == (1, 2)
+    assert storage.latest_version(t) == 2
+    # latest sees only the overwrite; the PINNED v1 still reads the
+    # original rows — its commit dir was never touched
+    assert _vals(storage.read_snapshot(spark, t)) == [10, 11, 12]
+    assert _vals(storage.read_snapshot(spark, t, version=1)) == \
+        [0, 1, 2, 3, 4]
+
+
+def test_append_carries_prior_commits(spark):
+    t = tempfile.mkdtemp(prefix="snap_")
+    storage.write_snapshot(
+        spark.range(3).select(F.col("id").alias("v")), t)
+    storage.write_snapshot(
+        spark.range(100, 102).select(F.col("id").alias("v")), t,
+        mode="append")
+    assert _vals(storage.read_snapshot(spark, t)) == [0, 1, 2, 100, 101]
+    # and the append itself is time-travelable past
+    storage.write_snapshot(
+        spark.range(7, 8).select(F.col("id").alias("v")), t)
+    assert _vals(storage.read_snapshot(spark, t)) == [7]
+    assert _vals(storage.read_snapshot(spark, t, version=2)) == \
+        [0, 1, 2, 100, 101]
+
+
+def test_commit_race_retries_to_next_version(spark):
+    """If another writer claims the version first (simulated by
+    pre-creating its manifest), the commit must NOT clobber it — the
+    loser lands on the next version with its own data intact."""
+    import json
+
+    t = tempfile.mkdtemp(prefix="snap_")
+    storage.write_snapshot(
+        spark.range(2).select(F.col("id").alias("v")), t)
+    # a rival writer publishes v2 out from under us
+    mdir = os.path.join(t, storage.SNAP_MANIFESTS)
+    rival_dir = os.path.join(t, "data", "c-rival")
+    spark.range(50, 52).select(F.col("id").alias("v")) \
+        .write.parquet(rival_dir)
+    with open(os.path.join(mdir, "v2.json"), "x") as fh:
+        fh.write(json.dumps({"version": 2, "mode": "overwrite",
+                             "dirs": ["c-rival"]}))
+    v = storage.write_snapshot(
+        spark.range(9).select(F.col("id").alias("v")), t)
+    assert v == 3
+    assert _vals(storage.read_snapshot(spark, t, version=2)) == [50, 51]
+    assert _vals(storage.read_snapshot(spark, t, version=3)) == \
+        list(range(9))
