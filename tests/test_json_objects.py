@@ -47,3 +47,28 @@ def test_bytes_are_gzip_json_and_deterministic(segs, tmp_path):
         payload = json.loads(gzip.decompress(raw_a))
         assert isinstance(payload, list)
         assert gzip.decompress(raw_a) == gzip.decompress(raw_b)
+
+
+# ---- DataSource-writer twin (Spark 4 sink API) --------------------
+
+def test_datasource_writer_byte_parity(segs, tmp_path):
+    """The chipobjects DataSource writer must produce BYTE-identical
+    objects to the applyInPandas sink, plus a commit manifest
+    listing every object — the engine-integrated form of the same
+    Ceph layout."""
+    from lcmap_blackmagic_spark.sources.objectsink import write_objects
+
+    a, b = tmp_path / "pandas", tmp_path / "dsv2"
+    storage.write_chip_json_objects(segs, str(a), "segment")
+    write_objects(segs, str(b), "segment")
+    names_a = sorted(f for f in os.listdir(a / "segment"))
+    names_b = sorted(f for f in os.listdir(b / "segment")
+                     if not f.startswith("_"))
+    assert names_a == names_b
+    for name in names_a:
+        assert gzip.decompress((a / "segment" / name).read_bytes()) \
+            == gzip.decompress((b / "segment" / name).read_bytes())
+    man = json.loads((b / "segment" / "_manifest.json").read_text())
+    assert man["n_objects"] == 2
+    assert {tuple(k[:2]) for k in man["objects"]} == \
+        {(-2061585, 1922805), (-2058585, 1922805)}
