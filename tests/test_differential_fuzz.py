@@ -635,3 +635,48 @@ def test_date_funcs_agree_across_engines(engines2, i, part, year):
     got = [tuple(r) for r in spark.sql(sql).collect()]
     want = [tuple(r) for r in con.execute(sql).fetchall()]
     assert got == want, f"case {i}: {part}/{year}"
+
+
+# ---- subquery differential fuzz -----------------------------------
+
+SUBQ_CASES = 12
+
+
+def _subq_cases():
+    rng = random.Random(SEED + 7272)
+    out = []
+    for i in range(SUBQ_CASES):
+        neg = rng.choice(["", "NOT "])
+        # the inner side sometimes yields NULLs — NOT IN over a NULL
+        # set must return no rows (three-valued logic), the classic
+        # cross-engine divergence minefield
+        nullable = rng.random() < 0.4
+        inner = ("CASE WHEN o_custkey % 11 = 0 THEN NULL "
+                 "ELSE o_orderkey END" if nullable else "o_orderkey")
+        out.append((i, neg, inner, _rand_pred(rng),
+                    _rand_orders_pred(rng)))
+    return out
+
+
+@pytest.mark.parametrize("i,neg,inner,p1,p2", _subq_cases())
+def test_in_subqueries_agree_across_engines(engines2, i, neg, inner,
+                                            p1, p2):
+    """[NOT] IN (subquery) with and without NULLs on the inner side,
+    plus a correlated EXISTS twin — three-valued logic compared
+    exactly through integer aggregates."""
+    spark, con = engines2
+    sql = (f"SELECT COUNT(*) AS n, "
+           f"COALESCE(SUM(l_linenumber), 0) AS s "
+           f"FROM fuzz_lineitem WHERE ({p1}) AND l_orderkey {neg}IN "
+           f"(SELECT {inner} FROM fuzz_orders WHERE {p2})")
+    got = tuple(spark.sql(sql).first())
+    want = tuple(con.execute(sql).fetchone())
+    assert got == want, f"subq case {i} [{neg}IN]: {p1} / {p2}"
+    # correlated EXISTS over the same predicate pair
+    sql2 = (f"SELECT COUNT(*) AS n FROM fuzz_lineitem l "
+            f"WHERE ({p1.replace('l_shipdate', 'l.l_shipdate')}) "
+            f"AND {neg}EXISTS (SELECT 1 FROM fuzz_orders o "
+            f"WHERE o.o_orderkey = l.l_orderkey AND ({p2}))")
+    got2 = spark.sql(sql2).first()[0]
+    want2 = con.execute(sql2).fetchone()[0]
+    assert got2 == want2, f"subq case {i} [{neg}EXISTS]"
