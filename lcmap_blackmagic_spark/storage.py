@@ -413,3 +413,62 @@ def read_snapshot(spark: SparkSession, table_dir: str,
         man = json.load(fh)
     paths = [os.path.join(table_dir, "data", d) for d in man["dirs"]]
     return spark.read.parquet(*paths)
+
+
+def write_snapshot_tagged(df: DataFrame, table_dir: str, tag: str,
+                          mode: str = "append") -> int | None:
+    """Replay-safe snapshot commit for streaming ``foreachBatch``
+    sinks: ``tag`` (e.g. ``batch-{batch_id}``) is recorded in the
+    manifest, and a commit whose tag ALREADY EXISTS in the log is a
+    no-op — so a micro-batch re-delivered after a crash cannot
+    publish a second version (the exactly-once property the
+    persisted_* rollup sinks get from dynamic partition overwrite,
+    here at table-commit granularity).  Returns the committed
+    version, or None when the tag was already committed."""
+    import json
+
+    mdir = os.path.join(table_dir, SNAP_MANIFESTS)
+    if os.path.isdir(mdir):
+        for v in _snap_versions(table_dir):
+            with open(os.path.join(mdir, f"v{v}.json")) as fh:
+                if json.load(fh).get("tag") == tag:
+                    return None
+    version = write_snapshot(df, table_dir, mode=mode)
+    # stamp the tag into the manifest we just won (exclusive create
+    # means it is ours alone; rewrite-in-place is safe)
+    mpath = os.path.join(mdir, f"v{version}.json")
+    with open(mpath) as fh:
+        man = json.load(fh)
+    man["tag"] = tag
+    with open(mpath, "w") as fh:
+        json.dump(man, fh)
+    return version
+
+
+def vacuum_snapshots(table_dir: str, keep: int = 2) -> int:
+    """Retention: drop all but the last ``keep`` versions and delete
+    commit directories no surviving manifest references — the VACUUM
+    half of the table-format lifecycle.  Readers pinned to a
+    surviving version are untouched (their dirs remain); readers of
+    vacuumed versions would fail loudly, which is the retention
+    contract every table format has.  Returns the number of commit
+    dirs removed."""
+    import json
+    import shutil
+
+    vs = _snap_versions(table_dir)
+    mdir = os.path.join(table_dir, SNAP_MANIFESTS)
+    survivors, doomed = vs[-keep:] if keep else [], vs[:-keep] if keep else vs
+    live: set[str] = set()
+    for v in survivors:
+        with open(os.path.join(mdir, f"v{v}.json")) as fh:
+            live.update(json.load(fh)["dirs"])
+    removed = 0
+    data = os.path.join(table_dir, "data")
+    for d in os.listdir(data) if os.path.isdir(data) else []:
+        if d not in live:
+            shutil.rmtree(os.path.join(data, d), ignore_errors=True)
+            removed += 1
+    for v in doomed:
+        os.remove(os.path.join(mdir, f"v{v}.json"))
+    return removed

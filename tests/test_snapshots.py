@@ -67,3 +67,36 @@ def test_commit_race_retries_to_next_version(spark):
     assert _vals(storage.read_snapshot(spark, t, version=2)) == [50, 51]
     assert _vals(storage.read_snapshot(spark, t, version=3)) == \
         list(range(9))
+
+
+def test_tagged_commit_is_replay_idempotent(spark):
+    """A re-delivered micro-batch (same tag) must not publish a
+    second version — the streaming exactly-once contract at
+    table-commit granularity."""
+    t = tempfile.mkdtemp(prefix="snap_")
+    v1 = storage.write_snapshot_tagged(
+        spark.range(3).select(F.col("id").alias("v")), t, "batch-0")
+    again = storage.write_snapshot_tagged(
+        spark.range(3).select(F.col("id").alias("v")), t, "batch-0")
+    v2 = storage.write_snapshot_tagged(
+        spark.range(10, 12).select(F.col("id").alias("v")), t,
+        "batch-1")
+    assert (v1, again, v2) == (1, None, 2)
+    assert storage.latest_version(t) == 2
+    assert _vals(storage.read_snapshot(spark, t)) == [0, 1, 2, 10, 11]
+
+
+def test_vacuum_keeps_recent_versions_only(spark):
+    t = tempfile.mkdtemp(prefix="snap_")
+    for lo in (0, 10, 20, 30):
+        storage.write_snapshot(
+            spark.range(lo, lo + 2).select(F.col("id").alias("v")), t)
+    removed = storage.vacuum_snapshots(t, keep=2)
+    assert removed == 2                        # v1, v2 commit dirs
+    # survivors read fine; vacuumed versions are gone from the log
+    assert _vals(storage.read_snapshot(spark, t, version=4)) == [30, 31]
+    assert _vals(storage.read_snapshot(spark, t, version=3)) == [20, 21]
+    assert storage._snap_versions(t) == [3, 4]
+    import pytest as _pt
+    with _pt.raises(FileNotFoundError):
+        storage.read_snapshot(spark, t, version=1)
