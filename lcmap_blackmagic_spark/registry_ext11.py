@@ -895,6 +895,48 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+# ------------------------------------ snapshot-store roundtrip -----
+
+def q_src_snapshot(spark, sf_dir):
+    """Versioned-snapshot roundtrip under the correctness gate:
+    write a typed projection of orders as snapshot v1, APPEND the
+    rest as v2, read the LATEST snapshot back, and aggregate.  The
+    oracle aggregates the parquet directly, so the hash-match proves
+    the commit-dir + manifest store is lossless and the append
+    lineage reconstructs the full table (the src_csv/src_orc
+    write-then-read contract, table-format edition)."""
+    from .registry import _staging
+    from .storage import read_snapshot, write_snapshot
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("cents"))
+    table = _staging(sf_dir, "snap_orders")
+    # no cleanup between builds ON PURPOSE: every build appends two
+    # more versions and the overwrite commit makes LATEST = exactly
+    # this build's pair, while plans pinned to older versions keep
+    # reading their own commit dirs — the store's immutability doing
+    # the double-run-stability work other staged queries need
+    # overwrite discipline for
+    write_snapshot(o.filter(F.col("o_orderkey") % 2 == 0), table)
+    write_snapshot(o.filter(F.col("o_orderkey") % 2 == 1), table,
+                   mode="append")
+    back = read_snapshot(spark, table)
+    return (back.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 (F.sum("cents").cast("double") / 100).alias("total"))
+            .orderBy("o_orderstatus"))
+
+
+SQL_SRC_SNAPSHOT = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT)) AS DOUBLE) / 100 AS DOUBLE)
+         AS total
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 QUERIES_EXT11: dict[str, dict] = {
     "source_mix_weights": {"fn": q_source_mix_weights,
                            "sql": SQL_SOURCE_MIX_WEIGHTS},
@@ -927,4 +969,6 @@ QUERIES_EXT11: dict[str, dict] = {
     "recursive_rollup":   {"fn": q_recursive_rollup,
                            "sql": SQL_RECURSIVE_ROLLUP},
     "src_orc":            {"fn": q_src_orc, "sql": SQL_SRC_ORC},
+    "src_snapshot":       {"fn": q_src_snapshot,
+                           "sql": SQL_SRC_SNAPSHOT},
 }

@@ -498,6 +498,59 @@ def persisted_hourly_rollup(spark: SparkSession, events_dir: str,
     return writer.start()
 
 
+def snapshot_rollup_stream(spark: SparkSession, events_dir: str,
+                           table_dir: str, checkpoint_dir: str,
+                           available_now: bool = True,
+                           max_files_per_trigger: int = 1
+                           ) -> StreamingQuery:
+    """Streaming rollup committed into the VERSIONED SNAPSHOT STORE:
+    each micro-batch's per-(hour, type) partial aggregate lands as
+    one appended, TAGGED table version (storage.write_snapshot_tagged
+    — a replayed batch finds its tag in the log and becomes a
+    no-op), so the table's commit history IS the ingest history:
+    readers time-travel to any micro-batch boundary, and the merged
+    latest equals the one-shot batch rollup (asserted in tests).
+    The table-format twin of ``persisted_hourly_rollup`` (which gets
+    the same idempotency from dynamic partition overwrite).
+    ``max_files_per_trigger`` defaults to 1 so the commit history
+    tracks ingest at file granularity."""
+    from .. import storage
+
+    stream = events_stream(spark, events_dir,
+                           max_files_per_trigger=max_files_per_trigger)
+
+    def fb(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        part = (batch_df
+                .groupBy(F.date_trunc("hour", "ts").alias("bucket"),
+                         "event_type")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.col("value").cast("decimal(18,2)"))
+                      .alias("total_dec")))
+        storage.write_snapshot_tagged(part, table_dir,
+                                      f"batch-{batch_id}",
+                                      mode="append")
+
+    writer = (stream.writeStream.foreachBatch(fb)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_snapshot_rollup(spark: SparkSession, table_dir: str,
+                         version: int | None = None) -> DataFrame:
+    """Merge the snapshot table's partials into final totals — at
+    the latest version or any time-traveled one."""
+    from .. import storage
+
+    return (storage.read_snapshot(spark, table_dir, version=version)
+            .groupBy("bucket", "event_type")
+            .agg(F.sum("n").alias("n"),
+                 F.sum("total_dec").cast("double").alias("total_value")))
+
+
 def read_rollup(spark: SparkSession, root: str) -> DataFrame:
     """Merge the partial store into final per-hour totals."""
     from .. import storage

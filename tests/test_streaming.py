@@ -264,6 +264,52 @@ def test_persisted_rollup_converges_and_is_idempotent(spark, events_dir,
     assert got2 == want
 
 
+def test_snapshot_rollup_stream_converges_and_replays_to_noop(
+        spark, events_dir, tmp_path):
+    """The snapshot-committed streaming rollup: merged latest equals
+    the one-shot batch rollup; the commit history has one version
+    per micro-batch (time-travelable); and re-running the whole
+    stream from a FRESH checkpoint (total re-delivery, same batch
+    ids) publishes ZERO new versions — the tag makes every replayed
+    commit a no-op."""
+    from lcmap_blackmagic_spark import storage
+    from lcmap_blackmagic_spark.streaming.jobs import (
+        read_snapshot_rollup, snapshot_rollup_stream)
+
+    table = str(tmp_path / "snaptable")
+    q = snapshot_rollup_stream(spark, events_dir, table,
+                               str(tmp_path / "ckpt1"))
+    q.awaitTermination(180)
+
+    got = {tuple(r) for r in
+           read_snapshot_rollup(spark, table).collect()}
+    batch = (spark.read.parquet(events_dir)
+             .groupBy(F.date_trunc("hour", "ts").alias("bucket"),
+                      "event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.col("value").cast("decimal(18,2)"))
+                  .cast("double").alias("total_value")))
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
+    v_after = storage.latest_version(table)
+    assert v_after and v_after >= 2        # one version per batch
+    # time travel: version 1 covers strictly fewer events
+    n_v1 = (read_snapshot_rollup(spark, table, version=1)
+            .agg(F.sum("n")).collect()[0][0])
+    n_all = sum(r[2] for r in want)
+    assert 0 < n_v1 < n_all
+
+    # full re-delivery: fresh checkpoint, same files → same batch
+    # ids → every tagged commit is a no-op
+    q2 = snapshot_rollup_stream(spark, events_dir, table,
+                                str(tmp_path / "ckpt2"))
+    q2.awaitTermination(180)
+    assert storage.latest_version(table) == v_after
+    got2 = {tuple(r) for r in
+            read_snapshot_rollup(spark, table).collect()}
+    assert got2 == want
+
+
 def test_enrich_stream_attaches_static_dim(spark, events_dir):
     """Every streamed event gets its user's static attributes; users
     missing from the dim get NULLs (left join semantics)."""
