@@ -397,11 +397,15 @@ def write_snapshot(df: DataFrame, table_dir: str,
 
 
 def read_snapshot(spark: SparkSession, table_dir: str,
-                  version: int | None = None) -> DataFrame:
+                  version: int | None = None,
+                  merge_schema: bool = False) -> DataFrame:
     """Read a pinned snapshot version (default: latest). The
     returned plan lists exactly the manifest's commit dirs, so later
     commits — even overwrites — cannot change what this DataFrame
-    scans."""
+    scans.  ``merge_schema=True`` unions the commit dirs' parquet
+    schemas (SCHEMA EVOLUTION: an appended commit may add columns;
+    older commits read them as NULL — additive evolution only, the
+    same contract Delta/Iceberg default to)."""
     import json
 
     if version is None:
@@ -412,7 +416,10 @@ def read_snapshot(spark: SparkSession, table_dir: str,
                            f"v{version}.json")) as fh:
         man = json.load(fh)
     paths = [os.path.join(table_dir, "data", d) for d in man["dirs"]]
-    return spark.read.parquet(*paths)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", True)
+    return reader.parquet(*paths)
 
 
 def write_snapshot_tagged(df: DataFrame, table_dir: str, tag: str,

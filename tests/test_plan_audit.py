@@ -104,3 +104,26 @@ def test_no_cartesian_no_row_udf(spark, sf_dir, name):
             f"{name}: unpartitioned WindowExec in physical plan "
             f"(single-task global sort — the ntile-at-scale trap):\n"
             + "\n".join(offenders))
+
+
+def test_global_window_detector_parsing():
+    """The bracket-group parser itself: a global ordered window (2
+    groups, ASC marker) flags; a PARTITION-ONLY window (2 groups, no
+    order markers) does NOT (the false positive the first cut of
+    this detector had); a partitioned+ordered window (3 groups) does
+    not; nested brackets inside window expressions don't miscount."""
+    flagged = _global_windows(
+        "+- Window [ntile(10) windowspecdefinition(x#1L ASC NULLS "
+        "FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(),"
+        " currentrow$())) AS n#2], [x#1L ASC NULLS FIRST]")
+    assert len(flagged) == 1
+    assert not _global_windows(
+        "+- Window [count(1) windowspecdefinition(g#1, x#2L, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "unboundedfollowing$())) AS c#3L], [g#1, x#2L]")
+    assert not _global_windows(
+        "+- Window [sum(v#1L) windowspecdefinition(k#2L, x#3L ASC "
+        "NULLS FIRST, specifiedwindowframe(RangeFrame, "
+        "unboundedpreceding$(), currentrow$())) AS s#4L], [k#2L], "
+        "[x#3L ASC NULLS FIRST]")
+    assert not _global_windows("+- Project [a#1, b#2]\n+- Sort [a#1]")

@@ -100,3 +100,19 @@ def test_vacuum_keeps_recent_versions_only(spark):
     import pytest as _pt
     with _pt.raises(FileNotFoundError):
         storage.read_snapshot(spark, t, version=1)
+
+
+def test_append_with_added_column_schema_evolution(spark):
+    """Additive schema evolution: an appended commit introduces a
+    column; merge_schema reads the union schema with NULLs for the
+    old commits' rows."""
+    t = tempfile.mkdtemp(prefix="snap_")
+    storage.write_snapshot(
+        spark.range(2).select(F.col("id").alias("v")), t)
+    storage.write_snapshot(
+        spark.range(5, 7).select(F.col("id").alias("v"),
+                                 (F.col("id") * 10).alias("extra")),
+        t, mode="append")
+    df = storage.read_snapshot(spark, t, merge_schema=True)
+    rows = {(r["v"], r["extra"]) for r in df.collect()}
+    assert rows == {(0, None), (1, None), (5, 50), (6, 60)}
