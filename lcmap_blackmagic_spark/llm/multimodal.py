@@ -375,26 +375,8 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError("JPEG has no SOS scan")
 
     # entropy segment: strip stuffing, split at restart markers
-    intervals: list[bytes] = []
-    cur = bytearray()
-    i = pos
-    while i < len(payload):
-        b = payload[i]
-        if b == 0xFF:
-            nxt = payload[i + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:             # RSTn
-                intervals.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-            break                               # EOI or next marker
-        cur.append(b)
-        i += 1
-    intervals.append(bytes(cur))
+    # (shared helper with the progressive path)
+    intervals, _ = _entropy_intervals(payload, pos)
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)

@@ -6,16 +6,18 @@ registry_ext8.q_kmeans_update).
 Reproducibility is engineered, not hoped for:
 
 - init = the k vectors with the smallest ids (no RNG),
-- the E-step argmin breaks ties on (dist, cid) via a struct-min —
-  one deterministic winner no matter the partitioning,
-- the M-step means come from floor-quantized INTEGER coordinate
-  sums (floor(x·2^20) — exact for doubles), so the new centroids
-  are bit-identical across cluster sizes, shuffles, and reruns
-  (float sums would drift with accumulation order and k-means
-  amplifies any drift into different assignments).
+- EVERYTHING runs on the floor(x·2^20) integer grid — the E-step
+  distances are exact integer squared-L2 to integer-grid centroids
+  (a float distance sum would accumulate in partition-dependent
+  order, and a one-ulp flip on a near-equidistant point cascades
+  into different assignments), the argmin breaks ties on
+  (dist, cid) via a struct-min, and the M-step means are exact
+  integer divisions that stay on the grid,
+- so assignments, centroids, and the iteration count are
+  bit-identical across cluster sizes, shuffles, and reruns.
 
-Scale shape per iteration: the corpus stays in LONG FORM
-(id, i, x) — staged to parquet once, scanned per step — joined to a
+Scale shape per iteration: the corpus stays in quantized LONG FORM
+(id, i, q) — staged to parquet once, scanned per step — joined to a
 broadcast k·dim centroid table; both aggregates are map-side
 combined; the only driver traffic is the k×dim centroid matrix (the
 broadcast-model pattern, not a data collect)."""
@@ -31,7 +33,9 @@ KM_Q = 1 << 20
 def _long_form(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     return (df.select(F.col(id_col).alias("id"),
                       F.posexplode(vec_col).alias("i", "x"))
-            .select("id", "i", F.col("x").cast("double").alias("x")))
+            .select("id", "i",
+                    F.floor(F.col("x").cast("double") * KM_Q)
+                    .cast("bigint").alias("q")))
 
 
 def kmeans_fit(df: DataFrame, k: int = 8, max_iters: int = 10,
@@ -39,64 +43,73 @@ def kmeans_fit(df: DataFrame, k: int = 8, max_iters: int = 10,
                staging_dir: str | None = None) -> dict:
     """Lloyd iteration to convergence (or ``max_iters``).  Returns
     ``{"centroids": [[float]*dim]*k, "iters": n, "inertia": float,
-    "assign": DataFrame(id, cid)}``.  Convergence = the quantized
-    centroid matrix is EXACTLY unchanged (integer comparison — no
-    epsilon tuning)."""
+    "assign": DataFrame(id, cid)}``.  Convergence = the integer
+    centroid grid is EXACTLY unchanged (no epsilon tuning); the
+    returned assignment/inertia are the E-step evaluated against
+    the RETURNED centroids.  Coordinate magnitudes must keep
+    dim·(2·|x|·2^20)² inside int64 — |x| up to ~10^3 at dim 64."""
     spark = df.sparkSession
     long = _long_form(df, id_col, vec_col)
     if staging_dir:
         long.write.mode("overwrite").parquet(staging_dir)
         long = spark.read.parquet(staging_dir)
 
-    # deterministic init: the k smallest ids
+    # deterministic init: the k smallest ids (already on the grid)
     seed_ids = [r["id"] for r in
                 long.select("id").distinct().orderBy("id")
                 .limit(k).collect()]
+    if len(seed_ids) < k:
+        raise ValueError(
+            f"k={k} but only {len(seed_ids)} distinct ids")
     cent = (long.filter(F.col("id").isin(seed_ids))
             .groupBy("id").agg(F.sort_array(
-                F.collect_list(F.struct("i", "x"))).alias("s"))
+                F.collect_list(F.struct("i", "q"))).alias("s"))
             .orderBy("id").collect())
-    centroids = [[float(p["x"]) for p in r["s"]] for r in cent]
+    qcent = [[int(p["q"]) for p in r["s"]] for r in cent]
+    dim = len(qcent[0])
     qprev = None
     assign = None
-    inertia = None
     it = 0
     for it in range(1, max_iters + 1):
         cdf = F.broadcast(spark.createDataFrame(
-            [(cid, i, c[i]) for cid, c in enumerate(centroids)
-             for i in range(len(c))], "cid int, i int, c double"))
-        d = F.col("x") - F.col("c")
-        # E-step: min (dist, cid) struct per id — deterministic tie
+            [(cid, i, c[i]) for cid, c in enumerate(qcent)
+             for i in range(dim)], "cid int, i int, qc long"))
+        d = F.col("q") - F.col("qc")
+        # E-step: exact integer distance; min (dist, cid) struct —
+        # one deterministic winner regardless of partitioning
         best = (long.join(cdf, "i")
                 .groupBy("id", "cid").agg(F.sum(d * d).alias("dist"))
                 .groupBy("id")
                 .agg(F.min(F.struct("dist", "cid")).alias("b"))
                 .select("id", F.col("b.cid").alias("cid"),
                         F.col("b.dist").alias("dist")))
+        # the assignment always corresponds to the CURRENT centroids
+        # — set before the convergence break, so callers get the
+        # E-step of the returned matrix, not the previous one
+        assign = best
         # M-step: exact integer coordinate sums per (cid, i)
         stats = (long.join(best.select("id", "cid"), "id")
                  .groupBy("cid", "i")
                  .agg(F.count(F.lit(1)).alias("n"),
-                      F.sum(F.floor(F.col("x") * KM_Q).cast("bigint"))
-                      .alias("s"))
+                      F.sum("q").alias("s"))
                  .collect())
         qnew: dict[tuple, int] = {}
-        counts: dict[int, int] = {}
         for r in stats:
             # quantized mean: one exact integer division per cell
             qnew[(r["cid"], r["i"])] = r["s"] // r["n"]
-            counts[r["cid"]] = r["n"]
-        if qnew == qprev:
+        # converged (grid unchanged) or out of budget: stop WITHOUT
+        # applying a further update, so the returned centroids are
+        # exactly the matrix `assign` was evaluated against
+        if qnew == qprev or it == max_iters:
             break
         qprev = qnew
-        dim = len(centroids[0])
-        centroids = [[qnew.get((cid, i), int(centroids[cid][i] * KM_Q))
-                      / KM_Q for i in range(dim)]
-                     for cid in range(k)]
-        assign = best
+        qcent = [[qnew.get((cid, i), qcent[cid][i])
+                  for i in range(dim)] for cid in range(k)]
     inertia = (assign.agg(F.sum("dist")).collect()[0][0]
                if assign is not None else None)
-    return {"centroids": centroids, "iters": it,
-            "inertia": float(inertia) if inertia is not None else None,
+    return {"centroids": [[c / KM_Q for c in row] for row in qcent],
+            "iters": it,
+            "inertia": (float(inertia) / (KM_Q * KM_Q)
+                        if inertia is not None else None),
             "assign": assign.select("id", "cid") if assign is not None
             else None}

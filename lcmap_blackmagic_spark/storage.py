@@ -337,11 +337,12 @@ SNAP_MANIFESTS = "_manifests"
 
 
 def _snap_versions(table_dir: str) -> list[int]:
+    import re
     mdir = os.path.join(table_dir, SNAP_MANIFESTS)
     if not os.path.isdir(mdir):
         return []
-    return sorted(int(f[1:-5]) for f in os.listdir(mdir)
-                  if f.startswith("v") and f.endswith(".json"))
+    return sorted(int(m.group(1)) for f in os.listdir(mdir)
+                  if (m := re.fullmatch(r"v(\d+)\.json", f)))
 
 
 def latest_version(table_dir: str) -> int | None:
@@ -350,7 +351,8 @@ def latest_version(table_dir: str) -> int | None:
 
 
 def write_snapshot(df: DataFrame, table_dir: str,
-                   mode: str = "overwrite") -> int:
+                   mode: str = "overwrite",
+                   tag: str | None = None) -> int:
     """Transactional snapshot write — the minimal table-format
     commit protocol (what Delta/Iceberg do under their logs),
     expressed with nothing but parquet + one JSON manifest:
@@ -359,16 +361,19 @@ def write_snapshot(df: DataFrame, table_dir: str,
        (never touching live files — readers of any version are
        undisturbed),
     2. the version manifest (the list of commit dirs that make up
-       the snapshot; prior dirs carried forward under ``append``) is
-       published with an EXCLUSIVE create — on POSIX ``open(x)`` is
-       atomic, so two concurrent writers racing to the same version
-       cannot both win; the loser re-reads the log and retries at
-       the next version (optimistic concurrency).
+       the snapshot; prior dirs carried forward under ``append``,
+       plus the optional idempotency ``tag``) is written COMPLETE to
+       a temp file and published by ``os.link`` — the link is atomic
+       AND exclusive, so two writers racing to a version cannot both
+       win, a reader can never observe a partial manifest, and a
+       crash mid-publish leaves no wedged empty claim (the first-cut
+       ``open(x)`` + write had exactly that window).  The loser
+       re-reads the log and retries at the next version.
 
     Readers pin a version with ``read_snapshot(..., version=n)`` —
     TIME TRAVEL over the unchanged old commit dirs.  On an object
-    store the exclusive create maps to a put-if-absent; everything
-    else is identical.  Returns the committed version number."""
+    store the link maps to a put-if-absent of the full body;
+    everything else is identical.  Returns the committed version."""
     import json
     import uuid
 
@@ -386,14 +391,19 @@ def write_snapshot(df: DataFrame, table_dir: str,
         if mode == "append" and vs:
             with open(os.path.join(mdir, f"v{vs[-1]}.json")) as fh:
                 dirs = json.load(fh)["dirs"] + dirs
-        body = json.dumps({"version": version, "mode": mode,
-                           "dirs": dirs})
+        man = {"version": version, "mode": mode, "dirs": dirs}
+        if tag is not None:
+            man["tag"] = tag
+        tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex[:12]}")
+        with open(tmp, "w") as fh:
+            json.dump(man, fh)
         try:
-            with open(os.path.join(mdir, f"v{version}.json"), "x") as fh:
-                fh.write(body)
+            os.link(tmp, os.path.join(mdir, f"v{version}.json"))
             return version
         except FileExistsError:
             continue        # lost the race: re-read the log, retry
+        finally:
+            os.remove(tmp)
 
 
 def read_snapshot(spark: SparkSession, table_dir: str,
@@ -422,59 +432,107 @@ def read_snapshot(spark: SparkSession, table_dir: str,
     return reader.parquet(*paths)
 
 
-def write_snapshot_tagged(df: DataFrame, table_dir: str, tag: str,
-                          mode: str = "append") -> int | None:
-    """Replay-safe snapshot commit for streaming ``foreachBatch``
-    sinks: ``tag`` (e.g. ``batch-{batch_id}``) is recorded in the
-    manifest, and a commit whose tag ALREADY EXISTS in the log is a
-    no-op — so a micro-batch re-delivered after a crash cannot
-    publish a second version (the exactly-once property the
-    persisted_* rollup sinks get from dynamic partition overwrite,
-    here at table-commit granularity).  Returns the committed
-    version, or None when the tag was already committed."""
+SNAP_TOMBSTONES = "_vacuumed_tags.json"
+
+
+def _committed_tags(table_dir: str) -> set[str]:
+    """Every tag ever committed: live manifests PLUS the tombstone
+    file vacuum leaves behind (a vacuumed version's tag must keep
+    suppressing replays, or a stream re-run after retention would
+    double-count its batches)."""
     import json
 
     mdir = os.path.join(table_dir, SNAP_MANIFESTS)
-    if os.path.isdir(mdir):
-        for v in _snap_versions(table_dir):
-            with open(os.path.join(mdir, f"v{v}.json")) as fh:
-                if json.load(fh).get("tag") == tag:
-                    return None
-    version = write_snapshot(df, table_dir, mode=mode)
-    # stamp the tag into the manifest we just won (exclusive create
-    # means it is ours alone; rewrite-in-place is safe)
-    mpath = os.path.join(mdir, f"v{version}.json")
-    with open(mpath) as fh:
-        man = json.load(fh)
-    man["tag"] = tag
-    with open(mpath, "w") as fh:
-        json.dump(man, fh)
-    return version
+    tags: set[str] = set()
+    if not os.path.isdir(mdir):
+        return tags
+    for v in _snap_versions(table_dir):
+        with open(os.path.join(mdir, f"v{v}.json")) as fh:
+            t = json.load(fh).get("tag")
+            if t is not None:
+                tags.add(t)
+    ts = os.path.join(mdir, SNAP_TOMBSTONES)
+    if os.path.exists(ts):
+        with open(ts) as fh:
+            tags.update(json.load(fh))
+    return tags
 
 
-def vacuum_snapshots(table_dir: str, keep: int = 2) -> int:
+def write_snapshot_tagged(df: DataFrame, table_dir: str, tag: str,
+                          mode: str = "append") -> int | None:
+    """Replay-safe snapshot commit for streaming ``foreachBatch``
+    sinks: ``tag`` (e.g. ``batch-{batch_id}``) is recorded IN the
+    atomically published manifest, and a commit whose tag already
+    exists in the log (or in the vacuum tombstones) is a no-op — so
+    a micro-batch re-delivered after a crash cannot publish a second
+    version: a crash before publish left nothing behind (re-commit
+    is correct), a crash after publish left the tag in place
+    (re-commit is suppressed).  The exactly-once property the
+    persisted_* rollup sinks get from dynamic partition overwrite,
+    at table-commit granularity.  Returns the committed version, or
+    None when the tag was already committed."""
+    if tag in _committed_tags(table_dir):
+        return None
+    return write_snapshot(df, table_dir, mode=mode, tag=tag)
+
+
+def vacuum_snapshots(table_dir: str, keep: int = 2,
+                     min_age_s: float = 3600.0) -> int:
     """Retention: drop all but the last ``keep`` versions and delete
     commit directories no surviving manifest references — the VACUUM
     half of the table-format lifecycle.  Readers pinned to a
     surviving version are untouched (their dirs remain); readers of
-    vacuumed versions would fail loudly, which is the retention
-    contract every table format has.  Returns the number of commit
-    dirs removed."""
+    vacuumed versions fail loudly, which is the retention contract
+    every table format has.  Two safety rails:
+
+    - only commit dirs OLDER than ``min_age_s`` are deleted — an
+      in-flight writer stages its data dir BEFORE publishing the
+      manifest, so an unreferenced young dir may be a commit about
+      to happen, not garbage (the same retention horizon real table
+      formats vacuum behind);
+    - vacuumed versions' idempotency tags move to a tombstone file,
+      so a stream replayed after retention still treats its old
+      batches as committed.
+
+    Returns the number of commit dirs removed."""
     import json
     import shutil
+    import time
+    import uuid
 
     vs = _snap_versions(table_dir)
     mdir = os.path.join(table_dir, SNAP_MANIFESTS)
-    survivors, doomed = vs[-keep:] if keep else [], vs[:-keep] if keep else vs
+    survivors = vs[-keep:] if keep else []
+    doomed = vs[:-keep] if keep else vs
     live: set[str] = set()
     for v in survivors:
         with open(os.path.join(mdir, f"v{v}.json")) as fh:
             live.update(json.load(fh)["dirs"])
+    # tombstone the doomed versions' tags BEFORE removing manifests
+    # (crash between the two steps must err toward suppression)
+    doomed_tags: set[str] = set()
+    for v in doomed:
+        with open(os.path.join(mdir, f"v{v}.json")) as fh:
+            t = json.load(fh).get("tag")
+            if t is not None:
+                doomed_tags.add(t)
+    if doomed_tags:
+        ts = os.path.join(mdir, SNAP_TOMBSTONES)
+        have: set[str] = set()
+        if os.path.exists(ts):
+            with open(ts) as fh:
+                have = set(json.load(fh))
+        tmp = ts + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(sorted(have | doomed_tags), fh)
+        os.replace(tmp, ts)                    # atomic swap
     removed = 0
+    now = time.time()
     data = os.path.join(table_dir, "data")
     for d in os.listdir(data) if os.path.isdir(data) else []:
-        if d not in live:
-            shutil.rmtree(os.path.join(data, d), ignore_errors=True)
+        p = os.path.join(data, d)
+        if d not in live and now - os.path.getmtime(p) >= min_age_s:
+            shutil.rmtree(p, ignore_errors=True)
             removed += 1
     for v in doomed:
         os.remove(os.path.join(mdir, f"v{v}.json"))

@@ -72,3 +72,40 @@ def test_datasource_writer_byte_parity(segs, tmp_path):
     assert man["n_objects"] == 2
     assert {tuple(k[:2]) for k in man["objects"]} == \
         {(-2061585, 1922805), (-2058585, 1922805)}
+
+
+def test_datasource_writer_overwrite_and_abort_safety(segs, tmp_path):
+    """Overwrite mode removes committed objects absent from the job
+    (directory equals the manifest); abort of a new job deletes only
+    its OWN staged temps — a previously committed object survives a
+    failed successor job untouched."""
+    from pyspark.sql import functions as FF
+
+    from lcmap_blackmagic_spark.sources.objectsink import (
+        ObjectsCommit, _ObjectsWriter, write_objects)
+
+    root = str(tmp_path / "store")
+    write_objects(segs, root, "segment")
+    base = tmp_path / "store" / "segment"
+    assert len([f for f in os.listdir(base)
+                if f.endswith(".json") and not f.startswith("_")]) == 2
+    # overwrite with only one chip's rows: the other object goes
+    one = segs.filter(FF.col("cx") == -2061585)
+    write_objects(one, root, "segment", mode="overwrite")
+    names = [f for f in os.listdir(base)
+             if f.endswith(".json") and not f.startswith("_")]
+    assert names == ["-2061585-1922805.json"]
+    man = json.loads((base / "_manifest.json").read_text())
+    assert man["n_objects"] == 1
+
+    # abort safety: a failed successor job must not touch the
+    # committed object — only its own temp
+    before = (base / "-2061585-1922805.json").read_bytes()
+    w = _ObjectsWriter({"root": root, "entity": "segment"},
+                       overwrite=False)
+    staged = w._tmp(-2061585, 1922805)
+    with open(staged, "wb") as f:
+        f.write(b"partial")
+    w.abort([ObjectsCommit(keys=[(-2061585, 1922805, 3)])])
+    assert not os.path.exists(staged)
+    assert (base / "-2061585-1922805.json").read_bytes() == before

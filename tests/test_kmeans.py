@@ -38,6 +38,11 @@ def test_converges_and_recovers_blobs(blobs):
     assert all(len(v) == 1 and v[0] == 60 for v in per_cid.values())
 
 
+def test_rejects_k_above_distinct_ids(blobs):
+    with pytest.raises(ValueError, match="distinct ids"):
+        kmeans_fit(blobs.limit(3), k=8)
+
+
 def test_deterministic_across_runs_and_partitionings(blobs):
     a = kmeans_fit(blobs, k=3, max_iters=15)
     b = kmeans_fit(blobs.repartition(13), k=3, max_iters=15)

@@ -91,8 +91,14 @@ def test_vacuum_keeps_recent_versions_only(spark):
     for lo in (0, 10, 20, 30):
         storage.write_snapshot(
             spark.range(lo, lo + 2).select(F.col("id").alias("v")), t)
-    removed = storage.vacuum_snapshots(t, keep=2)
-    assert removed == 2                        # v1, v2 commit dirs
+    # an unreferenced YOUNG dir (an in-flight commit staging its
+    # data before publishing) must survive the default horizon
+    inflight = os.path.join(t, "data", "c-inflight")
+    os.makedirs(inflight)
+    assert storage.vacuum_snapshots(t, keep=4) == 0
+    assert os.path.isdir(inflight)
+    removed = storage.vacuum_snapshots(t, keep=2, min_age_s=0)
+    assert removed == 3                # v1, v2 commit dirs + inflight
     # survivors read fine; vacuumed versions are gone from the log
     assert _vals(storage.read_snapshot(spark, t, version=4)) == [30, 31]
     assert _vals(storage.read_snapshot(spark, t, version=3)) == [20, 21]
@@ -100,6 +106,27 @@ def test_vacuum_keeps_recent_versions_only(spark):
     import pytest as _pt
     with _pt.raises(FileNotFoundError):
         storage.read_snapshot(spark, t, version=1)
+
+
+def test_vacuum_tombstones_keep_suppressing_replays(spark):
+    """A vacuumed version's tag must still suppress a replayed
+    commit — otherwise a stream re-run after retention would append
+    its old batches again and double-count."""
+    t = tempfile.mkdtemp(prefix="snap_")
+    for b in range(3):
+        storage.write_snapshot_tagged(
+            spark.range(b * 10, b * 10 + 2)
+            .select(F.col("id").alias("v")), t, f"batch-{b}")
+    storage.vacuum_snapshots(t, keep=1, min_age_s=0)
+    assert storage._snap_versions(t) == [3]
+    # replaying every batch: all suppressed, log unchanged
+    for b in range(3):
+        assert storage.write_snapshot_tagged(
+            spark.range(b * 10, b * 10 + 2)
+            .select(F.col("id").alias("v")), t, f"batch-{b}") is None
+    assert storage.latest_version(t) == 3
+    assert _vals(storage.read_snapshot(spark, t)) == \
+        [0, 1, 10, 11, 20, 21]
 
 
 def test_append_with_added_column_schema_evolution(spark):
