@@ -143,3 +143,68 @@ def test_append_with_added_column_schema_evolution(spark):
     df = storage.read_snapshot(spark, t, merge_schema=True)
     rows = {(r["v"], r["extra"]) for r in df.collect()}
     assert rows == {(0, None), (1, None), (5, 50), (6, 60)}
+
+
+# ---- property test: random op sequences vs a model ----------------
+
+def test_random_op_sequences_match_model(spark):
+    """Hypothesis drives random write/tagged/vacuum sequences and a
+    pure-Python model tracks what every surviving version must
+    contain — the protocol invariants (append lineage, overwrite
+    reset, tag suppression incl. tombstones, vacuum survivorship)
+    hold on every path, not just the handcrafted ones."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    op = st.one_of(
+        st.tuples(st.just("write"), st.sampled_from(["overwrite",
+                                                     "append"]),
+                  st.integers(0, 5)),
+        st.tuples(st.just("tagged"), st.just("append"),
+                  st.integers(0, 3)),          # tag id (collisions!)
+        st.tuples(st.just("vacuum"), st.integers(1, 3), st.just(0)))
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.lists(op, min_size=3, max_size=8))
+    def run(ops):
+        t = tempfile.mkdtemp(prefix="snap_prop_")
+        model: dict[int, list[int]] = {}       # version -> values
+        seen_tags: set[str] = set()
+        nxt = 0
+        for kind, a, b in ops:
+            if kind == "write":
+                vals = list(range(nxt, nxt + 2))
+                nxt += 2
+                df = spark.createDataFrame([(v,) for v in vals],
+                                           "v long")
+                ver = storage.write_snapshot(df, t, mode=a)
+                prev = model.get(ver - 1, []) if a == "append" else []
+                model[ver] = prev + vals
+            elif kind == "tagged":
+                tag = f"t{b}"
+                vals = list(range(nxt, nxt + 2))
+                df = spark.createDataFrame([(v,) for v in vals],
+                                           "v long")
+                ver = storage.write_snapshot_tagged(df, t, tag)
+                if tag in seen_tags:
+                    assert ver is None          # replay suppressed
+                else:
+                    assert ver is not None
+                    nxt += 2
+                    seen_tags.add(tag)
+                    model[ver] = model.get(ver - 1, []) + vals
+            else:                               # vacuum keep=a
+                if not model:
+                    continue
+                storage.vacuum_snapshots(t, keep=a, min_age_s=0)
+                survivors = sorted(model)[-a:]
+                model = {v: model[v] for v in survivors}
+        # every surviving version reads exactly its model contents
+        for ver, vals in model.items():
+            assert _vals(storage.read_snapshot(spark, t, ver)) == \
+                sorted(vals), f"version {ver}"
+        if model:
+            assert storage.latest_version(t) == max(model)
+
+    run()
