@@ -153,16 +153,23 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — warm fixture only; continue
             pass
 
-    # best-of-2: steady-state timing is what matters (GC pauses and
-    # JIT recompiles produced 2-6× outliers on the heavy queries);
-    # the min of two runs is the standard way to report it.
+    # median-of-3: steady-state timing is what matters (GC pauses,
+    # JIT recompiles, and first-touch parquet footer reads produced
+    # 2-6× outliers on whichever heavy query ran first — round 6's
+    # artifact showed a 3.9× phantom regression on UNTOUCHED code).
+    # The first run doubles as the sf_dir warm-up (the sf0.001 pass
+    # above only compiles codegen; it never touches these files), and
+    # the median absorbs any one outlier in either direction.  The
+    # full [min, median, max] spread is recorded per query so a
+    # round-over-round diff can tell noise from regression.
     per_query: dict[str, object] = {}
+    spread: dict[str, list] = {}
     total = 0.0
     for name in HEADLINE:
         fn = QUERIES[name]["fn"]
         runs = []
         try:
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 materialize(fn(spark, sf_dir))
                 runs.append(time.perf_counter() - t0)
@@ -170,8 +177,10 @@ def main() -> None:
             per_query[name] = {
                 "err": f"{type(exc).__name__}: {exc}".splitlines()[0][:300]}
             continue
-        dt = round(min(runs), 3)
+        runs.sort()
+        dt = round(runs[1], 3)                  # median of 3
         per_query[name] = dt
+        spread[name] = [round(runs[0], 3), dt, round(runs[-1], 3)]
         total += dt
 
     out = {
@@ -179,6 +188,7 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,
+        "spread": spread,
         "sf": sf,
     }
     failed = sorted(n for n, v in per_query.items() if isinstance(v, dict))

@@ -46,8 +46,14 @@ def kmeans_fit(df: DataFrame, k: int = 8, max_iters: int = 10,
     "assign": DataFrame(id, cid)}``.  Convergence = the integer
     centroid grid is EXACTLY unchanged (no epsilon tuning); the
     returned assignment/inertia are the E-step evaluated against
-    the RETURNED centroids.  Coordinate magnitudes must keep
-    dim·(2·|x|·2^20)² inside int64 — |x| up to ~10^3 at dim 64."""
+    the RETURNED centroids.  All distance / coordinate / inertia
+    sums accumulate in DECIMAL(38,0) (exact, order-independent), so
+    the only magnitude bound is the quantization itself: each
+    per-axis term (2·|x|·2^20)² and each quantized coordinate must
+    fit int64 BEFORE the widening cast — |x| up to ~2.9·10^3.  A
+    long accumulator here would wrap silently at dim 64 past
+    |x|≈181 (Spark sums longs without overflow checks outside ANSI
+    mode), which is why the widen-before-sum is not optional."""
     spark = df.sparkSession
     long = _long_form(df, id_col, vec_col)
     if staging_dir:
@@ -75,10 +81,14 @@ def kmeans_fit(df: DataFrame, k: int = 8, max_iters: int = 10,
             [(cid, i, c[i]) for cid, c in enumerate(qcent)
              for i in range(dim)], "cid int, i int, qc long"))
         d = F.col("q") - F.col("qc")
-        # E-step: exact integer distance; min (dist, cid) struct —
-        # one deterministic winner regardless of partitioning
+        # E-step: exact integer distance; the per-axis square fits
+        # int64 for |x| up to ~2.9e3, but the SUM over dim would wrap
+        # at |x|~181 (dim 64) — widen to decimal(38,0) before
+        # summing.  Decimal sums are exact and order-independent, so
+        # the determinism contract holds unchanged.
         best = (long.join(cdf, "i")
-                .groupBy("id", "cid").agg(F.sum(d * d).alias("dist"))
+                .groupBy("id", "cid")
+                .agg(F.sum((d * d).cast("decimal(38,0)")).alias("dist"))
                 .groupBy("id")
                 .agg(F.min(F.struct("dist", "cid")).alias("b"))
                 .select("id", F.col("b.cid").alias("cid"),
@@ -91,12 +101,16 @@ def kmeans_fit(df: DataFrame, k: int = 8, max_iters: int = 10,
         stats = (long.join(best.select("id", "cid"), "id")
                  .groupBy("cid", "i")
                  .agg(F.count(F.lit(1)).alias("n"),
-                      F.sum("q").alias("s"))
+                      # same wrap risk as the E-step at corpus scale
+                      # (n·|q| can pass int64) — widen before sum
+                      F.sum(F.col("q").cast("decimal(38,0)"))
+                      .alias("s"))
                  .collect())
         qnew: dict[tuple, int] = {}
         for r in stats:
             # quantized mean: one exact integer division per cell
-            qnew[(r["cid"], r["i"])] = r["s"] // r["n"]
+            # (s arrives as Decimal — floor-divide in exact ints)
+            qnew[(r["cid"], r["i"])] = int(r["s"]) // r["n"]
         # converged (grid unchanged) or out of budget: stop WITHOUT
         # applying a further update, so the returned centroids are
         # exactly the matrix `assign` was evaluated against

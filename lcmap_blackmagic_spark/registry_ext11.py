@@ -912,12 +912,14 @@ def q_src_snapshot(spark, sf_dir):
         (F.col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("bigint").alias("cents"))
     table = _staging(sf_dir, "snap_orders")
-    # no cleanup between builds ON PURPOSE: every build appends two
-    # more versions and the overwrite commit makes LATEST = exactly
-    # this build's pair, while plans pinned to older versions keep
-    # reading their own commit dirs — the store's immutability doing
-    # the double-run-stability work other staged queries need
-    # overwrite discipline for
+    # double-run stability WITHIN a process: running this query
+    # twice appends two more versions, and the overwrite commit
+    # makes LATEST = exactly this run's pair while plans pinned to
+    # older versions keep reading their own commit dirs — the
+    # store's immutability doing the work other staged queries need
+    # overwrite discipline for.  (Cross-build accumulation doesn't
+    # arise: _staging is per-(uid,pid) and atexit-reaped, so each
+    # process starts from an empty table dir.)
     write_snapshot(o.filter(F.col("o_orderkey") % 2 == 0), table)
     write_snapshot(o.filter(F.col("o_orderkey") % 2 == 1), table,
                    mode="append")

@@ -14,21 +14,29 @@ DataFrame writer does::
        .mode("append").save())
 
 The commit protocol is genuinely all-or-nothing: tasks STAGE each
-object under a job-unique temp name, the driver-side ``commit``
-atomically renames every staged object into place (overwriting any
-stale prior object only at commit time), then publishes a job
-manifest listing every object; ``abort`` deletes only this job's
-temp files — previously committed objects are NEVER touched by a
-failed job (the first cut wrote finals directly and its abort
-destroyed prior commits).  ``mode("overwrite")`` additionally
-removes committed objects absent from this job, so the directory
-equals the manifest.  Object BYTES are identical to the
-storage-module sink (pinned by tests): same sorted-record JSON,
-same gzip body.
+object under a (job, task-attempt)-unique temp name — the attempt
+component means a speculative/zombie first attempt and its retry
+never write the same temp file, so no interleaved bytes can ever be
+renamed into place — and each task reports its own staged names in
+its commit message.  The driver-side ``commit`` first DEDUPES keys
+(a split chip staged by two tasks keeps one deterministic winner —
+the largest attempt token, i.e. the latest attempt — and the loser
+temps are deleted, so no second-rename FileNotFoundError can strand
+a partial commit), atomically renames every winning object into
+place (overwriting any stale prior object only at commit time),
+then publishes a job manifest listing every object; ``abort``
+deletes only this job's temp files — previously committed objects
+are NEVER touched by a failed job (the first cut wrote finals
+directly and its abort destroyed prior commits).
+``mode("overwrite")`` additionally removes committed objects absent
+from this job, so the directory equals the manifest.  Decompressed
+object PAYLOADS are identical to the storage-module sink (pinned by
+tests), and both sinks gzip with ``mtime=0`` so the raw bytes are
+deterministic across reruns too.
 
 One object per chip requires each chip's rows in ONE task — callers
 repartition by the chip key first (``write_objects`` below does);
-otherwise the last task to stage a split key wins with a partial
+otherwise the last attempt to stage a split key wins with a partial
 object, the same contract every object sink has.
 """
 
@@ -43,7 +51,7 @@ from pyspark.sql.datasource import (DataSource, DataSourceWriter,
 
 @dataclass
 class ObjectsCommit(WriterCommitMessage):
-    keys: list  # [(x, y, n_records)] staged by this task
+    keys: list  # [(x, y, n_records, attempt_token)] staged by this task
 
 
 class ChipObjectsDataSource(DataSource):
@@ -62,14 +70,31 @@ class _ObjectsWriter(DataSourceWriter):
         self.overwrite = overwrite
         self.token = uuid.uuid4().hex[:12]      # job-unique stage tag
 
-    def _tmp(self, x: int, y: int) -> str:
+    def _tmp(self, x: int, y: int, attempt: str) -> str:
         import os
-        return os.path.join(self.root, self.entity,
-                            f"{x}-{y}.json.{self.token}.tmp")
+        return os.path.join(
+            self.root, self.entity,
+            f"{x}-{y}.json.{self.token}.{attempt}.tmp")
 
     def _final(self, x: int, y: int) -> str:
         import os
         return os.path.join(self.root, self.entity, f"{x}-{y}.json")
+
+    @staticmethod
+    def _attempt_token() -> str:
+        """Task-attempt-unique stage token: a retry and its zombie
+        predecessor must never share a temp path.  Zero-padded so
+        larger attempt ids sort lexicographically larger (the
+        commit-time last-wins tiebreak); falls back to a uuid when
+        no TaskContext exists (driver-side unit tests)."""
+        try:
+            from pyspark import TaskContext
+            tc = TaskContext.get()
+            if tc is not None:
+                return f"{tc.taskAttemptId():020d}"
+        except Exception:
+            pass
+        return "u" + uuid.uuid4().hex[:16]
 
     def write(self, iterator) -> ObjectsCommit:
         import gzip
@@ -80,6 +105,7 @@ class _ObjectsWriter(DataSourceWriter):
         kx, ky = PARTITION_KEYS[self.entity]
         os.makedirs(os.path.join(self.root, self.entity),
                     exist_ok=True)
+        attempt = self._attempt_token()
         groups: dict[tuple, list] = {}
         for row in iterator:
             d = row.asDict()
@@ -89,20 +115,38 @@ class _ObjectsWriter(DataSourceWriter):
             records = sorted(
                 ({c: _jsonable(v) for c, v in r.items()} for r in recs),
                 key=lambda r: json.dumps(r, sort_keys=True))
-            body = gzip.compress(json.dumps(records).encode("utf-8"))
-            with open(self._tmp(x, y), "wb") as f:
+            # mtime=0 → raw bytes deterministic (and identical to the
+            # storage-module sink, which pins the same flag)
+            body = gzip.compress(json.dumps(records).encode("utf-8"),
+                                 mtime=0)
+            with open(self._tmp(x, y, attempt), "wb") as f:
                 f.write(body)
-            keys.append((x, y, len(records)))
+            keys.append((x, y, len(records), attempt))
         return ObjectsCommit(keys=keys)
 
     def commit(self, messages) -> None:
         import json
         import os
-        keys = sorted(k for m in messages if m for k in m.keys)
-        for x, y, _ in keys:
-            os.replace(self._tmp(x, y), self._final(x, y))
+        staged = sorted(k for m in messages if m for k in m.keys)
+        # dedupe split-chip keys BEFORE renaming: one winner per
+        # (x, y) — the largest attempt token (latest attempt) — so a
+        # duplicate key can't raise FileNotFoundError mid-commit and
+        # strand a partial rename set.  Loser temps are removed.
+        winners: dict[tuple, tuple] = {}
+        for x, y, n, att in staged:
+            prev = winners.get((x, y))
+            if prev is None or att > prev[3]:
+                winners[(x, y)] = (x, y, n, att)
+        for x, y, n, att in staged:
+            if winners[(x, y)][3] != att:
+                p = self._tmp(x, y, att)
+                if os.path.exists(p):
+                    os.remove(p)
+        keys = sorted(winners.values())
+        for x, y, _, att in keys:
+            os.replace(self._tmp(x, y, att), self._final(x, y))
         if self.overwrite:
-            committed = {f"{x}-{y}.json" for x, y, _ in keys}
+            committed = {f"{x}-{y}.json" for x, y, _, _ in keys}
             base = os.path.join(self.root, self.entity)
             for f in os.listdir(base):
                 if f.endswith(".json") and not f.startswith("_") \
@@ -112,15 +156,16 @@ class _ObjectsWriter(DataSourceWriter):
                                 "_manifest.json")
         with open(manifest, "w") as f:
             json.dump({"entity": self.entity, "n_objects": len(keys),
-                       "objects": keys}, f)
+                       "objects": [[x, y, n] for x, y, n, _ in keys]},
+                      f)
 
     def abort(self, messages) -> None:
         import os
         for m in messages:
             if not m:
                 continue
-            for x, y, _ in m.keys:
-                p = self._tmp(x, y)
+            for x, y, _, att in m.keys:
+                p = self._tmp(x, y, att)
                 if os.path.exists(p):
                     os.remove(p)
 

@@ -134,7 +134,10 @@ def write_chip_json_objects(df: DataFrame, root: str, entity: str) -> int:
             ({c: _jsonable(v) for c, v in zip(pdf.columns, row)}
              for row in pdf.itertuples(index=False, name=None)),
             key=lambda r: json.dumps(r, sort_keys=True))
-        body = gzip.compress(json.dumps(records).encode("utf-8"))
+        # mtime=0: gzip otherwise stamps wall-clock time into the
+        # header, so raw object bytes would differ across reruns
+        body = gzip.compress(json.dumps(records).encode("utf-8"),
+                             mtime=0)
         path = os.path.join(out_base, f"{x}-{y}.json")
         with open(path, "wb") as f:
             f.write(body)
@@ -352,7 +355,8 @@ def latest_version(table_dir: str) -> int | None:
 
 def write_snapshot(df: DataFrame, table_dir: str,
                    mode: str = "overwrite",
-                   tag: str | None = None) -> int:
+                   tag: str | None = None,
+                   dedupe_tag: bool = False) -> int | None:
     """Transactional snapshot write — the minimal table-format
     commit protocol (what Delta/Iceberg do under their logs),
     expressed with nothing but parquet + one JSON manifest:
@@ -373,8 +377,19 @@ def write_snapshot(df: DataFrame, table_dir: str,
     Readers pin a version with ``read_snapshot(..., version=n)`` —
     TIME TRAVEL over the unchanged old commit dirs.  On an object
     store the link maps to a put-if-absent of the full body;
-    everything else is identical.  Returns the committed version."""
+    everything else is identical.  Returns the committed version.
+
+    ``dedupe_tag=True`` (used by ``write_snapshot_tagged``) re-checks
+    the tag INSIDE the retry loop: a writer that loses the os.link
+    race re-reads the log, and if the tag has meanwhile been
+    committed by the racing twin (a zombie driver replaying a
+    micro-batch alongside its successor), it aborts — deleting its
+    staged commit dir — and returns None instead of double-
+    publishing the batch.  A check only BEFORE staging would be
+    check-then-commit: the manifest link serializes version numbers,
+    not tags."""
     import json
+    import shutil
     import uuid
 
     if mode not in ("overwrite", "append"):
@@ -386,6 +401,10 @@ def write_snapshot(df: DataFrame, table_dir: str,
     os.makedirs(mdir, exist_ok=True)
     while True:
         vs = _snap_versions(table_dir)
+        if dedupe_tag and tag is not None \
+                and tag in _committed_tags(table_dir):
+            shutil.rmtree(data_dir, ignore_errors=True)
+            return None
         version = (vs[-1] + 1) if vs else 1
         dirs = [commit]
         if mode == "append" and vs:
@@ -470,10 +489,19 @@ def write_snapshot_tagged(df: DataFrame, table_dir: str, tag: str,
     (re-commit is suppressed).  The exactly-once property the
     persisted_* rollup sinks get from dynamic partition overwrite,
     at table-commit granularity.  Returns the committed version, or
-    None when the tag was already committed."""
+    None when the tag was already committed.
+
+    The tag check runs twice: here (fast path — skip staging
+    entirely) AND inside ``write_snapshot``'s publish-retry loop
+    (``dedupe_tag=True``), which closes the check-then-commit window
+    where two concurrent writers with the same tag both pass this
+    precheck: the one that loses the manifest-link race re-reads the
+    log, sees the tag, and aborts instead of publishing a second
+    tagged version."""
     if tag in _committed_tags(table_dir):
         return None
-    return write_snapshot(df, table_dir, mode=mode, tag=tag)
+    return write_snapshot(df, table_dir, mode=mode, tag=tag,
+                          dedupe_tag=True)
 
 
 def vacuum_snapshots(table_dir: str, keep: int = 2,

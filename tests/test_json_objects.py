@@ -46,7 +46,9 @@ def test_bytes_are_gzip_json_and_deterministic(segs, tmp_path):
         # the reference stores gzip bodies under the .json key
         payload = json.loads(gzip.decompress(raw_a))
         assert isinstance(payload, list)
-        assert gzip.decompress(raw_a) == gzip.decompress(raw_b)
+        # RAW bytes, not just payloads: gzip runs with mtime=0, so
+        # no wall-clock timestamp leaks into the header
+        assert raw_a == raw_b
 
 
 # ---- DataSource-writer twin (Spark 4 sink API) --------------------
@@ -66,8 +68,9 @@ def test_datasource_writer_byte_parity(segs, tmp_path):
                      if not f.startswith("_"))
     assert names_a == names_b
     for name in names_a:
-        assert gzip.decompress((a / "segment" / name).read_bytes()) \
-            == gzip.decompress((b / "segment" / name).read_bytes())
+        # raw-byte parity (both sinks gzip with mtime=0)
+        assert (a / "segment" / name).read_bytes() \
+            == (b / "segment" / name).read_bytes()
     man = json.loads((b / "segment" / "_manifest.json").read_text())
     assert man["n_objects"] == 2
     assert {tuple(k[:2]) for k in man["objects"]} == \
@@ -103,9 +106,40 @@ def test_datasource_writer_overwrite_and_abort_safety(segs, tmp_path):
     before = (base / "-2061585-1922805.json").read_bytes()
     w = _ObjectsWriter({"root": root, "entity": "segment"},
                        overwrite=False)
-    staged = w._tmp(-2061585, 1922805)
+    att = f"{42:020d}"
+    staged = w._tmp(-2061585, 1922805, att)
     with open(staged, "wb") as f:
         f.write(b"partial")
-    w.abort([ObjectsCommit(keys=[(-2061585, 1922805, 3)])])
+    w.abort([ObjectsCommit(keys=[(-2061585, 1922805, 3, att)])])
     assert not os.path.exists(staged)
     assert (base / "-2061585-1922805.json").read_bytes() == before
+
+
+def test_datasource_commit_dedupes_split_keys(tmp_path):
+    """A chip key staged by TWO task attempts (split chip, or a
+    zombie attempt racing its retry) must commit exactly one object
+    — the latest attempt wins deterministically, the loser temp is
+    cleaned up, and no FileNotFoundError strands a partial commit.
+    Attempt-unique temp names are what make the two stagings
+    non-interfering in the first place."""
+    from lcmap_blackmagic_spark.sources.objectsink import (
+        ObjectsCommit, _ObjectsWriter)
+
+    root = str(tmp_path)
+    w = _ObjectsWriter({"root": root, "entity": "segment"},
+                       overwrite=False)
+    os.makedirs(tmp_path / "segment", exist_ok=True)
+    a1, a2 = f"{7:020d}", f"{9:020d}"
+    assert w._tmp(1, 2, a1) != w._tmp(1, 2, a2)  # attempts never collide
+    with open(w._tmp(1, 2, a1), "wb") as f:
+        f.write(b"old-attempt")
+    with open(w._tmp(1, 2, a2), "wb") as f:
+        f.write(b"new-attempt")
+    w.commit([ObjectsCommit(keys=[(1, 2, 3, a1)]),
+              ObjectsCommit(keys=[(1, 2, 3, a2)])])
+    base = tmp_path / "segment"
+    assert (base / "1-2.json").read_bytes() == b"new-attempt"
+    assert not os.path.exists(w._tmp(1, 2, a1))
+    assert not os.path.exists(w._tmp(1, 2, a2))
+    man = json.loads((base / "_manifest.json").read_text())
+    assert man["n_objects"] == 1 and man["objects"] == [[1, 2, 3]]

@@ -86,6 +86,29 @@ def test_tagged_commit_is_replay_idempotent(spark):
     assert _vals(storage.read_snapshot(spark, t)) == [0, 1, 2, 10, 11]
 
 
+def test_tagged_commit_race_rechecks_inside_publish_loop(spark):
+    """Two concurrent writers with the same tag can BOTH pass the
+    precheck in write_snapshot_tagged (check-then-commit).  The fix
+    re-checks the tag inside write_snapshot's publish-retry loop:
+    a writer that staged its data AFTER the rival's tag landed must
+    abort (return None), publish nothing, and clean up its staged
+    commit dir.  Simulated by entering write_snapshot directly with
+    dedupe_tag=True — i.e. a writer past the precheck — against a
+    log where the tag already exists."""
+    t = tempfile.mkdtemp(prefix="snap_")
+    df = spark.range(4).select(F.col("id").alias("v"))
+    assert storage.write_snapshot_tagged(df, t, "batch-7") == 1
+    # rival writer, already past its (stale) precheck:
+    lost = storage.write_snapshot(
+        spark.range(100, 104).select(F.col("id").alias("v")), t,
+        mode="append", tag="batch-7", dedupe_tag=True)
+    assert lost is None
+    assert storage.latest_version(t) == 1          # no double publish
+    assert _vals(storage.read_snapshot(spark, t)) == [0, 1, 2, 3]
+    # the loser's staged commit dir is reaped — only v1's dir remains
+    assert len(os.listdir(os.path.join(t, "data"))) == 1
+
+
 def test_vacuum_keeps_recent_versions_only(spark):
     t = tempfile.mkdtemp(prefix="snap_")
     for lo in (0, 10, 20, 30):
