@@ -122,6 +122,11 @@ HEADLINE = [
     "label_propagation",
     "kcenter_diverse",
     "llm_trainprep",
+    # round-7 wave: scale-safe twins of the low-cardinality-partition
+    # window family — pyramid rank ratios and the day-rekeyed exact
+    # rolling z-score
+    "rank_ratios_bp",
+    "rolling_zscore_bp",
 ]
 
 

@@ -741,9 +741,14 @@ def q_kcenter_diverse(spark, sf_dir):
     centers = [coords(seed_id)]
     picked = [(0, int(seed_id), None)]
     for r in range(1, KC_K):
+        # ONE pass per round: the winner row arrives with its 64
+        # coordinates (collect_list'd on the j=0 branch of the same
+        # aggregate), so no per-pick coordinate re-scan of the
+        # corpus — round 6's second full parquet pass per round
         far = (kcenter_round(longq, centers)
                .orderBy(F.desc("d"), "vec_id").limit(1).collect()[0])
-        centers.append(coords(far["vec_id"]))
+        centers.append({int(p["i"]): int(p["qv"])
+                        for p in far["coords"]})
         picked.append((r, int(far["vec_id"]), int(far["d"])))
     return spark.createDataFrame(
         picked, "sel_round int, vec_id long, d2 long")
@@ -751,11 +756,18 @@ def q_kcenter_diverse(spark, sf_dir):
 
 def kcenter_round(long_df, centers) -> "F.DataFrame":
     """ONE lazy greedy round: per-vector min distance to the chosen
-    centers — (vec_id, d).  Split out of q_kcenter_diverse because
-    the selection loop must execute eagerly (each pick feeds the
-    next round), which makes the registry-level plan audit see only
-    the final 8-row literal: tests/test_plan_shapes.py audits THIS
-    plan instead (broadcast center join, no cartesian/row-UDF/global
+    centers — (vec_id, d, coords) where coords is the vector's own
+    quantized coordinates, riding along so the caller's TakeOrdered
+    pick needs NO second corpus scan to re-fetch the winner.  The
+    coordinates are collect_list'd only on the j=0 branch (the
+    long-form join duplicates each (vec_id, i) row once per center;
+    the when() guard keeps exactly one copy, and collect_list skips
+    the nulls from the other branches), then flattened in the
+    second aggregate.  Split out of q_kcenter_diverse because the
+    selection loop must execute eagerly (each pick feeds the next
+    round), which makes the registry-level plan audit see only the
+    final 8-row literal: tests/test_plan_shapes.py audits THIS plan
+    instead (broadcast center join, no cartesian/row-UDF/global
     window)."""
     spark = long_df.sparkSession
     cdf = spark.createDataFrame(
@@ -764,8 +776,13 @@ def kcenter_round(long_df, centers) -> "F.DataFrame":
     diff = F.col("qv") - F.col("cv")
     return (long_df.join(F.broadcast(cdf), "i")
             .groupBy("vec_id", "j")
-            .agg(F.sum(diff * diff).alias("dj"))
-            .groupBy("vec_id").agg(F.min("dj").alias("d")))
+            .agg(F.sum(diff * diff).alias("dj"),
+                 F.collect_list(
+                     F.when(F.col("j") == 0,
+                            F.struct("i", "qv"))).alias("cl"))
+            .groupBy("vec_id")
+            .agg(F.min("dj").alias("d"),
+                 F.flatten(F.collect_list("cl")).alias("coords")))
 
 
 def _sql_kcenter() -> str:

@@ -353,10 +353,39 @@ def latest_version(table_dir: str) -> int | None:
     return vs[-1] if vs else None
 
 
+SNAP_STATS_MAX_COLS = 32   # Delta's dataSkippingNumIndexedCols default
+
+
+def _snap_commit_stats(spark: SparkSession, data_dir: str) -> dict:
+    """Per-commit column min/max for data skipping, computed from
+    the files ACTUALLY WRITTEN (read-back, not the input plan, so
+    the stats describe what is on disk).  JSON-native orderable
+    types only (int/float/string/bool — dates/timestamps are out of
+    scope, documented); capped at the first SNAP_STATS_MAX_COLS
+    eligible columns, the same bound Delta places on indexed stats
+    columns.  A column that is all-NULL in the commit records
+    [None, None] — distinguishable from 'no stats collected', and
+    prunable under any comparison predicate (NULL never satisfies
+    one)."""
+    back = spark.read.parquet(data_dir)
+    ok = ("tinyint", "smallint", "int", "bigint", "float", "double",
+          "string", "boolean")
+    cols = [f.name for f in back.schema.fields
+            if f.dataType.simpleString() in ok][:SNAP_STATS_MAX_COLS]
+    if not cols:
+        return {}
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+    row = back.agg(*aggs).collect()[0]
+    return {c: [row[f"mn_{c}"], row[f"mx_{c}"]] for c in cols}
+
+
 def write_snapshot(df: DataFrame, table_dir: str,
                    mode: str = "overwrite",
                    tag: str | None = None,
-                   dedupe_tag: bool = False) -> int | None:
+                   dedupe_tag: bool = False,
+                   collect_stats: bool = True) -> int | None:
     """Transactional snapshot write — the minimal table-format
     commit protocol (what Delta/Iceberg do under their logs),
     expressed with nothing but parquet + one JSON manifest:
@@ -397,6 +426,10 @@ def write_snapshot(df: DataFrame, table_dir: str,
     commit = f"c-{uuid.uuid4().hex[:12]}"
     data_dir = os.path.join(table_dir, "data", commit)
     df.write.mode("error").parquet(data_dir)
+    # per-commit min/max stats for read-side data skipping, computed
+    # once at write time from the files just written
+    stats = (_snap_commit_stats(df.sparkSession, data_dir)
+             if collect_stats else {})
     mdir = os.path.join(table_dir, SNAP_MANIFESTS)
     os.makedirs(mdir, exist_ok=True)
     while True:
@@ -407,10 +440,17 @@ def write_snapshot(df: DataFrame, table_dir: str,
             return None
         version = (vs[-1] + 1) if vs else 1
         dirs = [commit]
+        all_stats = {commit: stats}
         if mode == "append" and vs:
+            # carry forward BOTH the prior dirs and their stats —
+            # re-read inside the retry loop so a lost race appends
+            # onto whatever actually won
             with open(os.path.join(mdir, f"v{vs[-1]}.json")) as fh:
-                dirs = json.load(fh)["dirs"] + dirs
-        man = {"version": version, "mode": mode, "dirs": dirs}
+                prior = json.load(fh)
+            dirs = prior["dirs"] + dirs
+            all_stats = {**prior.get("stats", {}), **all_stats}
+        man = {"version": version, "mode": mode, "dirs": dirs,
+               "stats": all_stats}
         if tag is not None:
             man["tag"] = tag
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex[:12]}")
@@ -425,16 +465,61 @@ def write_snapshot(df: DataFrame, table_dir: str,
             os.remove(tmp)
 
 
+_SNAP_OPS = {
+    "=":  lambda lo, hi, v: lo <= v <= hi,
+    "==": lambda lo, hi, v: lo <= v <= hi,
+    "<":  lambda lo, hi, v: lo < v,          # some row may be < v
+    "<=": lambda lo, hi, v: lo <= v,
+    ">":  lambda lo, hi, v: hi > v,
+    ">=": lambda lo, hi, v: hi >= v,
+}
+
+
+def _snap_dir_may_match(stats: dict, col: str, op: str, value) -> bool:
+    """Conservative skip decision for one commit dir: False ONLY
+    when the recorded [min, max] proves no row can satisfy
+    ``col op value``.  Missing stats → True (dir predates stats, or
+    the column was past the indexing cap).  [None, None] (all-NULL
+    commit) → False for every comparison (NULL satisfies none).
+    Non-ASCII strings → True: Spark orders strings by UTF-8 bytes,
+    Python by code point — identical on ASCII, not provably so
+    beyond it, and pruning must never be wrong."""
+    if col not in stats:
+        return True
+    lo, hi = stats[col]
+    if lo is None and hi is None:
+        return False
+    for s in (lo, hi, value):
+        if isinstance(s, str) and not s.isascii():
+            return True
+    try:
+        return _SNAP_OPS[op](lo, hi, value)
+    except TypeError:       # cross-type comparison — don't prune
+        return True
+
+
 def read_snapshot(spark: SparkSession, table_dir: str,
                   version: int | None = None,
-                  merge_schema: bool = False) -> DataFrame:
+                  merge_schema: bool = False,
+                  where: tuple | None = None) -> DataFrame:
     """Read a pinned snapshot version (default: latest). The
     returned plan lists exactly the manifest's commit dirs, so later
     commits — even overwrites — cannot change what this DataFrame
     scans.  ``merge_schema=True`` unions the commit dirs' parquet
     schemas (SCHEMA EVOLUTION: an appended commit may add columns;
     older commits read them as NULL — additive evolution only, the
-    same contract Delta/Iceberg default to)."""
+    same contract Delta/Iceberg default to).
+
+    ``where=(col, op, value)`` with op in =,<,<=,>,>= is DATA
+    SKIPPING: commit dirs whose manifest min/max stats prove no row
+    can match are dropped from the scan BEFORE Spark ever lists
+    their files (Delta-style file skipping on the store's own
+    manifest), and the predicate is then applied to the surviving
+    dirs — so the result always equals the unpruned read plus the
+    same filter, pruning or not.  On a sorted- or partitioned-write
+    table a point lookup scans 1 of N commit dirs; on a table with
+    no clustering it degrades to the plain filtered read, never to a
+    wrong answer (missing/unprovable stats keep the dir)."""
     import json
 
     if version is None:
@@ -444,11 +529,32 @@ def read_snapshot(spark: SparkSession, table_dir: str,
     with open(os.path.join(table_dir, SNAP_MANIFESTS,
                            f"v{version}.json")) as fh:
         man = json.load(fh)
-    paths = [os.path.join(table_dir, "data", d) for d in man["dirs"]]
+    dirs = man["dirs"]
+    if where is not None:
+        col, op, value = where
+        if op not in _SNAP_OPS:
+            raise ValueError(f"unsupported skip predicate op {op!r}")
+        st = man.get("stats", {})
+        dirs = [d for d in dirs
+                if _snap_dir_may_match(st.get(d, {}), col, op, value)]
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", True)
-    return reader.parquet(*paths)
+    if where is not None and not dirs:
+        # every dir provably excluded: empty result, correct schema
+        full = [os.path.join(table_dir, "data", d)
+                for d in man["dirs"]]
+        base = reader.parquet(*full).limit(0)
+    else:
+        base = reader.parquet(*[os.path.join(table_dir, "data", d)
+                                for d in dirs])
+    if where is not None:
+        col, op, value = where
+        c, v = F.col(col), F.lit(value)
+        base = base.filter({"=": c == v, "==": c == v, "<": c < v,
+                            "<=": c <= v, ">": c > v,
+                            ">=": c >= v}[op])
+    return base
 
 
 SNAP_TOMBSTONES = "_vacuumed_tags.json"

@@ -109,6 +109,72 @@ def test_tagged_commit_race_rechecks_inside_publish_loop(spark):
     assert len(os.listdir(os.path.join(t, "data"))) == 1
 
 
+def test_data_skipping_prunes_commit_dirs(spark):
+    """Delta-style file skipping on the store's own manifest: a
+    point lookup on a table written in sorted key ranges must scan
+    exactly ONE of the N commit dirs — provable from inputFiles() —
+    and still return byte-identical rows to the unpruned read plus
+    the same filter."""
+    t = tempfile.mkdtemp(prefix="snap_")
+    for lo in (0, 100, 200, 300):
+        storage.write_snapshot(
+            spark.range(lo, lo + 100).select(F.col("id").alias("v")),
+            t, mode="append" if lo else "overwrite")
+    assert storage._snap_versions(t)[-1] == 4
+    pruned = storage.read_snapshot(spark, t, where=("v", "=", 250))
+    scanned = {f.split("/data/")[1].split("/")[0]
+               for f in pruned.inputFiles()}
+    assert len(scanned) == 1                    # 1 of 4 commit dirs
+    unpruned = storage.read_snapshot(spark, t).filter(F.col("v") == 250)
+    assert sorted(r["v"] for r in pruned.collect()) == \
+        sorted(r["v"] for r in unpruned.collect()) == [250]
+    # range predicate: only the 0-99 dir is provably excluded
+    rng = storage.read_snapshot(spark, t, where=("v", ">=", 180))
+    scanned = {f.split("/data/")[1].split("/")[0]
+               for f in rng.inputFiles()}
+    assert len(scanned) == 3
+    assert sorted(r["v"] for r in rng.collect()) == list(range(180, 400))
+
+
+def test_data_skipping_is_conservative(spark):
+    """Skipping must never change answers: an all-NULL commit is
+    prunable under any comparison; a dir with no stats for the
+    column (pre-stats manifest, simulated by stripping) is kept;
+    every-dir-excluded returns an empty frame with the right
+    schema."""
+    import json
+
+    t = tempfile.mkdtemp(prefix="snap_")
+    storage.write_snapshot(
+        spark.range(10).select(F.col("id").alias("v")), t)
+    storage.write_snapshot(
+        spark.range(1).select(F.lit(None).cast("bigint").alias("v")),
+        t, mode="append")
+    # all-NULL commit pruned for any comparison (NULL matches none)
+    got = storage.read_snapshot(spark, t, where=("v", "<", 5))
+    scanned = {f.split("/data/")[1].split("/")[0]
+               for f in got.inputFiles()}
+    assert len(scanned) == 1
+    assert sorted(r["v"] for r in got.collect()) == [0, 1, 2, 3, 4]
+    # strip stats from the manifest → dir must be KEPT (conservative)
+    mpath = os.path.join(t, storage.SNAP_MANIFESTS, "v2.json")
+    with open(mpath) as fh:
+        man = json.load(fh)
+    man["stats"] = {}
+    os.remove(mpath)
+    with open(mpath, "w") as fh:
+        json.dump(man, fh)
+    got = storage.read_snapshot(spark, t, where=("v", "=", 3))
+    assert len(got.inputFiles()) >= 2   # nothing pruned, still exact
+    assert [r["v"] for r in got.collect()] == [3]
+    # a predicate excluding every dir: empty result, schema intact
+    t2 = tempfile.mkdtemp(prefix="snap_")
+    storage.write_snapshot(
+        spark.range(10).select(F.col("id").alias("v")), t2)
+    none = storage.read_snapshot(spark, t2, where=("v", ">", 99))
+    assert none.collect() == [] and none.columns == ["v"]
+
+
 def test_vacuum_keeps_recent_versions_only(spark):
     t = tempfile.mkdtemp(prefix="snap_")
     for lo in (0, 10, 20, 30):
