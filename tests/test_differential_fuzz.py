@@ -680,3 +680,236 @@ def test_in_subqueries_agree_across_engines(engines2, i, neg, inner,
     got2 = spark.sql(sql2).first()[0]
     want2 = con.execute(sql2).fetchone()[0]
     assert got2 == want2, f"subq case {i} [{neg}EXISTS]"
+
+
+# ---- collection-function differential fuzz ------------------------
+
+COLL_CASES = 52
+
+
+def _coll_elems(rng: random.Random, n: int, nullable: bool):
+    """n element expressions spelled ONCE (shared ANSI), each a
+    BIGINT derived from lineitem columns; nullable ones gap out on a
+    per-element modulus so null positions differ across elements."""
+    out = []
+    for j in range(n):
+        if nullable and rng.random() < 0.5:
+            m = rng.randint(2, 4)
+            out.append(f"(CASE WHEN (l_partkey + {j}) % {m} = 0 "
+                       f"THEN CAST(NULL AS BIGINT) "
+                       f"ELSE CAST(l_suppkey % 50 + {j} AS BIGINT) END)")
+        else:
+            k = rng.randint(1, 7)
+            out.append(f"CAST((l_partkey + {j * k}) % 40 AS BIGINT)")
+    return out
+
+
+def _coll_arrays(rng: random.Random, n: int, nullable: bool):
+    elems = _coll_elems(rng, n, nullable)
+    return ("array(" + ", ".join(elems) + ")",
+            "[" + ", ".join(elems) + "]")
+
+
+def _coll_case(rng: random.Random) -> tuple[str, str, str]:
+    """One random collection expression, rendered PER ENGINE. The
+    dialects disagree on far more than spelling here — probed and
+    encoded below: Spark ``try_element_at`` ≡ DuckDB ``arr[i]`` for
+    OOB (both NULL) but NOT for index 0 (Spark raises, DuckDB NULL —
+    kept out of the generator, pinned in the divergence test);
+    ``array_distinct`` keeps NULL, ``list_distinct`` drops it (the
+    DuckDB rendering compensates); Spark ``aggregate`` is
+    null-strict, ``list_sum`` null-skipping (both sides spell the
+    skip-null policy explicitly); set-op output order is unspecified
+    in DuckDB (canonicalised via sort + join-to-string)."""
+    n = rng.randint(3, 6)
+    sa, da = _coll_arrays(rng, n, nullable=True)
+    va, wa = _coll_arrays(rng, n, nullable=False)
+    roll = rng.random()
+    if roll < 0.14:
+        # extract: raw / reversed / transformed, OOB and negative
+        k = rng.choice([-3, -2, -1, 1, 2, 3, 4, n, n + 1, n + 2])
+        v = rng.random()
+        if v < 0.4:
+            return (f"try_element_at({sa}, {k})", f"({da})[{k}]",
+                    f"extract[{k}]")
+        if v < 0.7:
+            return (f"try_element_at(reverse({sa}), {k})",
+                    f"(list_reverse({da}))[{k}]", f"rev-extract[{k}]")
+        c = rng.randint(0, 9)
+        return (f"try_element_at(transform({sa}, x -> x * 2 + {c}), {k})",
+                f"(list_transform({da}, x -> x * 2 + {c}))[{k}]",
+                f"transform-extract[{k}]")
+    if roll < 0.30:
+        # sorted extract — all four (direction × null-placement)
+        # corners; Spark's array_sort/sort_array defaults map to
+        # explicit DuckDB list_sort null orders
+        k = rng.choice([-2, -1, 1, 2, 3, n])
+        v = rng.random()
+        if v < 0.34:
+            return (f"try_element_at(array_sort({sa}), {k})",
+                    f"(list_sort({da}, 'ASC', 'NULLS LAST'))[{k}]",
+                    f"array_sort[{k}]")
+        if v < 0.67:
+            return (f"try_element_at(sort_array({sa}), {k})",
+                    f"(list_sort({da}, 'ASC', 'NULLS FIRST'))[{k}]",
+                    f"sort_array-asc[{k}]")
+        return (f"try_element_at(sort_array({sa}, false), {k})",
+                f"(list_sort({da}, 'DESC', 'NULLS LAST'))[{k}]",
+                f"sort_array-desc[{k}]")
+    if roll < 0.42:
+        # null-skipping sum, whole array or slice; DuckDB list_sum
+        # yields HUGEINT and skips NULLs, Spark aggregate is strict —
+        # both sides pin the skip-null policy explicitly
+        if rng.random() < 0.5:
+            return (f"aggregate({sa}, 0L, (a, x) -> a + coalesce(x, 0L))",
+                    f"CAST(coalesce(list_sum({da}), 0) AS BIGINT)",
+                    "sum-skip-null")
+        s, ln = rng.randint(1, 4), rng.randint(1, 4)
+        return (f"aggregate(slice({sa}, {s}, {ln}), 0L, "
+                f"(a, x) -> a + coalesce(x, 0L))",
+                f"CAST(coalesce(list_sum(list_slice({da}, {s}, "
+                f"{s + ln - 1})), 0) AS BIGINT)",
+                f"slice-sum[{s},{ln}]")
+    if roll < 0.54:
+        # filter / size / slice cardinalities
+        t = rng.randint(5, 45)
+        v = rng.random()
+        if v < 0.4:
+            return (f"size(filter({sa}, x -> x > {t}))",
+                    f"len(list_filter({da}, x -> x > {t}))",
+                    f"filter-size[>{t}]")
+        if v < 0.7:
+            s, ln = rng.randint(1, 5), rng.randint(1, 4)
+            return (f"size(slice({sa}, {s}, {ln}))",
+                    f"len(list_slice({da}, {s}, {s + ln - 1}))",
+                    f"slice-size[{s},{ln}]")
+        # array_distinct keeps NULL; list_distinct drops it — the
+        # DuckDB side compensates by counting null presence
+        return (f"size(array_distinct({sa}))",
+                f"len(list_distinct({da})) + (CASE WHEN "
+                f"len(list_filter({da}, x -> x IS NULL)) > 0 "
+                f"THEN 1 ELSE 0 END)",
+                "distinct-size-null-compensated")
+    if roll < 0.66:
+        # membership on non-null arrays (null elements flip both
+        # engines into three-valued territory — pinned separately)
+        val = f"CAST(l_partkey % 40 AS BIGINT)"
+        if rng.random() < 0.5:
+            return (f"array_position({va}, {val})",
+                    f"list_position({wa}, {val})", "position")
+        return (f"CASE WHEN array_contains({va}, {val}) THEN 1 ELSE 0 END",
+                f"CASE WHEN list_contains({wa}, {val}) THEN 1 ELSE 0 END",
+                "contains")
+    if roll < 0.80:
+        # set ops canonicalised to a sorted joined string (DuckDB's
+        # output order is unspecified; Spark's is first-occurrence)
+        vb, wb = _coll_arrays(rng, rng.randint(2, 5), nullable=False)
+        v = rng.random()
+        if v < 0.34:
+            return (f"array_join(transform(array_sort("
+                    f"array_intersect({va}, {vb})), "
+                    f"x -> CAST(x AS STRING)), ',')",
+                    f"array_to_string(list_sort("
+                    f"list_intersect({wa}, {wb})), ',')",
+                    "intersect")
+        if v < 0.67:
+            return (f"array_join(transform(array_sort("
+                    f"array_except({va}, {vb})), "
+                    f"x -> CAST(x AS STRING)), ',')",
+                    f"array_to_string(list_sort(list_filter("
+                    f"list_distinct({wa}), "
+                    f"x -> NOT list_contains({wb}, x))), ',')",
+                    "except")
+        return (f"array_join(transform(array_sort("
+                f"array_union({va}, {vb})), "
+                f"x -> CAST(x AS STRING)), ',')",
+                f"array_to_string(list_sort(list_distinct("
+                f"{wa} || {wb})), ',')",
+                "union")
+    if roll < 0.92:
+        # zip_with dot product (list_zip structs are positional-only
+        # in DuckDB: t[1] * t[2])
+        sb, db = _coll_arrays(rng, n, nullable=True)
+        return (f"aggregate(zip_with({sa}, {sb}, "
+                f"(x, y) -> coalesce(x, 0L) * coalesce(y, 0L)), "
+                f"0L, (a, x) -> a + x)",
+                f"CAST(coalesce(list_sum(list_transform("
+                f"list_zip({da}, {db}), "
+                f"t -> coalesce(t[1], 0) * coalesce(t[2], 0))), 0) "
+                f"AS BIGINT)",
+                "zip-dot")
+    # map lookup: constant int keys, row-derived values; missing key
+    # (incl. 0, legal for MAPS in both) → NULL.  DuckDB element_at on
+    # a map returns a LIST — peeled with [1]
+    m = rng.randint(2, 4)
+    velems = _coll_elems(rng, m, nullable=False)
+    k = rng.randint(0, m + 2)
+    return (f"try_element_at(map_from_arrays(sequence(1, {m}), "
+            f"array({', '.join(velems)})), {k})",
+            f"(element_at(map(range(1, {m + 1}), "
+            f"[{', '.join(velems)}]), {k}))[1]",
+            f"map-lookup[{k}]")
+
+
+def _coll_cases():
+    rng = random.Random(SEED + 31337)
+    return [(i, *_coll_case(rng)) for i in range(COLL_CASES)]
+
+
+@pytest.mark.parametrize("i,spark_expr,duck_expr,label", _coll_cases())
+def test_collection_funcs_agree_across_engines(engines, i, spark_expr,
+                                               duck_expr, label):
+    """Random array/map expressions — extraction (OOB, negative,
+    post-sort under every null-placement corner), null-policy-pinned
+    sums, filters, slices, set ops, zip products, map lookups —
+    compared row-by-row across engines. The repo's feature packing,
+    minhash banding, and 69-slot formats all lean on this function
+    family."""
+    spark, con = engines
+    body = " FROM fuzz_lineitem WHERE l_orderkey % 13 = 1"
+    key = (lambda t: tuple((v is None, v if v is not None else 0)
+                           for v in t))
+    got = sorted((tuple(r) for r in spark.sql(
+        f"SELECT l_orderkey, l_linenumber, {spark_expr} AS v{body}"
+    ).collect()), key=key)
+    want = sorted((tuple(r) for r in con.execute(
+        f"SELECT l_orderkey, l_linenumber, {duck_expr} AS v{body}"
+    ).fetchall()), key=key)
+    assert got == want, f"collection case {i} [{label}]: {spark_expr}"
+
+
+def test_collection_divergences_pinned(engines):
+    """The cross-engine gaps the fuzz generator deliberately routes
+    around, asserted HEAD-ON so a behavior change in either engine
+    (or a wrong assumption in the oracles above) fails loudly:
+
+    1. index 0 on an ARRAY: Spark raises INVALID_INDEX_OF_ZERO even
+       under try_element_at; DuckDB arr[0] is NULL.
+    2. array_distinct keeps NULL; list_distinct drops it.
+    3. Spark higher-order aggregate() is null-STRICT; DuckDB
+       list_sum SKIPS nulls.
+    4. duplicate map keys raise in BOTH engines (Spark
+       DUPLICATED_MAP_KEY, DuckDB 'Map keys must be unique').
+    """
+    spark, con = engines
+    with pytest.raises(Exception, match="INVALID_INDEX_OF_ZERO"):
+        spark.sql("SELECT try_element_at(array(1, 2, 3), 0)").collect()
+    assert con.execute("SELECT [1, 2, 3][0]").fetchone()[0] is None
+
+    assert spark.sql(
+        "SELECT array_distinct(array(3, 1, 3, CAST(NULL AS INT), 1))"
+    ).first()[0] == [3, 1, None]
+    assert sorted(con.execute(
+        "SELECT list_distinct([3, 1, 3, NULL, 1])").fetchone()[0]
+    ) == [1, 3]
+
+    assert spark.sql(
+        "SELECT aggregate(array(1, CAST(NULL AS INT), 2), 0, "
+        "(a, x) -> a + x)").first()[0] is None
+    assert con.execute(
+        "SELECT list_sum([1, NULL, 2])").fetchone()[0] == 3
+
+    with pytest.raises(Exception, match="DUPLICATED_MAP_KEY"):
+        spark.sql("SELECT map(1, 10, 1, 20)").collect()
+    with pytest.raises(Exception, match="unique"):
+        con.execute("SELECT map([1, 1], [10, 20])").fetchone()

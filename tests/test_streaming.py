@@ -777,3 +777,136 @@ def test_ingest_dedup_store_grows_across_batches(spark, sf_dir):
     # partition, never in the base store
     cross = {(i, p) for i, _, p in got if p >= 900001}
     assert cross, "no cross-batch duplicate was flagged"
+
+
+# ---- property test: random ingest schedules vs a pure model --------
+
+def test_ingest_dedup_random_schedules_match_model(spark, sf_dir):
+    """The ingest-dedup PROTOCOL (batch partitioning, strictly-
+    earlier store visibility, replay idempotency) must be schedule-
+    invariant: random corpora randomly partitioned into 1..4
+    micro-batches — with empty batches, gapped batch ids, and
+    out-of-order ZOMBIE replays after later batches have committed —
+    always produce the flag set of the canonical sequential run.
+
+    The expectation is a PURE-PYTHON model over pre-collected
+    per-doc signatures (band minhashes + shingle sets), mirroring
+    minhash_cross_flags exactly: band-collision candidacy, set
+    jaccard, and Spark's HALF_UP round-to-6 on the IEEE quotient —
+    so the Spark side under test is the protocol, not a re-run of
+    itself (the snapshot random-op model test is the template).
+    25 seeded schedules."""
+    import random
+    import shutil
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import functions as FF
+
+    from lcmap_blackmagic_spark.llm.dedup import (N_BANDS,
+                                                  _minhash_doc_aggregate)
+    from lcmap_blackmagic_spark.streaming.jobs import ingest_dedup_batch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base_docs = docs.filter(FF.col("source") == "src0")
+    pool_rows = [tuple(r) for r in
+                 docs.filter(FF.col("source") == "src1")
+                 .select("doc_id", "text", "lang", "source", "n_chars")
+                 .collect()]
+    # synthetic families: an identical-text pair inside the pool
+    # (cross-batch flag when split), a copy of a BASE doc's text
+    # (always flagged), and an unrelated novel doc (never flagged)
+    base_text = base_docs.orderBy("doc_id").limit(1) \
+        .collect()[0]["text"]
+    novel = "the quick zebra vaults over a sleeping aardvark " * 8
+    pool_rows += [
+        (900001, novel, "en", "src1", len(novel)),
+        (900002, novel + " tail", "en", "src1", len(novel) + 5),
+        (900003, base_text, "en", "src1", len(base_text)),
+        (900004, "completely unrelated singleton text about nothing "
+         * 6, "en", "src1", 300),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    pool_df = spark.createDataFrame(pool_rows, schema)
+
+    root = tempfile.mkdtemp(prefix="ingest_prop_")
+    base_sig_dir = os.path.join(root, "base_sigs")
+    _minhash_doc_aggregate(base_docs, "doc_id", "text", 3, N_BANDS) \
+        .write.mode("overwrite").parquet(base_sig_dir)
+
+    # signatures for the PURE model, collected once: id -> (bands, si)
+    sig_rows = _minhash_doc_aggregate(
+        base_docs.select("doc_id", "text", "lang", "source", "n_chars")
+        .unionByName(pool_df), "doc_id", "text", 3, N_BANDS).collect()
+    sigs = {r["doc_id"]: (tuple(r[f"m{b}"] for b in range(N_BANDS)),
+                          frozenset(r["si"])) for r in sig_rows}
+    base_ids = [t[0] for t in base_docs.select("doc_id").collect()]
+    pool_ids = [t[0] for t in pool_rows]
+
+    def half_up6(x: float) -> Decimal:
+        return Decimal(x).quantize(Decimal("0.000001"),
+                                   rounding=ROUND_HALF_UP)
+
+    THRESH = Decimal("0.2")
+
+    def model(batch_map: dict) -> set:
+        out = set()
+        for b, ids in batch_map.items():
+            store = list(base_ids) + [d for c, ds in batch_map.items()
+                                      if c < b for d in ds]
+            for i in ids:
+                bi, si = sigs[i]
+                partners = []
+                for p in store:
+                    bp, sp = sigs[p]
+                    if not any(x == y for x, y in zip(bi, bp)):
+                        continue
+                    inter = len(si & sp)
+                    union = len(si) + len(sp) - inter
+                    if union and half_up6(inter / union) >= THRESH:
+                        partners.append(p)
+                if partners:
+                    out.add((i, len(partners), min(partners), b))
+        return out
+
+    interesting = 0
+    for seed in range(25):
+        rng = random.Random(seed)
+        n_batches = rng.randint(1, 4)
+        batch_ids = sorted(rng.sample(range(10), n_batches))
+        batch_map = {b: [] for b in batch_ids}
+        for d in pool_ids:
+            pick = rng.choice(batch_ids + [None])
+            if pick is not None:
+                batch_map[pick].append(d)
+
+        case = os.path.join(root, f"case{seed}")
+        sig_dir = os.path.join(case, "sigs")
+        out_dir = os.path.join(case, "flags")
+        shutil.copytree(base_sig_dir, sig_dir)
+
+        def run(b):
+            ids = batch_map[b]
+            bdf = pool_df.filter(FF.col("doc_id").isin(ids)) if ids \
+                else pool_df.limit(0)
+            ingest_dedup_batch(bdf, b, sig_dir, out_dir, threshold=0.2)
+
+        for b in batch_ids:
+            run(b)
+        # zombie replays, possibly of EARLY batches after later ones
+        for b in rng.sample(batch_ids, rng.randint(0, n_batches)):
+            run(b)
+
+        want = model(batch_map)
+        try:
+            # a schedule where no batch ever flags anything leaves
+            # out_dir absent or schema-less (only _SUCCESS)
+            got = {(r["incoming_id"], r["n_partners"],
+                    r["canonical_partner"], r["batch_id"])
+                   for r in spark.read.parquet(out_dir).collect()}
+        except Exception:
+            got = set()
+        assert got == want, f"seed {seed}: {got ^ want}"
+        interesting += bool(want)
+    # the generator must actually exercise flagging, not just agree
+    # on empty sets
+    assert interesting >= 15
