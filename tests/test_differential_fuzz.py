@@ -913,3 +913,142 @@ def test_collection_divergences_pinned(engines):
         spark.sql("SELECT map(1, 10, 1, 20)").collect()
     with pytest.raises(Exception, match="unique"):
         con.execute("SELECT map([1, 1], [10, 20])").fetchone()
+
+
+# ---- JSON / VARIANT differential fuzz -----------------------------
+
+JSON_CASES = 24
+
+
+def _json_doc(rng: random.Random, cast: str) -> str:
+    """A per-row JSON document expression built from lineitem columns
+    — identical JSON semantics in both engines, differing only in the
+    cast keyword (Spark STRING / DuckDB VARCHAR). Integer and string
+    fields only: float rendering ('5' vs '5.0') is engine-specific
+    and deliberately excluded."""
+    n = rng.randint(2, 4)
+    arr = ", ".join(
+        f"', ', CAST(l_partkey % {rng.randint(7, 99)} AS {cast})"
+        for _ in range(n - 1))
+    parts = [f"'{{\"a\": ', CAST(l_suppkey % 50 AS {cast})",
+             f"', \"b\": [', CAST(l_quantity AS {cast})"]
+    if n > 1:
+        parts.append(arr)
+    parts.append("'], \"c\": {\"d\": \"', l_returnflag, '\"}'")
+    if rng.random() < 0.5:
+        # a JSON-null field: extracted-as-string it is NULL in both
+        parts.append("', \"e\": null'")
+    parts.append("'}'")
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def _json_cases():
+    """(i, spark_expr, duck_expr, label): Spark get_json_object /
+    json_array_length / json_object_keys / VARIANT parse_json +
+    try_variant_get vs DuckDB json_extract[_string] / json_array_length
+    / json_keys. The two documents per case are field-for-field
+    identical (same rng state replayed per cast spelling). Negative
+    array indices in paths are excluded (Spark → NULL, DuckDB →
+    from-the-end — pinned in the divergence test)."""
+    rng = random.Random(SEED + 909090)
+    out = []
+    for i in range(JSON_CASES):
+        state = rng.getstate()
+        sdoc = _json_doc(rng, "STRING")
+        rng.setstate(state)
+        ddoc = _json_doc(rng, "VARCHAR")
+        roll = rng.random()
+        if roll < 0.25:
+            p = rng.choice(["$.a", "$.c.d", "$.zz", "$.e",
+                            f"$.b[{rng.randint(0, 5)}]"])
+            out.append((i, f"get_json_object({sdoc}, '{p}')",
+                        f"json_extract_string({ddoc}, '{p}')",
+                        f"string[{p}]"))
+        elif roll < 0.45:
+            p = rng.choice(["$.a", f"$.b[{rng.randint(0, 5)}]", "$.zz"])
+            out.append((i,
+                        f"CAST(get_json_object({sdoc}, '{p}') AS BIGINT)",
+                        f"CAST(json_extract({ddoc}, '{p}') AS BIGINT)",
+                        f"bigint[{p}]"))
+        elif roll < 0.65:
+            # VARIANT path (Spark's binary JSON type) against plain
+            # JSON extraction in DuckDB
+            if rng.random() < 0.5:
+                p = rng.choice(["$.a", f"$.b[{rng.randint(0, 5)}]"])
+                out.append((i,
+                            f"try_variant_get(parse_json({sdoc}), "
+                            f"'{p}', 'bigint')",
+                            f"CAST(json_extract({ddoc}, '{p}') AS BIGINT)",
+                            f"variant-bigint[{p}]"))
+            else:
+                p = rng.choice(["$.c.d", "$.zz"])
+                out.append((i,
+                            f"try_variant_get(parse_json({sdoc}), "
+                            f"'{p}', 'string')",
+                            f"json_extract_string({ddoc}, '{p}')",
+                            f"variant-string[{p}]"))
+        elif roll < 0.80:
+            out.append((i,
+                        f"json_array_length(get_json_object({sdoc}, "
+                        f"'$.b'))",
+                        f"json_array_length({ddoc}, '$.b')",
+                        "array-length"))
+        elif roll < 0.92:
+            out.append((i,
+                        f"array_join(array_sort(json_object_keys("
+                        f"{sdoc})), ',')",
+                        f"array_to_string(list_sort(json_keys({ddoc})"
+                        f"), ',')",
+                        "keys"))
+        else:
+            # whole-array text: both engines render compact [1,2,3]
+            out.append((i, f"get_json_object({sdoc}, '$.b')",
+                        f"CAST(json_extract({ddoc}, '$.b') AS VARCHAR)",
+                        "array-text"))
+    return out
+
+
+@pytest.mark.parametrize("i,spark_expr,duck_expr,label", _json_cases())
+def test_json_variant_agree_across_engines(engines, i, spark_expr,
+                                           duck_expr, label):
+    """Random JSON documents built per-row from lineitem columns,
+    probed through scalar/array/nested/missing/JSON-null paths, the
+    VARIANT type, array lengths, key sets, and compact array
+    re-rendering — exact row-by-row agreement."""
+    spark, con = engines
+    body = " FROM fuzz_lineitem WHERE l_orderkey % 17 = 1"
+    key = (lambda t: tuple((v is None, v if v is not None else 0)
+                           for v in t))
+    got = sorted((tuple(r) for r in spark.sql(
+        f"SELECT l_orderkey, l_linenumber, {spark_expr} AS v{body}"
+    ).collect()), key=key)
+    want = sorted((tuple(r) for r in con.execute(
+        f"SELECT l_orderkey, l_linenumber, {duck_expr} AS v{body}"
+    ).fetchall()), key=key)
+    assert got == want, f"json case {i} [{label}]: {spark_expr}"
+
+
+def test_json_divergences_pinned(engines):
+    """Cross-engine JSON gaps the generator routes around:
+
+    1. negative array index in a path: Spark get_json_object → NULL,
+       DuckDB json_extract counts from the end.
+    2. invalid JSON: Spark try_parse_json → NULL (and get_json_object
+       → NULL); DuckDB json_valid → false, json_extract raises.
+    """
+    spark, con = engines
+    js = '\'{"b": [1, 2, 3]}\''
+    assert spark.sql(
+        f"SELECT get_json_object({js}, '$.b[-1]')").first()[0] is None
+    assert con.execute(
+        f"SELECT CAST(json_extract({js}, '$.b[-1]') AS BIGINT)"
+    ).fetchone()[0] == 3
+
+    assert spark.sql(
+        "SELECT try_parse_json('{oops')").first()[0] is None
+    assert spark.sql(
+        "SELECT get_json_object('{oops', '$.a')").first()[0] is None
+    assert con.execute(
+        "SELECT json_valid('{oops')").fetchone()[0] is False
+    with pytest.raises(Exception):
+        con.execute("SELECT json_extract('{oops', '$.a')").fetchone()
