@@ -50,7 +50,8 @@ def kmeans_fit(df: DataFrame, k: int = 8, max_iters: int = 10,
     sums accumulate in DECIMAL(38,0) (exact, order-independent), so
     the only magnitude bound is the quantization itself: each
     per-axis term (2·|x|·2^20)² and each quantized coordinate must
-    fit int64 BEFORE the widening cast — |x| up to ~2.9·10^3.  A
+    fit int64 BEFORE the widening cast — (2·|x|·2^20)² ≤ 2^63 gives
+    |x| up to ~1.45·10^3.  A
     long accumulator here would wrap silently at dim 64 past
     |x|≈181 (Spark sums longs without overflow checks outside ANSI
     mode), which is why the widen-before-sum is not optional."""
@@ -59,6 +60,21 @@ def kmeans_fit(df: DataFrame, k: int = 8, max_iters: int = 10,
     if staging_dir:
         long.write.mode("overwrite").parquet(staging_dir)
         long = spark.read.parquet(staging_dir)
+
+    # runtime envelope guard: the E-step's per-axis (q-qc)² is a
+    # long×long product BEFORE the decimal widening, and |q-qc| ≤
+    # 2·max|q| (centroids are means of in-range q) — so 2·max|q|
+    # must square inside int64.  Inputs past the bound would WRAP
+    # SILENTLY (non-ANSI long multiply) into corrupt assignments;
+    # one cheap aggregate per fit turns that into a loud error.
+    _Q_SAFE = 1_518_500_249          # floor(sqrt(2^63 − 1)) // 2
+    mx = long.agg(F.max(F.abs(F.col("q")))).collect()[0][0]
+    if mx is not None and mx > _Q_SAFE:
+        raise ValueError(
+            f"kmeans_fit input out of the exact-arithmetic envelope: "
+            f"max|quantized coord| = {mx} > {_Q_SAFE} "
+            f"(|x| must stay under ~{_Q_SAFE / KM_Q:.0f} at the "
+            f"2^20 grid, or the integer E-step would overflow)")
 
     # deterministic init: the k smallest ids (already on the grid)
     seed_ids = [r["id"] for r in
@@ -82,8 +98,8 @@ def kmeans_fit(df: DataFrame, k: int = 8, max_iters: int = 10,
              for i in range(dim)], "cid int, i int, qc long"))
         d = F.col("q") - F.col("qc")
         # E-step: exact integer distance; the per-axis square fits
-        # int64 for |x| up to ~2.9e3, but the SUM over dim would wrap
-        # at |x|~181 (dim 64) — widen to decimal(38,0) before
+        # int64 for |x| up to ~1.45e3, but the SUM over dim would
+        # wrap at |x|~181 (dim 64) — widen to decimal(38,0) before
         # summing.  Decimal sums are exact and order-independent, so
         # the determinism contract holds unchanged.
         best = (long.join(cdf, "i")

@@ -143,8 +143,7 @@ def q_rolling_zscore_bp(spark, sf_dir):
     # active-day index per type — DAY-LEVEL table (rows = distinct
     # (type, day)), so the per-type window is bounded by #days, not
     # by event volume
-    days = base.groupBy("event_type", "day").agg(
-        F.count(F.lit(1)).alias("n_day"))
+    days = base.select("event_type", "day").distinct()
     wd = Window.partitionBy("event_type").orderBy("day")
     days = days.select("event_type", "day",
                        F.row_number().over(wd).alias("didx"))

@@ -145,6 +145,7 @@ class _ObjectsWriter(DataSourceWriter):
         keys = sorted(winners.values())
         for x, y, _, att in keys:
             os.replace(self._tmp(x, y, att), self._final(x, y))
+        self._sweep_job_temps()
         if self.overwrite:
             committed = {f"{x}-{y}.json" for x, y, _, _ in keys}
             base = os.path.join(self.root, self.entity)
@@ -168,6 +169,26 @@ class _ObjectsWriter(DataSourceWriter):
                 p = self._tmp(x, y, att)
                 if os.path.exists(p):
                     os.remove(p)
+        self._sweep_job_temps()
+
+    def _sweep_job_temps(self) -> None:
+        """Remove every staged temp carrying THIS job's token —
+        including files from task attempts that never delivered a
+        commit message (executor death, zombie speculative attempts),
+        which neither the commit loser sweep nor abort's
+        message-driven cleanup can see.  The token is job-unique, so
+        a concurrent job's staged files are untouched."""
+        import os
+        base = os.path.join(self.root, self.entity)
+        if not os.path.isdir(base):
+            return
+        marker = f".json.{self.token}."
+        for f in os.listdir(base):
+            if marker in f and f.endswith(".tmp"):
+                try:
+                    os.remove(os.path.join(base, f))
+                except FileNotFoundError:
+                    pass
 
 
 def write_objects(df, root: str, entity: str,

@@ -465,13 +465,16 @@ def write_snapshot(df: DataFrame, table_dir: str,
             os.remove(tmp)
 
 
+# op -> (bounds test over [lo, hi], Column predicate) — ONE table
+# for both halves of data skipping, so the prune rule and the
+# residual filter cannot drift apart
 _SNAP_OPS = {
-    "=":  lambda lo, hi, v: lo <= v <= hi,
-    "==": lambda lo, hi, v: lo <= v <= hi,
-    "<":  lambda lo, hi, v: lo < v,          # some row may be < v
-    "<=": lambda lo, hi, v: lo <= v,
-    ">":  lambda lo, hi, v: hi > v,
-    ">=": lambda lo, hi, v: hi >= v,
+    "=":  (lambda lo, hi, v: lo <= v <= hi, lambda c, v: c == v),
+    "==": (lambda lo, hi, v: lo <= v <= hi, lambda c, v: c == v),
+    "<":  (lambda lo, hi, v: lo < v,        lambda c, v: c < v),
+    "<=": (lambda lo, hi, v: lo <= v,       lambda c, v: c <= v),
+    ">":  (lambda lo, hi, v: hi > v,        lambda c, v: c > v),
+    ">=": (lambda lo, hi, v: hi >= v,       lambda c, v: c >= v),
 }
 
 
@@ -483,7 +486,10 @@ def _snap_dir_may_match(stats: dict, col: str, op: str, value) -> bool:
     commit) → False for every comparison (NULL satisfies none).
     Non-ASCII strings → True: Spark orders strings by UTF-8 bytes,
     Python by code point — identical on ASCII, not provably so
-    beyond it, and pruning must never be wrong."""
+    beyond it, and pruning must never be wrong.  NaN anywhere → True:
+    Spark's max() propagates NaN (NaN sorts LARGEST there), while
+    every Python comparison against NaN is False — so a NaN bound
+    would silently prune a dir that contains matching rows."""
     if col not in stats:
         return True
     lo, hi = stats[col]
@@ -492,8 +498,10 @@ def _snap_dir_may_match(stats: dict, col: str, op: str, value) -> bool:
     for s in (lo, hi, value):
         if isinstance(s, str) and not s.isascii():
             return True
+        if isinstance(s, float) and s != s:      # NaN bound/probe
+            return True
     try:
-        return _SNAP_OPS[op](lo, hi, value)
+        return _SNAP_OPS[op][0](lo, hi, value)
     except TypeError:       # cross-type comparison — don't prune
         return True
 
@@ -540,20 +548,30 @@ def read_snapshot(spark: SparkSession, table_dir: str,
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", True)
-    if where is not None and not dirs:
-        # every dir provably excluded: empty result, correct schema
-        full = [os.path.join(table_dir, "data", d)
-                for d in man["dirs"]]
-        base = reader.parquet(*full).limit(0)
+    if where is not None and len(dirs) < len(man["dirs"]):
+        # pruning dropped dirs: the result SCHEMA must still be the
+        # unpruned read's (under schema evolution a pruned dir may be
+        # the only one carrying a column — without this, the output
+        # would lose columns, or the residual filter would fail to
+        # resolve).  A limit(0) read of ALL dirs is footer-metadata
+        # only; unionByName back-fills the missing columns with NULL,
+        # exactly what the unpruned merged read yields for those rows.
+        full0 = reader.parquet(*[os.path.join(table_dir, "data", d)
+                                 for d in man["dirs"]]).limit(0)
+        if dirs:
+            base = full0.unionByName(
+                reader.parquet(*[os.path.join(table_dir, "data", d)
+                                 for d in dirs]),
+                allowMissingColumns=True)
+        else:
+            # every dir provably excluded: empty, correct schema
+            base = full0
     else:
         base = reader.parquet(*[os.path.join(table_dir, "data", d)
                                 for d in dirs])
     if where is not None:
         col, op, value = where
-        c, v = F.col(col), F.lit(value)
-        base = base.filter({"=": c == v, "==": c == v, "<": c < v,
-                            "<=": c <= v, ">": c > v,
-                            ">=": c >= v}[op])
+        base = base.filter(_SNAP_OPS[op][1](F.col(col), F.lit(value)))
     return base
 
 
@@ -584,7 +602,8 @@ def _committed_tags(table_dir: str) -> set[str]:
 
 
 def write_snapshot_tagged(df: DataFrame, table_dir: str, tag: str,
-                          mode: str = "append") -> int | None:
+                          mode: str = "append",
+                          collect_stats: bool = True) -> int | None:
     """Replay-safe snapshot commit for streaming ``foreachBatch``
     sinks: ``tag`` (e.g. ``batch-{batch_id}``) is recorded IN the
     atomically published manifest, and a commit whose tag already
@@ -607,7 +626,7 @@ def write_snapshot_tagged(df: DataFrame, table_dir: str, tag: str,
     if tag in _committed_tags(table_dir):
         return None
     return write_snapshot(df, table_dir, mode=mode, tag=tag,
-                          dedupe_tag=True)
+                          dedupe_tag=True, collect_stats=collect_stats)
 
 
 def vacuum_snapshots(table_dir: str, keep: int = 2,

@@ -528,9 +528,13 @@ def snapshot_rollup_stream(spark: SparkSession, events_dir: str,
                 .agg(F.count(F.lit(1)).alias("n"),
                      F.sum(F.col("value").cast("decimal(18,2)"))
                       .alias("total_dec")))
+        # collect_stats=False: per-commit min/max stats would add a
+        # read-back aggregate to every micro-batch's critical path,
+        # and the rollup table is read whole, never point-pruned
         storage.write_snapshot_tagged(part, table_dir,
                                       f"batch-{batch_id}",
-                                      mode="append")
+                                      mode="append",
+                                      collect_stats=False)
 
     writer = (stream.writeStream.foreachBatch(fb)
               .option("checkpointLocation", checkpoint_dir))

@@ -143,3 +143,38 @@ def test_datasource_commit_dedupes_split_keys(tmp_path):
     assert not os.path.exists(w._tmp(1, 2, a2))
     man = json.loads((base / "_manifest.json").read_text())
     assert man["n_objects"] == 1 and man["objects"] == [[1, 2, 3]]
+
+
+def test_datasource_sweeps_orphan_temps_of_dead_attempts(tmp_path):
+    """A task attempt that dies before reporting a commit message
+    leaves staged temps no message ever names — commit() and abort()
+    must sweep every temp carrying THIS job's token, while another
+    job's staged files stay untouched."""
+    from lcmap_blackmagic_spark.sources.objectsink import (
+        ObjectsCommit, _ObjectsWriter)
+
+    root = str(tmp_path)
+    w = _ObjectsWriter({"root": root, "entity": "segment"},
+                       overwrite=False)
+    other = _ObjectsWriter({"root": root, "entity": "segment"},
+                           overwrite=False)
+    os.makedirs(tmp_path / "segment", exist_ok=True)
+    live, dead = f"{9:020d}", f"{3:020d}"
+    with open(w._tmp(1, 2, live), "wb") as f:
+        f.write(b"live")
+    with open(w._tmp(5, 6, dead), "wb") as f:      # never reported
+        f.write(b"zombie")
+    with open(other._tmp(7, 8, live), "wb") as f:  # other job's stage
+        f.write(b"other-job")
+    w.commit([ObjectsCommit(keys=[(1, 2, 1, live)])])
+    base = tmp_path / "segment"
+    assert (base / "1-2.json").read_bytes() == b"live"
+    assert not os.path.exists(w._tmp(5, 6, dead))   # orphan swept
+    assert os.path.exists(other._tmp(7, 8, live))   # other job intact
+
+    # abort() sweeps unreported orphans too
+    with open(w._tmp(3, 4, dead), "wb") as f:
+        f.write(b"zombie2")
+    w.abort([])
+    assert not os.path.exists(w._tmp(3, 4, dead))
+    assert os.path.exists(other._tmp(7, 8, live))

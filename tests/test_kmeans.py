@@ -51,3 +51,15 @@ def test_deterministic_across_runs_and_partitionings(blobs):
     ra = sorted(tuple(r) for r in a["assign"].collect())
     rb = sorted(tuple(r) for r in b["assign"].collect())
     assert ra == rb
+
+
+def test_rejects_coordinates_outside_exact_envelope(spark):
+    """Coordinates past the int64-exact quantization envelope
+    (|x| ≳ 1.45e3 at the 2^20 grid) must raise loudly instead of
+    letting the E-step's long×long square wrap into silently wrong
+    assignments."""
+    bad = spark.createDataFrame(
+        [(i, [2000.0, -2000.0]) for i in range(6)],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="envelope"):
+        kmeans_fit(bad, k=2)

@@ -297,3 +297,64 @@ def test_random_op_sequences_match_model(spark):
             assert storage.latest_version(t) == max(model)
 
     run()
+
+
+def test_data_skipping_nan_stats_are_conservative(spark):
+    """A double column containing NaN poisons its min/max (Spark's
+    max() propagates NaN, and every Python comparison against NaN is
+    False) — the pruner must treat any NaN bound as 'may match', or
+    a point lookup silently loses rows that are really there."""
+    t = tempfile.mkdtemp(prefix="snap_")
+    storage.write_snapshot(
+        spark.createDataFrame(
+            [(1.0,), (2.0,), (float("nan"),)], "v double"), t)
+    storage.write_snapshot(
+        spark.createDataFrame([(100.0,), (200.0,)], "v double"),
+        t, mode="append")
+    got = storage.read_snapshot(spark, t, where=("v", "=", 2.0))
+    assert [r["v"] for r in got.collect()] == [2.0]
+    # the NaN-stats dir is KEPT; the clean [100, 200] dir still prunes
+    scanned = {f.split("/data/")[1].split("/")[0]
+               for f in got.inputFiles()}
+    assert len(scanned) == 1
+    # range predicate through the NaN dir too
+    gt = storage.read_snapshot(spark, t, where=("v", ">", 1.5))
+    assert sorted(r["v"] for r in gt.collect()
+                  if r["v"] == r["v"]) == [2.0, 100.0, 200.0]
+
+
+def test_data_skipping_under_schema_evolution(spark):
+    """Pruning must not change the result SCHEMA: when an appended
+    commit both adds a column and is the one pruned away, the
+    surviving dirs alone would lose the column (or fail to resolve
+    a residual filter on it).  The pruned read must equal the
+    unpruned merged read plus the same filter — columns included."""
+    t = tempfile.mkdtemp(prefix="snap_")
+    storage.write_snapshot(
+        spark.createDataFrame([(1, 10), (2, 20)], "k int, v int"), t)
+    storage.write_snapshot(
+        spark.createDataFrame([(3, 300, 7), (4, 400, 8)],
+                              "k int, v int, w int"),
+        t, mode="append")
+
+    # filter on v prunes the NEW dir → w must still be in the schema
+    got = storage.read_snapshot(spark, t, merge_schema=True,
+                                where=("v", "<=", 20))
+    want = (storage.read_snapshot(spark, t, merge_schema=True)
+            .filter(F.col("v") <= 20))
+    assert sorted(got.columns) == sorted(want.columns)
+    assert sorted(map(tuple, got.select(*sorted(got.columns))
+                      .collect())) == \
+        sorted(map(tuple, want.select(*sorted(want.columns)).collect()))
+
+    # filter on w: the OLD dir (no w stats) is conservatively kept
+    # and has no physical w column — the residual filter must still
+    # resolve, and the result must equal the unpruned filtered read
+    got_w = storage.read_snapshot(spark, t, merge_schema=True,
+                                  where=("w", ">=", 8))
+    want_w = (storage.read_snapshot(spark, t, merge_schema=True)
+              .filter(F.col("w") >= 8))
+    assert sorted(map(tuple, got_w.select(*sorted(got_w.columns))
+                      .collect())) == \
+        sorted(map(tuple, want_w.select(*sorted(want_w.columns))
+                   .collect())) == [(4, 400, 8)]
