@@ -502,8 +502,12 @@ def q_profile_table(spark, sf_dir):
     multi-distinct via Expand — a single scan), then `stack` unpivots
     to (column, metric…) rows. At 100 TB swap the exact distinct for
     the HLL sketch twin (`hll_sketch`); everything else is the same
-    one-pass shape."""
-    o = _t(spark, sf_dir, "orders")
+    one-pass shape.  The profiled columns are ``_spread`` before the
+    aggregate: the multi-distinct Expand (×|cols|) otherwise runs
+    entirely inside a single-task bench scan; at production split
+    counts the spread is a no-op."""
+    from .llm.dedup import _spread
+    o = _spread(_t(spark, sf_dir, "orders").select(*PROFILE_COLS))
     aggs = []
     for c in PROFILE_COLS:
         aggs += [

@@ -141,11 +141,16 @@ def q_bootstrap_ci(spark, sf_dir):
     row are sliced into ten 12-bit lanes each — 8× less hashing for
     the dominant stage (measured 8.8 → ~2 s at sf0.1).  Explode
     factor B on a projected row; at 100 TB the scan stays one pass
-    and the only shuffle is B rows."""
-    o = _t(spark, sf_dir, "orders").select(
+    and the only shuffle is B rows.  The narrow (key, cents)
+    projection is ``_spread`` first — a single-row-group bench file
+    scans as ONE task, which would serialize the md5 fan on one core
+    (measured 3.3 → 0.8 s at sf0.1); on a many-split production scan
+    the spread is a no-op."""
+    from .llm.dedup import _spread
+    o = _spread(_t(spark, sf_dir, "orders").select(
         "o_orderkey",
         (F.col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("bigint").alias("cents"))
+        .cast("bigint").alias("cents")))
     digests = o.select(
         "cents",
         *[F.md5(F.concat(F.lit(f"boot{r}:"), F.col("o_orderkey")))
