@@ -1052,3 +1052,141 @@ def test_json_divergences_pinned(engines):
         "SELECT json_valid('{oops')").fetchone()[0] is False
     with pytest.raises(Exception):
         con.execute("SELECT json_extract('{oops', '$.a')").fetchone()
+
+
+# ---- decimal-arithmetic differential fuzz -------------------------
+
+DEC_CASES = 28
+
+# the repo's determinism contract routes ALL money/moment math
+# through DECIMAL — this family fuzzes the shared-safe surface and
+# pins the corners where the engines' decimal systems genuinely
+# diverge (division, AVG, downscale casts — excluded from the
+# generator, asserted head-on below)
+
+_DEC_TERMS = [
+    "CAST(l_quantity AS DECIMAL(18,2))",
+    "CAST(l_linenumber AS DECIMAL(10,4))",
+    "CAST(l_suppkey % 97 AS DECIMAL(18,3))",
+    "CAST(3 - l_linenumber AS DECIMAL(18,2))",      # sign changes
+]
+_DEC_LITS = ["0.125", "2.75", "1.5", "0.04", "12.25", "3"]
+
+
+def _dec_term(rng: random.Random) -> str:
+    if rng.random() < 0.25:
+        return f"CAST({rng.choice(_DEC_LITS)} AS DECIMAL(18,3))"
+    return rng.choice(_DEC_TERMS)
+
+
+def _dec_expr(rng: random.Random, depth: int = 0) -> str:
+    """Random decimal expression over the CROSS-ENGINE-SAFE ops:
+    +, -, term×term (scale ≤ 7, products ≤ ~1.6e3 — inside both
+    engines' precision), explicit ROUND (HALF_UP away-from-zero in
+    BOTH, probed incl. the 2.125/-2.345 halfway cases), %, unary
+    minus.  Division, AVG, and downscaling CASTs are deliberately
+    absent — they diverge (pinned in the divergence test)."""
+    if depth >= 2:
+        return _dec_term(rng)
+    roll = rng.random()
+    a = _dec_expr(rng, depth + 1)
+    if roll < 0.25:
+        return f"({a} + {_dec_expr(rng, depth + 1)})"
+    if roll < 0.45:
+        return f"({a} - {_dec_expr(rng, depth + 1)})"
+    if roll < 0.60:
+        # multiplication of two TERMS only: nesting products would
+        # push past DuckDB's width-preserving DECIMAL(18) precision
+        return f"({_dec_term(rng)} * {_dec_term(rng)})"
+    if roll < 0.75:
+        k = rng.choice([-1, 0, 1, 2, 3])
+        return f"ROUND({a}, {k})"
+    if roll < 0.88:
+        m = rng.choice(["2", "2.5", "-3", "7.25"])
+        return f"({a} % CAST({m} AS DECIMAL(18,2)))"
+    return f"(- {a})"
+
+
+def _dec_cases():
+    rng = random.Random(SEED + 616161)
+    out = []
+    for i in range(DEC_CASES):
+        e = _dec_expr(rng)
+        # ROUND(·, 6) before the final widening cast: inner scales
+        # can reach 7, and a downscaling CAST rounds HALF_UP in
+        # Spark but not in DuckDB — explicit ROUND is the one
+        # downscale both engines agree on
+        v = f"CAST(ROUND({e}, 6) AS DECIMAL(38,6))"
+        out.append((i, v, rng.random() < 0.3))
+    return out
+
+
+@pytest.mark.parametrize("i,expr,grouped", _dec_cases())
+def test_decimal_arithmetic_agrees_across_engines(engines, i, expr,
+                                                  grouped):
+    """One spelling, both engines, exact Decimal equality — per-row
+    chains and grouped integer-exact SUMs."""
+    spark, con = engines
+    if grouped:
+        sql = (f"SELECT l_returnflag, CAST(SUM({expr}) AS "
+               f"DECIMAL(38,6)) AS v FROM fuzz_lineitem "
+               f"GROUP BY l_returnflag")
+    else:
+        sql = (f"SELECT l_orderkey, l_linenumber, {expr} AS v "
+               f"FROM fuzz_lineitem WHERE l_orderkey % 19 = 1")
+    key = (lambda t: tuple((v is None, v if v is not None else 0)
+                           for v in t))
+    got = sorted((tuple(r) for r in spark.sql(sql).collect()), key=key)
+    want = sorted((tuple(r) for r in con.execute(sql).fetchall()),
+                  key=key)
+    assert got == want, f"decimal case {i}: {expr}"
+
+
+def test_decimal_divergences_pinned(engines):
+    """The decimal corners the contract (and the generator above)
+    must route around, asserted head-on:
+
+    1. decimal ÷ decimal: Spark → DECIMAL(38,20), DuckDB → DOUBLE.
+       Same mathematical value here, but a hash-compared result
+       column would type-mismatch — the contract's 'cast to DOUBLE
+       before dividing' rule exists because of this.
+    2. downscaling CAST: Spark rounds HALF_UP (2.5 → 3,
+       2.345 → 2.35), DuckDB does not (2.5 → 2, 2.345 → 2.34).
+       Scale reduction must go through explicit ROUND, never CAST.
+    3. AVG of a decimal: Spark → DECIMAL(s+4), DuckDB → DOUBLE.
+    4. Widening overflow past 38 digits errors in BOTH engines
+       (Spark ANSI arithmetic, DuckDB range check) — neither wraps.
+    """
+    spark, con = engines
+    s_div = spark.sql("SELECT CAST(1 AS DECIMAL(18,2)) / "
+                      "CAST(3 AS DECIMAL(18,2))").first()[0]
+    d_div = con.execute("SELECT CAST(1 AS DECIMAL(18,2)) / "
+                        "CAST(3 AS DECIMAL(18,2))").fetchone()[0]
+    import decimal
+    assert isinstance(s_div, decimal.Decimal)
+    assert isinstance(d_div, float)
+
+    assert spark.sql("SELECT CAST(CAST(2.5 AS DECIMAL(18,1)) "
+                     "AS DECIMAL(18,0))").first()[0] == 3
+    assert con.execute("SELECT CAST(CAST(2.5 AS DECIMAL(18,1)) "
+                       "AS DECIMAL(18,0))").fetchone()[0] == 2
+    assert spark.sql("SELECT CAST(CAST(2.345 AS DECIMAL(18,3)) "
+                     "AS DECIMAL(18,2))").first()[0] == \
+        decimal.Decimal("2.35")
+    assert con.execute("SELECT CAST(CAST(2.345 AS DECIMAL(18,3)) "
+                       "AS DECIMAL(18,2))").fetchone()[0] == \
+        decimal.Decimal("2.34")
+
+    s_avg = spark.sql("SELECT AVG(x) FROM VALUES "
+                      "(CAST(1.25 AS DECIMAL(18,2))) t(x)").first()[0]
+    d_avg = con.execute("SELECT AVG(CAST(1.25 AS DECIMAL(18,2)))"
+                        ).fetchone()[0]
+    assert isinstance(s_avg, decimal.Decimal)
+    assert isinstance(d_avg, float)
+
+    with pytest.raises(Exception):
+        spark.sql("SELECT CAST(REPEAT('9', 38) AS DECIMAL(38,0)) * "
+                  "CAST(10 AS DECIMAL(38,0))").collect()
+    with pytest.raises(Exception):
+        con.execute("SELECT CAST(repeat('9', 38) AS DECIMAL(38,0)) * "
+                    "CAST(10 AS DECIMAL(38,0))").fetchone()
