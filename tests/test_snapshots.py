@@ -358,3 +358,65 @@ def test_data_skipping_under_schema_evolution(spark):
                       .collect())) == \
         sorted(map(tuple, want_w.select(*sorted(want_w.columns))
                    .collect())) == [(4, 400, 8)]
+
+
+def test_data_skipping_random_commits_and_predicates(spark):
+    """Property: for random commit layouts (sorted ranges, overlaps,
+    all-NULL commits, NaN poison, evolved columns) and random
+    predicates, the pruned read ALWAYS equals the unpruned read plus
+    the same filter — rows and schema.  25 seeded scenarios."""
+    import math
+    import random
+
+    for seed in range(25):
+        rng = random.Random(seed)
+        t = tempfile.mkdtemp(prefix="snap_prop_")
+        n_commits = rng.randint(1, 4)
+        evolved = rng.random() < 0.3
+        for c in range(n_commits):
+            lo = rng.randint(-50, 50)
+            n = rng.randint(1, 40)
+            rows = []
+            for i in range(n):
+                v = lo + i
+                if rng.random() < 0.1:
+                    v = None
+                f = float(v) if v is not None else None
+                if f is not None and rng.random() < 0.05:
+                    f = float("nan")
+                rows.append((v, f, rng.randint(0, 9)))
+            if evolved and c == n_commits - 1:
+                df = spark.createDataFrame(
+                    [(a, b, g, g * 10) for a, b, g in rows],
+                    "v int, d double, g int, w int")
+            else:
+                df = spark.createDataFrame(rows,
+                                           "v int, d double, g int")
+            storage.write_snapshot(
+                df, t, mode="overwrite" if c == 0 else "append")
+        col = rng.choice(["v", "d", "w"] if evolved else ["v", "d"])
+        op = rng.choice(["=", "<", "<=", ">", ">="])
+        value = (rng.randint(-60, 110) if col in ("v", "w")
+                 else float(rng.randint(-60, 110)))
+        pruned = storage.read_snapshot(spark, t, merge_schema=True,
+                                       where=(col, op, value))
+        unpruned = storage.read_snapshot(spark, t, merge_schema=True)
+        pred = {"=": F.col(col) == value, "<": F.col(col) < value,
+                "<=": F.col(col) <= value, ">": F.col(col) > value,
+                ">=": F.col(col) >= value}[op]
+        want_df = unpruned.filter(pred)
+        assert sorted(pruned.columns) == sorted(want_df.columns), \
+            f"seed {seed}: schema drift"
+        cols = sorted(pruned.columns)
+
+        def norm(rows_):
+            out = []
+            for r in rows_:
+                out.append(tuple(
+                    ("nan" if isinstance(x, float) and math.isnan(x)
+                     else x) for x in r))
+            return sorted(out, key=repr)
+
+        got = norm(tuple(r) for r in pruned.select(*cols).collect())
+        want = norm(tuple(r) for r in want_df.select(*cols).collect())
+        assert got == want, f"seed {seed}: {col} {op} {value}"
