@@ -202,6 +202,62 @@ def q_rolling_zscore_bp(spark, sf_dir):
             .select("event_id", "event_type", "cents", "n"))
 
 
+def q_src_snapshot_stream(spark, sf_dir):
+    """The snapshot store's STREAMING reader under the correctness
+    gate (sources/snapshotstream.py): write a typed orders projection
+    as an overwrite version plus an append version, TAIL the commit
+    log from just before the overwrite with a real Structured
+    Streaming query (availableNow drain into parquet), and aggregate
+    the drained rows.  The overwrite version re-emits its full
+    content and the append version streams its delta, so the drain
+    reconstructs the table exactly once per row — the oracle
+    aggregates the source parquet directly, proving end-to-end
+    exactly-once delivery through manifest-offset tracking, not just
+    storage losslessness (that is ``src_snapshot``'s job)."""
+    import tempfile
+
+    from .registry import _staging
+    from .sources.snapshotstream import read_snapshot_stream
+    from .storage import write_snapshot
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("cents"))
+    table = _staging(sf_dir, "snap_stream_orders")
+    # start tailing just before this run's overwrite: double-running
+    # the query appends two MORE versions, and the overwrite+delta
+    # pair after start_version always reconstructs exactly one copy
+    v_over = write_snapshot(o.filter(F.col("o_orderkey") % 2 == 0),
+                            table)
+    write_snapshot(o.filter(F.col("o_orderkey") % 2 == 1), table,
+                   mode="append")
+    out = tempfile.mkdtemp(prefix="snapstream_gate_")
+    ckpt = tempfile.mkdtemp(prefix="snapstream_gate_ck_")
+    q = (read_snapshot_stream(spark, table, start_version=v_over - 1)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    back = spark.read.parquet(out)
+    return (back.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 (F.sum("cents").cast("double") / 100).alias("total"),
+                 F.count_distinct("_snapshot_version")
+                 .cast("bigint").alias("n_versions"))
+            .orderBy("o_orderstatus"))
+
+
+SQL_SRC_SNAPSHOT_STREAM = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT)) AS DOUBLE) / 100 AS DOUBLE)
+         AS total,
+       CAST(2 AS BIGINT) AS n_versions
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 QUERIES_EXT12: dict[str, dict] = {
     "rank_ratios_bp": {"fn": q_rank_ratios_bp,
                        "sql": SQL_RANK_RATIOS_BP},
@@ -209,4 +265,6 @@ QUERIES_EXT12: dict[str, dict] = {
     # reproduce it row-for-row, per the exactness proof above
     "rolling_zscore_bp": {"fn": q_rolling_zscore_bp,
                           "sql": SQL_ROLLING_ZSCORE},
+    "src_snapshot_stream": {"fn": q_src_snapshot_stream,
+                            "sql": SQL_SRC_SNAPSHOT_STREAM},
 }
