@@ -92,3 +92,53 @@ def test_schema_includes_evolved_columns_and_version(spark):
     got = _drain(spark, t, tempfile.mkdtemp(), "snapstream_e")
     # v1 rows surface NULL for the evolved column
     assert got == {(0, None, 1), (1, None, 1), (9, 90, 2)}
+
+
+def test_snapshot_to_snapshot_pipeline_composes(spark):
+    """Medallion composition: a BRONZE snapshot table is tailed by
+    the streaming reader and each micro-batch's rollup is committed
+    to a SILVER snapshot table through write_snapshot_tagged — the
+    store's reader and writer halves composing into an incremental
+    pipeline.  The silver latest must equal the one-shot batch
+    rollup of bronze, and replaying the whole stream from a fresh
+    checkpoint must publish ZERO new silver versions (tag-level
+    exactly-once end to end)."""
+    bronze = tempfile.mkdtemp(prefix="snap_bronze_")
+    silver = tempfile.mkdtemp(prefix="snap_silver_")
+    storage.write_snapshot(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k int, g string, x int"),
+        bronze)                                                 # v1
+    storage.write_snapshot(
+        spark.createDataFrame(
+            [(3, "a", 5), (4, "a", 7)], "k int, g string, x int"),
+        bronze, mode="append")                                  # v2
+
+    from lcmap_blackmagic_spark.sources.snapshotstream import (
+        read_snapshot_stream)
+
+    def run(ckpt):
+        def fb(batch_df, batch_id):
+            part = (batch_df.groupBy("g")
+                    .agg(F.count(F.lit(1)).alias("n"),
+                         F.sum("x").alias("sx")))
+            storage.write_snapshot_tagged(part, silver,
+                                          f"batch-{batch_id}",
+                                          collect_stats=False)
+        q = (read_snapshot_stream(spark, bronze)
+             .writeStream.foreachBatch(fb)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run(tempfile.mkdtemp())
+    v_after = storage.latest_version(silver)
+    rolled = (storage.read_snapshot(spark, silver)
+              .groupBy("g").agg(F.sum("n").alias("n"),
+                                F.sum("sx").alias("sx")))
+    assert sorted(map(tuple, rolled.collect())) == \
+        [("a", 3, 22), ("b", 1, 20)]
+    # full replay from a FRESH checkpoint: same batch ids, same tags,
+    # zero new versions
+    run(tempfile.mkdtemp())
+    assert storage.latest_version(silver) == v_after
