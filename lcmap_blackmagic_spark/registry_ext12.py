@@ -214,7 +214,8 @@ def q_src_snapshot_stream(spark, sf_dir):
     aggregates the source parquet directly, proving end-to-end
     exactly-once delivery through manifest-offset tracking, not just
     storage losslessness (that is ``src_snapshot``'s job)."""
-    import tempfile
+    import os
+    import uuid
 
     from .registry import _staging
     from .sources.snapshotstream import read_snapshot_stream
@@ -232,13 +233,21 @@ def q_src_snapshot_stream(spark, sf_dir):
                             table)
     write_snapshot(o.filter(F.col("o_orderkey") % 2 == 1), table,
                    mode="append")
-    out = tempfile.mkdtemp(prefix="snapstream_gate_")
-    ckpt = tempfile.mkdtemp(prefix="snapstream_gate_ck_")
+    # run-unique sink/checkpoint UNDER the reaped staging root (a
+    # reused file sink would accumulate across double-runs; a bare
+    # mkdtemp would leak past the process)
+    run_dir = os.path.join(_staging(sf_dir, "snap_stream_runs"),
+                           uuid.uuid4().hex[:12])
+    out = os.path.join(run_dir, "out")
     q = (read_snapshot_stream(spark, table, start_version=v_over - 1)
          .writeStream.format("parquet").option("path", out)
-         .option("checkpointLocation", ckpt)
+         .option("checkpointLocation", os.path.join(run_dir, "ck"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    if not q.awaitTermination(300):
+        # awaitTermination returns False on TIMEOUT (it does not
+        # raise) — reading the sink now would see a partial drain
+        q.stop()
+        raise TimeoutError("snapshot stream drain did not finish")
     back = spark.read.parquet(out)
     return (back.groupBy("o_orderstatus")
             .agg(F.count(F.lit(1)).alias("n"),

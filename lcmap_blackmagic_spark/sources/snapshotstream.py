@@ -7,7 +7,7 @@ Offsets are manifest versions: ``{"version": n}`` means "everything
 up to and including version n has been emitted".  Each micro-batch
 covers the versions committed since the last offset; the rows of a
 version are the rows of its NEW commit dirs (the dirs the manifest
-added relative to the previous one), so
+added relative to its immediate predecessor), so
 
 - an ``append`` commit streams exactly its delta,
 - an ``overwrite`` commit re-emits the full new table content (its
@@ -20,17 +20,29 @@ column so downstream logic can see batch provenance.
 
 Scale shape: offset resolution and commit-dir diffing read only the
 JSON manifests (driver, metadata-sized); the DATA is read
-executor-side, one :class:`InputPartition` per parquet file, so a
-large commit fans out across the cluster instead of through the
-driver (this is why the full ``DataSourceStreamReader`` API is used
-rather than the driver-side ``SimpleDataSourceStreamReader``).
+executor-side, one :class:`InputPartition` per parquet file, emitted
+as Arrow RecordBatches (never per-row Python objects), so a large
+commit fans out across the cluster and stays columnar end to end
+(this is why the full ``DataSourceStreamReader`` API is used rather
+than the driver-side ``SimpleDataSourceStreamReader``).
 
 Replay contract: commit dirs are immutable, so re-reading an offset
-range after checkpoint recovery yields byte-identical rows.  The one
-caveat is retention — ``vacuum_snapshots`` must keep at least the
-versions an active stream still has to read (the standard
-table-format rule); a vacuumed version's rows are gone and the diff
-falls through to the nearest surviving earlier manifest.
+range after checkpoint recovery yields byte-identical rows.
+Retention interacts STRICTLY: computing version v's delta needs
+manifest v-1, so ``vacuum_snapshots`` must keep manifests back to
+the stream's offset — a vacuumed diff base raises loudly instead of
+silently re-emitting carried-forward dirs as duplicates (caught by
+a live reproduction in review; exactly-once beats availability
+here).
+
+Timestamp fidelity: the store writes whatever the session's parquet
+writer produces — INT96 (Spark's default for TimestampType),
+TIMESTAMP_MICROS with isAdjustedToUTC, or NTZ micros.  The derived
+schema maps instant-semantics columns (tz-aware arrow types AND
+naive-arrow-but-physical-INT96) to ``timestamp`` and true NTZ to
+``timestamp_ntz``, and read() casts batches accordingly — so the
+streamed frame unions/joins cleanly with ``read_snapshot`` of the
+same table.
 
 Packaging note: the whole DataSource is built by a FACTORY whose
 class closes over only stdlib + pyarrow + pyspark symbols.  Spark
@@ -60,26 +72,6 @@ def _make_snapshot_stream_datasource():
                                         DataSourceStreamReader,
                                         InputPartition)
 
-    PA_TO_SQL = {
-        "int8": "tinyint", "int16": "smallint", "int32": "int",
-        "int64": "bigint", "float": "float", "double": "double",
-        "string": "string", "large_string": "string",
-        "bool": "boolean", "date32[day]": "date", "binary": "binary",
-        "timestamp[us]": "timestamp_ntz",
-        "timestamp[ns]": "timestamp_ntz",
-    }
-
-    def sql_type(pa_type) -> str:
-        s = str(pa_type)
-        if s in PA_TO_SQL:
-            return PA_TO_SQL[s]
-        if s.startswith("decimal128("):
-            return "decimal" + s[len("decimal128"):]
-        raise ValueError(
-            f"snapshotstream: unsupported parquet type {s!r} "
-            f"(flat JSON-native columns only — the same surface the "
-            f"manifest stats index)")
-
     def versions(table_dir: str) -> list[int]:
         mdir = os.path.join(table_dir, "_manifests")
         if not os.path.isdir(mdir):
@@ -88,8 +80,14 @@ def _make_snapshot_stream_datasource():
                       if (m := re.fullmatch(r"v(\d+)\.json", f)))
 
     def manifest(table_dir: str, v: int) -> dict:
-        with open(os.path.join(table_dir, "_manifests",
-                               f"v{v}.json")) as fh:
+        path = os.path.join(table_dir, "_manifests", f"v{v}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"snapshotstream: manifest v{v} is gone (vacuumed?) "
+                f"but is still needed — computing a version's delta "
+                f"requires its predecessor manifest; retention must "
+                f"keep manifests back to the stream's offset")
+        with open(path) as fh:
             return json.load(fh)
 
     def parquet_files(data_dir: str) -> list[str]:
@@ -97,13 +95,56 @@ def _make_snapshot_stream_datasource():
                       for f in os.listdir(data_dir)
                       if f.endswith(".parquet"))
 
+    def sql_type(pa_type, physical: str) -> str:
+        import pyarrow as pa
+        if pa.types.is_timestamp(pa_type):
+            # tz-aware arrow == adjusted-to-UTC parquet; naive arrow
+            # from a physical INT96 is ALSO an instant (Spark's
+            # legacy TimestampType encoding); only true naive micros/
+            # nanos are NTZ
+            if pa_type.tz is not None or physical == "INT96":
+                return "timestamp"
+            return "timestamp_ntz"
+        m = {"int8": "tinyint", "int16": "smallint", "int32": "int",
+             "int64": "bigint", "float": "float", "double": "double",
+             "string": "string", "large_string": "string",
+             "bool": "boolean", "date32[day]": "date",
+             "binary": "binary"}
+        s = str(pa_type)
+        if s in m:
+            return m[s]
+        if s.startswith("decimal128("):
+            return "decimal" + s[len("decimal128"):]
+        raise ValueError(
+            f"snapshotstream: unsupported parquet type {s!r} "
+            f"(flat columns only)")
+
+    def arrow_target(dt):
+        """The arrow type a declared Spark field is emitted as."""
+        import pyarrow as pa
+        from pyspark.sql import types as T
+        if isinstance(dt, T.DecimalType):
+            return pa.decimal128(dt.precision, dt.scale)
+        if isinstance(dt, T.TimestampType):
+            return pa.timestamp("us", tz="UTC")
+        if isinstance(dt, T.TimestampNTZType):
+            return pa.timestamp("us")
+        return {
+            T.ByteType: pa.int8(), T.ShortType: pa.int16(),
+            T.IntegerType: pa.int32(), T.LongType: pa.int64(),
+            T.FloatType: pa.float32(), T.DoubleType: pa.float64(),
+            T.StringType: pa.string(), T.BooleanType: pa.bool_(),
+            T.DateType: pa.date32(), T.BinaryType: pa.binary(),
+        }[type(dt)]
+
     class SnapshotStreamReader(DataSourceStreamReader):
         def __init__(self, table_dir: str, options: dict, schema):
             self.table_dir = table_dir
             self.start_version = int(options.get("start_version", 0))
             # all fields except the trailing provenance column come
             # from the parquet files, in schema order
-            self.field_names = [f.name for f in schema.fields[:-1]]
+            self.fields = [(f.name, arrow_target(f.dataType))
+                           for f in schema.fields[:-1]]
 
         # ---- offsets (driver, manifest-metadata only) ------------
 
@@ -119,14 +160,21 @@ def _make_snapshot_stream_datasource():
             existing = versions(self.table_dir)
             lo, hi = start["version"], end["version"]
             parts = []
-            for v in existing:
-                if not (lo < v <= hi):
-                    continue
+            for v in range(lo + 1, hi + 1):
+                if v not in existing:
+                    # a vacuumed version INSIDE the unread range:
+                    # its rows are unrecoverable — fail loudly
+                    # rather than mis-attribute them to a later diff
+                    raise FileNotFoundError(
+                        f"snapshotstream: version {v} in the unread "
+                        f"range ({lo}, {hi}] was vacuumed; retention "
+                        f"must out-live stream lag")
                 dirs = manifest(self.table_dir, v)["dirs"]
-                prior = [p for p in existing if p < v]
-                if prior:
-                    prev = set(manifest(self.table_dir,
-                                        prior[-1])["dirs"])
+                if v > 1:
+                    # diff against the EXACT predecessor (raises if
+                    # vacuumed): diffing against the nearest survivor
+                    # re-emits carried-forward dirs as duplicates
+                    prev = set(manifest(self.table_dir, v - 1)["dirs"])
                     new_dirs = [d for d in dirs if d not in prev]
                 else:
                     new_dirs = dirs
@@ -136,21 +184,39 @@ def _make_snapshot_stream_datasource():
                         parts.append(InputPartition((f, v)))
             return parts
 
-        # ---- data (executors, one parquet file per partition) ----
+        # ---- data (executors, Arrow batches, one file each) ------
 
         def read(self, partition):
+            import numpy as np
+            import pyarrow as pa
+            import pyarrow.compute as pc
             import pyarrow.parquet as pq
             path, v = partition.value
             tbl = pq.read_table(path)
+            n = tbl.num_rows
             present = set(tbl.schema.names)
-            # additive schema evolution: files from commits older
-            # than a column's introduction surface NULL for it,
-            # exactly like the batch read_snapshot(merge_schema=True)
-            cols = [tbl.column(n).to_pylist() if n in present
-                    else [None] * tbl.num_rows
-                    for n in self.field_names]
-            for row in zip(*cols):
-                yield (*row, v)
+            arrays, names = [], []
+            for name, target in self.fields:
+                if name in present:
+                    arr = tbl.column(name).combine_chunks()
+                    if (pa.types.is_timestamp(arr.type)
+                            and arr.type.tz is None
+                            and pa.types.is_timestamp(target)
+                            and target.tz is not None):
+                        # naive arrow from INT96: the values ARE UTC
+                        # instants — attach the zone, then cast
+                        arr = pc.assume_timezone(arr, "UTC")
+                    arrays.append(arr.cast(target))
+                else:
+                    # additive schema evolution: files older than a
+                    # column's introduction surface NULL, matching
+                    # the batch read_snapshot(merge_schema=True)
+                    arrays.append(pa.nulls(n, target))
+                names.append(name)
+            arrays.append(pa.array(np.full(n, v, dtype="int64")))
+            names.append("_snapshot_version")
+            yield from pa.Table.from_arrays(arrays,
+                                            names=names).to_batches()
 
         def commit(self, end: dict) -> None:
             pass    # retention is vacuum_snapshots' job, not ours
@@ -183,9 +249,14 @@ def _make_snapshot_stream_datasource():
             man = manifest(td, vs[-1])
             first = parquet_files(
                 os.path.join(td, "data", man["dirs"][-1]))[0]
-            s = pq.read_schema(first)
-            fields = ", ".join(f"{n} {sql_type(s.field(n).type)}"
-                               for n in s.names)
+            pf = pq.ParquetFile(first)
+            phys = {pf.schema.column(i).name:
+                    pf.schema.column(i).physical_type
+                    for i in range(len(pf.schema))}
+            s = pf.schema_arrow
+            fields = ", ".join(
+                f"{nm} {sql_type(s.field(nm).type, phys.get(nm, ''))}"
+                for nm in s.names)
             return f"{fields}, _snapshot_version bigint"
 
         def streamReader(self, schema):
@@ -199,12 +270,9 @@ SnapshotStreamDataSource = _make_snapshot_stream_datasource()
 
 
 def read_snapshot_stream(spark, table_dir: str, start_version: int = 0):
-    """Convenience: register the source (idempotent) and open the
-    stream."""
-    try:
-        spark.dataSource.register(SnapshotStreamDataSource)
-    except Exception:
-        pass                                    # already registered
+    """Convenience: register the source (re-registration just
+    replaces — Spark warns, never raises) and open the stream."""
+    spark.dataSource.register(SnapshotStreamDataSource)
     return (spark.readStream.format("snapshotstream")
             .option("table_dir", table_dir)
             .option("start_version", str(start_version)).load())

@@ -24,7 +24,7 @@ def _drain(spark, table_dir, checkpoint, name, start_version=0):
          .writeStream.format("memory").queryName(name)
          .option("checkpointLocation", checkpoint)
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(300)   # False = timeout, not an error
     return {tuple(r) for r in spark.sql(f"SELECT * FROM {name}")
             .collect()}
 
@@ -52,7 +52,7 @@ def test_checkpoint_restart_resumes_at_new_versions_only(spark):
              .writeStream.format("parquet").option("path", out)
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        assert q.awaitTermination(300)
         return {tuple(r) for r in spark.read.parquet(out).collect()}
 
     first = run()
@@ -114,9 +114,6 @@ def test_snapshot_to_snapshot_pipeline_composes(spark):
             [(3, "a", 5), (4, "a", 7)], "k int, g string, x int"),
         bronze, mode="append")                                  # v2
 
-    from lcmap_blackmagic_spark.sources.snapshotstream import (
-        read_snapshot_stream)
-
     def run(ckpt):
         def fb(batch_df, batch_id):
             part = (batch_df.groupBy("g")
@@ -129,7 +126,7 @@ def test_snapshot_to_snapshot_pipeline_composes(spark):
              .writeStream.foreachBatch(fb)
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        assert q.awaitTermination(300)
 
     run(tempfile.mkdtemp())
     v_after = storage.latest_version(silver)
@@ -142,3 +139,72 @@ def test_snapshot_to_snapshot_pipeline_composes(spark):
     # zero new versions
     run(tempfile.mkdtemp())
     assert storage.latest_version(silver) == v_after
+
+
+def test_vacuumed_diff_base_raises_instead_of_duplicating(spark):
+    """Vacuuming the stream's diff-base manifest must FAIL the read,
+    never silently re-emit carried-forward dirs (the duplicate-
+    delivery bug a review reproduced live): computing version v's
+    delta requires manifest v-1."""
+    t = tempfile.mkdtemp(prefix="snapstream_")
+    ckpt = tempfile.mkdtemp(prefix="snapstream_ck_")
+    out = tempfile.mkdtemp(prefix="snapstream_out_")
+    storage.write_snapshot(_rows(spark, 0, 2), t)               # v1
+
+    def run():
+        q = (read_snapshot_stream(spark, t)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError
+        return {tuple(r) for r in spark.read.parquet(out).collect()}
+
+    assert run() == {(0, 0, 1), (1, 10, 1)}
+    storage.write_snapshot(_rows(spark, 10, 1), t, mode="append")   # v2
+    storage.write_snapshot(_rows(spark, 20, 1), t, mode="append")   # v3
+    # vacuum keeps v2/v3 but removes v1 — v2's diff base is gone
+    # (its DATA survives via carry-forward, which is exactly why the
+    # nearest-survivor diff would re-emit it)
+    storage.vacuum_snapshots(t, keep=2, min_age_s=0.0)
+    with pytest.raises(Exception):
+        run()
+
+
+def test_timestamp_columns_keep_instant_semantics(spark):
+    """TimestampType (instant) columns — Spark's default INT96
+    parquet encoding AND the TIMESTAMP_MICROS writer — must stream
+    back as TimestampType with identical instants, so the streamed
+    frame unions cleanly with the batch read_snapshot; NTZ columns
+    must stay NTZ.  (First cut mapped INT96 to NTZ — caught by a
+    live review reproduction.)"""
+    from pyspark.sql import types as T
+
+    for writer_type in ("INT96", "TIMESTAMP_MICROS"):
+        spark.conf.set("spark.sql.parquet.outputTimestampType",
+                       writer_type)
+        try:
+            t = tempfile.mkdtemp(prefix="snapstream_ts_")
+            src = spark.range(2).select(
+                F.col("id").alias("v"),
+                F.timestamp_micros(F.lit(1_700_000_000_000_000)
+                                   + F.col("id")).alias("ts"),
+                F.expr("make_timestamp_ntz(2024, 1, 2, 3, 4, 5)")
+                .alias("tsn"))
+            storage.write_snapshot(src, t)
+            sdf = read_snapshot_stream(spark, t)
+            types = dict((f.name, f.dataType) for f in sdf.schema.fields)
+            assert isinstance(types["ts"], T.TimestampType), writer_type
+            assert isinstance(types["tsn"], T.TimestampNTZType), \
+                writer_type
+            got = _drain(spark, t, tempfile.mkdtemp(),
+                         f"snapstream_ts_{writer_type.lower()}")
+            want = {tuple(r) + (1,)
+                    for r in storage.read_snapshot(spark, t).collect()}
+            assert got == want, writer_type
+            # and the union the type fidelity exists for:
+            (sdf.drop("_snapshot_version")
+             .unionByName(storage.read_snapshot(spark, t)))
+        finally:
+            spark.conf.unset("spark.sql.parquet.outputTimestampType")
