@@ -95,3 +95,65 @@ def triangle_counts(edges: DataFrame, src: str = "src",
                        .alias("node"))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("triangles")))
+
+
+DAY_US = 86_400_000_000
+
+
+def behavioral_edges(events: DataFrame) -> DataFrame:
+    """(event_type, src, dst): consecutive-user pairs within each
+    event-type stream ordered by (ts, event_id) — the shared edge
+    derivation of pagerank / triangle_count / label_propagation.
+
+    SCALE-SAFE lead: the naive form windows over ``event_type``
+    alone (~5 distinct values), putting ~N/5 rows through one task's
+    sort at 10^12 rows — the round-6 low-cardinality-partition trap.
+    Here every window partitions by (event_type, epoch_day) — one
+    day of one stream — and the day-boundary pair (last event of a
+    day, first event of the NEXT ACTIVE day) is stitched from two
+    one-row-per-day tables joined through a day-level lead window
+    (rows = #active days, independent of event volume).  The derived
+    pair multiset is IDENTICAL to the global lead: within-day
+    consecutive pairs plus boundary pairs partition the global
+    consecutive relation exactly (the (t_us, event_id) order is
+    total, so each day's last row has exactly one global successor —
+    the next active day's first row).  Self-pairs (same user twice)
+    are dropped, as in the original."""
+    from pyspark.sql import Window
+
+    base = (events.select(
+        "event_type", "event_id", "user_id",
+        F.expr("unix_micros(ts)").alias("t_us"))
+        .withColumn("day", F.expr(f"t_us div {DAY_US}")))
+    wd = (Window.partitionBy("event_type", "day")
+          .orderBy("t_us", "event_id"))
+    nxt = F.lead("user_id").over(wd)
+    intra = (base.withColumn("nxt", nxt)
+             .filter(F.col("nxt").isNotNull()
+                     & (F.col("nxt") != F.col("user_id")))
+             .select("event_type", F.col("user_id").alias("src"),
+                     F.col("nxt").alias("dst")))
+    wdesc = (Window.partitionBy("event_type", "day")
+             .orderBy(F.desc("t_us"), F.desc("event_id")))
+    lasts = (base.withColumn("rn", F.row_number().over(wdesc))
+             .filter(F.col("rn") == 1)
+             .select("event_type", "day",
+                     F.col("user_id").alias("last_user")))
+    firsts = (base.withColumn("rn", F.row_number().over(wd))
+              .filter(F.col("rn") == 1)
+              .select(F.col("event_type").alias("ftype"),
+                      F.col("day").alias("fday"),
+                      F.col("user_id").alias("first_user")))
+    days = base.select("event_type", "day").distinct()
+    wday = Window.partitionBy("event_type").orderBy("day")
+    nxt_day = (days.withColumn("nday", F.lead("day").over(wday))
+               .filter(F.col("nday").isNotNull()))
+    boundary = (nxt_day.join(lasts, ["event_type", "day"])
+                .join(firsts,
+                      (F.col("event_type") == F.col("ftype"))
+                      & (F.col("nday") == F.col("fday")))
+                .filter(F.col("last_user") != F.col("first_user"))
+                .select("event_type",
+                        F.col("last_user").alias("src"),
+                        F.col("first_user").alias("dst")))
+    return intra.unionByName(boundary)

@@ -612,16 +612,15 @@ def q_label_propagation(spark, sf_dir):
     that LPA collapses it to a single label (verified), which would
     make the check vacuous.  String labels compare byte-wise
     identically in both engines."""
+    from .operators.graph import behavioral_edges
     e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    seq = (e.select("event_type", "ts", "event_id", "user_id")
-           .withColumn("nxt", F.lead("user_id").over(w))
-           .filter(F.col("nxt").isNotNull()
-                   & (F.col("nxt") != F.col("user_id"))))
+    # day-rekeyed lead with boundary stitch — identical pair set to
+    # the naive whole-type window (operators/graph.behavioral_edges)
+    seq = behavioral_edges(e)
     node = lambda c: F.concat("event_type", F.lit(":"),  # noqa: E731
                               F.col(c).cast("string"))
-    und = (seq.select(F.least(node("user_id"), node("nxt")).alias("a"),
-                      F.greatest(node("user_id"), node("nxt"))
+    und = (seq.select(F.least(node("src"), node("dst")).alias("a"),
+                      F.greatest(node("src"), node("dst"))
                       .alias("b"))
            .distinct())
     und = (und.select(F.col("a").alias("src"), F.col("b").alias("dst"))

@@ -342,16 +342,12 @@ def q_pagerank(spark, sf_dir):
     make the 5 iterative rounds bit-identical across engines, so an
     ITERATIVE GRAPH ALGORITHM gets a full hash oracle (unrolled-CTE
     twin) instead of the usual rows-only check. Top-20 by rank."""
-    from pyspark.sql import Window
-    from .operators.graph import pagerank
+    from .operators.graph import behavioral_edges, pagerank
     e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    edges = (e.select("event_type", "ts", "event_id", "user_id")
-             .withColumn("nxt", F.lead("user_id").over(w))
-             .filter(F.col("nxt").isNotNull()
-                     & (F.col("nxt") != F.col("user_id")))
-             .select(F.col("user_id").alias("src"),
-                     F.col("nxt").alias("dst")))
+    # day-rekeyed lead with boundary stitch — identical pair set to
+    # the naive whole-type window, but no ~N/5-row sort partitions
+    # (operators/graph.behavioral_edges)
+    edges = behavioral_edges(e).select("src", "dst")
     ranks = pagerank(edges, rounds=PR_ROUNDS)
     return (ranks.orderBy(F.col("rank_scaled").desc(), "node")
             .limit(PR_TOPK))

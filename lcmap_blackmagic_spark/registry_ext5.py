@@ -320,16 +320,11 @@ def q_triangle_count(spark, sf_dir):
     ``pagerank`` — operators/graph.py:triangle_counts). The a<b<c
     enumeration join materializes each triangle once; everything is
     integer, so the check is hash-exact."""
-    from pyspark.sql import Window
-    from .operators.graph import triangle_counts
+    from .operators.graph import behavioral_edges, triangle_counts
     e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    edges = (e.select("event_type", "ts", "event_id", "user_id")
-             .withColumn("nxt", F.lead("user_id").over(w))
-             .filter(F.col("nxt").isNotNull()
-                     & (F.col("nxt") != F.col("user_id")))
-             .select(F.col("user_id").alias("src"),
-                     F.col("nxt").alias("dst")))
+    # day-rekeyed lead with boundary stitch — identical pair set to
+    # the naive whole-type window (operators/graph.behavioral_edges)
+    edges = behavioral_edges(e).select("src", "dst")
     return (triangle_counts(edges)
             .orderBy(F.desc("triangles"), "node")
             .limit(TRI_TOPK))
