@@ -286,9 +286,10 @@ def kmv_set_ops(df: DataFrame, key_col: str, member_col,
         "h", F.explode(F.array_compact(F.array(
             F.when(F.col("a") == 1, F.lit("A")),
             F.when(F.col("b") == 1, F.lit("B"))))).alias("s"))
-    w = Window.partitionBy("s").orderBy("h")
-    sk = (sides.withColumn("rn", F.row_number().over(w))
-          .filter(F.col("rn") <= k))
+    # bucket-pyramid top-k: the naive row_number window here
+    # partitions by the 2-value set tag — every distinct hash
+    # through one sort task at scale (k_smallest docstring)
+    sk = k_smallest(sides, ["s"], "h", k)
     # estimate card(S) from a sketch: (K-1)*2^48/h_(K), exact count
     # when fewer than K distinct hashes exist
     per_set = (sk.groupBy("s")
@@ -330,3 +331,45 @@ def kmv_set_ops(df: DataFrame, key_col: str, member_col,
             .select("a_est", "b_est", "union_est", "jaccard_est",
                     (F.col("jaccard_est") * F.col("union_est"))
                     .alias("intersect_est")))
+
+
+KMV_BUCKET = 1 << 36    # 4096 buckets over the 48-bit hash space
+
+
+def k_smallest(dist: DataFrame, groups: list, h: str = "h",
+               k: int = 64) -> DataFrame:
+    """EXACT k smallest distinct ``h`` values per group, without
+    sorting the table: the scale-safe replacement for
+    ``row_number() OVER (PARTITION BY low-card-group ORDER BY h)``,
+    which funnels every distinct hash of a group through ONE task's
+    sort (the KMV inputs partition by 2-5 values — table-sized
+    partitions at 10^12 rows).
+
+    Bucket pyramid (the cum_below idea specialized to a top-k): hash
+    rows land in 4096 coarse buckets (``h div 2^36``); per-group
+    bucket COUNTS (≤4096 rows/group) get a strict prefix sum, rows
+    of buckets whose prefix already reaches k are dropped wholesale,
+    and ranking happens only WITHIN each surviving bucket —
+    partition = one (group, bucket), expected D/4096 rows for
+    uniform hashes.  global rank = bucket prefix + in-bucket rank,
+    so the output (groups…, h, rn) is row-identical to the window
+    form for distinct h.
+
+    Returns the ≤k rows per group with their 1-based rank ``rn``.
+    """
+    from pyspark.sql import Window
+    g = list(groups)
+    b = dist.withColumn("_bkt", F.expr(f"{h} div {KMV_BUCKET}"))
+    counts = b.groupBy(*g, "_bkt").agg(F.count(F.lit(1)).alias("_c"))
+    wb = (Window.partitionBy(*g).orderBy("_bkt")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    counts = counts.withColumn(
+        "_before", F.coalesce(F.sum("_c").over(wb), F.lit(0)))
+    keep = (counts.filter(F.col("_before") < k)
+            .select(*g, "_bkt", "_before"))
+    win = Window.partitionBy(*g, "_bkt").orderBy(h)
+    return (b.join(keep, [*g, "_bkt"])
+            .withColumn("rn", F.col("_before")
+                        + F.row_number().over(win))
+            .filter(F.col("rn") <= k)
+            .drop("_bkt", "_before"))

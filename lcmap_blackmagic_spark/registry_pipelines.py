@@ -218,16 +218,20 @@ def q_kmv_sketch(spark, sf_dir):
     one-pass, mergeable, bounded-memory); this query pins the sketch
     *pattern* against the oracle, and its estimates are themselves
     tolerance-tested against exact values in tests/test_sketches.py.
-    The per-group row_number over distinct hashes rides one narrow
-    dedup shuffle; only K rows per group survive to the aggregate."""
-    from pyspark.sql import Window
+    Scale shapes (round 7): the K smallest hashes come from the
+    bucket-pyramid top-k (operators/sketches.k_smallest — only one
+    4096th of each group's hash space is ever sorted, vs the old
+    row_number window funneling every distinct hash of a 3-value
+    group through one task), and the sampled median is read off the
+    cum_below prefix pyramid instead of a per-flag rank window over
+    the whole 1/8 sample."""
+    from .operators.sketches import k_smallest
+    from .registry_ext10 import cum_below
     l = _t(spark, sf_dir, "lineitem")
     h = F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string")),
                            1, 12), 16, 10).cast("bigint")
     dist = l.select("l_returnflag", h.alias("h")).distinct()
-    w = Window.partitionBy("l_returnflag").orderBy("h")
-    topk = (dist.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= KMV_K))
+    topk = k_smallest(dist, ["l_returnflag"], "h", KMV_K)
     kmv = (topk.groupBy("l_returnflag")
            .agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("k"))
            .select("l_returnflag",
@@ -241,16 +245,22 @@ def q_kmv_sketch(spark, sf_dir):
         .cast("bigint")
     samp = l.filter(hs < KMV_SAMPLE_THRESH).select(
         "l_returnflag",
-        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
-        "l_orderkey", "l_linenumber")
-    wr = Window.partitionBy("l_returnflag").orderBy(
-        "price", "l_orderkey", "l_linenumber")
-    wc = Window.partitionBy("l_returnflag")
-    med = (samp.withColumn("rn", F.row_number().over(wr))
-           .withColumn("n", F.count(F.lit(1)).over(wc))
-           .filter(F.col("rn") == F.ceil(F.col("n") / 2))
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("cents"))
+    # median VALUE at rank ceil(n/2) is tie-break-free: the smallest
+    # cents value whose cumulative count reaches the rank — read off
+    # the prefix pyramid (every window partition ≤1024 rows) instead
+    # of ranking the whole per-flag sample in one task
+    n_g = samp.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    cum = cum_below(samp, "cents", by=("l_returnflag",))
+    med = (cum.join(F.broadcast(n_g), "l_returnflag")
+           .filter(F.col("cum_lt") + F.col("c")
+                   >= F.ceil(F.col("n") / 2))
+           .groupBy("l_returnflag")
+           .agg(F.min("v").alias("mc"))
            .select("l_returnflag",
-                   F.col("price").cast("double").alias("sampled_median")))
+                   (F.col("mc") / 100).cast("double")
+                   .alias("sampled_median")))
     return kmv.join(med, "l_returnflag")
 
 
