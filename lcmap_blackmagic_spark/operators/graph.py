@@ -133,27 +133,22 @@ def behavioral_edges(events: DataFrame) -> DataFrame:
                      & (F.col("nxt") != F.col("user_id")))
              .select("event_type", F.col("user_id").alias("src"),
                      F.col("nxt").alias("dst")))
-    wdesc = (Window.partitionBy("event_type", "day")
-             .orderBy(F.desc("t_us"), F.desc("event_id")))
-    lasts = (base.withColumn("rn", F.row_number().over(wdesc))
-             .filter(F.col("rn") == 1)
-             .select("event_type", "day",
-                     F.col("user_id").alias("last_user")))
-    firsts = (base.withColumn("rn", F.row_number().over(wd))
-              .filter(F.col("rn") == 1)
-              .select(F.col("event_type").alias("ftype"),
-                      F.col("day").alias("fday"),
-                      F.col("user_id").alias("first_user")))
-    days = base.select("event_type", "day").distinct()
+    # one map-side-combined aggregate yields each day's first AND
+    # last user ((t_us, event_id) is duplicate-free, so min_by/max_by
+    # are deterministic); the boundary pair then falls out of a
+    # single lead over the DAY-LEVEL table — no joins, and the only
+    # unbounded-partition window holds #active-days rows per type
+    fl = base.groupBy("event_type", "day").agg(
+        F.min_by("user_id", F.struct("t_us", "event_id"))
+        .alias("first_user"),
+        F.max_by("user_id", F.struct("t_us", "event_id"))
+        .alias("last_user"))
     wday = Window.partitionBy("event_type").orderBy("day")
-    nxt_day = (days.withColumn("nday", F.lead("day").over(wday))
-               .filter(F.col("nday").isNotNull()))
-    boundary = (nxt_day.join(lasts, ["event_type", "day"])
-                .join(firsts,
-                      (F.col("event_type") == F.col("ftype"))
-                      & (F.col("nday") == F.col("fday")))
-                .filter(F.col("last_user") != F.col("first_user"))
+    boundary = (fl.withColumn("nfirst",
+                              F.lead("first_user").over(wday))
+                .filter(F.col("nfirst").isNotNull()
+                        & (F.col("last_user") != F.col("nfirst")))
                 .select("event_type",
                         F.col("last_user").alias("src"),
-                        F.col("first_user").alias("dst")))
+                        F.col("nfirst").alias("dst")))
     return intra.unionByName(boundary)
