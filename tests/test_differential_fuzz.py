@@ -1190,3 +1190,139 @@ def test_decimal_divergences_pinned(engines):
     with pytest.raises(Exception):
         con.execute("SELECT CAST(repeat('9', 38) AS DECIMAL(38,0)) * "
                     "CAST(10 AS DECIMAL(38,0))").fetchone()
+
+
+# ---- regex-function differential fuzz -----------------------------
+
+REGEX_CASES = 22
+
+# shared-safe subset of Java regex (Spark) ∩ RE2 (DuckDB): classes,
+# quantifiers, anchors, \b, alternation, groups, inline (?i).
+# Lookaround / possessive quantifiers / pattern backreferences are
+# Java-only (RE2 rejects them) — pinned in the divergence test.
+_RE_ATOMS = ["[a-z]", "[aeiou]", "[0-9]", "[^ ]", "[a-m]", "\\w",
+             "[rst]", "e", "th", "a"]
+_RE_QUANT = ["", "+", "*", "?", "{1,3}", "{2}"]
+
+
+def _rand_regex(rng: random.Random, groups: int = 0) -> str:
+    parts = []
+    for _ in range(rng.randint(1, 3)):
+        atom = rng.choice(_RE_ATOMS)
+        if rng.random() < 0.25:
+            atom = f"({rng.choice(_RE_ATOMS)}|{rng.choice(_RE_ATOMS)})"
+        parts.append(atom + rng.choice(_RE_QUANT))
+    pat = "".join(parts)
+    for _ in range(groups):
+        pat = f"({pat})"
+    if rng.random() < 0.15:
+        pat = "\\b" + pat
+    if rng.random() < 0.1:
+        pat = "(?i)" + pat
+    return pat
+
+
+def _spark_lit(pat: str) -> str:
+    # Spark SQL string literals process backslash escapes; DuckDB's
+    # standard-conforming strings do not
+    return pat.replace("\\", "\\\\")
+
+
+def _regex_cases():
+    rng = random.Random(SEED + 787878)
+    out = []
+    for i in range(REGEX_CASES):
+        p = _rand_regex(rng)
+        roll = rng.random()
+        if roll < 0.3:
+            out.append((i,
+                        f"size(regexp_extract_all(text, "
+                        f"'{_spark_lit(p)}', 0))",
+                        f"len(regexp_extract_all(text, '{p}'))",
+                        f"count[{p}]"))
+        elif roll < 0.5:
+            out.append((i,
+                        f"CASE WHEN regexp_like(text, "
+                        f"'{_spark_lit(p)}') THEN 1 ELSE 0 END",
+                        f"CASE WHEN regexp_matches(text, '{p}') "
+                        f"THEN 1 ELSE 0 END",
+                        f"like[{p}]"))
+        elif roll < 0.7:
+            g = _rand_regex(rng, groups=1)
+            idx = rng.choice([0, 1])
+            out.append((i,
+                        f"regexp_extract(text, '{_spark_lit(g)}', {idx})",
+                        f"regexp_extract(text, '{g}', {idx})",
+                        f"extract[{g}#{idx}]"))
+        else:
+            r = rng.choice(["_", "", "XX"])
+            out.append((i,
+                        f"length(regexp_replace(text, "
+                        f"'{_spark_lit(p)}', '{r}'))",
+                        f"length(regexp_replace(text, '{p}', "
+                        f"'{r}', 'g'))",
+                        f"replace[{p}->{r}]"))
+    return out
+
+
+@pytest.mark.parametrize("i,spark_expr,duck_expr,label", _regex_cases())
+def test_regex_funcs_agree_across_engines(engines3, i, spark_expr,
+                                          duck_expr, label):
+    """Random patterns from the Java∩RE2-safe grammar over the
+    documents text: match counts, boolean matches, group extraction,
+    replace-all lengths — row-by-row agreement.  The PII scrub,
+    normalize, lang-id, and token-count operators all ride this
+    function family."""
+    spark, con = engines3
+    body = " FROM fuzz_docs WHERE doc_id % 3 = 0"
+    key = (lambda t: tuple((v is None, v if v is not None else 0)
+                           for v in t))
+    got = sorted((tuple(r) for r in spark.sql(
+        f"SELECT doc_id, {spark_expr} AS v{body}").collect()), key=key)
+    want = sorted((tuple(r) for r in con.execute(
+        f"SELECT doc_id, {duck_expr} AS v{body}").fetchall()), key=key)
+    assert got == want, f"regex case {i} [{label}]"
+
+
+def test_regex_divergences_pinned(engines):
+    """Java-regex constructs RE2 rejects — anything the repo's
+    operators use must stay out of this set:
+
+    1. lookahead: Spark matches, DuckDB raises 'invalid perl
+       operator'.
+    2. possessive quantifiers: Spark ok, DuckDB raises.
+    3. pattern backreferences: Spark ok, DuckDB raises.
+    4. regexp_replace default: Spark replaces ALL occurrences,
+       DuckDB only the FIRST without the 'g' flag.
+    5. replacement backrefs are spelled $1 (Spark/Java) vs
+       \\1 (DuckDB/RE2).
+    """
+    spark, con = engines
+    assert spark.sql(
+        "SELECT regexp_like('abc', 'a(?=b)')").first()[0] is True
+    with pytest.raises(Exception, match="perl|Invalid"):
+        con.execute("SELECT regexp_matches('abc', 'a(?=b)')")
+
+    assert spark.sql(
+        "SELECT regexp_like('aaa', 'a*+')").first()[0] is True
+    with pytest.raises(Exception):
+        con.execute("SELECT regexp_matches('aaa', 'a*+')")
+
+    assert spark.sql(
+        "SELECT regexp_like('abab', '(ab)\\\\1')").first()[0] is True
+    with pytest.raises(Exception):
+        con.execute("SELECT regexp_matches('abab', '(ab)\\1')")
+
+    assert spark.sql(
+        "SELECT regexp_replace('a1b2', '[0-9]', 'X')"
+    ).first()[0] == "aXbX"
+    assert con.execute(
+        "SELECT regexp_replace('a1b2', '[0-9]', 'X')"
+    ).fetchone()[0] == "aXb2"
+
+    assert spark.sql(
+        "SELECT regexp_replace('ab', '(a)(b)', '$2$1')"
+    ).first()[0] == "ba"
+    assert con.execute(
+        "SELECT regexp_replace('ab', '(a)(b)', '\\2\\1')"
+    ).fetchone()[0] == "ba"

@@ -52,3 +52,48 @@ def test_kmv_estimates_within_tolerance(spark, sf_dir):
         # KMV rse ~ 1/sqrt(K-2) ≈ 6.3% at K=256; allow 4x
         assert abs(a["kmv_distinct"] - e["orders"]) <= 0.25 * e["orders"]
         assert abs(a["sampled_median"] - e["median"]) <= 0.10 * e["median"]
+
+
+def test_k_smallest_matches_naive_window(spark):
+    """Property: the bucket-pyramid exact top-k
+    (operators/sketches.k_smallest) returns row-for-row the same
+    (group, h, rank) set as the naive
+    ``row_number() OVER (PARTITION BY group ORDER BY h)`` it
+    replaces — across random hash layouts, groups with fewer than k
+    values, k larger than any group, and hashes straddling bucket
+    boundaries."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lcmap_blackmagic_spark.operators.sketches import (KMV_BUCKET,
+                                                           k_smallest)
+
+    for seed in range(8):
+        rng = random.Random(seed)
+        rows = set()
+        for g in range(rng.randint(1, 4)):
+            n = rng.randint(0, 60)
+            for _ in range(n):
+                if rng.random() < 0.3:
+                    # cluster near bucket boundaries — the cutoff
+                    # bucket logic's edge
+                    b = rng.randint(0, 3) * KMV_BUCKET
+                    h = b + rng.randint(-2, 2)
+                else:
+                    h = rng.randint(0, 2 ** 48 - 1)
+                rows.add((f"g{g}", max(0, h)))
+        if not rows:
+            continue
+        df = spark.createDataFrame(sorted(rows), "s string, h long")
+        k = rng.choice([1, 3, 16, 100])
+        got = sorted(tuple(r) for r in
+                     k_smallest(df, ["s"], "h", k)
+                     .select("s", "h", "rn").collect())
+        w = Window.partitionBy("s").orderBy("h")
+        want = sorted(tuple(r) for r in
+                      df.withColumn("rn", F.row_number().over(w))
+                      .filter(F.col("rn") <= k)
+                      .select("s", "h", "rn").collect())
+        assert got == want, f"seed {seed}, k={k}"
