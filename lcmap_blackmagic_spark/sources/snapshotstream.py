@@ -28,12 +28,15 @@ than the driver-side ``SimpleDataSourceStreamReader``).
 
 Replay contract: commit dirs are immutable, so re-reading an offset
 range after checkpoint recovery yields byte-identical rows.
-Retention interacts STRICTLY: computing version v's delta needs
-manifest v-1, so ``vacuum_snapshots`` must keep manifests back to
-the stream's offset — a vacuumed diff base raises loudly instead of
-silently re-emitting carried-forward dirs as duplicates (caught by
-a live reproduction in review; exactly-once beats availability
-here).
+Retention interacts STRICTLY for a stream in flight: computing
+version v's delta needs manifest v-1, so ``vacuum_snapshots`` must
+keep manifests back to the stream's offset — a vacuumed diff base
+raises loudly instead of silently re-emitting carried-forward dirs
+as duplicates (caught by a live reproduction in review;
+exactly-once beats availability here).  A FRESH stream (offset 0,
+no start_version) on a vacuumed table bootstraps fine: it emits the
+full snapshot at the first surviving version — nothing was emitted
+before, so exactly-once holds by construction.
 
 Timestamp fidelity: the store writes whatever the session's parquet
 writer produces — INT96 (Spark's default for TimestampType),
@@ -159,25 +162,45 @@ def _make_snapshot_stream_datasource():
         def partitions(self, start: dict, end: dict):
             existing = versions(self.table_dir)
             lo, hi = start["version"], end["version"]
+            vmin = existing[0] if existing else None
+            fresh = lo == self.start_version == 0
             parts = []
+            prev_dirs = None
             for v in range(lo + 1, hi + 1):
                 if v not in existing:
-                    # a vacuumed version INSIDE the unread range:
-                    # its rows are unrecoverable — fail loudly
-                    # rather than mis-attribute them to a later diff
+                    if fresh and vmin is not None and v < vmin:
+                        # vacuumed PREFIX before a fresh bootstrap:
+                        # nothing was ever emitted, so the first
+                        # surviving version below carries everything
+                        continue
+                    # a vacuumed version inside a range the stream
+                    # has partially consumed: its delta is
+                    # unrecoverable — fail loudly rather than
+                    # mis-attribute rows to a later diff
                     raise FileNotFoundError(
                         f"snapshotstream: version {v} in the unread "
                         f"range ({lo}, {hi}] was vacuumed; retention "
                         f"must out-live stream lag")
                 dirs = manifest(self.table_dir, v)["dirs"]
-                if v > 1:
+                if v == vmin and fresh:
+                    # bootstrap on a vacuumed table: emit the FULL
+                    # snapshot at the first surviving version —
+                    # exactly-once holds, this stream has emitted
+                    # nothing yet
+                    new_dirs = dirs
+                elif v > 1:
                     # diff against the EXACT predecessor (raises if
-                    # vacuumed): diffing against the nearest survivor
-                    # re-emits carried-forward dirs as duplicates
-                    prev = set(manifest(self.table_dir, v - 1)["dirs"])
-                    new_dirs = [d for d in dirs if d not in prev]
+                    # vacuumed): the nearest-survivor diff re-emits
+                    # carried-forward dirs as duplicates.  range() is
+                    # consecutive, so each iteration's dirs are the
+                    # next one's predecessor — read each manifest once
+                    if prev_dirs is None:
+                        prev_dirs = set(
+                            manifest(self.table_dir, v - 1)["dirs"])
+                    new_dirs = [d for d in dirs if d not in prev_dirs]
                 else:
                     new_dirs = dirs
+                prev_dirs = set(dirs)
                 for d in new_dirs:
                     for f in parquet_files(
                             os.path.join(self.table_dir, "data", d)):

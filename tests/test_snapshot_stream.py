@@ -171,6 +171,19 @@ def test_vacuumed_diff_base_raises_instead_of_duplicating(spark):
     with pytest.raises(Exception):
         run()
 
+    # a FRESH stream on the vacuumed table must still bootstrap:
+    # v2's full carried-forward content once (tagged v2), then v3's
+    # delta — every row exactly once
+    out2 = tempfile.mkdtemp(prefix="snapstream_out2_")
+    q2 = (read_snapshot_stream(spark, t)
+          .writeStream.format("parquet").option("path", out2)
+          .option("checkpointLocation", tempfile.mkdtemp())
+          .trigger(availableNow=True).start())
+    assert q2.awaitTermination(300)
+    got2 = {tuple(r) for r in spark.read.parquet(out2).collect()}
+    assert got2 == {(0, 0, 2), (1, 10, 2), (10, 100, 2),
+                    (20, 200, 3)}
+
 
 def test_timestamp_columns_keep_instant_semantics(spark):
     """TimestampType (instant) columns — Spark's default INT96
