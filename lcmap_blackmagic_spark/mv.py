@@ -1,0 +1,212 @@
+"""Incremental materialized-view maintenance over the snapshot store.
+
+The missing half of a table format: once tables carry a commit log
+(storage.write_snapshot's manifest chain), a GROUP-BY aggregate view
+can be maintained from the log instead of recomputed from the table —
+the pattern every production rollup pipeline at 100 TB needs, and the
+natural composition of this repo's snapshot store (storage.py:384)
+with its streaming reader (sources/snapshotstream.py).  Reference
+anchor: the closest thing in lcmap-blackmagic is the per-tile rollup
+the prediction blueprint recomputes wholesale per request
+(blackmagic/blueprints/prediction.py) — this module is the
+incremental, log-driven form of that shape.
+
+Design (the classic algebraic-aggregate IVM construction, e.g.
+"Maintenance of Materialized Views: Problems, Techniques and
+Applications", Gupta & Mumick, IEEE DE Bulletin 1995):
+
+- The view is ``SELECT keys, aggs FROM snapshot_table GROUP BY keys``
+  with aggregates drawn from the ALGEBRAIC set {count, sum, min, max,
+  avg}: each has a bounded partial state that merges associatively
+  (count→sum of counts, sum→sum of sums, min/max→min/max of partials,
+  avg→(sum, count) pair).  Under APPEND-ONLY deltas these merges are
+  exact — no aggregate here needs retraction support, which is why
+  deletes/overwrites fall back to a full rebuild (below).
+- The MV table stores PARTIALS, not finalized values, in its own
+  snapshot table; ``mv_read`` finalizes (avg = sum/count) at read
+  time.  Partial columns are name-mangled (``__mv_*``) so they can
+  never collide with key columns.
+- Each refresh commits the merged partials with
+  ``write_snapshot_tagged(tag=f"src-v{N}")`` where N is the source
+  version the MV now reflects: the tag IS the watermark (recovered
+  from the MV's own manifest chain — no side file), and tag
+  deduplication makes a replayed/concurrent refresh of the same
+  source version a no-op instead of a double-count.
+
+Scale shape: an incremental refresh reads ONLY the delta commit dirs
+(manifest set-difference, metadata-sized, driver-side) and shuffles
+(a) the delta's partial aggregate — map-side combined, delta-sized —
+and (b) the MV itself — group-cardinality-sized, never corpus-sized.
+The source table is re-scanned only when the delta provably is not
+append-only (an overwrite landed, or retention vacuumed the
+watermark manifest), both detected from manifests alone.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .storage import (SNAP_MANIFESTS, latest_version, read_snapshot,
+                      write_snapshot_tagged)
+
+_MV_OPS = ("count", "sum", "min", "max", "avg")
+_TAG_RE = re.compile(r"src-v(\d+)")
+
+
+def _load_manifest(table_dir: str, version: int) -> dict | None:
+    p = os.path.join(table_dir, SNAP_MANIFESTS, f"v{version}.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _partial_cols(spec: list[tuple]) -> dict[str, tuple]:
+    """Map mangled partial-column name -> (kind, source_col).
+
+    kind ∈ {n, c, s, mn, mx}: count(*), non-null count, sum, min,
+    max.  Derived from the spec so only partials the view needs are
+    stored; avg contributes BOTH s_ and c_ (its exact state pair).
+    """
+    need: dict[str, tuple] = {}
+    for op, col, _alias in spec:
+        if op not in _MV_OPS:
+            raise ValueError(f"unsupported MV aggregate {op!r}")
+        if op == "count" and col == "*":
+            need["__mv_n"] = ("n", None)
+        elif op == "count":
+            need[f"__mv_c_{col}"] = ("c", col)
+        elif op == "sum":
+            need[f"__mv_s_{col}"] = ("s", col)
+        elif op == "min":
+            need[f"__mv_mn_{col}"] = ("mn", col)
+        elif op == "max":
+            need[f"__mv_mx_{col}"] = ("mx", col)
+        else:                                   # avg -> (sum, count)
+            need[f"__mv_s_{col}"] = ("s", col)
+            need[f"__mv_c_{col}"] = ("c", col)
+    return need
+
+
+def _partial_agg(df: DataFrame, keys: list[str],
+                 spec: list[tuple]) -> DataFrame:
+    """Delta rows -> per-key partial state (one map-side-combined
+    aggregate; this is the only pass over delta data)."""
+    aggs = []
+    for name, (kind, col) in _partial_cols(spec).items():
+        if kind == "n":
+            aggs.append(F.count(F.lit(1)).alias(name))
+        elif kind == "c":
+            aggs.append(F.count(col).alias(name))
+        elif kind == "s":
+            aggs.append(F.sum(col).alias(name))
+        elif kind == "mn":
+            aggs.append(F.min(col).alias(name))
+        else:
+            aggs.append(F.max(col).alias(name))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def _merge_partials(parts: DataFrame, keys: list[str],
+                    spec: list[tuple]) -> DataFrame:
+    """Union of partial states -> merged state.  Counts and sums add
+    (F.sum skips NULL partials — SQL sum/min/max semantics carry
+    through the merge unchanged); min/max fold."""
+    aggs = []
+    for name, (kind, _col) in _partial_cols(spec).items():
+        if kind in ("n", "c", "s"):
+            aggs.append(F.sum(name).alias(name))
+        elif kind == "mn":
+            aggs.append(F.min(name).alias(name))
+        else:
+            aggs.append(F.max(name).alias(name))
+    return parts.groupBy(*keys).agg(*aggs)
+
+
+def mv_watermark(mv_dir: str) -> int | None:
+    """Source version the MV currently reflects, recovered from the
+    MV's own latest manifest tag — None if the MV does not exist."""
+    v = latest_version(mv_dir)
+    if v is None:
+        return None
+    man = _load_manifest(mv_dir, v)
+    m = _TAG_RE.fullmatch(man.get("tag") or "")
+    if not m:
+        raise ValueError(f"MV manifest v{v} carries no src-v tag "
+                         f"({mv_dir} is not an MV table)")
+    return int(m.group(1))
+
+
+def mv_refresh(spark: SparkSession, src_dir: str, mv_dir: str,
+               keys: list[str], spec: list[tuple]) -> int | None:
+    """Bring the MV up to the source's latest version.  Returns the
+    committed MV version, or None when already current (including
+    the replayed-refresh case — the tag suppresses the commit).
+
+    Incremental when the source moved by appends only (watermark
+    manifest present AND its commit dirs are a subset of latest's);
+    full rebuild otherwise (overwrite landed, or retention vacuumed
+    the watermark manifest — both visible from manifests alone, no
+    data read spent deciding).
+    """
+    src_v = latest_version(src_dir)
+    if src_v is None:
+        raise FileNotFoundError(f"no snapshots in {src_dir}")
+    wm = mv_watermark(mv_dir)
+    if wm is not None and wm >= src_v:
+        return None                              # already current
+    latest_man = _load_manifest(src_dir, src_v)
+    wm_man = _load_manifest(src_dir, wm) if wm is not None else None
+
+    incremental = (wm_man is not None
+                   and set(wm_man["dirs"]) <= set(latest_man["dirs"]))
+    if incremental:
+        delta_dirs = [d for d in latest_man["dirs"]
+                      if d not in set(wm_man["dirs"])]
+        prev = read_snapshot(spark, mv_dir)      # prior partials
+        if delta_dirs:
+            delta = spark.read.parquet(
+                *[os.path.join(src_dir, "data", d) for d in delta_dirs])
+            merged = _merge_partials(
+                prev.unionByName(_partial_agg(delta, keys, spec)),
+                keys, spec)
+        else:            # version advanced without new dirs: no-op data
+            merged = prev
+    else:
+        merged = _partial_agg(read_snapshot(spark, src_dir, version=src_v),
+                              keys, spec)
+    # overwrite commit: the MV snapshot chain is its own history (time
+    # travel over past refreshes); the tag pins which source version
+    # this state reflects and dedupes replayed refreshes.
+    return write_snapshot_tagged(merged, mv_dir, tag=f"src-v{src_v}",
+                                 mode="overwrite", collect_stats=False)
+
+
+def mv_read(spark: SparkSession, mv_dir: str, keys: list[str],
+            spec: list[tuple]) -> DataFrame:
+    """Finalize the stored partials into the user-facing view:
+    count→the stored count, sum/min/max→the partial itself,
+    avg→sum/count as DOUBLE (NULL when no non-null inputs, matching
+    SQL AVG)."""
+    df = read_snapshot(spark, mv_dir)
+    out = [F.col(k) for k in keys]
+    for op, col, alias in spec:
+        if op == "count" and col == "*":
+            out.append(F.col("__mv_n").alias(alias))
+        elif op == "count":
+            out.append(F.col(f"__mv_c_{col}").alias(alias))
+        elif op == "sum":
+            out.append(F.col(f"__mv_s_{col}").alias(alias))
+        elif op == "min":
+            out.append(F.col(f"__mv_mn_{col}").alias(alias))
+        elif op == "max":
+            out.append(F.col(f"__mv_mx_{col}").alias(alias))
+        else:
+            out.append((F.col(f"__mv_s_{col}").cast("double")
+                        / F.col(f"__mv_c_{col}")).alias(alias))
+    return df.select(*out)

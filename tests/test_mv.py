@@ -1,0 +1,145 @@
+"""Incremental materialized-view maintenance (mv.py): incremental
+refreshes must equal a from-scratch aggregate after ANY schedule of
+source commits, replays must be suppressed, and the incremental path
+must genuinely not touch pre-watermark commit data."""
+
+import os
+import random
+import tempfile
+
+from pyspark.sql import functions as F
+
+from lcmap_blackmagic_spark import storage
+from lcmap_blackmagic_spark.mv import mv_read, mv_refresh, mv_watermark
+
+KEYS = ["k"]
+SPEC = [
+    ("count", "*", "n"),
+    ("count", "v", "nv"),
+    ("sum",   "v", "sv"),
+    ("min",   "v", "mnv"),
+    ("max",   "v", "mxv"),
+    ("avg",   "v", "av"),
+]
+
+
+def _batch(spark, rows):
+    """rows: list of (k, v) with v possibly None."""
+    return spark.createDataFrame(rows, "k string, v long")
+
+
+def _expected(spark, src):
+    return {
+        r["k"]: (r["n"], r["nv"], r["sv"], r["mnv"], r["mxv"], r["av"])
+        for r in storage.read_snapshot(spark, src)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.count("v").alias("nv"),
+             F.sum("v").alias("sv"), F.min("v").alias("mnv"),
+             F.max("v").alias("mxv"),
+             (F.sum("v").cast("double") / F.count("v")).alias("av"))
+        .collect()}
+
+
+def _actual(spark, mv):
+    return {r["k"]: (r["n"], r["nv"], r["sv"], r["mnv"], r["mxv"], r["av"])
+            for r in mv_read(spark, mv, KEYS, SPEC).collect()}
+
+
+def test_incremental_equals_full_over_random_schedules(spark):
+    """Property: after every commit+refresh of a random schedule of
+    appends and overwrites (with NULL measures mixed in), the MV
+    equals the direct aggregate of the live snapshot."""
+    rng = random.Random(813)
+    for schedule in range(4):
+        src = tempfile.mkdtemp(prefix="mvsrc_")
+        mv = tempfile.mkdtemp(prefix="mv_")
+        for step in range(5):
+            rows = [(rng.choice("abcd"),
+                     None if rng.random() < 0.2 else rng.randrange(-50, 50))
+                    for _ in range(rng.randrange(1, 12))]
+            mode = "overwrite" if step == 0 or rng.random() < 0.3 \
+                else "append"
+            storage.write_snapshot(_batch(spark, rows), src, mode=mode,
+                                   collect_stats=False)
+            mv_refresh(spark, src, mv, KEYS, SPEC)
+            assert _actual(spark, mv) == _expected(spark, src), \
+                f"schedule {schedule} step {step} ({mode})"
+
+
+def test_replay_and_current_refreshes_are_noops(spark):
+    src = tempfile.mkdtemp(prefix="mvsrc_")
+    mv = tempfile.mkdtemp(prefix="mv_")
+    storage.write_snapshot(_batch(spark, [("a", 1), ("b", 2)]), src,
+                           collect_stats=False)
+    assert mv_refresh(spark, src, mv, KEYS, SPEC) == 1
+    assert mv_watermark(mv) == 1
+    # already-current refresh: no commit, version chain unchanged
+    assert mv_refresh(spark, src, mv, KEYS, SPEC) is None
+    assert storage.latest_version(mv) == 1
+    storage.write_snapshot(_batch(spark, [("a", 3)]), src, mode="append",
+                           collect_stats=False)
+    assert mv_refresh(spark, src, mv, KEYS, SPEC) == 2
+    assert mv_watermark(mv) == 2
+    assert mv_refresh(spark, src, mv, KEYS, SPEC) is None
+
+
+def test_incremental_never_touches_prewatermark_data(spark):
+    """Hide the first commit's data dir before an append-only refresh:
+    the incremental path (manifest diff + delta dirs only) must still
+    succeed — a full rebuild would have to scan the hidden dir and
+    fail.  This pins the 100 TB property, not just the result."""
+    src = tempfile.mkdtemp(prefix="mvsrc_")
+    mv = tempfile.mkdtemp(prefix="mv_")
+    storage.write_snapshot(_batch(spark, [("a", 1), ("b", 2)]), src,
+                           collect_stats=False)
+    mv_refresh(spark, src, mv, KEYS, SPEC)
+    storage.write_snapshot(_batch(spark, [("a", 10), ("c", None)]), src,
+                           mode="append", collect_stats=False)
+    man = storage.SNAP_MANIFESTS
+    import json
+    with open(os.path.join(src, man, "v1.json")) as fh:
+        old_dir = json.load(fh)["dirs"][0]
+    hidden = os.path.join(src, "data", old_dir)
+    os.rename(hidden, hidden + ".cold")
+    try:
+        assert mv_refresh(spark, src, mv, KEYS, SPEC) == 2
+    finally:
+        os.rename(hidden + ".cold", hidden)
+    assert _actual(spark, mv) == _expected(spark, src)
+
+
+def test_vacuumed_watermark_falls_back_to_full_rebuild(spark):
+    """Retention removes the watermark manifest: the refresh must
+    detect it (manifest missing) and rebuild from the live snapshot
+    rather than diff against a nearest survivor (which would
+    double-count carried-forward dirs)."""
+    src = tempfile.mkdtemp(prefix="mvsrc_")
+    mv = tempfile.mkdtemp(prefix="mv_")
+    storage.write_snapshot(_batch(spark, [("a", 1)]), src,
+                           collect_stats=False)
+    mv_refresh(spark, src, mv, KEYS, SPEC)
+    storage.write_snapshot(_batch(spark, [("a", 2)]), src, mode="append",
+                           collect_stats=False)
+    storage.write_snapshot(_batch(spark, [("b", 5)]), src, mode="append",
+                           collect_stats=False)
+    storage.vacuum_snapshots(src, keep=1, min_age_s=0.0)
+    assert storage.latest_version(src) == 3
+    mv_refresh(spark, src, mv, KEYS, SPEC)
+    assert _actual(spark, mv) == _expected(spark, src)
+    assert mv_watermark(mv) == 3
+
+
+def test_all_null_group_finalization(spark):
+    """A key whose measure is entirely NULL: count(*) counts rows,
+    count(v)=0, sum/min/max NULL, avg NULL — through TWO merges."""
+    src = tempfile.mkdtemp(prefix="mvsrc_")
+    mv = tempfile.mkdtemp(prefix="mv_")
+    storage.write_snapshot(_batch(spark, [("z", None), ("a", 1)]), src,
+                           collect_stats=False)
+    mv_refresh(spark, src, mv, KEYS, SPEC)
+    storage.write_snapshot(_batch(spark, [("z", None)]), src,
+                           mode="append", collect_stats=False)
+    mv_refresh(spark, src, mv, KEYS, SPEC)
+    got = _actual(spark, mv)
+    assert got["z"] == (2, 0, None, None, None, None)
+    assert got["a"] == (1, 1, 1, 1, 1, 1.0)
