@@ -39,7 +39,7 @@ def q_snapshot_mv(spark, sf_dir):
     incremental merges before finalization."""
     from .mv import mv_read, mv_refresh, mv_watermark
     from .registry import _staging
-    from .storage import write_snapshot
+    from .storage import latest_version, write_snapshot
 
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus",
@@ -60,7 +60,11 @@ def q_snapshot_mv(spark, sf_dir):
     replay = mv_refresh(spark, src, mv, MV_KEYS, MV_SPEC)
     if replay is not None:            # replayed refresh must be no-op
         raise AssertionError("replayed MV refresh committed a version")
-    if mv_watermark(mv) != 3 or v is None:
+    # compare against the LIVE latest version, not a literal: a
+    # second run in the same process appends three more source
+    # versions onto the per-process staging table (double-run
+    # stability), and the watermark must track whatever is current
+    if mv_watermark(mv) != latest_version(src) or v is None:
         raise AssertionError("MV watermark does not track the source")
     return (mv_read(spark, mv, MV_KEYS, MV_SPEC)
             .orderBy("o_orderstatus"))
@@ -83,6 +87,44 @@ ORDER BY o_orderstatus
 """
 
 
+def q_snapshot_merge(spark, sf_dir):
+    """Copy-on-write MERGE INTO on a snapshot table
+    (storage.merge_into_snapshot) under the gate: orders lands in two
+    key-ranged commits, the merge_upsert U/D/I change set
+    (registry_ext4._order_changes) is applied as a ``merge`` commit,
+    and the merged snapshot is read back and summarized per status —
+    deletes, +5%% updates, and inserts all visible in the aggregate.
+    Shares the change-set oracle with ``merge_upsert``
+    (registry_ext4.SQL_MERGE_UPSERT), so the two entries pin that the
+    table-format COW path and the plain DataFrame path produce the
+    identical relation; dir-level rewrite pruning is pinned
+    separately by tests/test_snapshot_merge.py."""
+    from .registry import _staging
+    from .registry_ext4 import _order_changes
+    from .storage import merge_into_snapshot, read_snapshot, write_snapshot
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"))
+    mid = 3_000_000   # splits every sf's key space into two commits
+    table = _staging(sf_dir, "snap_merge_orders")
+    write_snapshot(o.filter(F.col("o_orderkey") <= mid), table)
+    write_snapshot(o.filter(F.col("o_orderkey") > mid), table,
+                   mode="append")
+    merge_into_snapshot(spark, table, _order_changes(o), "o_orderkey")
+    merged = read_snapshot(spark, table)
+    return (merged.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum("price").cast("double").alias("total_price")))
+
+
+def _sql_snapshot_merge() -> str:
+    from .registry_ext4 import SQL_MERGE_UPSERT
+    return SQL_MERGE_UPSERT
+
+
 QUERIES_EXT13: dict[str, dict] = {
-    "snapshot_mv": {"fn": q_snapshot_mv, "sql": SQL_SNAPSHOT_MV},
+    "snapshot_mv":    {"fn": q_snapshot_mv, "sql": SQL_SNAPSHOT_MV},
+    "snapshot_merge": {"fn": q_snapshot_merge,
+                       "sql": _sql_snapshot_merge()},
 }

