@@ -127,6 +127,13 @@ HEADLINE = [
     # rolling z-score
     "rank_ratios_bp",
     "rolling_zscore_bp",
+    # round-8 wave: the table-format lifecycle under timing — the
+    # incremental-MV maintenance loop (3 commits + 3 refreshes + a
+    # replay) and the copy-on-write MERGE commit; both are
+    # write-amplified end-to-end protocols, not pure scans, so their
+    # numbers track commit overhead as much as query time
+    "snapshot_mv",
+    "snapshot_merge",
 ]
 
 
