@@ -54,8 +54,14 @@ from pyspark.sql import functions as F
 from .storage import (SNAP_MANIFESTS, latest_version, read_snapshot,
                       write_snapshot_tagged)
 
-_MV_OPS = ("count", "sum", "min", "max", "avg")
+_MV_OPS = ("count", "sum", "min", "max", "avg", "hll")
 _TAG_RE = re.compile(r"src-v(\d+)")
+
+# Register precision for the ``hll`` aggregate: 2^8 = 256 int slots
+# per (group, column) — the operators/sketches.py sketch family's
+# default working point (±~6.5% standard error), stored DENSE so
+# array zip_with can merge it without an explode.
+MV_HLL_P = 8
 
 
 def _load_manifest(table_dir: str, version: int) -> dict | None:
@@ -69,9 +75,10 @@ def _load_manifest(table_dir: str, version: int) -> dict | None:
 def _partial_cols(spec: list[tuple]) -> dict[str, tuple]:
     """Map mangled partial-column name -> (kind, source_col).
 
-    kind ∈ {n, c, s, mn, mx}: count(*), non-null count, sum, min,
-    max.  Derived from the spec so only partials the view needs are
-    stored; avg contributes BOTH s_ and c_ (its exact state pair).
+    kind ∈ {n, c, s, mn, mx, hll}: count(*), non-null count, sum,
+    min, max, HLL register array.  Derived from the spec so only
+    partials the view needs are stored; avg contributes BOTH s_ and
+    c_ (its exact state pair).
     """
     need: dict[str, tuple] = {}
     for op, col, _alias in spec:
@@ -87,44 +94,111 @@ def _partial_cols(spec: list[tuple]) -> dict[str, tuple]:
             need[f"__mv_mn_{col}"] = ("mn", col)
         elif op == "max":
             need[f"__mv_mx_{col}"] = ("mx", col)
+        elif op == "hll":
+            need[f"__mv_hll_{col}"] = ("hll", col)
         else:                                   # avg -> (sum, count)
             need[f"__mv_s_{col}"] = ("s", col)
             need[f"__mv_c_{col}"] = ("c", col)
     return need
 
 
+def _hll_zero() -> str:
+    return f"transform(sequence(0, {(1 << MV_HLL_P) - 1}), i -> 0)"
+
+
+def _hll_partial(df: DataFrame, keys: list[str], col: str,
+                 name: str) -> DataFrame:
+    """Per-key DENSE register array for approx-distinct(col): the
+    sketches.hll_registers two-level aggregate (map-side-combinable
+    (group, bucket) MAX, then one row per group), densified through
+    a map lookup over the 256 slot indexes.  NULL keys are excluded
+    before hashing — COUNT(DISTINCT col) semantics."""
+    from .operators.sketches import hll_registers
+    m = 1 << MV_HLL_P
+    regs = hll_registers(df.filter(F.col(col).isNotNull()), keys, col,
+                         p=MV_HLL_P)
+    pairs = (regs.groupBy(*keys)
+             .agg(F.map_from_entries(
+                 F.collect_list(F.struct(
+                     F.col("hll_reg").cast("int").alias("k"),
+                     F.col("mreg").cast("int").alias("v"))))
+                 .alias("__mv_hmap")))
+    dense = F.expr(f"transform(sequence(0, {m - 1}), "
+                   f"i -> coalesce(element_at(__mv_hmap, i), 0))")
+    return pairs.select(*keys, dense.alias(name))
+
+
 def _partial_agg(df: DataFrame, keys: list[str],
                  spec: list[tuple]) -> DataFrame:
-    """Delta rows -> per-key partial state (one map-side-combined
-    aggregate; this is the only pass over delta data)."""
-    aggs = []
+    """Delta rows -> per-key partial state.  Scalar partials are one
+    map-side-combined aggregate; each hll partial is its own
+    two-level register aggregate, attached by a null-safe full-outer
+    key join (the key sets come from the same rows, but a group may
+    exist on only one side when its hll column is entirely NULL).
+    Missing hll arrays back-fill with the zero register set, so
+    downstream merge/finalize never see NULL state."""
+    scalar, hlls = [], []
     for name, (kind, col) in _partial_cols(spec).items():
         if kind == "n":
-            aggs.append(F.count(F.lit(1)).alias(name))
+            scalar.append(F.count(F.lit(1)).alias(name))
         elif kind == "c":
-            aggs.append(F.count(col).alias(name))
+            scalar.append(F.count(col).alias(name))
         elif kind == "s":
-            aggs.append(F.sum(col).alias(name))
+            scalar.append(F.sum(col).alias(name))
         elif kind == "mn":
-            aggs.append(F.min(col).alias(name))
+            scalar.append(F.min(col).alias(name))
+        elif kind == "mx":
+            scalar.append(F.max(col).alias(name))
         else:
-            aggs.append(F.max(col).alias(name))
-    return df.groupBy(*keys).agg(*aggs)
+            hlls.append((name, col))
+    out = df.groupBy(*keys).agg(*scalar) if scalar else None
+    for name, col in hlls:
+        part = _hll_partial(df, keys, col, name)
+        if out is None:
+            out = part
+            continue
+        right = part
+        for k in keys:
+            right = right.withColumnRenamed(k, f"__mv_r_{k}")
+        cond = None
+        for k in keys:
+            c = out[k].eqNullSafe(right[f"__mv_r_{k}"])
+            cond = c if cond is None else (cond & c)
+        # coalesce EVERY hll column, not only the newly joined one: a
+        # right-only group (possible when no scalar partials anchor
+        # the full key set) leaves the earlier arrays NULL too
+        out = (out.join(right, cond, "full_outer")
+               .select(*[F.coalesce(out[k], right[f"__mv_r_{k}"])
+                         .alias(k) for k in keys],
+                       *[(F.coalesce(F.col(c), F.expr(_hll_zero()))
+                          .alias(c) if c.startswith("__mv_hll_")
+                          else F.col(c))
+                         for c in out.columns if c not in keys],
+                       F.coalesce(F.col(name), F.expr(_hll_zero()))
+                       .alias(name)))
+    return out
 
 
 def _merge_partials(parts: DataFrame, keys: list[str],
                     spec: list[tuple]) -> DataFrame:
     """Union of partial states -> merged state.  Counts and sums add
     (F.sum skips NULL partials — SQL sum/min/max semantics carry
-    through the merge unchanged); min/max fold."""
+    through the merge unchanged); min/max fold; HLL register arrays
+    fold element-wise MAX (collect_list of the ≤2 arrays per key —
+    prev state + delta — then one zip_with fold, all JVM-side)."""
     aggs = []
     for name, (kind, _col) in _partial_cols(spec).items():
         if kind in ("n", "c", "s"):
             aggs.append(F.sum(name).alias(name))
         elif kind == "mn":
             aggs.append(F.min(name).alias(name))
-        else:
+        elif kind == "mx":
             aggs.append(F.max(name).alias(name))
+        else:
+            aggs.append(F.expr(
+                f"aggregate(collect_list({name}), {_hll_zero()}, "
+                f"(acc, x) -> zip_with(acc, x, (a, b) -> greatest(a, b)))"
+            ).alias(name))
     return parts.groupBy(*keys).agg(*aggs)
 
 
@@ -192,7 +266,11 @@ def mv_read(spark: SparkSession, mv_dir: str, keys: list[str],
     """Finalize the stored partials into the user-facing view:
     count→the stored count, sum/min/max→the partial itself,
     avg→sum/count as DOUBLE (NULL when no non-null inputs, matching
-    SQL AVG)."""
+    SQL AVG), hll→the sketches.py estimator over the register array
+    (the scaled-harmonic-sum integer form: an empty slot contributes
+    shiftleft(1, 48) = the (m-nb)*2^48 term of the long-form
+    estimator, so dense and sparse finalization agree exactly)."""
+    from .operators.sketches import hll_alpha_numerator
     df = read_snapshot(spark, mv_dir)
     out = [F.col(k) for k in keys]
     for op, col, alias in spec:
@@ -206,6 +284,12 @@ def mv_read(spark: SparkSession, mv_dir: str, keys: list[str],
             out.append(F.col(f"__mv_mn_{col}").alias(alias))
         elif op == "max":
             out.append(F.col(f"__mv_mx_{col}").alias(alias))
+        elif op == "hll":
+            s = F.expr(
+                f"aggregate(__mv_hll_{col}, CAST(0 AS BIGINT), "
+                f"(acc, r) -> acc + shiftleft(CAST(1 AS BIGINT), 48 - r))")
+            out.append((F.lit(hll_alpha_numerator(MV_HLL_P))
+                        / s.cast("double")).alias(alias))
         else:
             out.append((F.col(f"__mv_s_{col}").cast("double")
                         / F.col(f"__mv_c_{col}")).alias(alias))

@@ -87,6 +87,71 @@ ORDER BY o_orderstatus
 """
 
 
+def q_snapshot_mv_hll(spark, sf_dir):
+    """Incrementally maintained approx-distinct: an MV with an
+    ``hll`` aggregate (dense 256-register partials, element-wise-MAX
+    merge) refreshed across three source commits must finalize to
+    the one-shot sketch's exact estimate — the oracle recomputes the
+    registers over the FULL table in SQL (the registry_ext4
+    hll_sketch construction re-pointed at orders), so the hash-match
+    proves register merging is lossless across refreshes, not just
+    that the estimate is plausible."""
+    from .mv import mv_read, mv_refresh
+    from .registry import _staging
+    from .storage import write_snapshot
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_custkey",
+        (F.col("o_orderkey") % 3).alias("slice"))
+    src = _staging(sf_dir, "mv_hll_src")
+    mv = _staging(sf_dir, "mv_hll_view")
+    keys = ["o_orderstatus"]
+    spec = [("count", "*", "n_orders"),
+            ("hll", "o_custkey", "approx_customers")]
+    for s in range(3):
+        write_snapshot(o.filter(F.col("slice") == s).drop("slice"), src,
+                       mode="overwrite" if s == 0 else "append",
+                       collect_stats=False)
+        mv_refresh(spark, src, mv, keys, spec)
+    return (mv_read(spark, mv, keys, spec)
+            .orderBy("o_orderstatus"))
+
+
+def _sql_snapshot_mv_hll() -> str:
+    from .mv import MV_HLL_P
+    from .operators.sketches import H48, hll_alpha_numerator
+    p = MV_HLL_P
+    m = 1 << p
+    rest = 48 - p
+    wmod = 1 << rest
+    return f"""
+WITH h AS (
+  SELECT o_orderstatus,
+         CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12)
+              AS BIGINT) AS h
+  FROM orders),
+r AS (
+  SELECT o_orderstatus, h // {wmod} AS bucket,
+         CASE WHEN h % {wmod} = 0 THEN {rest + 1}
+              ELSE {rest + 1} - length(bin(h % {wmod})) END AS rho
+  FROM h),
+mx AS (SELECT o_orderstatus, bucket, MAX(rho) AS mreg
+       FROM r GROUP BY o_orderstatus, bucket),
+a AS (SELECT o_orderstatus,
+             SUM(CAST(1 AS BIGINT) << (48 - mreg)) AS s,
+             COUNT(*) AS nb
+      FROM mx GROUP BY o_orderstatus),
+n AS (SELECT o_orderstatus, COUNT(*) AS n_orders
+      FROM orders GROUP BY o_orderstatus)
+SELECT n.o_orderstatus, n.n_orders,
+       {hll_alpha_numerator(p)!r}
+         / CAST(a.s + ({m} - a.nb) * {H48} AS DOUBLE)
+         AS approx_customers
+FROM n JOIN a USING (o_orderstatus)
+ORDER BY o_orderstatus
+"""
+
+
 def q_snapshot_merge(spark, sf_dir):
     """Copy-on-write MERGE INTO on a snapshot table
     (storage.merge_into_snapshot) under the gate: orders lands in two
@@ -124,7 +189,9 @@ def _sql_snapshot_merge() -> str:
 
 
 QUERIES_EXT13: dict[str, dict] = {
-    "snapshot_mv":    {"fn": q_snapshot_mv, "sql": SQL_SNAPSHOT_MV},
-    "snapshot_merge": {"fn": q_snapshot_merge,
-                       "sql": _sql_snapshot_merge()},
+    "snapshot_mv":     {"fn": q_snapshot_mv, "sql": SQL_SNAPSHOT_MV},
+    "snapshot_mv_hll": {"fn": q_snapshot_mv_hll,
+                        "sql": _sql_snapshot_mv_hll()},
+    "snapshot_merge":  {"fn": q_snapshot_merge,
+                        "sql": _sql_snapshot_merge()},
 }

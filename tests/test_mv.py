@@ -143,3 +143,35 @@ def test_all_null_group_finalization(spark):
     got = _actual(spark, mv)
     assert got["z"] == (2, 0, None, None, None, None)
     assert got["a"] == (1, 1, 1, 1, 1, 1.0)
+
+
+def test_hll_partial_incremental_equals_oneshot(spark):
+    """approx-distinct in the MV: registers merged across THREE
+    incremental refreshes must finalize to the exact same estimate
+    as the one-shot sketch over the full table (same integer
+    harmonic sum, same single division — bit-equal, not approx-
+    equal), including a key overlap across commits."""
+    from lcmap_blackmagic_spark.mv import MV_HLL_P
+    from lcmap_blackmagic_spark.operators.sketches import hll_distinct
+    keys = ["k"]
+    spec = [("count", "*", "n"), ("hll", "u", "nd")]
+    src = tempfile.mkdtemp(prefix="mvsrc_")
+    mv = tempfile.mkdtemp(prefix="mv_")
+    batches = [
+        [("a", i) for i in range(40)] + [("b", i) for i in range(5)],
+        [("a", i) for i in range(20, 60)],          # overlaps batch 1
+        [("b", None), ("b", 7), ("c", 1)],          # NULL u ignored
+    ]
+    for i, rows in enumerate(batches):
+        storage.write_snapshot(
+            spark.createDataFrame(rows, "k string, u long"), src,
+            mode="overwrite" if i == 0 else "append",
+            collect_stats=False)
+        mv_refresh(spark, src, mv, keys, spec)
+    got = {r["k"]: r["nd"] for r in
+           mv_read(spark, mv, keys, spec).collect()}
+    full = storage.read_snapshot(spark, src).filter("u IS NOT NULL")
+    want = {r["k"]: r["hll_distinct"] for r in
+            hll_distinct(full, ["k"], "u", p=MV_HLL_P).collect()}
+    assert got == want                       # bit-exact, all 3 keys
+    assert set(got) == {"a", "b", "c"}
