@@ -148,3 +148,57 @@ def test_mv_full_rebuild_after_merge(spark):
     got = {r["k"]: (r["n"], r["mn"]) for r in
            mv_read(spark, mv, keys, spec).collect()}
     assert got == {1: (2, 5), 3: (1, 4)}
+
+
+def test_random_op_sequences_match_pure_model(spark):
+    """Property: any interleaving of overwrite / append / COW-merge
+    commits leaves the table equal to a pure-Python list-of-rows
+    model applying the documented semantics (duplicate keys from
+    appends included: a source row acts on EVERY matching target
+    row).  Mirrors tests/test_snapshots.py's random-op model test,
+    extended with the merge op."""
+    import random
+    rng = random.Random(408)
+    for schedule in range(3):
+        t = tempfile.mkdtemp(prefix="smrgprop_")
+        model: list[tuple] = []       # multiset of (k, v)
+        storage.write_snapshot(
+            _batch(spark, [(k, f"s{schedule}k{k}") for k in range(5)]), t)
+        model = [(k, f"s{schedule}k{k}") for k in range(5)]
+        for step in range(5):
+            op = rng.choice(["append", "merge", "merge", "overwrite"])
+            if op == "overwrite":
+                rows = [(rng.randrange(20), f"o{step}.{i}")
+                        for i in range(rng.randrange(1, 6))]
+                storage.write_snapshot(_batch(spark, rows), t)
+                model = list(rows)
+            elif op == "append":
+                rows = [(rng.randrange(20), f"a{step}.{i}")
+                        for i in range(rng.randrange(1, 6))]
+                storage.write_snapshot(_batch(spark, rows), t,
+                                       mode="append")
+                model += rows
+            else:
+                keys = rng.sample(range(20), rng.randrange(1, 6))
+                chg = [(k, f"m{step}.{k}", rng.choice("UDI"))
+                       for k in keys]
+                storage.merge_into_snapshot(spark, t,
+                                            _changes(spark, chg), "k")
+                for k, v, cop in chg:
+                    present = any(mk == k for mk, _ in model)
+                    if cop == "D":
+                        model = [(mk, mv) for mk, mv in model if mk != k]
+                    elif cop == "U":
+                        if present:
+                            model = [(mk, v if mk == k else mv)
+                                     for mk, mv in model]
+                    else:                       # I: upsert
+                        if present:
+                            model = [(mk, v if mk == k else mv)
+                                     for mk, mv in model]
+                        else:
+                            model.append((k, v))
+            got = sorted((r["k"], r["v"]) for r in
+                         storage.read_snapshot(spark, t).collect())
+            assert got == sorted(model), \
+                f"schedule {schedule} step {step} op {op}"
