@@ -1326,3 +1326,120 @@ def test_regex_divergences_pinned(engines):
     assert con.execute(
         "SELECT regexp_replace('ab', '(a)(b)', '\\2\\1')"
     ).fetchone()[0] == "ba"
+
+
+# ---- date/interval-arithmetic differential fuzz -------------------
+
+INTERVAL_CASES = 24
+
+# (label, spark expr, duckdb expr) with D0 = the NTZ orders date.
+# Probed live before encoding (2026-08-15): month addition CLAMPS
+# identically in both engines (Jan 31 + 1 mo = Feb 29/28 on both),
+# trunc('WEEK') and date_trunc('week') are both Monday-start, and
+# dayofweek numbering differs by exactly one (Spark Sunday=1, DuckDB
+# Sunday=0) — compensated in the DuckDB rendering.  DuckDB's DATE +
+# BIGINT has no overload (INT works); its renderings cast.
+_IV_TRANSFORMS = [
+    ("add_months{k}", "add_months(D0, {k})",
+     "CAST(D0 + INTERVAL ({k}) MONTH AS DATE)"),
+    ("add_months_eom{k}", "add_months(last_day(D0), {k})",
+     "CAST(last_day(D0) + INTERVAL ({k}) MONTH AS DATE)"),
+    ("date_add{j}", "date_add(D0, {j})", "D0 + CAST({j} AS INT)"),
+    ("chain{k}_{j}", "date_add(add_months(D0, {k}), {j})",
+     "CAST(D0 + INTERVAL ({k}) MONTH AS DATE) + CAST({j} AS INT)"),
+    ("trunc_mm", "trunc(D0, 'MM')",
+     "CAST(date_trunc('month', D0) AS DATE)"),
+    ("trunc_week", "trunc(D0, 'WEEK')",
+     "CAST(date_trunc('week', D0) AS DATE)"),
+    ("trunc_quarter", "trunc(D0, 'QUARTER')",
+     "CAST(date_trunc('quarter', D0) AS DATE)"),
+    ("last_day_shift{j}", "last_day(date_add(D0, {j}))",
+     "last_day(D0 + CAST({j} AS INT))"),
+]
+_IV_EXTRACTS = [
+    ("dow", "CAST(dayofweek(X0) AS BIGINT)",
+     "CAST(dayofweek(X0) + 1 AS BIGINT)"),
+    ("doy", "CAST(dayofyear(X0) AS BIGINT)",
+     "CAST(dayofyear(X0) AS BIGINT)"),
+    ("woy", "CAST(weekofyear(X0) AS BIGINT)",
+     "CAST(weekofyear(X0) AS BIGINT)"),
+    ("q", "CAST(quarter(X0) AS BIGINT)", "CAST(quarter(X0) AS BIGINT)"),
+    ("ddiff", "CAST(datediff(X0, D0) AS BIGINT)",
+     "CAST(date_diff('day', D0, X0) AS BIGINT)"),
+    ("epochday", "CAST(unix_date(X0) AS BIGINT)",
+     "CAST(date_diff('day', DATE '1970-01-01', X0) AS BIGINT)"),
+]
+
+
+def _interval_cases():
+    rng = random.Random(SEED + 515)
+    out = []
+    for i in range(INTERVAL_CASES):
+        label, st, dt = rng.choice(_IV_TRANSFORMS)
+        k, j = rng.randint(-30, 30), rng.randint(-900, 900)
+        st, dt = st.format(k=k, j=j), dt.format(k=k, j=j)
+        elabel, se, de = rng.choice(_IV_EXTRACTS)
+        out.append((i, f"{label.format(k=k, j=j)}/{elabel}",
+                    se.replace("X0", st), de.replace("X0", dt)))
+    return out
+
+
+@pytest.mark.parametrize("i,label,sexpr,dexpr", _interval_cases())
+def test_interval_arithmetic_agrees_across_engines(engines2, i, label,
+                                                   sexpr, dexpr):
+    """Random (interval transform ∘ calendar extraction) pipelines
+    over the orders dates, compared as exact grouped integer
+    aggregates.  This is the surface SCD2 intervals, cohort
+    retention, and seasonality profiles stand on — clamping month
+    addition, Monday-anchored week truncation, and day-difference
+    conventions all inside one composed expression."""
+    spark, con = engines2
+    D = "CAST(o_orderdate AS DATE)"
+    ssql = (f"SELECT {sexpr.replace('D0', D)} AS x, COUNT(*) AS n, "
+            f"CAST(SUM(o_orderkey % 1000) AS BIGINT) AS ck "
+            f"FROM fuzz_orders GROUP BY 1 ORDER BY 1")
+    dsql = (f"SELECT {dexpr.replace('D0', D)} AS x, COUNT(*) AS n, "
+            f"CAST(SUM(o_orderkey % 1000) AS BIGINT) AS ck "
+            f"FROM fuzz_orders GROUP BY 1 ORDER BY 1")
+    got = [(str(r[0]), r[1], r[2]) for r in spark.sql(ssql).collect()]
+    want = [(str(r[0]), r[1], r[2]) for r in con.execute(dsql).fetchall()]
+    assert got == want, f"case {i} ({label})"
+
+
+def test_interval_divergences_pinned(engines2):
+    """The corners the generator must NOT wander into, pinned so a
+    Spark/DuckDB upgrade that moves them is caught:
+
+    - months_between is NOT the inverse of add_months: Spark
+      day-clamps the END of the walk, so months_between(add_months(
+      d, 5), d) < 5 whenever d's day exceeds the target month's
+      length (31st → 30-day month).  DuckDB has no months_between;
+      an oracle must derive month counts from clamped add_months
+      chains, never from months_between.
+    - DuckDB DATE + BIGINT has no overload (DATE + INT does); Spark
+      coerces both.  Generated SQL must CAST day literals AS INT.
+    - dayofweek: Spark Sunday=1..Saturday=7; DuckDB Sunday=0..6.
+    """
+    spark, con = engines2
+    mb = spark.sql("SELECT months_between(add_months(DATE '1992-09-29'"
+                   ", 5), DATE '1992-09-29')").first()[0]
+    assert abs(mb - 4.96774194) < 1e-6   # clamped walk: not 5
+    # DuckDB rejects an UNQUOTED negative interval literal; the
+    # parenthesized form binds — generated SQL must parenthesize
+    with pytest.raises(Exception):
+        con.execute("SELECT DATE '1992-03-15' + INTERVAL -12 MONTH")
+    assert str(con.execute(
+        "SELECT CAST(DATE '1992-03-15' + INTERVAL (-12) MONTH AS DATE)"
+    ).fetchone()[0]) == "1992-03-15".replace("1992", "1991")
+    assert spark.sql(
+        "SELECT add_months(DATE '1992-01-31', 1)").first()[0].day == 29
+    with pytest.raises(Exception):
+        con.execute("SELECT DATE '1992-01-01' + CAST(1 AS BIGINT)")
+    assert con.execute(
+        "SELECT DATE '1992-01-01' + CAST(1 AS INT)").fetchone()[0] \
+        .isoformat() == "1992-01-02"
+    # Sunday 1992-01-05: Spark says 1, DuckDB says 0
+    assert spark.sql(
+        "SELECT dayofweek(DATE '1992-01-05')").first()[0] == 1
+    assert con.execute(
+        "SELECT dayofweek(DATE '1992-01-05')").fetchone()[0] == 0
