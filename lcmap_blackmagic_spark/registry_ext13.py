@@ -188,10 +188,75 @@ def _sql_snapshot_merge() -> str:
     return SQL_MERGE_UPSERT
 
 
+def q_snapshot_cdf(spark, sf_dir):
+    """Change-data-feed under the gate, BOTH physical paths in one
+    result: step 'append' diffs a pure-append range (fast path —
+    delta commit dirs only, every change an insert) and step
+    'overwrite' diffs across an overwrite (general path — join-free
+    ±1 multiset diff).  Versions come from write_snapshot's returns,
+    never literals, so a second run in the same process (three more
+    versions on the staging table) diffs its own commits.  The
+    oracle recomputes both deltas from the slice predicates — the
+    hash-match proves the feed is exactly state difference."""
+    from .registry import _staging
+    from .storage import snapshot_changes, write_snapshot
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("cents"))
+    k = F.col("o_orderkey")
+    table = _staging(sf_dir, "cdf_orders")
+    v1 = write_snapshot(o.filter(k % 3 == 0), table,
+                        collect_stats=False)
+    v2 = write_snapshot(o.filter(k % 3 == 1), table, mode="append",
+                        collect_stats=False)
+    v3 = write_snapshot(o.filter(k % 3 != 0), table,
+                        collect_stats=False)
+
+    def agg(df, step):
+        return (df.groupBy("_change_type")
+                .agg(F.sum("_n").alias("n_changes"),
+                     F.sum(F.col("cents") * F.col("_n")).alias("cents_sum"),
+                     F.min("o_orderkey").alias("min_key"),
+                     F.max("o_orderkey").alias("max_key"))
+                .select(F.lit(step).alias("step"), "_change_type",
+                        "n_changes", "cents_sum", "min_key", "max_key"))
+
+    return (agg(snapshot_changes(spark, table, v1, v2), "append")
+            .unionByName(agg(snapshot_changes(spark, table, v1, v3),
+                             "overwrite"))
+            .orderBy("step", "_change_type"))
+
+
+SQL_SNAPSHOT_CDF = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM orders),
+ch AS (
+  -- append range v1->v2: state adds exactly the k%3=1 slice
+  SELECT 'append' AS step, 'insert' AS _change_type, k, cents
+  FROM base WHERE k % 3 = 1
+  UNION ALL
+  -- overwrite range v1->v3: k%3=0 leaves, k%3 IN (1,2) arrives
+  SELECT 'overwrite', 'delete', k, cents FROM base WHERE k % 3 = 0
+  UNION ALL
+  SELECT 'overwrite', 'insert', k, cents FROM base WHERE k % 3 <> 0)
+SELECT step, _change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_changes,
+       CAST(SUM(cents) AS BIGINT) AS cents_sum,
+       MIN(k) AS min_key, MAX(k) AS max_key
+FROM ch GROUP BY step, _change_type ORDER BY step, _change_type
+"""
+
+
 QUERIES_EXT13: dict[str, dict] = {
     "snapshot_mv":     {"fn": q_snapshot_mv, "sql": SQL_SNAPSHOT_MV},
     "snapshot_mv_hll": {"fn": q_snapshot_mv_hll,
                         "sql": _sql_snapshot_mv_hll()},
     "snapshot_merge":  {"fn": q_snapshot_merge,
                         "sql": _sql_snapshot_merge()},
+    "snapshot_cdf":    {"fn": q_snapshot_cdf, "sql": SQL_SNAPSHOT_CDF},
 }
