@@ -175,3 +175,58 @@ def test_hll_partial_incremental_equals_oneshot(spark):
             hll_distinct(full, ["k"], "u", p=MV_HLL_P).collect()}
     assert got == want                       # bit-exact, all 3 keys
     assert set(got) == {"a", "b", "c"}
+
+
+def test_stream_driven_mv_refresh_equals_batch_mv(spark):
+    """Kappa-form MV maintenance: the snapshot STREAM tails the
+    source and each micro-batch's partial aggregate is merged into
+    the MV table through a tagged overwrite commit — no manifest
+    diffing, exactly-once from the tag.  The finalized view (scalar
+    AND hll partials) must equal the direct aggregate, and a full
+    replay from a fresh checkpoint publishes zero new MV versions."""
+    from lcmap_blackmagic_spark.mv import (MV_HLL_P, _merge_partials,
+                                           _partial_agg, mv_read)
+    from lcmap_blackmagic_spark.operators.sketches import hll_distinct
+    from lcmap_blackmagic_spark.sources.snapshotstream import (
+        read_snapshot_stream)
+    keys = ["k"]
+    spec = [("count", "*", "n"), ("sum", "v", "sv"), ("hll", "v", "nd")]
+    src = tempfile.mkdtemp(prefix="mvstream_src_")
+    mv = tempfile.mkdtemp(prefix="mvstream_mv_")
+    storage.write_snapshot(
+        spark.createDataFrame([("a", 1), ("a", 2), ("b", 7)],
+                              "k string, v long"), src)
+    storage.write_snapshot(
+        spark.createDataFrame([("a", 2), ("c", 9)], "k string, v long"),
+        src, mode="append")
+
+    def run(ckpt):
+        def fb(batch_df, batch_id):
+            part = _partial_agg(batch_df.drop("_snapshot_version"),
+                                keys, spec)
+            if storage.latest_version(mv) is not None:
+                part = _merge_partials(
+                    storage.read_snapshot(spark, mv).unionByName(part),
+                    keys, spec)
+            storage.write_snapshot_tagged(part, mv, f"batch-{batch_id}",
+                                          mode="overwrite",
+                                          collect_stats=False)
+        q = (read_snapshot_stream(spark, src)
+             .writeStream.foreachBatch(fb)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(300)
+
+    run(tempfile.mkdtemp())
+    v_after = storage.latest_version(mv)
+    got = {r["k"]: (r["n"], r["sv"], r["nd"]) for r in
+           mv_read(spark, mv, keys, spec).collect()}
+    full = storage.read_snapshot(spark, src)
+    hll = {r["k"]: r["hll_distinct"] for r in
+           hll_distinct(full, ["k"], "v", p=MV_HLL_P).collect()}
+    want = {r["k"]: (r["n"], r["sv"], hll[r["k"]]) for r in
+            full.groupBy("k").agg(F.count(F.lit(1)).alias("n"),
+                                  F.sum("v").alias("sv")).collect()}
+    assert got == want
+    run(tempfile.mkdtemp())          # replay: tags suppress everything
+    assert storage.latest_version(mv) == v_after
