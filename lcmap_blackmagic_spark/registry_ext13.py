@@ -49,7 +49,6 @@ def q_snapshot_mv(spark, sf_dir):
     mv = _staging(sf_dir, "mv_orders_by_status")
     write_snapshot(o.filter(F.col("o_orderkey") % 3 == 0), src,
                    collect_stats=False)
-    from .mv import mv_refresh as _r  # noqa: F401 (import locality)
     mv_refresh(spark, src, mv, MV_KEYS, MV_SPEC)          # full build
     write_snapshot(o.filter(F.col("o_orderkey") % 3 == 1), src,
                    mode="append", collect_stats=False)

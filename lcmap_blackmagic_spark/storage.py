@@ -682,17 +682,22 @@ def snapshot_changes(spark: SparkSession, table_dir: str,
             return empty.select(
                 "*", F.lit("insert").alias("_change_type"),
                 F.lit(0).cast("bigint").alias("_n"))
-        rows = spark.read.parquet(
+        rows = spark.read.option("mergeSchema", True).parquet(
             *[os.path.join(table_dir, "data", d) for d in delta])
         return (rows.groupBy(*rows.columns)
                 .agg(F.count(F.lit(1)).alias("_n"))
                 .select(*rows.columns,
                         F.lit("insert").alias("_change_type"), "_n"))
-    a = read_snapshot(spark, table_dir, version=v_from)
-    b = read_snapshot(spark, table_dir, version=v_to)
-    cols = b.columns
-    tagged = (a.select(*cols, F.lit(-1).alias("__d"))
-              .unionByName(b.select(*cols, F.lit(1).alias("__d"))))
+    a = read_snapshot(spark, table_dir, version=v_from,
+                      merge_schema=True)
+    b = read_snapshot(spark, table_dir, version=v_to, merge_schema=True)
+    # allowMissingColumns: additive schema evolution means either
+    # pinned version may lack columns the other has — a missing
+    # column diffs as NULL, exactly what the evolved read yields
+    tagged = (a.withColumn("__d", F.lit(-1))
+              .unionByName(b.withColumn("__d", F.lit(1)),
+                           allowMissingColumns=True))
+    cols = [c for c in tagged.columns if c != "__d"]
     net = (tagged.groupBy(*cols)
            .agg(F.sum("__d").cast("bigint").alias("__net"))
            .filter(F.col("__net") != 0))
@@ -820,6 +825,11 @@ def merge_into_snapshot(spark: SparkSession, table_dir: str,
         return version + 1
     except FileExistsError:
         shutil.rmtree(data_dir, ignore_errors=True)
+        # the race we lost may have been our own replayed twin (same
+        # tag): that is the write_snapshot_tagged no-op contract, not
+        # a conflict — only a FOREIGN commit aborts with an error
+        if tag is not None and tag in _committed_tags(table_dir):
+            return None
         raise ConcurrentSnapshotMerge(
             f"version {version + 1} of {table_dir} was committed "
             f"concurrently; merge computed against v{version} aborted")

@@ -84,3 +84,25 @@ def test_bad_range_rejected(spark):
         storage.snapshot_changes(spark, t, 2, 1)
     with pytest.raises(ValueError):
         storage.snapshot_changes(spark, t, 0, 1)
+
+
+def test_cdf_across_schema_evolution(spark):
+    """An appended commit adds a column: the fast path carries the
+    evolved schema; the general path (forced via an overwrite) diffs
+    the missing column as NULL on the old side — the additive-
+    evolution contract read_snapshot(merge_schema=True) gives."""
+    t = tempfile.mkdtemp(prefix="scdf_")
+    storage.write_snapshot(_batch(spark, [(1, "a")]), t)
+    storage.write_snapshot(
+        spark.createDataFrame([(2, "b", 5)], "k long, v string, w long"),
+        t, mode="append")
+    fast = storage.snapshot_changes(spark, t, 1, 2)
+    assert sorted((r["k"], r["v"], r["w"], r["_change_type"], r["_n"])
+                  for r in fast.collect()) == [(2, "b", 5, "insert", 1)]
+    storage.write_snapshot(
+        spark.createDataFrame([(3, "c", 6)], "k long, v string, w long"),
+        t)
+    gen = storage.snapshot_changes(spark, t, 1, 3)
+    assert sorted((r["k"], r["v"], r["w"], r["_change_type"], r["_n"])
+                  for r in gen.collect()) == \
+        [(1, "a", None, "delete", 1), (3, "c", 6, "insert", 1)]

@@ -202,3 +202,34 @@ def test_random_op_sequences_match_pure_model(spark):
                          storage.read_snapshot(spark, t).collect())
             assert got == sorted(model), \
                 f"schedule {schedule} step {step} op {op}"
+
+
+def test_same_tag_race_is_noop_not_conflict(spark, monkeypatch):
+    """Two concurrent merges with the SAME tag (a zombie driver and
+    its replacement replaying one micro-batch): the loser must
+    detect the tag in the log and return None — the
+    write_snapshot_tagged no-op contract — rather than raise, while
+    a FOREIGN commit still aborts with ConcurrentSnapshotMerge."""
+    t = tempfile.mkdtemp(prefix="smrg_")
+    storage.write_snapshot(_batch(spark, [(1, "a")]), t)
+    real_stats = storage._snap_commit_stats
+    fired = {}
+
+    def twin_wins_first(sp, data_dir):
+        if not fired:
+            fired["x"] = True
+            with open(os.path.join(t, storage.SNAP_MANIFESTS,
+                                   "v1.json")) as fh:
+                v1 = json.load(fh)
+            with open(os.path.join(t, storage.SNAP_MANIFESTS,
+                                   "v2.json"), "w") as fh:
+                json.dump({"version": 2, "mode": "merge",
+                           "dirs": v1["dirs"], "stats": {},
+                           "tag": "batch-3"}, fh)
+        return real_stats(sp, data_dir)
+
+    monkeypatch.setattr(storage, "_snap_commit_stats", twin_wins_first)
+    assert storage.merge_into_snapshot(
+        spark, t, _changes(spark, [(1, "A", "U")]), "k",
+        tag="batch-3") is None
+    assert storage.latest_version(t) == 2
