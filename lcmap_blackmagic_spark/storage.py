@@ -629,6 +629,47 @@ def write_snapshot_tagged(df: DataFrame, table_dir: str, tag: str,
                           dedupe_tag=True, collect_stats=collect_stats)
 
 
+def compact_snapshot(spark: SparkSession, table_dir: str,
+                     sort_by: str | None = None) -> int | None:
+    """OPTIMIZE for snapshot tables: rewrite the LATEST version's
+    commit dirs (accumulated by many small appends/merges — the
+    small-files problem every log-structured table grows) into ONE
+    fresh commit dir, published as a new overwrite version with the
+    identical row multiset.  Old versions keep their dirs — time
+    travel is untouched; retention (vacuum_snapshots) reclaims them
+    on its own schedule.
+
+    ``sort_by`` additionally CLUSTERS the rewrite (repartitionByRange
+    + sortWithinPartitions on the column), which tightens the
+    manifest min/max stats that both read-side data skipping and
+    MERGE's dir-level pruning key on — the OPTIMIZE ZORDER analogue
+    on one dimension (compose with functions/zorder.zorder_key for
+    multi-column layouts).
+
+    Returns the new version, or None when the latest version already
+    has a single commit dir and no sort was requested (nothing to
+    do).  Content neutrality is pinned by tests; note a downstream
+    MV sees changed dirs and takes its full-rebuild path — correct,
+    and the reason to schedule compaction between refresh cycles,
+    not inside them."""
+    version = latest_version(table_dir)
+    if version is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir}")
+    import json
+
+    with open(os.path.join(table_dir, SNAP_MANIFESTS,
+                           f"v{version}.json")) as fh:
+        man = json.load(fh)
+    if len(man["dirs"]) <= 1 and sort_by is None:
+        return None
+    df = read_snapshot(spark, table_dir, version=version,
+                       merge_schema=True)
+    if sort_by is not None:
+        df = (df.repartitionByRange(F.col(sort_by))
+              .sortWithinPartitions(sort_by))
+    return write_snapshot(df, table_dir, mode="overwrite")
+
+
 def snapshot_changes(spark: SparkSession, table_dir: str,
                      v_from: int, v_to: int) -> DataFrame:
     """CHANGE DATA FEED between two pinned versions: the multiset

@@ -106,3 +106,37 @@ def test_cdf_across_schema_evolution(spark):
     assert sorted((r["k"], r["v"], r["w"], r["_change_type"], r["_n"])
                   for r in gen.collect()) == \
         [(1, "a", None, "delete", 1), (3, "c", 6, "insert", 1)]
+
+
+def test_compact_snapshot_is_content_neutral_and_tightens_pruning(spark):
+    """OPTIMIZE: many appended commit dirs collapse to one, the row
+    multiset is unchanged, time travel still reads the old layout,
+    and a sorted compaction makes MERGE dir-pruning/data skipping
+    stats tight (single dir, exact [min,max])."""
+    t = tempfile.mkdtemp(prefix="scomp_")
+    for lo in (0, 10, 20):
+        storage.write_snapshot(
+            _batch(spark, [(lo + i, f"v{lo + i}") for i in range(3)]), t,
+            mode="overwrite" if lo == 0 else "append")
+    before = sorted((r["k"], r["v"]) for r in
+                    storage.read_snapshot(spark, t).collect())
+    v = storage.compact_snapshot(spark, t, sort_by="k")
+    assert v == 4
+    after = sorted((r["k"], r["v"]) for r in
+                   storage.read_snapshot(spark, t).collect())
+    assert after == before
+    with open(os.path.join(t, storage.SNAP_MANIFESTS, "v4.json")) as fh:
+        man = json.load(fh)
+    assert len(man["dirs"]) == 1
+    assert man["stats"][man["dirs"][0]]["k"] == [0, 22]
+    # time travel: the pre-compaction version still reads its 3 dirs
+    with open(os.path.join(t, storage.SNAP_MANIFESTS, "v3.json")) as fh:
+        assert len(json.load(fh)["dirs"]) == 3
+    assert sorted((r["k"], r["v"]) for r in
+                  storage.read_snapshot(spark, t, version=3).collect()) \
+        == before
+    # already compact + no sort requested: no-op
+    assert storage.compact_snapshot(spark, t) is None
+    assert storage.latest_version(t) == 4
+    # CDF across the compaction sees ZERO changes (content-neutral)
+    assert storage.snapshot_changes(spark, t, 3, 4).collect() == []
