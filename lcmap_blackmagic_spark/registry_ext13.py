@@ -187,6 +187,48 @@ def _sql_snapshot_merge() -> str:
     return SQL_MERGE_UPSERT
 
 
+def q_snapshot_compact(spark, sf_dir):
+    """OPTIMIZE under the gate: orders lands as FOUR appended
+    commits, compact_snapshot rewrites them into one key-clustered
+    dir, and the aggregate of the compacted latest must equal the
+    plain orders aggregate — content neutrality proven against the
+    source-of-truth oracle, not against the pre-compaction read.
+    The CDF zero-diff and stats-tightening halves are pinned in
+    tests/test_snapshot_changes.py."""
+    from .registry import _staging
+    from .storage import (compact_snapshot, latest_version,
+                          read_snapshot, write_snapshot)
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("cents"))
+    table = _staging(sf_dir, "compact_orders")
+    for s in range(4):
+        write_snapshot(o.filter(F.col("o_orderkey") % 4 == s), table,
+                       mode="overwrite" if s == 0 else "append",
+                       collect_stats=False)
+    v = compact_snapshot(spark, table, sort_by="o_orderkey")
+    if v != latest_version(table):
+        raise AssertionError("compaction did not publish latest")
+    back = read_snapshot(spark, table)
+    return (back.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("cents").alias("sum_cents"),
+                 F.min("o_orderkey").alias("min_key"),
+                 F.max("o_orderkey").alias("max_key"))
+            .orderBy("o_orderstatus"))
+
+
+SQL_SNAPSHOT_COMPACT = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                     AS BIGINT)) AS BIGINT) AS sum_cents,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def q_snapshot_cdf(spark, sf_dir):
     """Change-data-feed under the gate, BOTH physical paths in one
     result: step 'append' diffs a pure-append range (fast path —
@@ -258,4 +300,6 @@ QUERIES_EXT13: dict[str, dict] = {
     "snapshot_merge":  {"fn": q_snapshot_merge,
                         "sql": _sql_snapshot_merge()},
     "snapshot_cdf":    {"fn": q_snapshot_cdf, "sql": SQL_SNAPSHOT_CDF},
+    "snapshot_compact": {"fn": q_snapshot_compact,
+                         "sql": SQL_SNAPSHOT_COMPACT},
 }
