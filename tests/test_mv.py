@@ -47,8 +47,12 @@ def _actual(spark, mv):
 
 def test_incremental_equals_full_over_random_schedules(spark):
     """Property: after every commit+refresh of a random schedule of
-    appends and overwrites (with NULL measures mixed in), the MV
-    equals the direct aggregate of the live snapshot."""
+    appends and overwrites (with NULL measures mixed in), the MV —
+    scalar partials AND the hll register arrays — equals the direct
+    aggregate of the live snapshot."""
+    from lcmap_blackmagic_spark.mv import MV_HLL_P
+    from lcmap_blackmagic_spark.operators.sketches import hll_distinct
+    spec = SPEC + [("hll", "v", "nd")]
     rng = random.Random(813)
     for schedule in range(4):
         src = tempfile.mkdtemp(prefix="mvsrc_")
@@ -61,8 +65,22 @@ def test_incremental_equals_full_over_random_schedules(spark):
                 else "append"
             storage.write_snapshot(_batch(spark, rows), src, mode=mode,
                                    collect_stats=False)
-            mv_refresh(spark, src, mv, KEYS, SPEC)
-            assert _actual(spark, mv) == _expected(spark, src), \
+            mv_refresh(spark, src, mv, KEYS, spec)
+            got = {r["k"]: (r["n"], r["nv"], r["sv"], r["mnv"],
+                            r["mxv"], r["av"], r["nd"])
+                   for r in mv_read(spark, mv, KEYS, spec).collect()}
+            live = storage.read_snapshot(spark, src)
+            hll = {r["k"]: r["hll_distinct"] for r in hll_distinct(
+                live.filter("v IS NOT NULL"), ["k"], "v",
+                p=MV_HLL_P).collect()}
+            # a key whose v is entirely NULL has the empty sketch:
+            # all-zero registers -> s = 256 * 2^48
+            from lcmap_blackmagic_spark.operators.sketches import (
+                H48, hll_alpha_numerator)
+            empty_est = hll_alpha_numerator(MV_HLL_P) / float(256 * H48)
+            want = {k: v + (hll.get(k, empty_est),)
+                    for k, v in _expected(spark, src).items()}
+            assert got == want, \
                 f"schedule {schedule} step {step} ({mode})"
 
 
