@@ -13,6 +13,8 @@ import os
 import sys
 import time
 
+import pandas as pd  # module-level: pandas-UDF type hints resolve here
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from lcmap_blackmagic_spark.registry import QUERIES
@@ -129,12 +131,59 @@ HEADLINE = [
     "rolling_zscore_bp",
     # round-8 wave: the table-format lifecycle under timing — the
     # incremental-MV maintenance loop (3 commits + 3 refreshes + a
-    # replay) and the copy-on-write MERGE commit; both are
+    # replay), the copy-on-write MERGE commit, the change-data-feed
+    # over both physical paths, and clustered compaction; all are
     # write-amplified end-to-end protocols, not pure scans, so their
     # numbers track commit overhead as much as query time
     "snapshot_mv",
     "snapshot_merge",
+    "snapshot_cdf",
+    "snapshot_compact",
 ]
+
+
+def host_anchor_sec(spark) -> float:
+    """A fixed, dataset-free CPU-bound workload (median of 3):
+    200M-row arithmetic + hash aggregate through whole-stage codegen.
+    Its absolute time tracks the HOST, not this repo's code — rounds
+    run on freshly provisioned VMs whose speed has measured ±20%
+    (round 7 vs 8: byte-identical queries, uniform ~1.2× shift), so
+    consumers should compare `value / anchor_sec` across rounds, and
+    `value` alone only within one artifact."""
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (spark.range(200_000_000)
+         .selectExpr("sum(xxhash64(id) % 1000) AS s",
+                     "count(if(id % 7 = 0, 1, null)) AS c")
+         .write.format("noop").mode("overwrite").save())
+        runs.append(time.perf_counter() - t0)
+    return round(sorted(runs)[1], 3)
+
+
+def python_anchor_sec(spark) -> float:
+    """The PYTHON-WORKER twin of the JVM anchor: a fixed Arrow-batched
+    pandas-UDF aggregate (median of 3).  The round-8 variance hunt
+    found the JVM anchor stable across invocations while the
+    Arrow/Python-UDF-heavy queries (embed_neardup, minhash_pipeline,
+    substr_dedup) swung 2-3× BETWEEN bench processes with identical
+    in-process medians — worker-pool state, not code.  A consumer
+    seeing those queries move should check this anchor first."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _burn(v: pd.Series) -> pd.Series:
+        return (v * 2.5 + 1.0) ** 0.5
+
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (spark.range(20_000_000)
+         .select(F.sum(_burn(F.col("id").cast("double"))))
+         .write.format("noop").mode("overwrite").save())
+        runs.append(time.perf_counter() - t0)
+    return round(sorted(runs)[1], 3)
 
 
 def materialize(df) -> None:
@@ -202,6 +251,8 @@ def main() -> None:
         "queries": per_query,
         "spread": spread,
         "sf": sf,
+        "anchor_sec": host_anchor_sec(spark),
+        "python_anchor_sec": python_anchor_sec(spark),
     }
     failed = sorted(n for n, v in per_query.items() if isinstance(v, dict))
     if failed:
