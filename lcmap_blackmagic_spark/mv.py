@@ -19,7 +19,12 @@ Applications", Gupta & Mumick, IEEE DE Bulletin 1995):
   with aggregates drawn from the ALGEBRAIC set {count, sum, min, max,
   avg}: each has a bounded partial state that merges associatively
   (count→sum of counts, sum→sum of sums, min/max→min/max of partials,
-  avg→(sum, count) pair).  Under APPEND-ONLY deltas these merges are
+  avg→(sum, count) pair) — plus two SKETCH aggregates with the same
+  bounded-mergeable-state property: ``hll`` (approx distinct; 256
+  registers, element-wise MAX) and ``qNN`` (approx quantiles via the
+  sketches.histogram_quantiles fixed grid; 256 bin counts,
+  element-wise SUM — q50/q90/... of one column share one stored
+  array).  Under APPEND-ONLY deltas these merges are
   exact — no aggregate here needs retraction support, which is why
   deletes/overwrites fall back to a full rebuild (below).
 - The MV table stores PARTIALS, not finalized values, in its own
@@ -63,6 +68,18 @@ _TAG_RE = re.compile(r"src-v(\d+)")
 # array zip_with can merge it without an explode.
 MV_HLL_P = 8
 
+# Fixed grid for the ``qNN`` quantile aggregates (the
+# sketches.histogram_quantiles construction): 256 equal-width bins
+# over [0, 2^20) at cent precision — covers every money column in the
+# TPC-H-ish fixtures; widen per deployment the same way Delta users
+# size their stats columns.  State per (group, column) = 256 longs,
+# merged by element-wise SUM.
+MV_HIST_BINS = 256
+MV_HIST_LO = 0.0
+MV_HIST_HI = float(2 ** 20)
+MV_HIST_SCALE = 100
+_Q_RE = re.compile(r"q(\d{1,2})")
+
 
 def _load_manifest(table_dir: str, version: int) -> dict | None:
     p = os.path.join(table_dir, SNAP_MANIFESTS, f"v{version}.json")
@@ -82,9 +99,11 @@ def _partial_cols(spec: list[tuple]) -> dict[str, tuple]:
     """
     need: dict[str, tuple] = {}
     for op, col, _alias in spec:
-        if op not in _MV_OPS:
+        if op not in _MV_OPS and not _Q_RE.fullmatch(op):
             raise ValueError(f"unsupported MV aggregate {op!r}")
-        if op == "count" and col == "*":
+        if _Q_RE.fullmatch(op):       # qNN -> shared histogram state
+            need[f"__mv_hist_{col}"] = ("hist", col)
+        elif op == "count" and col == "*":
             need["__mv_n"] = ("n", None)
         elif op == "count":
             need[f"__mv_c_{col}"] = ("c", col)
@@ -104,6 +123,42 @@ def _partial_cols(spec: list[tuple]) -> dict[str, tuple]:
 
 def _hll_zero() -> str:
     return f"transform(sequence(0, {(1 << MV_HLL_P) - 1}), i -> 0)"
+
+
+def _hist_zero() -> str:
+    return (f"transform(sequence(0, {MV_HIST_BINS - 1}), "
+            f"i -> CAST(0 AS BIGINT))")
+
+
+def _hist_partial(df: DataFrame, keys: list[str], col: str,
+                  name: str) -> DataFrame:
+    """Per-key DENSE bin-count array for the qNN quantile family —
+    the sketches.histogram_quantiles binning verbatim (cent-scaled
+    DECIMAL, clamped equal-width bins), two-level aggregate, then
+    densified.  NULL values are excluded (quantiles of the non-null
+    population, matching every other measure partial)."""
+    span = int((MV_HIST_HI - MV_HIST_LO) * MV_HIST_SCALE)
+    width = span // MV_HIST_BINS
+    lo_s = int(MV_HIST_LO * MV_HIST_SCALE)
+    v = (F.col(col).cast("decimal(18,2)") * MV_HIST_SCALE).cast("bigint")
+    b = F.least(F.lit(MV_HIST_BINS - 1),
+                F.greatest(F.lit(0),
+                           F.expr(f"(v_scaled - {lo_s}) div {width}")))
+    bins = (df.filter(F.col(col).isNotNull())
+            .select(*keys, v.alias("v_scaled"))
+            .select(*keys, b.alias("bin"))
+            .groupBy(*keys, "bin")
+            .agg(F.count(F.lit(1)).alias("c")))
+    pairs = (bins.groupBy(*keys)
+             .agg(F.map_from_entries(
+                 F.collect_list(F.struct(
+                     F.col("bin").cast("int").alias("k"),
+                     F.col("c").alias("v"))))
+                 .alias("__mv_bmap")))
+    dense = F.expr(
+        f"transform(sequence(0, {MV_HIST_BINS - 1}), "
+        f"i -> coalesce(element_at(__mv_bmap, i), CAST(0 AS BIGINT)))")
+    return pairs.select(*keys, dense.alias(name))
 
 
 def _hll_partial(df: DataFrame, keys: list[str], col: str,
@@ -137,7 +192,7 @@ def _partial_agg(df: DataFrame, keys: list[str],
     exist on only one side when its hll column is entirely NULL).
     Missing hll arrays back-fill with the zero register set, so
     downstream merge/finalize never see NULL state."""
-    scalar, hlls = [], []
+    scalar, arrays = [], []
     for name, (kind, col) in _partial_cols(spec).items():
         if kind == "n":
             scalar.append(F.count(F.lit(1)).alias(name))
@@ -149,11 +204,15 @@ def _partial_agg(df: DataFrame, keys: list[str],
             scalar.append(F.min(col).alias(name))
         elif kind == "mx":
             scalar.append(F.max(col).alias(name))
+        elif kind == "hll":
+            arrays.append((name, _hll_partial(df, keys, col, name),
+                           _hll_zero()))
         else:
-            hlls.append((name, col))
+            arrays.append((name, _hist_partial(df, keys, col, name),
+                           _hist_zero()))
     out = df.groupBy(*keys).agg(*scalar) if scalar else None
-    for name, col in hlls:
-        part = _hll_partial(df, keys, col, name)
+    zeros = {name: zero for name, _part, zero in arrays}
+    for name, part, zero in arrays:
         if out is None:
             out = part
             continue
@@ -164,17 +223,17 @@ def _partial_agg(df: DataFrame, keys: list[str],
         for k in keys:
             c = out[k].eqNullSafe(right[f"__mv_r_{k}"])
             cond = c if cond is None else (cond & c)
-        # coalesce EVERY hll column, not only the newly joined one: a
-        # right-only group (possible when no scalar partials anchor
+        # coalesce EVERY array column, not only the newly joined one:
+        # a right-only group (possible when no scalar partials anchor
         # the full key set) leaves the earlier arrays NULL too
         out = (out.join(right, cond, "full_outer")
                .select(*[F.coalesce(out[k], right[f"__mv_r_{k}"])
                          .alias(k) for k in keys],
-                       *[(F.coalesce(F.col(c), F.expr(_hll_zero()))
-                          .alias(c) if c.startswith("__mv_hll_")
+                       *[(F.coalesce(F.col(c), F.expr(zeros[c]))
+                          .alias(c) if c in zeros
                           else F.col(c))
                          for c in out.columns if c not in keys],
-                       F.coalesce(F.col(name), F.expr(_hll_zero()))
+                       F.coalesce(F.col(name), F.expr(zero))
                        .alias(name)))
     return out
 
@@ -184,8 +243,9 @@ def _merge_partials(parts: DataFrame, keys: list[str],
     """Union of partial states -> merged state.  Counts and sums add
     (F.sum skips NULL partials — SQL sum/min/max semantics carry
     through the merge unchanged); min/max fold; HLL register arrays
-    fold element-wise MAX (collect_list of the ≤2 arrays per key —
-    prev state + delta — then one zip_with fold, all JVM-side)."""
+    fold element-wise MAX and histogram bin arrays element-wise SUM
+    (collect_list of the ≤2 arrays per key — prev state + delta —
+    then one zip_with fold, all JVM-side)."""
     aggs = []
     for name, (kind, _col) in _partial_cols(spec).items():
         if kind in ("n", "c", "s"):
@@ -194,10 +254,15 @@ def _merge_partials(parts: DataFrame, keys: list[str],
             aggs.append(F.min(name).alias(name))
         elif kind == "mx":
             aggs.append(F.max(name).alias(name))
-        else:
+        elif kind == "hll":
             aggs.append(F.expr(
                 f"aggregate(collect_list({name}), {_hll_zero()}, "
                 f"(acc, x) -> zip_with(acc, x, (a, b) -> greatest(a, b)))"
+            ).alias(name))
+        else:
+            aggs.append(F.expr(
+                f"aggregate(collect_list({name}), {_hist_zero()}, "
+                f"(acc, x) -> zip_with(acc, x, (a, b) -> a + b))"
             ).alias(name))
     return parts.groupBy(*keys).agg(*aggs)
 
@@ -270,11 +335,15 @@ def mv_read(spark: SparkSession, mv_dir: str, keys: list[str],
     (the scaled-harmonic-sum integer form: an empty slot contributes
     shiftleft(1, 48) = the (m-nb)*2^48 term of the long-form
     estimator, so dense and sparse finalization agree exactly)."""
-    from .operators.sketches import hll_alpha_numerator
+    from .operators.sketches import hist_finalize, hll_alpha_numerator
     df = read_snapshot(spark, mv_dir)
     out = [F.col(k) for k in keys]
+    hists: dict[str, list[tuple]] = {}     # col -> [(q, alias)]
     for op, col, alias in spec:
-        if op == "count" and col == "*":
+        if (m := _Q_RE.fullmatch(op)):
+            hists.setdefault(col, []).append((int(m.group(1)) / 100,
+                                              alias))
+        elif op == "count" and col == "*":
             out.append(F.col("__mv_n").alias(alias))
         elif op == "count":
             out.append(F.col(f"__mv_c_{col}").alias(alias))
@@ -293,4 +362,32 @@ def mv_read(spark: SparkSession, mv_dir: str, keys: list[str],
         else:
             out.append((F.col(f"__mv_s_{col}").cast("double")
                         / F.col(f"__mv_c_{col}")).alias(alias))
-    return df.select(*out)
+    res = df.select(*out)
+    # quantile family: each col's stored bin array sparsifies back to
+    # (key, bin, c) rows and finalizes through the SAME
+    # rank/interpolation code the one-shot sketch uses — bit-equal by
+    # construction.  The explode is MV-sized (≤ MV_HIST_BINS rows per
+    # group), never corpus-sized.
+    for col, qs in hists.items():
+        bins = (df.select(*keys,
+                          F.posexplode(F.col(f"__mv_hist_{col}"))
+                          .alias("bin", "c"))
+                .filter(F.col("c") > 0))
+        fin = hist_finalize(bins, keys, [q for q, _ in qs],
+                            n_bins=MV_HIST_BINS, lo=MV_HIST_LO,
+                            hi=MV_HIST_HI, scale=MV_HIST_SCALE)
+        sel = fin.select(*keys,
+                         *[F.col(f"q_{int(q * 100)}").alias(a)
+                           for q, a in qs])
+        right = sel
+        for k in keys:
+            right = right.withColumnRenamed(k, f"__mv_r_{k}")
+        cond = None
+        for k in keys:
+            c = res[k].eqNullSafe(right[f"__mv_r_{k}"])
+            cond = c if cond is None else (cond & c)
+        res = (res.join(right, cond, "left")
+               .drop(*[f"__mv_r_{k}" for k in keys]))
+    # re-project in spec order (joins appended quantile columns last,
+    # which happens to BE spec-extension order, but make it explicit)
+    return res.select(*keys, *[alias for _op, _c, alias in spec])

@@ -138,7 +138,6 @@ def histogram_quantiles(df: DataFrame, group_cols: Sequence[str],
     Output: group cols + ``n`` + one ``q_<pct>`` (double) column per
     quantile.
     """
-    from pyspark.sql import Window
     gcols = list(group_cols)
     span = int((hi - lo) * scale)
     width = span // n_bins
@@ -155,6 +154,25 @@ def histogram_quantiles(df: DataFrame, group_cols: Sequence[str],
             .select(*gcols, b.alias("bin"))
             .groupBy(*gcols, "bin")
             .agg(F.count(F.lit(1)).alias("c")))
+    return hist_finalize(bins, gcols, quantiles, n_bins=n_bins,
+                         lo=lo, hi=hi, scale=scale)
+
+
+def hist_finalize(bins: DataFrame, group_cols: Sequence[str],
+                  quantiles: Sequence[float], n_bins: int = 64,
+                  lo: float = 0.0, hi: float = 2 ** 20,
+                  scale: int = 100) -> DataFrame:
+    """Finalize (group, bin, c) counts into quantile estimates — the
+    read half of ``histogram_quantiles``, split out so MERGED partial
+    bins (an MV's summed arrays, a streaming store's per-batch
+    partials) finalize through the IDENTICAL rank/interpolation math
+    and stay bit-equal to the one-shot sketch.  Bins with c = 0 need
+    not be present (the cumsum walks whatever rows exist)."""
+    from pyspark.sql import Window
+    gcols = list(group_cols)
+    span = int((hi - lo) * scale)
+    width = span // n_bins
+    lo_s = int(lo * scale)
     w_cum = (Window.partitionBy(*gcols).orderBy("bin")
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     w_all = Window.partitionBy(*gcols)

@@ -187,6 +187,78 @@ def _sql_snapshot_merge() -> str:
     return SQL_MERGE_UPSERT
 
 
+def q_snapshot_mv_quantiles(spark, sf_dir):
+    """Incrementally maintained approx-quantiles: an MV with q50/q90
+    aggregates (dense bin-count partials summed across refreshes)
+    over three source commits must finalize to the one-shot
+    fixed-bin sketch's exact estimate — the oracle recomputes bins +
+    the rank/interpolation walk over the FULL table in SQL, so the
+    hash-match proves bin-array merging is lossless."""
+    from .mv import mv_read, mv_refresh
+    from .registry import _staging
+    from .storage import write_snapshot
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice",
+        (F.col("o_orderkey") % 3).alias("slice"))
+    src = _staging(sf_dir, "mv_q_src")
+    mv = _staging(sf_dir, "mv_q_view")
+    keys = ["o_orderstatus"]
+    spec = [("count", "*", "n_orders"),
+            ("q50", "o_totalprice", "median_price"),
+            ("q90", "o_totalprice", "p90_price")]
+    for s in range(3):
+        write_snapshot(o.filter(F.col("slice") == s).drop("slice"), src,
+                       mode="overwrite" if s == 0 else "append",
+                       collect_stats=False)
+        mv_refresh(spark, src, mv, keys, spec)
+    return (mv_read(spark, mv, keys, spec)
+            .orderBy("o_orderstatus"))
+
+
+def _sql_snapshot_mv_quantiles() -> str:
+    from .mv import MV_HIST_BINS, MV_HIST_HI, MV_HIST_LO, MV_HIST_SCALE
+    width = int((MV_HIST_HI - MV_HIST_LO) * MV_HIST_SCALE) // MV_HIST_BINS
+    lo_s = int(MV_HIST_LO * MV_HIST_SCALE)
+    qsel, qjoin = [], []
+    for q, alias in ((0.5, "median_price"), (0.9, "p90_price")):
+        pct = int(q * 100)
+        qsel.append(f"""q{pct} AS (
+  SELECT o_orderstatus,
+         ROUND(CAST({lo_s} + bin * {width}
+                    + ({width} * (CAST(CEIL(n * {q}) AS BIGINT)
+                                  - cum + c)) / c AS DOUBLE)
+               / {MV_HIST_SCALE}, 6) AS {alias}
+  FROM cum
+  WHERE cum >= CAST(CEIL(n * {q}) AS BIGINT)
+    AND cum - c < CAST(CEIL(n * {q}) AS BIGINT))""")
+        qjoin.append(f"JOIN q{pct} USING (o_orderstatus)")
+    return f"""
+WITH s AS (
+  SELECT o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * {MV_HIST_SCALE}
+              AS BIGINT) AS v
+  FROM orders WHERE o_totalprice IS NOT NULL),
+b AS (
+  SELECT o_orderstatus,
+         LEAST({MV_HIST_BINS - 1},
+               GREATEST(0, (v - {lo_s}) // {width})) AS bin
+  FROM s),
+bc AS (SELECT o_orderstatus, bin, COUNT(*) AS c FROM b GROUP BY 1, 2),
+cum AS (SELECT o_orderstatus, bin, c,
+               SUM(c) OVER (PARTITION BY o_orderstatus
+                            ORDER BY bin) AS cum,
+               SUM(c) OVER (PARTITION BY o_orderstatus) AS n
+        FROM bc),
+base AS (SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders
+         FROM orders GROUP BY o_orderstatus),
+{",".join(qsel)}
+SELECT base.o_orderstatus, base.n_orders, median_price, p90_price
+FROM base {" ".join(qjoin)}
+ORDER BY o_orderstatus
+"""
+
+
 def q_snapshot_compact(spark, sf_dir):
     """OPTIMIZE under the gate: orders lands as FOUR appended
     commits, compact_snapshot rewrites them into one key-clustered
@@ -302,4 +374,6 @@ QUERIES_EXT13: dict[str, dict] = {
     "snapshot_cdf":    {"fn": q_snapshot_cdf, "sql": SQL_SNAPSHOT_CDF},
     "snapshot_compact": {"fn": q_snapshot_compact,
                          "sql": SQL_SNAPSHOT_COMPACT},
+    "snapshot_mv_quantiles": {"fn": q_snapshot_mv_quantiles,
+                              "sql": _sql_snapshot_mv_quantiles()},
 }

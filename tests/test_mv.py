@@ -248,3 +248,40 @@ def test_stream_driven_mv_refresh_equals_batch_mv(spark):
     assert got == want
     run(tempfile.mkdtemp())          # replay: tags suppress everything
     assert storage.latest_version(mv) == v_after
+
+
+def test_quantile_partial_incremental_equals_oneshot(spark):
+    """qNN aggregates in the MV: bin arrays summed across refreshes
+    must finalize bit-equal to the one-shot histogram sketch over
+    the full (non-null) table — shared rank/interpolation code, so
+    equality is exact, not tolerance-based."""
+    from lcmap_blackmagic_spark.mv import (MV_HIST_BINS, MV_HIST_HI,
+                                           MV_HIST_LO, MV_HIST_SCALE)
+    from lcmap_blackmagic_spark.operators.sketches import (
+        histogram_quantiles)
+    keys = ["k"]
+    spec = [("count", "*", "n"), ("q50", "v", "med"),
+            ("q90", "v", "p90"), ("hll", "v", "nd")]
+    src = tempfile.mkdtemp(prefix="mvsrc_")
+    mv = tempfile.mkdtemp(prefix="mv_")
+    batches = [
+        [("a", float(i * 37 % 900 + 1)) for i in range(50)]
+        + [("b", 13.25), ("b", None)],
+        [("a", float(i * 91 % 2000 + 0.5)) for i in range(40)]
+        + [("c", 7.0)],
+    ]
+    for i, rows in enumerate(batches):
+        storage.write_snapshot(
+            spark.createDataFrame(rows, "k string, v double"), src,
+            mode="overwrite" if i == 0 else "append",
+            collect_stats=False)
+        mv_refresh(spark, src, mv, keys, spec)
+    got = {r["k"]: (r["med"], r["p90"]) for r in
+           mv_read(spark, mv, keys, spec).collect()}
+    full = storage.read_snapshot(spark, src).filter("v IS NOT NULL")
+    want = {r["k"]: (r["q_50"], r["q_90"]) for r in
+            histogram_quantiles(full, ["k"], "v", (0.5, 0.9),
+                                n_bins=MV_HIST_BINS, lo=MV_HIST_LO,
+                                hi=MV_HIST_HI,
+                                scale=MV_HIST_SCALE).collect()}
+    assert got == want and set(got) == {"a", "b", "c"}
