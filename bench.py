@@ -139,6 +139,7 @@ HEADLINE = [
     "snapshot_merge",
     "snapshot_cdf",
     "snapshot_compact",
+    "snapshot_mv_quantiles",
 ]
 
 
