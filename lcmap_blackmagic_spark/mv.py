@@ -45,6 +45,15 @@ and (b) the MV itself — group-cardinality-sized, never corpus-sized.
 The source table is re-scanned only when the delta provably is not
 append-only (an overwrite landed, or retention vacuumed the
 watermark manifest), both detected from manifests alone.
+
+Relationship to ``operators/merge.incremental_agg_update`` (the
+``ivm_agg`` registry entry): that operator is the CDC-RETRACTION
+twin — it maintains count/sum under row-level U/D/I change sets
+(needing the touched base rows), while this module maintains the
+richer aggregate set (incl. min/max and sketches) under the
+append-only commit log and delegates retractions to a rebuild.
+Production rollups use this module; CDC-fed aggregates without a
+snapshot table use the operator.
 """
 
 from __future__ import annotations
