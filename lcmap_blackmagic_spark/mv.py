@@ -312,13 +312,25 @@ def mv_refresh(spark: SparkSession, src_dir: str, mv_dir: str,
     wm_man = _load_manifest(src_dir, wm) if wm is not None else None
 
     incremental = (wm_man is not None
-                   and set(wm_man["dirs"]) <= set(latest_man["dirs"]))
+                   and set(wm_man["dirs"]) <= set(latest_man["dirs"])
+                   # an equality-delete commit keeps dirs identical but
+                   # SUBTRACTS rows — a changed delete list forces the
+                   # full rebuild (the MOR-aware read_snapshot applies
+                   # the deletes there); an UNCHANGED list stays
+                   # incremental: appended delta dirs carry sequence
+                   # numbers above every existing delete, so no delete
+                   # touches their rows
+                   and wm_man.get("deletes", []) ==
+                   latest_man.get("deletes", []))
     if incremental:
         delta_dirs = [d for d in latest_man["dirs"]
                       if d not in set(wm_man["dirs"])]
         prev = read_snapshot(spark, mv_dir)      # prior partials
         if delta_dirs:
-            delta = spark.read.parquet(
+            # mergeSchema: delta dirs may be schema-heterogeneous
+            # under the source's additive evolution — footer-inference
+            # order must not decide whether a measure column survives
+            delta = spark.read.option("mergeSchema", True).parquet(
                 *[os.path.join(src_dir, "data", d) for d in delta_dirs])
             merged = _merge_partials(
                 prev.unionByName(_partial_agg(delta, keys, spec)),
@@ -326,7 +338,8 @@ def mv_refresh(spark: SparkSession, src_dir: str, mv_dir: str,
         else:            # version advanced without new dirs: no-op data
             merged = prev
     else:
-        merged = _partial_agg(read_snapshot(spark, src_dir, version=src_v),
+        merged = _partial_agg(read_snapshot(spark, src_dir, version=src_v,
+                                            merge_schema=True),
                               keys, spec)
     # overwrite commit: the MV snapshot chain is its own history (time
     # travel over past refreshes); the tag pins which source version

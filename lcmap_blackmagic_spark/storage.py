@@ -441,16 +441,23 @@ def write_snapshot(df: DataFrame, table_dir: str,
         version = (vs[-1] + 1) if vs else 1
         dirs = [commit]
         all_stats = {commit: stats}
+        seq = {commit: version}
+        deletes: list = []
         if mode == "append" and vs:
-            # carry forward BOTH the prior dirs and their stats —
-            # re-read inside the retry loop so a lost race appends
-            # onto whatever actually won
+            # carry forward the prior dirs, their stats, their commit
+            # sequence numbers, AND any outstanding equality-delete
+            # files — re-read inside the retry loop so a lost race
+            # appends onto whatever actually won
             with open(os.path.join(mdir, f"v{vs[-1]}.json")) as fh:
                 prior = json.load(fh)
             dirs = prior["dirs"] + dirs
             all_stats = {**prior.get("stats", {}), **all_stats}
+            seq = {**prior.get("seq", {}), **seq}
+            deletes = prior.get("deletes", [])
         man = {"version": version, "mode": mode, "dirs": dirs,
-               "stats": all_stats}
+               "stats": all_stats, "seq": seq}
+        if deletes:
+            man["deletes"] = deletes
         if tag is not None:
             man["tag"] = tag
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex[:12]}")
@@ -506,6 +513,58 @@ def _snap_dir_may_match(stats: dict, col: str, op: str, value) -> bool:
         return True
 
 
+def _apply_equality_deletes(spark: SparkSession, table_dir: str,
+                            man: dict, base: DataFrame) -> DataFrame:
+    """MERGE-ON-READ: subtract the manifest's equality-delete files
+    from a data scan.  ``base`` must carry ``__snap_fp`` (the scan's
+    ``_metadata.file_path``).  A row from commit dir d is dropped iff
+    some delete file with ``seq > seq(d)`` contains its key — the
+    Iceberg v2 equality-delete rule, so a key re-inserted AFTER the
+    delete survives.  Dirs missing from the ``seq`` map (pre-feature
+    commits) default to 0: every delete applies to them.
+
+    Scale shape: delete files are key lists (GDPR-size, not
+    table-size) — they BROADCAST into hash anti-joins against the
+    one data scan; the per-row sequence number is a map lookup on a
+    metadata column, all whole-stage-codegen.  The data side never
+    shuffles and is scanned exactly once."""
+    dels = man.get("deletes", [])
+    if not dels:
+        return base.drop("__snap_fp")
+    import operator
+    from functools import reduce
+
+    seqs = man.get("seq", {})
+    # greedy .* pins the LAST /data/ segment: the table path itself
+    # may contain a /data/ component
+    dircol = F.regexp_extract(F.col("__snap_fp"), r".*/data/([^/]+)/", 1)
+    if seqs:
+        m = F.create_map(*[F.lit(x) for kv in seqs.items() for x in kv])
+        seqcol = F.coalesce(m[dircol], F.lit(0)).cast("bigint")
+    else:
+        seqcol = F.lit(0).cast("bigint")
+    base = base.withColumn("__snap_seq", seqcol)
+    groups: dict[tuple, list[dict]] = {}
+    for spec in dels:
+        groups.setdefault(tuple(spec["key"]), []).append(spec)
+    for keys, specs in groups.items():
+        parts = []
+        for s in specs:
+            p = os.path.join(table_dir, "data", s["dir"])
+            parts.append(
+                spark.read.parquet(p).select(
+                    *[F.col(k).alias(f"__dk_{k}") for k in keys],
+                    F.lit(int(s["seq"])).cast("bigint").alias("__dseq")))
+        dd = parts[0]
+        for extra in parts[1:]:
+            dd = dd.unionByName(extra)
+        cond = reduce(operator.and_,
+                      [base[k] == dd[f"__dk_{k}"] for k in keys])
+        cond = cond & (dd["__dseq"] > base["__snap_seq"])
+        base = base.join(F.broadcast(dd), cond, "left_anti")
+    return base.drop("__snap_fp", "__snap_seq")
+
+
 def read_snapshot(spark: SparkSession, table_dir: str,
                   version: int | None = None,
                   merge_schema: bool = False,
@@ -527,7 +586,15 @@ def read_snapshot(spark: SparkSession, table_dir: str,
     same filter, pruning or not.  On a sorted- or partitioned-write
     table a point lookup scans 1 of N commit dirs; on a table with
     no clustering it degrades to the plain filtered read, never to a
-    wrong answer (missing/unprovable stats keep the dir)."""
+    wrong answer (missing/unprovable stats keep the dir).
+
+    MERGE-ON-READ: when the pinned manifest carries equality-delete
+    files (``delete_from_snapshot``), they are subtracted here via
+    broadcast anti-joins (``_apply_equality_deletes``) — every reader
+    (CDF, MV rebuild, compaction, bench queries) sees the deleted
+    rows gone without any data file having been rewritten.  Stats
+    pruning stays conservative: a dir whose matching rows were all
+    deleted may still be scanned, never the reverse."""
     import json
 
     if version is None:
@@ -548,6 +615,18 @@ def read_snapshot(spark: SparkSession, table_dir: str,
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", True)
+    mor = bool(man.get("deletes"))
+
+    def _scan(paths):
+        df = reader.parquet(*paths)
+        if mor:
+            # merge-on-read needs each row's commit dir (for its
+            # sequence number) — taken from the scan's metadata
+            # column, so it costs nothing at the parquet level
+            df = df.select("*",
+                           F.col("_metadata.file_path").alias("__snap_fp"))
+        return df
+
     if where is not None and len(dirs) < len(man["dirs"]):
         # pruning dropped dirs: the result SCHEMA must still be the
         # unpruned read's (under schema evolution a pruned dir may be
@@ -556,19 +635,19 @@ def read_snapshot(spark: SparkSession, table_dir: str,
         # resolve).  A limit(0) read of ALL dirs is footer-metadata
         # only; unionByName back-fills the missing columns with NULL,
         # exactly what the unpruned merged read yields for those rows.
-        full0 = reader.parquet(*[os.path.join(table_dir, "data", d)
-                                 for d in man["dirs"]]).limit(0)
+        full0 = _scan([os.path.join(table_dir, "data", d)
+                       for d in man["dirs"]]).limit(0)
         if dirs:
             base = full0.unionByName(
-                reader.parquet(*[os.path.join(table_dir, "data", d)
-                                 for d in dirs]),
+                _scan([os.path.join(table_dir, "data", d) for d in dirs]),
                 allowMissingColumns=True)
         else:
             # every dir provably excluded: empty, correct schema
             base = full0
     else:
-        base = reader.parquet(*[os.path.join(table_dir, "data", d)
-                                for d in dirs])
+        base = _scan([os.path.join(table_dir, "data", d) for d in dirs])
+    if mor:
+        base = _apply_equality_deletes(spark, table_dir, man, base)
     if where is not None:
         col, op, value = where
         base = base.filter(_SNAP_OPS[op][1](F.col(col), F.lit(value)))
@@ -660,8 +739,13 @@ def compact_snapshot(spark: SparkSession, table_dir: str,
     with open(os.path.join(table_dir, SNAP_MANIFESTS,
                            f"v{version}.json")) as fh:
         man = json.load(fh)
-    if len(man["dirs"]) <= 1 and sort_by is None:
+    if len(man["dirs"]) <= 1 and not man.get("deletes") \
+            and sort_by is None:
         return None
+    # read_snapshot is merge-on-read aware: outstanding equality
+    # deletes are applied here and MATERIALIZED AWAY by the rewrite —
+    # the fresh overwrite manifest carries no deletes, so compaction
+    # is also how a delete-heavy table sheds its read-side anti-joins
     df = read_snapshot(spark, table_dir, version=version,
                        merge_schema=True)
     if sort_by is not None:
@@ -719,7 +803,12 @@ def snapshot_changes(spark: SparkSession, table_dir: str,
         base = set(chain[0]["dirs"])
         delta = [d for d in chain[-1]["dirs"] if d not in base]
         if not delta:
-            empty = read_snapshot(spark, table_dir, version=v_to).limit(0)
+            # merge_schema: all three paths (this empty fast path, the
+            # non-empty fast path, the general diff) must agree on the
+            # evolved column set or an empty range returns a narrower
+            # schema and breaks downstream unions.
+            empty = read_snapshot(spark, table_dir, version=v_to,
+                                  merge_schema=True).limit(0)
             return empty.select(
                 "*", F.lit("insert").alias("_change_type"),
                 F.lit(0).cast("bigint").alias("_n"))
@@ -834,28 +923,50 @@ def merge_into_snapshot(spark: SparkSession, table_dir: str,
     for d in man["dirs"]:
         ds = st.get(d, {})
         # overlap test: dir may hold a key in [lo, hi] ⇔ it may hold
-        # a key >= lo AND a key <= hi (empty source: nothing matches,
-        # but inserts may still exist — an empty-bounds source means
-        # zero rows, handled by the empty-rewrite branch below)
-        if lo is None or (_snap_dir_may_match(ds, key, ">=", lo)
-                          and _snap_dir_may_match(ds, key, "<=", hi)):
+        # a key >= lo AND a key <= hi.  An empty source (lo is None
+        # after the NULL-key rejection ⇒ zero rows) matches nothing
+        # and inserts nothing: every dir carries forward and the
+        # commit is an empty rewrite — NOT a full-table copy.
+        if lo is not None and (_snap_dir_may_match(ds, key, ">=", lo)
+                               and _snap_dir_may_match(ds, key, "<=", hi)):
             rewrite.append(d)
         else:
             carried.append(d)
     if rewrite:
-        target = spark.read.parquet(
-            *[os.path.join(table_dir, "data", d) for d in rewrite])
+        # mergeSchema: under additive evolution the rewrite dirs can
+        # have heterogeneous schemas; a footer-inferred read would
+        # silently drop columns absent from the sampled file and the
+        # rewritten commit would persist that loss.
+        target = (spark.read.option("mergeSchema", True)
+                  .parquet(*[os.path.join(table_dir, "data", d)
+                             for d in rewrite])
+                  .select("*", F.col("_metadata.file_path")
+                          .alias("__snap_fp")))
+        # outstanding equality deletes apply to the rewrite read, or
+        # the rewritten dir (whose sequence number EXCEEDS theirs)
+        # would resurrect deleted rows
+        target = _apply_equality_deletes(spark, table_dir, man, target)
     else:
-        target = read_snapshot(spark, table_dir, version=version).limit(0)
+        target = read_snapshot(spark, table_dir, version=version,
+                               merge_schema=True).limit(0)
     merged = merge_into(target, source, key, op_col=op_col)
     commit = f"c-{uuid.uuid4().hex[:12]}"
     data_dir = os.path.join(table_dir, "data", commit)
     merged.write.mode("error").parquet(data_dir)
     stats = _snap_commit_stats(spark, data_dir)
+    prior_seq = man.get("seq", {})
     new_man = {"version": version + 1, "mode": "merge",
                "dirs": carried + [commit],
                "stats": {**{d: st[d] for d in carried if d in st},
-                         commit: stats}}
+                         commit: stats},
+               # carried dirs keep their sequence numbers (outstanding
+               # deletes still apply to them); the rewritten dir is
+               # post-delete clean, so its FRESH seq is correct
+               "seq": {**{d: prior_seq[d] for d in carried
+                          if d in prior_seq},
+                       commit: version + 1}}
+    if man.get("deletes"):
+        new_man["deletes"] = man["deletes"]
     if tag is not None:
         new_man["tag"] = tag
     tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex[:12]}")
@@ -876,6 +987,91 @@ def merge_into_snapshot(spark: SparkSession, table_dir: str,
             f"concurrently; merge computed against v{version} aborted")
     finally:
         os.remove(tmp)
+
+
+def delete_from_snapshot(spark: SparkSession, table_dir: str,
+                         keys_df: DataFrame, key: str | list[str],
+                         tag: str | None = None) -> int | None:
+    """MERGE-ON-READ delete — the third write path next to COW MERGE
+    and overwrite: an EQUALITY-DELETE commit (Iceberg v2 semantics)
+    that stores only the deleted KEYS and touches zero data files.
+
+    ``keys_df`` holds the key values to delete (its ``key`` column(s)
+    are taken, de-duplicated); the commit publishes a manifest of
+    mode ``"delete"`` whose ``dirs`` are unchanged and whose
+    ``deletes`` list grows by one entry ``{dir, key, seq}``.  Readers
+    subtract the keys at scan time (``_apply_equality_deletes``):
+    a data row is dropped iff a delete file with a HIGHER sequence
+    number carries its key, so rows appended after the delete —
+    including re-inserts of a deleted key — survive.  NULL keys are
+    rejected (NULL equals no key; same rule as MERGE).
+
+    Scale: this is the GDPR shape — deleting one user from a 100 TB
+    table writes a kilobyte-sized key file and one manifest; the cost
+    moves to reads (one broadcast anti-join) until ``compact_snapshot``
+    or a covering MERGE materializes the deletes away.  Copy-on-write
+    (``merge_into_snapshot`` with D rows) remains the right call when
+    deletes are large or reads vastly outnumber writes.
+
+    Concurrency: a lost manifest race REBASES onto the new latest and
+    retries (like append) — the commit means "delete these keys as of
+    commit time", so applying it after a racing append correctly also
+    deletes matching rows that append introduced.  This is the
+    opposite choice from MERGE, whose result is computed FROM a
+    pinned version and must abort instead.  ``tag`` dedupes replays.
+
+    Downstream: an MV refresh sees a changed ``deletes`` list and
+    takes its full-rebuild path; the CDF general path diffs MOR reads
+    so deletions surface as 'delete' rows; the snapshot STREAM emits
+    nothing for a delete commit (no new dirs — the documented
+    no-retraction contract, Delta's ``ignoreDeletes``)."""
+    import json
+    import shutil
+    import uuid
+
+    key_cols = [key] if isinstance(key, str) else list(key)
+    if latest_version(table_dir) is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir}")
+    if tag is not None and tag in _committed_tags(table_dir):
+        return None
+    import operator
+    from functools import reduce
+
+    ks = keys_df.select(*key_cols).distinct()
+    n_null = ks.filter(reduce(operator.or_,
+                              [F.col(k).isNull() for k in key_cols])).count()
+    if n_null:
+        raise ValueError(f"delete key set has {n_null} NULL rows in "
+                         f"{key_cols}")
+    dcommit = f"d-{uuid.uuid4().hex[:12]}"
+    ddir = os.path.join(table_dir, "data", dcommit)
+    ks.coalesce(1).write.mode("error").parquet(ddir)
+    mdir = os.path.join(table_dir, SNAP_MANIFESTS)
+    while True:
+        vs = _snap_versions(table_dir)
+        if tag is not None and tag in _committed_tags(table_dir):
+            shutil.rmtree(ddir, ignore_errors=True)
+            return None
+        version = vs[-1] + 1
+        with open(os.path.join(mdir, f"v{vs[-1]}.json")) as fh:
+            prior = json.load(fh)
+        man = {"version": version, "mode": "delete",
+               "dirs": prior["dirs"], "stats": prior.get("stats", {}),
+               "seq": prior.get("seq", {}),
+               "deletes": prior.get("deletes", [])
+               + [{"dir": dcommit, "key": key_cols, "seq": version}]}
+        if tag is not None:
+            man["tag"] = tag
+        tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex[:12]}")
+        with open(tmp, "w") as fh:
+            json.dump(man, fh)
+        try:
+            os.link(tmp, os.path.join(mdir, f"v{version}.json"))
+            return version
+        except FileExistsError:
+            continue        # rebase onto the new latest and retry
+        finally:
+            os.remove(tmp)
 
 
 def vacuum_snapshots(table_dir: str, keep: int = 2,
@@ -909,7 +1105,11 @@ def vacuum_snapshots(table_dir: str, keep: int = 2,
     live: set[str] = set()
     for v in survivors:
         with open(os.path.join(mdir, f"v{v}.json")) as fh:
-            live.update(json.load(fh)["dirs"])
+            m = json.load(fh)
+        live.update(m["dirs"])
+        # equality-delete files live under data/ too — removing one a
+        # surviving manifest still references would RESURRECT rows
+        live.update(d["dir"] for d in m.get("deletes", []))
     # tombstone the doomed versions' tags BEFORE removing manifests
     # (crash between the two steps must err toward suppression)
     doomed_tags: set[str] = set()

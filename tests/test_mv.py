@@ -285,3 +285,30 @@ def test_quantile_partial_incremental_equals_oneshot(spark):
                                 hi=MV_HIST_HI,
                                 scale=MV_HIST_SCALE).collect()}
     assert got == want and set(got) == {"a", "b", "c"}
+
+
+def test_refresh_with_heterogeneous_delta_dirs(spark):
+    """Additive source evolution inside ONE delta read: two appended
+    commits whose schemas differ (one lacks the measure column) must
+    refresh correctly — a footer-inferred delta read would either
+    fail analysis or silently drop the measure from the wider dir,
+    corrupting the partials without error."""
+    src = tempfile.mkdtemp(prefix="mvsrc_")
+    mv = tempfile.mkdtemp(prefix="mv_")
+    storage.write_snapshot(_batch(spark, [("a", 1), ("b", 2)]), src)
+    mv_refresh(spark, src, mv, KEYS, SPEC)
+    storage.write_snapshot(
+        spark.createDataFrame([("a",)], "k string"), src, mode="append")
+    storage.write_snapshot(_batch(spark, [("a", 10), ("c", 5)]), src,
+                           mode="append")
+    assert mv_watermark(mv) == 1
+    mv_refresh(spark, src, mv, KEYS, SPEC)        # ONE delta, two schemas
+    assert _actual(spark, mv) == {
+        "a": (3, 2, 11, 1, 10, 5.5),
+        "b": (1, 1, 2, 2, 2, 2.0),
+        "c": (1, 1, 5, 5, 5, 5.0)}
+    # and a from-scratch rebuild over the evolved table (fresh MV ->
+    # no watermark -> full path) reads the union schema the same way
+    mv2 = tempfile.mkdtemp(prefix="mv_")
+    mv_refresh(spark, src, mv2, KEYS, SPEC)
+    assert _actual(spark, mv2) == _actual(spark, mv)

@@ -140,3 +140,21 @@ def test_compact_snapshot_is_content_neutral_and_tightens_pruning(spark):
     assert storage.latest_version(t) == 4
     # CDF across the compaction sees ZERO changes (content-neutral)
     assert storage.snapshot_changes(spark, t, 3, 4).collect() == []
+
+
+def test_empty_range_schema_matches_evolved_set(spark):
+    """All three CDF paths must agree on the evolved column set: an
+    empty version range on a schema-evolved table must return the
+    UNION schema (k, v, w), not whichever footer read_snapshot
+    sampled — a narrower empty frame breaks downstream unions."""
+    t = tempfile.mkdtemp(prefix="scdf_")
+    storage.write_snapshot(_batch(spark, [(1, "a")]), t)
+    storage.write_snapshot(
+        spark.createDataFrame([(2, "b", 9.0)], "k long, v string, w double"),
+        t, mode="append")
+    empty = storage.snapshot_changes(spark, t, 2, 2)
+    assert empty.collect() == []
+    assert set(empty.columns) == {"k", "v", "w", "_change_type", "_n"}
+    # and the non-empty fast path over the same table agrees
+    full = storage.snapshot_changes(spark, t, 1, 2)
+    assert set(full.columns) == set(empty.columns)

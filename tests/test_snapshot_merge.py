@@ -233,3 +233,47 @@ def test_same_tag_race_is_noop_not_conflict(spark, monkeypatch):
         spark, t, _changes(spark, [(1, "A", "U")]), "k",
         tag="batch-3") is None
     assert storage.latest_version(t) == 2
+
+
+def test_merge_preserves_evolved_columns(spark):
+    """Additive schema evolution across the REWRITE set: the COW read
+    must union the dirs' schemas (mergeSchema) — a footer-inferred
+    read samples one arbitrary file, silently drops the evolved
+    column, and the rewritten commit dir persists that loss."""
+    t = tempfile.mkdtemp(prefix="smrg_")
+    storage.write_snapshot(_batch(spark, [(1, "a"), (2, "b")]), t)
+    storage.write_snapshot(
+        spark.createDataFrame([(10, "j", 7.5), (11, "k", 8.5)],
+                              "k long, v string, w double"),
+        t, mode="append")
+    # source key range [1, 11] brackets BOTH dirs -> both rewrite
+    v = storage.merge_into_snapshot(
+        spark, t, _changes(spark, [(1, "A", "U"), (11, None, "D")]), "k")
+    assert v == 3
+    got = sorted(
+        (r["k"], r["v"], r["w"])
+        for r in storage.read_snapshot(spark, t, merge_schema=True)
+        .collect())
+    assert got == [(1, "A", None), (2, "b", None), (10, "j", 7.5)]
+
+
+def test_merge_empty_source_is_not_a_full_rewrite(spark):
+    """An empty MERGE source overlaps nothing and inserts nothing:
+    every live dir must CARRY FORWARD with its stats (a v8 review
+    found the lo-is-None branch routing ALL dirs into the rewrite
+    set — correct answer, full-table copy-on-write cost)."""
+    t = tempfile.mkdtemp(prefix="smrg_")
+    storage.write_snapshot(_batch(spark, [(1, "a"), (2, "b")]), t)
+    storage.write_snapshot(_batch(spark, [(50, "x")]), t, mode="append")
+    with open(os.path.join(t, storage.SNAP_MANIFESTS, "v2.json")) as fh:
+        m2 = json.load(fh)
+    v = storage.merge_into_snapshot(spark, t, _changes(spark, []), "k")
+    assert v == 3
+    assert _rows(spark, t) == [(1, "a"), (2, "b"), (50, "x")]
+    with open(os.path.join(t, storage.SNAP_MANIFESTS, "v3.json")) as fh:
+        m3 = json.load(fh)
+    # both original dirs survive verbatim, stats intact; the only new
+    # dir is the (empty) merge commit itself
+    for d in m2["dirs"]:
+        assert d in m3["dirs"] and m3["stats"][d] == m2["stats"][d]
+    assert len(m3["dirs"]) == len(m2["dirs"]) + 1

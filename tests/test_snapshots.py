@@ -251,6 +251,7 @@ def test_random_op_sequences_match_model(spark):
                   st.integers(0, 5)),
         st.tuples(st.just("tagged"), st.just("append"),
                   st.integers(0, 3)),          # tag id (collisions!)
+        st.tuples(st.just("delete"), st.integers(0, 2), st.just(0)),
         st.tuples(st.just("vacuum"), st.integers(1, 3), st.just(0)))
 
     @settings(max_examples=6, deadline=None,
@@ -283,6 +284,20 @@ def test_random_op_sequences_match_model(spark):
                     nxt += 2
                     seen_tags.add(tag)
                     model[ver] = model.get(ver - 1, []) + vals
+            elif kind == "delete":
+                if not model:
+                    continue
+                cur = model[max(model)]
+                # residue-class keys from the live state PLUS the next
+                # two FUTURE values: the commit must remove only rows
+                # already present — later appends of those very values
+                # must survive (equality-delete sequence scoping)
+                keys = [v for v in cur if v % 3 == a] + [nxt, nxt + 1]
+                ver = storage.delete_from_snapshot(
+                    spark, t,
+                    spark.createDataFrame([(k,) for k in keys],
+                                          "v long"), "v")
+                model[ver] = [v for v in cur if v % 3 != a]
             else:                               # vacuum keep=a
                 if not model:
                     continue
