@@ -580,27 +580,50 @@ def _prefix_ranked(df: DataFrame, id_col: str, text_col: str,
 def _prefix_pairs_from_ranked(ranked: DataFrame, id_col: str,
                               t_num: int, t_den: int) -> DataFrame:
     sz = F.size("st")
-    # L = |s| - ceil(t*|s|) + 1, integer-exact ceil division
-    pref_len = sz - F.floor((F.lit(t_num) * sz + F.lit(t_den - 1))
-                            / F.lit(t_den)).cast("int") + 1
-    # prefixes carry (size, 1-based position) for the PPJoin
-    # positional filter below
-    prefixes = (ranked.select(
-        F.col(id_col), sz.alias("sz"),
-        F.posexplode(F.slice("st", 1, pref_len)).alias("p", "s"))
-        .select(F.col(id_col), "sz", (F.col("p") + 1).alias("p"),
-                F.col("s.tok").alias("tok")))
-    # POSITIONAL upper bound (PPJoin, Xiao et al. WWW'08): with both
-    # gram lists in the same global (df, hash) order, the earliest
-    # shared gram at positions (pa, pb) caps the overlap at
-    # min(|a|-pa, |b|-pb) + 1; pairs whose cap can't reach the
-    # required overlap α = ceil(t·(|a|+|b|)/(1+t)) never enter the
-    # verify join. Grouping keeps the MIN position per side —
-    # each side's earliest shared gram bounds that side
-    # independently, so independent mins are a valid (tighter) cap.
-    cand = (prefixes.alias("a")
-            .join(prefixes.alias("b"), "tok")
-            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    # probing prefix L_p = |s| - ceil(t*|s|) + 1 (integer-exact ceil)
+    probe_len = sz - F.floor((F.lit(t_num) * sz + F.lit(t_den - 1))
+                             / F.lit(t_den)).cast("int") + 1
+    # INDEXING prefix (AllPairs/PPJoin asymmetry, Xiao et al.
+    # WWW'08): when candidate pairs are generated size-ordered —
+    # every pair probes from its LARGER set into the SMALLER set's
+    # index — the indexed side only needs
+    # L_i = |s| - ceil(2t/(1+t) * |s|) + 1 grams, because the
+    # required overlap against any probe of size >= |s| is at least
+    # ceil(2t/(1+t) * |s|).  At t=1/2 that is |s|/3 instead of
+    # |s|/2: the equi-join's fan-out (sum over grams of
+    # probe_count x index_count) drops by a third with ZERO loss —
+    # the exactness proof is the published prefix-filtering theorem,
+    # and the oracle stays the brute-force all-pairs SQL.
+    idx_len = sz - F.floor((F.lit(2 * t_num) * sz
+                            + F.lit(t_den + t_num - 1))
+                           / F.lit(t_den + t_num)).cast("int") + 1
+
+    def _explode(length):
+        return (ranked.select(
+            F.col(id_col), sz.alias("sz"),
+            F.posexplode(F.slice("st", 1, length)).alias("p", "s"))
+            .select(F.col(id_col), "sz", (F.col("p") + 1).alias("p"),
+                    F.col("s.tok").alias("tok")))
+
+    probe, index = _explode(probe_len), _explode(idx_len)
+    # size ordering makes each unordered pair a candidate exactly
+    # once, with the smaller set (ties broken by id) on the indexed
+    # side — the precondition of the indexing-prefix theorem
+    smaller = ((F.col("b.sz") < F.col("a.sz"))
+               | ((F.col("b.sz") == F.col("a.sz"))
+                  & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}"))))
+    # POSITIONAL upper bound (PPJoin): with both gram lists in the
+    # same global (df, hash) order, a shared gram at positions
+    # (pa, pb) caps the overlap at min(|a|-pa, |b|-pb) + 1; pairs
+    # whose cap can't reach the required overlap
+    # α = ceil(t·(|a|+|b|)/(1+t)) never enter the verify join.
+    # Grouping keeps the MIN position per side; mins over the
+    # asymmetric prefixes are a subset of the true shared-gram
+    # positions, so the cap only LOOSENS — conservative, never a
+    # false negative.
+    cand = (probe.alias("a")
+            .join(index.alias("b"), "tok")
+            .filter(smaller)
             # LENGTH filter (AllPairs): J ≥ t ⟹ overlap ≤ min and
             # overlap ≥ t·union ≥ t·max, so t_den·min ≥ t_num·max is
             # a necessary condition — the positional cap below
@@ -608,16 +631,18 @@ def _prefix_pairs_from_ranked(ranked: DataFrame, id_col: str,
             # prunes candidate rows before the aggregate shuffle
             .filter(F.least("a.sz", "b.sz") * t_den
                     >= F.greatest("a.sz", "b.sz") * t_num)
-            .groupBy(F.col(f"a.{id_col}").alias("id_a"),
-                     F.col(f"b.{id_col}").alias("id_b"),
-                     F.col("a.sz").alias("sz_a"),
-                     F.col("b.sz").alias("sz_b"))
-            .agg(F.min("a.p").alias("pa"), F.min("b.p").alias("pb"))
+            .groupBy(F.col(f"a.{id_col}").alias("id_x"),
+                     F.col(f"b.{id_col}").alias("id_y"),
+                     F.col("a.sz").alias("sz_x"),
+                     F.col("b.sz").alias("sz_y"))
+            .agg(F.min("a.p").alias("px"), F.min("b.p").alias("py"))
             .filter(
-                F.least(F.col("sz_a") - F.col("pa") + 1,
-                        F.col("sz_b") - F.col("pb") + 1)
-                * (t_den + t_num) >= t_num * (F.col("sz_a") + F.col("sz_b")))
-            .select("id_a", "id_b"))
+                F.least(F.col("sz_x") - F.col("px") + 1,
+                        F.col("sz_y") - F.col("py") + 1)
+                * (t_den + t_num) >= t_num * (F.col("sz_x") + F.col("sz_y")))
+            # restore the id-ordered output contract (id_a < id_b)
+            .select(F.least("id_x", "id_y").alias("id_a"),
+                    F.greatest("id_x", "id_y").alias("id_b")))
     sets_a = ranked.select(F.col(id_col).alias("id_a"),
                            F.col("st.tok").alias("sh_a"))
     sets_b = ranked.select(F.col(id_col).alias("id_b"),

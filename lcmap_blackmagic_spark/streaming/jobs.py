@@ -299,6 +299,43 @@ DOCUMENT = T.StructType([
 ])
 
 
+def gdpr_delete_stream(spark: SparkSession, requests_dir: str,
+                       table_dir: str, checkpoint_dir: str,
+                       key: str = "user_id",
+                       available_now: bool = True,
+                       max_files_per_trigger: int = 1) -> StreamingQuery:
+    """Streaming DELETION REQUESTS applied to a snapshot table as
+    tagged MERGE-ON-READ equality-delete commits
+    (storage.delete_from_snapshot): each micro-batch of key values
+    becomes one delete commit — a key-list file plus a manifest,
+    zero data rewrites — and the batch-id tag makes crash-replay a
+    no-op (a replayed batch finds its tag in the log, including the
+    tombstoned tags of vacuumed versions).  The GDPR shape at
+    100 TB: the erasure stream costs kilobytes per trigger; rows
+    appended AFTER a request's commit survive it (sequence scoping),
+    so a re-registered user is not retro-deleted.  Compaction on its
+    own schedule materializes the accumulated deletes away."""
+    from .. import storage
+
+    schema = spark.read.parquet(requests_dir).schema
+    req = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", max_files_per_trigger)
+           .parquet(requests_dir))
+
+    def fb(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        storage.delete_from_snapshot(spark, table_dir,
+                                     batch_df.select(key), key,
+                                     tag=f"del-batch-{batch_id}")
+
+    writer = (req.writeStream.foreachBatch(fb)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def documents_stream(spark: SparkSession, docs_dir: str,
                      max_files_per_trigger: int = 1) -> DataFrame:
     """Parquet-directory document stream with the DOCUMENTS schema —

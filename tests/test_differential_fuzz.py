@@ -1443,3 +1443,123 @@ def test_interval_divergences_pinned(engines2):
         "SELECT dayofweek(DATE '1992-01-05')").first()[0] == 1
     assert con.execute(
         "SELECT dayofweek(DATE '1992-01-05')").fetchone()[0] == 0
+
+
+# ---------------------------------------------------------------------
+# decimal-arithmetic / cast family (round 9): generated DECIMAL(18,2)
+# expression trees reduced to exact BIGINT cents in both engines, a
+# TRY_CAST string battery, and the pinned cast-semantics divergences
+# the repo's DECIMAL money policy exists to sidestep.
+
+_DEC_COLS = ["l_extendedprice", "l_discount", "l_tax", "l_quantity"]
+
+
+def _dec(col):
+    return f"CAST({col} AS DECIMAL(18,2))"
+
+
+def _dec_expr(rng: random.Random) -> tuple[str, int]:
+    """One random money expression and the ROUND scale: at most one
+    multiplication (keeps the result inside DECIMAL(37,4) — past 38
+    Spark silently REDUCES scale while DuckDB errors, a divergence
+    the generated family must stay clear of), +,-,ABS,GREATEST,
+    LEAST, CASE."""
+    a, b = rng.choice(_DEC_COLS), rng.choice(_DEC_COLS)
+    kind = rng.randrange(7)
+    if kind == 0:
+        e = f"({_dec(a)} + {_dec(b)})"
+    elif kind == 1:
+        e = f"({_dec(a)} - {_dec(b)})"
+    elif kind == 2:
+        e = f"({_dec(a)} * {_dec(b)})"
+    elif kind == 3:
+        e = f"ABS({_dec(a)} - {_dec(b)})"
+    elif kind == 4:
+        e = f"GREATEST({_dec(a)}, {_dec(b)})"
+    elif kind == 5:
+        e = f"LEAST({_dec(a)}, {_dec(b)})"
+    else:
+        lo = rng.randint(1, 40)
+        e = (f"(CASE WHEN l_quantity <= {lo} THEN {_dec(a)} "
+             f"ELSE {_dec(b)} END)")
+    return e, rng.randint(0, 2)
+
+
+def _dec_cases():
+    rng = random.Random(SEED + 9)
+    return [(i, *_dec_expr(rng)) for i in range(24)]
+
+
+@pytest.mark.parametrize("i,expr,r", _dec_cases())
+def test_decimal_arithmetic_agrees_across_engines(engines, i, expr, r):
+    """SUM/MIN/MAX of ROUND(<money expr>, r) scaled to integral
+    cents: exact decimal arithmetic must agree bit-for-bit (both
+    engines ROUND decimals HALF_UP — probed, and pinned below).  The
+    final *100 of a ROUND(_, <=2) result is integral, so the BIGINT
+    cast cannot hit the truncate-vs-round divergence."""
+    spark, con = engines
+    cents = f"CAST(ROUND({expr}, {r}) * 100 AS BIGINT)"
+    sql = (f"SELECT COUNT(*) AS n, SUM({cents}) AS s, "
+           f"MIN({cents}) AS mn, MAX({cents}) AS mx "
+           f"FROM fuzz_lineitem WHERE l_orderkey % 7 = {i % 7}")
+    got = tuple(spark.sql(sql).first())
+    want = tuple(con.execute(sql).fetchone())
+    assert got == want, f"case {i}: {expr} r={r}"
+
+
+_TRYCAST_AGREE = ["42", " 42 ", "+7", "-12", "007", "", "  ", "abc",
+                  "4 2", "99999999999999999999", "-2147483648",
+                  "2147483647", "2147483648", "NaN", "inf"]
+
+
+def test_try_cast_battery_agrees_across_engines(engines):
+    """TRY_CAST of the agreed string battery to INTEGER / BIGINT /
+    DECIMAL(10,2) / DOUBLE matches across engines (trimming, sign,
+    leading zeros, overflow→NULL, NaN/inf)."""
+    spark, con = engines
+    for typ in ["INTEGER", "BIGINT", "DECIMAL(10,2)", "DOUBLE"]:
+        sel = ", ".join(f"TRY_CAST('{v}' AS {typ})"
+                        for v in _TRYCAST_AGREE)
+        got = [repr(x) for x in spark.sql(f"SELECT {sel}").first()]
+        want = [repr(x) for x in con.execute(f"SELECT {sel}").fetchone()]
+        assert got == want, typ
+
+
+def test_cast_divergences_pinned(engines):
+    """The cast-semantics gaps this repo's oracle policy must never
+    step on, pinned so a regression in EITHER engine (or a future
+    oracle that forgets) fails loudly:
+
+    - CAST(fractional AS BIGINT): Spark TRUNCATES toward zero,
+      DuckDB rounds half-away — the reason every money reduction
+      here does ROUND(_, s) to an integral decimal BEFORE the
+      integer cast (registry.py determinism contract).
+    - TRY_CAST('12.7'/'1e3' AS INTEGER): Spark requires an integral
+      string; DuckDB parses-and-rounds.
+    - DuckDB accepts '1_000' (digit separators) and '0x1A' (hex)
+      where Spark yields NULL.
+    """
+    spark, con = engines
+    for lit, s_want, d_want in [("1.5", 1, 2), ("2.5", 2, 2),
+                                ("-1.5", -1, -2)]:
+        assert spark.sql(f"SELECT CAST(CAST({lit} AS DOUBLE) "
+                         f"AS BIGINT)").first()[0] == s_want
+        assert con.execute(f"SELECT CAST(CAST({lit} AS DOUBLE) "
+                           f"AS BIGINT)").fetchone()[0] == d_want
+    # decimal→int hits the same divergence (Spark truncates)
+    assert spark.sql("SELECT CAST(CAST(2.5 AS DECIMAL(5,1)) "
+                     "AS BIGINT)").first()[0] == 2
+    assert con.execute("SELECT CAST(CAST(2.5 AS DECIMAL(5,1)) "
+                       "AS BIGINT)").fetchone()[0] == 3
+    for s in ["12.7", "1e3", "1_000", "0x1A"]:
+        assert spark.sql(f"SELECT TRY_CAST('{s}' AS INTEGER)") \
+            .first()[0] is None
+        assert con.execute(f"SELECT TRY_CAST('{s}' AS INTEGER)") \
+            .fetchone()[0] is not None
+    # both engines ROUND decimals half-UP (away from zero) — the
+    # agreement the generated family leans on
+    for eng_val in [spark.sql("SELECT ROUND(CAST(0.125 AS "
+                              "DECIMAL(10,3)), 2)").first()[0],
+                    con.execute("SELECT ROUND(CAST(0.125 AS "
+                                "DECIMAL(10,3)), 2)").fetchone()[0]]:
+        assert str(eng_val) == "0.13"

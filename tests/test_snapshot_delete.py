@@ -177,3 +177,32 @@ def test_stream_emits_nothing_for_delete_commit(spark, tmp_path):
     got = sorted((r["k"], r["v"]) for r in
                  spark.sql("SELECT * FROM sdel_stream").collect())
     assert got == [(1, "a"), (2, "b")]   # v1 snapshot, no retraction
+
+
+def test_gdpr_delete_stream_applies_and_replays_idempotently(spark):
+    """Streaming deletion requests -> tagged MOR delete commits: the
+    drained stream removes exactly the requested keys, and a full
+    REPLAY from a fresh checkpoint publishes zero new versions (the
+    batch-id tags suppress every re-delivered request)."""
+    from lcmap_blackmagic_spark.streaming.jobs import gdpr_delete_stream
+
+    t = tempfile.mkdtemp(prefix="sdel_")
+    storage.write_snapshot(
+        _batch(spark, [(i, f"v{i}") for i in range(1, 11)]), t)
+    req = tempfile.mkdtemp(prefix="sdel_req_")
+    _keys(spark, [2, 3]).coalesce(1).write.mode("append").parquet(req)
+    _keys(spark, [5]).coalesce(1).write.mode("append").parquet(req)
+
+    def drain(ckpt):
+        q = gdpr_delete_stream(spark, req, t, ckpt, key="k")
+        assert q.awaitTermination(300)
+
+    drain(tempfile.mkdtemp(prefix="sdel_ck_"))
+    want = [(i, f"v{i}") for i in range(1, 11) if i not in (2, 3, 5)]
+    assert _rows(spark, t) == want
+    v_after = storage.latest_version(t)
+    assert v_after == 3                     # one commit per request file
+    # replay: fresh checkpoint re-delivers both batches
+    drain(tempfile.mkdtemp(prefix="sdel_ck_"))
+    assert storage.latest_version(t) == v_after
+    assert _rows(spark, t) == want
