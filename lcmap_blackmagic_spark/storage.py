@@ -708,6 +708,81 @@ def write_snapshot_tagged(df: DataFrame, table_dir: str, tag: str,
                           dedupe_tag=True, collect_stats=collect_stats)
 
 
+def compact_snapshot_zorder(spark: SparkSession, table_dir: str,
+                            x_col: str, y_col: str,
+                            n_dirs: int = 8) -> int:
+    """OPTIMIZE ZORDER BY for snapshot tables: rewrite the latest
+    version into ``n_dirs`` commit dirs that each cover one range of
+    the Morton key of (x_col, y_col), published together as ONE
+    overwrite version.  Plain ``compact_snapshot(sort_by=)`` tightens
+    MANIFEST min/max stats on one column; z-range DIRS make the
+    manifest pruner (``read_snapshot(where=...)``) selective on BOTH
+    columns — a point predicate on either key now skips most commit
+    dirs before Spark lists a file, the Delta `OPTIMIZE ZORDER`
+    effect expressed on the store's own manifest.  Outstanding
+    equality deletes are applied by the rewrite (MOR-aware read) and
+    the fresh manifest carries none.
+
+    Layout mechanics: one Spark job writes the whole rewrite
+    partitioned by z-bucket (bucket bounds from approxQuantile over
+    the z key — sampled, so skewed keys still yield balanced dirs);
+    the bucket subdirs are then RENAMED into data/ as ordinary
+    commit dirs and the manifest publishes through the same atomic
+    os.link as every commit.  Time travel over prior versions is
+    untouched."""
+    import json
+    import shutil
+    import uuid
+
+    from .functions.zorder import zvalue
+
+    version = latest_version(table_dir)
+    if version is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir}")
+    df = read_snapshot(spark, table_dir, version=version,
+                       merge_schema=True)
+    keyed = df.withColumn("__z", zvalue(F.col(x_col), F.col(y_col)))
+    cuts = keyed.stat.approxQuantile(
+        "__z", [i / n_dirs for i in range(1, n_dirs)], 0.01)
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + F.when(F.col("__z") > F.lit(c), 1).otherwise(0)
+    staging = os.path.join(table_dir, "data",
+                           f".zstage-{uuid.uuid4().hex[:12]}")
+    (keyed.withColumn("__zb", bucket)
+     .repartition(n_dirs, "__zb")
+     .sortWithinPartitions("__zb", "__z")
+     .drop("__z")
+     .write.partitionBy("__zb").mode("error").parquet(staging))
+    dirs, stats = [], {}
+    for sub in sorted(os.listdir(staging)):
+        if not sub.startswith("__zb="):
+            continue
+        commit = f"c-{uuid.uuid4().hex[:12]}"
+        os.rename(os.path.join(staging, sub),
+                  os.path.join(table_dir, "data", commit))
+        dirs.append(commit)
+        stats[commit] = _snap_commit_stats(
+            spark, os.path.join(table_dir, "data", commit))
+    shutil.rmtree(staging, ignore_errors=True)
+    mdir = os.path.join(table_dir, SNAP_MANIFESTS)
+    while True:
+        vs = _snap_versions(table_dir)
+        new_v = vs[-1] + 1
+        man = {"version": new_v, "mode": "overwrite", "dirs": dirs,
+               "stats": stats, "seq": {d: new_v for d in dirs}}
+        tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex[:12]}")
+        with open(tmp, "w") as fh:
+            json.dump(man, fh)
+        try:
+            os.link(tmp, os.path.join(mdir, f"v{new_v}.json"))
+            return new_v
+        except FileExistsError:
+            continue        # lost the race: claim the next version
+        finally:
+            os.remove(tmp)
+
+
 def compact_snapshot(spark: SparkSession, table_dir: str,
                      sort_by: str | None = None) -> int | None:
     """OPTIMIZE for snapshot tables: rewrite the LATEST version's

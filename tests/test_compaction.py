@@ -31,3 +31,50 @@ def test_compact_collapses_files_and_preserves_rows(spark, tmp_path):
     # partition pruning still works on the compacted layout
     pruned = storage.read_partition(spark, root, "segment", cx=0, cy=3000)
     assert pruned.count() == 50
+
+
+def test_zorder_compaction_prunes_on_both_columns(spark):
+    """OPTIMIZE ZORDER: after compact_snapshot_zorder the MANIFEST
+    pruner skips most commit dirs for a point predicate on EITHER
+    key column, and the content is the identical multiset (deletes
+    materialized away)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lcmap_blackmagic_spark import storage
+
+    t = tempfile.mkdtemp(prefix="zcomp_")
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("bigint").alias("y"),
+        F.col("id").alias("v"))
+    storage.write_snapshot(df, t)
+    storage.delete_from_snapshot(
+        spark, t, spark.range(5).select(F.col("id").alias("v")), "v")
+    want = sorted((r["x"], r["y"], r["v"]) for r in
+                  storage.read_snapshot(spark, t).collect())
+    v = storage.compact_snapshot_zorder(spark, t, "x", "y", n_dirs=8)
+    assert v == storage.latest_version(t)
+    import json
+    import os
+    with open(os.path.join(t, storage.SNAP_MANIFESTS,
+                           f"v{v}.json")) as fh:
+        man = json.load(fh)
+    assert len(man["dirs"]) == 8 and "deletes" not in man
+    got = sorted((r["x"], r["y"], r["v"]) for r in
+                 storage.read_snapshot(spark, t).collect())
+    assert got == want and len(got) == n - 5
+    # manifest pruning is now selective on BOTH columns
+    for col, val in (("x", 3), ("y", 60)):
+        pruned = storage.read_snapshot(spark, t, where=(col, "=", val))
+        scanned = {f.split("/data/")[-1].split("/")[0]
+                   for f in pruned.inputFiles()}
+        assert 0 < len(scanned) < 8, (col, scanned)
+        want_rows = sorted(r for r in got if r[0 if col == "x" else 1]
+                           == val)
+        assert sorted((r["x"], r["y"], r["v"])
+                      for r in pruned.collect()) == want_rows
+    # prior versions still time-travel
+    assert len(storage.read_snapshot(spark, t, version=1).collect()) == n
