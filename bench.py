@@ -144,6 +144,9 @@ HEADLINE = [
     # key-file delete commit (zero data rewrites), a surviving
     # post-delete append, and the broadcast-anti-join MOR read
     "snapshot_delete",
+    # round-9: OPTIMIZE ZORDER — full rewrite into 8 Morton-range
+    # commit dirs plus two manifest-pruned point reads
+    "snapshot_zorder",
 ]
 
 

@@ -453,7 +453,7 @@ def write_snapshot(df: DataFrame, table_dir: str,
             dirs = prior["dirs"] + dirs
             all_stats = {**prior.get("stats", {}), **all_stats}
             seq = {**prior.get("seq", {}), **seq}
-            deletes = prior.get("deletes", [])
+            deletes = _live_deletes(prior.get("deletes", []), dirs, seq)
         man = {"version": version, "mode": mode, "dirs": dirs,
                "stats": all_stats, "seq": seq}
         if deletes:
@@ -511,6 +511,22 @@ def _snap_dir_may_match(stats: dict, col: str, op: str, value) -> bool:
         return _SNAP_OPS[op][0](lo, hi, value)
     except TypeError:       # cross-type comparison — don't prune
         return True
+
+
+def _live_deletes(deletes: list, dirs: list, seq: dict) -> list:
+    """Drop DEAD equality-delete entries: a delete applies only to
+    dirs with a SMALLER sequence number, so once every live dir's
+    seq is >= the delete's (the dirs it targeted were rewritten or
+    overwritten away), the entry subtracts nothing and carrying it
+    would grow the read-side anti-join list without bound.  Dirs
+    missing from the seq map default to 0 (pre-feature commits),
+    which keeps every delete alive — conservative, never wrong."""
+    if not deletes:
+        return []
+    if not dirs:
+        return []
+    min_seq = min(seq.get(d, 0) for d in dirs)
+    return [e for e in deletes if e["seq"] > min_seq]
 
 
 def _apply_equality_deletes(spark: SparkSession, table_dir: str,
@@ -594,7 +610,12 @@ def read_snapshot(spark: SparkSession, table_dir: str,
     (CDF, MV rebuild, compaction, bench queries) sees the deleted
     rows gone without any data file having been rewritten.  Stats
     pruning stays conservative: a dir whose matching rows were all
-    deleted may still be scanned, never the reverse."""
+    deleted may still be scanned, never the reverse.
+
+    ``where`` also accepts a LIST of (col, op, value) triples,
+    AND-combined: a dir survives only if every predicate may match
+    it — the two-column point read a z-ordered layout
+    (``compact_snapshot_zorder``) exists for."""
     import json
 
     if version is None:
@@ -605,13 +626,16 @@ def read_snapshot(spark: SparkSession, table_dir: str,
                            f"v{version}.json")) as fh:
         man = json.load(fh)
     dirs = man["dirs"]
+    preds = None
     if where is not None:
-        col, op, value = where
-        if op not in _SNAP_OPS:
-            raise ValueError(f"unsupported skip predicate op {op!r}")
+        preds = [where] if isinstance(where, tuple) else list(where)
+        for _, op, _v in preds:
+            if op not in _SNAP_OPS:
+                raise ValueError(f"unsupported skip predicate op {op!r}")
         st = man.get("stats", {})
         dirs = [d for d in dirs
-                if _snap_dir_may_match(st.get(d, {}), col, op, value)]
+                if all(_snap_dir_may_match(st.get(d, {}), col, op, value)
+                       for col, op, value in preds)]
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", True)
@@ -648,9 +672,10 @@ def read_snapshot(spark: SparkSession, table_dir: str,
         base = _scan([os.path.join(table_dir, "data", d) for d in dirs])
     if mor:
         base = _apply_equality_deletes(spark, table_dir, man, base)
-    if where is not None:
-        col, op, value = where
-        base = base.filter(_SNAP_OPS[op][1](F.col(col), F.lit(value)))
+    if preds is not None:
+        for col, op, value in preds:
+            base = base.filter(_SNAP_OPS[op][1](F.col(col),
+                                                F.lit(value)))
     return base
 
 
@@ -709,7 +734,7 @@ def write_snapshot_tagged(df: DataFrame, table_dir: str, tag: str,
 
 
 def compact_snapshot_zorder(spark: SparkSession, table_dir: str,
-                            x_col: str, y_col: str,
+                            x_col, y_col,
                             n_dirs: int = 8) -> int:
     """OPTIMIZE ZORDER BY for snapshot tables: rewrite the latest
     version into ``n_dirs`` commit dirs that each cover one range of
@@ -729,7 +754,16 @@ def compact_snapshot_zorder(spark: SparkSession, table_dir: str,
     the bucket subdirs are then RENAMED into data/ as ordinary
     commit dirs and the manifest publishes through the same atomic
     os.link as every commit.  Time travel over prior versions is
-    untouched."""
+    untouched.
+
+    ``x_col``/``y_col`` take a name or a Column: bit interleaving
+    only balances dimensions of COMPARABLE ranges (the Morton key's
+    top bits all come from whichever input spans more bits, which
+    degenerates to single-column clustering) — when ranges differ,
+    pass a normalizing expression for the wider one, e.g.
+    ``F.floor(F.col("o_orderkey") / 10)`` against a 10×-narrower
+    custkey.  Stats (and therefore pruning) are always on the REAL
+    columns, read back from the written files."""
     import json
     import shutil
     import uuid
@@ -741,7 +775,9 @@ def compact_snapshot_zorder(spark: SparkSession, table_dir: str,
         raise FileNotFoundError(f"no snapshots in {table_dir}")
     df = read_snapshot(spark, table_dir, version=version,
                        merge_schema=True)
-    keyed = df.withColumn("__z", zvalue(F.col(x_col), F.col(y_col)))
+    xc = F.col(x_col) if isinstance(x_col, str) else x_col
+    yc = F.col(y_col) if isinstance(y_col, str) else y_col
+    keyed = df.withColumn("__z", zvalue(xc, yc))
     cuts = keyed.stat.approxQuantile(
         "__z", [i / n_dirs for i in range(1, n_dirs)], 0.01)
     bucket = F.lit(0)
@@ -1040,8 +1076,10 @@ def merge_into_snapshot(spark: SparkSession, table_dir: str,
                "seq": {**{d: prior_seq[d] for d in carried
                           if d in prior_seq},
                        commit: version + 1}}
-    if man.get("deletes"):
-        new_man["deletes"] = man["deletes"]
+    live_dels = _live_deletes(man.get("deletes", []),
+                              new_man["dirs"], new_man["seq"])
+    if live_dels:
+        new_man["deletes"] = live_dels
     if tag is not None:
         new_man["tag"] = tag
     tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex[:12]}")
@@ -1133,7 +1171,9 @@ def delete_from_snapshot(spark: SparkSession, table_dir: str,
         man = {"version": version, "mode": "delete",
                "dirs": prior["dirs"], "stats": prior.get("stats", {}),
                "seq": prior.get("seq", {}),
-               "deletes": prior.get("deletes", [])
+               "deletes": _live_deletes(prior.get("deletes", []),
+                                        prior["dirs"],
+                                        prior.get("seq", {}))
                + [{"dir": dcommit, "key": key_cols, "seq": version}]}
         if tag is not None:
             man["tag"] = tag

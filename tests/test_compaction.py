@@ -78,3 +78,31 @@ def test_zorder_compaction_prunes_on_both_columns(spark):
                       for r in pruned.collect()) == want_rows
     # prior versions still time-travel
     assert len(storage.read_snapshot(spark, t, version=1).collect()) == n
+
+
+def test_where_list_prunes_on_both_columns_at_once(spark):
+    """AND-combined predicate list: a two-column point read on a
+    z-ordered table intersects both columns' dir sets and applies
+    both residual filters."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lcmap_blackmagic_spark import storage
+
+    t = tempfile.mkdtemp(prefix="zcomp_")
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("bigint").alias("y"),
+        F.col("id").alias("v"))
+    storage.write_snapshot(df, t)
+    storage.compact_snapshot_zorder(spark, t, "x", "y", n_dirs=8)
+    got = storage.read_snapshot(
+        spark, t, where=[("x", "=", 3), ("y", "=", 60)])
+    rows = [(r["x"], r["y"], r["v"]) for r in got.collect()]
+    assert rows == [(3, 60, 60 * 64 + 3)]
+    both = {f.split("/data/")[-1].split("/")[0] for f in got.inputFiles()}
+    one = {f.split("/data/")[-1].split("/")[0] for f in
+           storage.read_snapshot(spark, t,
+                                 where=("x", "=", 3)).inputFiles()}
+    assert both <= one and len(both) < 8

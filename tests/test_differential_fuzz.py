@@ -1563,3 +1563,100 @@ def test_cast_divergences_pinned(engines):
                     con.execute("SELECT ROUND(CAST(0.125 AS "
                                 "DECIMAL(10,3)), 2)").fetchone()[0]]:
         assert str(eng_val) == "0.13"
+
+
+# ---------------------------------------------------------------------
+# JSON-path extraction family (round 9): random documents from a
+# shared generator, random paths, Spark get_json_object vs DuckDB
+# json_extract_string — plus the pinned parser divergences.
+
+def _rand_json(rng: random.Random, depth: int = 0):
+    roll = rng.random()
+    if depth < 3 and roll < 0.35:
+        return {k: _rand_json(rng, depth + 1)
+                for k in rng.sample("abcde", rng.randint(1, 3))}
+    if depth < 3 and roll < 0.55:
+        return [_rand_json(rng, depth + 1)
+                for _ in range(rng.randint(0, 3))]
+    return rng.choice([
+        rng.randint(-1000, 1000),
+        round(rng.uniform(-10, 10), rng.randint(0, 4)),
+        rng.choice([True, False]),
+        None,
+        "w" + str(rng.randint(0, 99)),
+        "café tab\tend",            # unicode + control escape
+    ])
+
+
+def _rand_path(rng: random.Random) -> str:
+    segs = []
+    for _ in range(rng.randint(1, 3)):
+        segs.append("." + rng.choice("abcde"))
+        if rng.random() < 0.3:
+            segs.append(f"[{rng.randint(0, 3)}]")
+    return "$" + "".join(segs)
+
+
+def _json_cases():
+    import json as _json
+    rng = random.Random(SEED + 10)
+    out = []
+    for i in range(40):
+        doc = _json.dumps(_rand_json(rng, 0))
+        out.append((i, doc, _rand_path(rng)))
+    return out
+
+
+def test_json_path_extraction_agrees_across_engines(engines):
+    """40 generated (document, path) pairs in one projection per
+    engine: value extraction, object/array re-serialization (both
+    engines emit compact JSON), JSON null → SQL NULL, missing keys,
+    unicode and control-character unescaping."""
+    spark, con = engines
+    cases = _json_cases()
+
+    def lit(s):
+        return s.replace("'", "''")
+
+    sel_s = ", ".join(
+        f"get_json_object('{lit(d)}', '{p}')" for _, d, p in cases)
+    sel_d = ", ".join(
+        f"json_extract_string('{lit(d)}', '{p}')" for _, d, p in cases)
+    got = [repr(x) for x in spark.sql(f"SELECT {sel_s}").first()]
+    want = [repr(x) for x in con.execute(f"SELECT {sel_d}").fetchone()]
+    bad = [(i, d, p, g, w) for (i, d, p), g, w
+           in zip(cases, got, want) if g != w]
+    assert not bad, bad[:3]
+
+
+def test_json_divergences_pinned(engines):
+    """The JSON gaps an oracle must route around, pinned:
+
+    - integers past int64: Spark returns the literal text, DuckDB
+      re-serializes through a double ('1e20.0' class loss);
+    - escaped quotes INSIDE a string value: Spark's get_json_object
+      returns NULL, DuckDB unescapes;
+    - negative array indexes and [*] wildcards: DuckDB-only (Spark
+      NULL for [-1]; [*] list-typed vs Spark's JSON-text);
+    - malformed JSON: Spark yields NULL, DuckDB RAISES — oracle SQL
+      over dirty strings needs a json_valid() guard."""
+    spark, con = engines
+    big = '{"a": 99999999999999999999}'
+    assert spark.sql(f"SELECT get_json_object('{big}', '$.a')") \
+        .first()[0] == "99999999999999999999"
+    assert con.execute(f"SELECT json_extract_string('{big}', '$.a')") \
+        .fetchone()[0] == "100000000000000000000.0"
+    esc = '{"a": "he said \\"hi\\""}'
+    assert spark.sql(f"SELECT get_json_object('{esc}', '$.a')") \
+        .first()[0] is None
+    assert con.execute(f"SELECT json_extract_string('{esc}', '$.a')") \
+        .fetchone()[0] == 'he said "hi"'
+    arr = '{"a": [1,2,3]}'
+    assert spark.sql(f"SELECT get_json_object('{arr}', '$.a[-1]')") \
+        .first()[0] is None
+    assert con.execute(f"SELECT json_extract_string('{arr}', "
+                       f"'$.a[-1]')").fetchone()[0] == "3"
+    assert spark.sql("SELECT get_json_object('not json', '$.a')") \
+        .first()[0] is None
+    with pytest.raises(Exception):
+        con.execute("SELECT json_extract_string('not json', '$.a')")

@@ -206,3 +206,41 @@ def test_gdpr_delete_stream_applies_and_replays_idempotently(spark):
     drain(tempfile.mkdtemp(prefix="sdel_ck_"))
     assert storage.latest_version(t) == v_after
     assert _rows(spark, t) == want
+
+
+def test_dead_deletes_pruned_at_commit_time(spark):
+    """Once every dir a delete could apply to has been rewritten
+    (its seq >= the delete's), the entry is dead weight for the
+    read-side anti-join list — the next commit drops it; a PARTIAL
+    rewrite keeps it."""
+    t = tempfile.mkdtemp(prefix="sdel_")
+    storage.write_snapshot(_batch(spark, [(1, "a"), (2, "b"), (3, "c")]), t)
+    storage.delete_from_snapshot(spark, t, _keys(spark, [2]), "k")
+    # full-coverage merge (keys bracket the only dir): rewrite
+    # materializes the delete, so the new manifest must carry none
+    storage.merge_into_snapshot(
+        spark, t,
+        spark.createDataFrame([(1, "A", "U"), (3, None, "D")],
+                              "k long, v string, op string"), "k")
+    with open(os.path.join(t, storage.SNAP_MANIFESTS, "v3.json")) as fh:
+        assert "deletes" not in json.load(fh)
+    assert _rows(spark, t) == [(1, "A")]
+    # partial coverage: two disjoint dirs, delete hits both ranges,
+    # merge rewrites only one -> the delete must SURVIVE the commit
+    t2 = tempfile.mkdtemp(prefix="sdel_")
+    storage.write_snapshot(_batch(spark, [(1, "a"), (2, "b")]), t2)
+    storage.write_snapshot(_batch(spark, [(100, "x"), (101, "y")]), t2,
+                           mode="append")
+    storage.delete_from_snapshot(spark, t2, _keys(spark, [2, 100]), "k")
+    storage.merge_into_snapshot(
+        spark, t2,
+        spark.createDataFrame([(101, "Y", "U")],
+                              "k long, v string, op string"), "k")
+    with open(os.path.join(t2, storage.SNAP_MANIFESTS, "v4.json")) as fh:
+        m4 = json.load(fh)
+    assert len(m4.get("deletes", [])) == 1
+    assert _rows(spark, t2) == [(1, "a"), (101, "Y")]
+    # an append after full coverage also drops the dead entry
+    storage.write_snapshot(_batch(spark, [(7, "q")]), t, mode="append")
+    with open(os.path.join(t, storage.SNAP_MANIFESTS, "v4.json")) as fh:
+        assert "deletes" not in json.load(fh)

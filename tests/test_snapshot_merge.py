@@ -151,13 +151,17 @@ def test_mv_full_rebuild_after_merge(spark):
 
 
 def test_random_op_sequences_match_pure_model(spark):
-    """Property: any interleaving of overwrite / append / COW-merge
-    commits leaves the table equal to a pure-Python list-of-rows
-    model applying the documented semantics (duplicate keys from
-    appends included: a source row acts on EVERY matching target
-    row).  Mirrors tests/test_snapshots.py's random-op model test,
-    extended with the merge op."""
+    """Property: any interleaving of overwrite / append / COW-merge /
+    MOR-delete / compaction / z-order-compaction commits leaves the
+    table equal to a pure-Python list-of-rows model applying the
+    documented semantics (duplicate keys from appends included: a
+    source row acts on EVERY matching target row; an equality delete
+    removes every current row with the key; both compactions are
+    content-neutral).  Mirrors tests/test_snapshots.py's random-op
+    model test, extended across the WHOLE write-path matrix."""
     import random
+
+    from pyspark.sql import functions as F
     rng = random.Random(408)
     for schedule in range(3):
         t = tempfile.mkdtemp(prefix="smrgprop_")
@@ -165,9 +169,22 @@ def test_random_op_sequences_match_pure_model(spark):
         storage.write_snapshot(
             _batch(spark, [(k, f"s{schedule}k{k}") for k in range(5)]), t)
         model = [(k, f"s{schedule}k{k}") for k in range(5)]
-        for step in range(5):
-            op = rng.choice(["append", "merge", "merge", "overwrite"])
-            if op == "overwrite":
+        for step in range(6):
+            op = rng.choice(["append", "merge", "merge", "overwrite",
+                             "delete", "compact", "zcompact"])
+            if op == "delete":
+                keys = rng.sample(range(20), rng.randrange(1, 4))
+                storage.delete_from_snapshot(
+                    spark, t,
+                    spark.createDataFrame([(k,) for k in keys],
+                                          "k long"), "k")
+                model = [(mk, mv) for mk, mv in model if mk not in keys]
+            elif op == "compact":
+                storage.compact_snapshot(spark, t, sort_by="k")
+            elif op == "zcompact":
+                storage.compact_snapshot_zorder(
+                    spark, t, "k", F.col("k") % 7, n_dirs=3)
+            elif op == "overwrite":
                 rows = [(rng.randrange(20), f"o{step}.{i}")
                         for i in range(rng.randrange(1, 6))]
                 storage.write_snapshot(_batch(spark, rows), t)
