@@ -874,8 +874,8 @@ def snapshot_changes(spark: SparkSession, table_dir: str,
     table_changes exposes, derived here from nothing but the
     manifests and commit dirs.
 
-    Two physical paths, ONE logical relation (pinned equal by
-    tests/test_snapshot_changes.py, and trivially so: both group the
+    Three physical paths, ONE logical relation (pinned equal by
+    tests/test_snapshot_changes.py, and trivially so: all group the
     same multiset difference):
 
     - APPEND FAST PATH — every manifest in (v_from, v_to] exists and
@@ -883,8 +883,12 @@ def snapshot_changes(spark: SparkSession, table_dir: str,
       dirs added in the range, so only THOSE dirs are scanned (at
       100 TB: the micro-batches, not the lake) and every change is
       an insert.
-    - GENERAL PATH — an overwrite or merge commit in the range (or a
-      vacuumed intermediate manifest, which makes the chain
+    - DELETE FAST PATH — the range is equality-delete commits only
+      (dirs unchanged): the delta is the v_from-visible rows whose
+      keys the NEW delete files carry — one pinned merge-on-read
+      scan plus broadcast semi-joins, every change a 'delete'.
+    - GENERAL PATH — an overwrite or merge commit in the range, a
+      mixed range, or a vacuumed intermediate manifest (chain
       unverifiable): exact multiset diff of the two pinned reads,
       computed join-free by tagging each side ±1 and summing per
       whole-row group (one shuffle on the row values).
@@ -929,6 +933,46 @@ def snapshot_changes(spark: SparkSession, table_dir: str,
                 .agg(F.count(F.lit(1)).alias("_n"))
                 .select(*rows.columns,
                         F.lit("insert").alias("_change_type"), "_n"))
+    delete_only = (all(m is not None for m in chain)
+                   and all(m["mode"] == "delete" for m in chain[1:])
+                   and chain[-1]["dirs"] == chain[0]["dirs"])
+    if delete_only and len(chain) > 1:
+        # DELETE FAST PATH — the range is equality-delete commits
+        # only (the GDPR-stream shape): the delta is exactly the
+        # v_from-visible rows whose key a NEW delete file carries, so
+        # ONE pinned MOR read plus broadcast semi-joins replaces the
+        # general path's two reads and whole-row shuffle.  Entries
+        # already in v_from's manifest cannot re-delete (their rows
+        # are gone from the pinned read); commit-time dead-entry
+        # pruning never drops an entry inside an all-delete range
+        # (dirs — and therefore the min sequence — are unchanged).
+        have = {e["dir"] for e in chain[0].get("deletes", [])}
+        new_dels = [e for e in chain[-1].get("deletes", [])
+                    if e["dir"] not in have]
+        base = read_snapshot(spark, table_dir, version=v_from,
+                             merge_schema=True)
+        if not new_dels:
+            return base.limit(0).select(
+                "*", F.lit("delete").alias("_change_type"),
+                F.lit(0).cast("bigint").alias("_n"))
+        groups: dict[tuple, list[dict]] = {}
+        for e in new_dels:
+            groups.setdefault(tuple(e["key"]), []).append(e)
+        matched, rest = None, base
+        for keys, specs in groups.items():
+            dd = spark.read.parquet(
+                *[os.path.join(table_dir, "data", e["dir"])
+                  for e in specs]).select(*keys).distinct()
+            hit = rest.join(F.broadcast(dd), list(keys), "left_semi")
+            matched = hit if matched is None \
+                else matched.unionByName(hit)
+            if len(groups) > 1:      # later groups must not re-count
+                rest = rest.join(F.broadcast(dd), list(keys),
+                                 "left_anti")
+        return (matched.groupBy(*matched.columns)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .select(*matched.columns,
+                        F.lit("delete").alias("_change_type"), "_n"))
     a = read_snapshot(spark, table_dir, version=v_from,
                       merge_schema=True)
     b = read_snapshot(spark, table_dir, version=v_to, merge_schema=True)

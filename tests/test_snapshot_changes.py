@@ -158,3 +158,23 @@ def test_empty_range_schema_matches_evolved_set(spark):
     # and the non-empty fast path over the same table agrees
     full = storage.snapshot_changes(spark, t, 1, 2)
     assert set(full.columns) == set(empty.columns)
+
+
+def test_delete_fast_path_agrees_with_general(spark):
+    """Force the general path over a pure-delete range (remove the
+    intermediate manifest so the chain is unverifiable) and pin that
+    it returns exactly the delete fast path's relation."""
+    from lcmap_blackmagic_spark.storage import delete_from_snapshot
+
+    t = tempfile.mkdtemp(prefix="scdf_")
+    storage.write_snapshot(_batch(spark, [(1, "a"), (2, "b"), (2, "b"),
+                                          (3, "c")]), t)
+    delete_from_snapshot(
+        spark, t, spark.createDataFrame([(2,)], "k long"), "k")
+    delete_from_snapshot(
+        spark, t, spark.createDataFrame([(3,), (9,)], "k long"), "k")
+    fast = _got(storage.snapshot_changes(spark, t, 1, 3))
+    assert fast == [(2, "b", "delete", 2), (3, "c", "delete", 1)]
+    os.remove(os.path.join(t, storage.SNAP_MANIFESTS, "v2.json"))
+    general = _got(storage.snapshot_changes(spark, t, 1, 3))
+    assert general == fast

@@ -151,13 +151,33 @@ def test_mv_full_rebuild_after_delete(spark):
     assert got == {"x": (2, 3), "y": (1, 3)}
 
 
-def test_cdf_general_path_shows_mor_delete(spark):
+def test_cdf_shows_mor_delete_on_both_paths(spark):
+    """A pure-delete range takes the DELETE FAST PATH (one pinned
+    MOR read + broadcast semi-join); forcing the general path (mixed
+    range: the delete plus an append) must agree on the delete rows."""
     t = tempfile.mkdtemp(prefix="sdel_")
     storage.write_snapshot(_batch(spark, [(1, "a"), (2, "b")]), t)
     storage.delete_from_snapshot(spark, t, _keys(spark, [2]), "k")
     ch = storage.snapshot_changes(spark, t, 1, 2)
     assert sorted((r["k"], r["v"], r["_change_type"], r["_n"])
                   for r in ch.collect()) == [(2, "b", "delete", 1)]
+    # two stacked deletes in one range, fast path
+    storage.delete_from_snapshot(spark, t, _keys(spark, [1]), "k")
+    ch2 = storage.snapshot_changes(spark, t, 1, 3)
+    assert sorted((r["k"], r["v"], r["_change_type"], r["_n"])
+                  for r in ch2.collect()) == \
+        [(1, "a", "delete", 1), (2, "b", "delete", 1)]
+    # a re-delete of an already-gone key is a no-op in the feed
+    storage.delete_from_snapshot(spark, t, _keys(spark, [2]), "k")
+    assert storage.snapshot_changes(spark, t, 3, 4).collect() == []
+    # mixed range (delete + append) falls to the general path and
+    # agrees with fast-path deletes plus the appended inserts
+    storage.write_snapshot(_batch(spark, [(9, "z")]), t, mode="append")
+    mixed = storage.snapshot_changes(spark, t, 1, 5)
+    assert sorted((r["k"], r["v"], r["_change_type"], r["_n"])
+                  for r in mixed.collect()) == \
+        [(1, "a", "delete", 1), (2, "b", "delete", 1),
+         (9, "z", "insert", 1)]
 
 
 def test_stream_emits_nothing_for_delete_commit(spark, tmp_path):
