@@ -147,6 +147,9 @@ HEADLINE = [
     # round-9: OPTIMIZE ZORDER — full rewrite into 8 Morton-range
     # commit dirs plus two manifest-pruned point reads
     "snapshot_zorder",
+    # round-9: the composed Gopher/C4 keep-drop ruleset, all regexp
+    # counts in whole-stage codegen over the document scan
+    "llm_gopher_filter",
 ]
 
 

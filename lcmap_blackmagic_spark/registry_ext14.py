@@ -155,9 +155,108 @@ FROM sides GROUP BY step ORDER BY step
 """
 
 
+# --------------------------------------------------------------------
+# Gopher/C4-style document filter: the composed keep/drop DECISION
+# (llm_quality exposes the raw scores; this is the ruleset applied,
+# with a per-rule breakdown so a curation run can report WHY a
+# document fell).  All five rules are integer-exact — ratios become
+# cross-multiplied integer comparisons — so the whole filter carries
+# a bit-exact oracle.
+
+GOPHER_TOK_MIN, GOPHER_TOK_MAX = 30, 80     # token-count band
+GOPHER_MWL_MIN, GOPHER_MWL_MAX = 3, 10      # mean word length band
+GOPHER_MIN_STOP = 2                         # >= 2 stopword hits
+# >= 80% of tokens contain a letter; symbol('#' or '...')-to-word
+# ratio <= 10%
+GOPHER_ALPHA_NUM, GOPHER_ALPHA_DEN = 4, 5
+GOPHER_SYM_NUM, GOPHER_SYM_DEN = 1, 10
+
+
+def q_llm_gopher_filter(spark, sf_dir):
+    """Per-document rule verdicts + the final keep flag, all in
+    whole-stage codegen (regexp counts over the space-padded lowered
+    text — the llm/text.quality_scores technique; no interpreted
+    higher-order functions): token-count band, mean-word-length band
+    (3n <= sum_len <= 10n, where sum_len = len - n + 1 exactly
+    because split(' ') partitions the string), minimum stopword
+    hits, alpha-bearing token share, and symbol-to-word ratio."""
+    import re
+
+    from .llm.text import STOPWORDS
+
+    d = _t(spark, sf_dir, "documents")
+    lowered = F.lower(F.trim("text"))
+    n = F.size(F.split(lowered, " "))
+    sum_len = F.length(lowered) - n + 1
+    padded = F.concat(F.lit(" "), lowered, F.lit(" "))
+    stop_re = ("(?<= )(?:" + "|".join(re.escape(w) for w in STOPWORDS)
+               + ")(?= )")
+    stop_hits = F.regexp_count(padded, F.lit(stop_re))
+    # one count per token containing a letter: the lookbehind pins
+    # the match to a token start, the lazy [^ ]*? consumes up to the
+    # first letter, and the rest of the token cannot re-match (no
+    # preceding space inside a token)
+    alpha_toks = F.regexp_count(padded, F.lit("(?<= )[^ ]*?[a-z]"))
+    hashes = (F.length(lowered)
+              - F.length(F.regexp_replace(lowered, "#", "")))
+    ellipses = F.regexp_count(lowered, F.lit(r"\.\.\."))
+    sym = hashes + ellipses
+    rules = {
+        "r_len": n.between(GOPHER_TOK_MIN, GOPHER_TOK_MAX),
+        "r_mwl": (sum_len >= GOPHER_MWL_MIN * n)
+        & (sum_len <= GOPHER_MWL_MAX * n),
+        "r_stop": stop_hits >= GOPHER_MIN_STOP,
+        "r_alpha": alpha_toks * GOPHER_ALPHA_DEN >= n * GOPHER_ALPHA_NUM,
+        "r_sym": sym * GOPHER_SYM_DEN <= n * GOPHER_SYM_NUM,
+    }
+    out = d.select("doc_id", n.cast("bigint").alias("n_tokens"),
+                   *[v.alias(k) for k, v in rules.items()])
+    keep = F.lit(True)
+    for k in rules:
+        keep = keep & F.col(k)
+    return out.withColumn("keep", keep).orderBy("doc_id")
+
+
+def _sql_llm_gopher_filter() -> str:
+    from .llm.text import STOPWORDS
+    toks = "string_split(lower(trim(text)), ' ')"
+    stop_list = ",".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len({toks}) AS BIGINT) AS n,
+         CAST(length(lower(trim(text))) - len({toks}) + 1 AS BIGINT)
+           AS sum_len,
+         CAST(len(list_filter({toks}, t -> t IN ({stop_list})))
+              AS BIGINT) AS stop_hits,
+         CAST(len(list_filter({toks}, t -> regexp_matches(t, '[a-z]')))
+              AS BIGINT) AS alpha_toks,
+         CAST(length(lower(trim(text)))
+              - length(replace(lower(trim(text)), '#', ''))
+              + len(regexp_extract_all(lower(trim(text)), '\\.\\.\\.'))
+              AS BIGINT) AS sym
+  FROM documents),
+rules AS (
+  SELECT doc_id, n AS n_tokens,
+         n BETWEEN {GOPHER_TOK_MIN} AND {GOPHER_TOK_MAX} AS r_len,
+         sum_len >= {GOPHER_MWL_MIN} * n
+           AND sum_len <= {GOPHER_MWL_MAX} * n AS r_mwl,
+         stop_hits >= {GOPHER_MIN_STOP} AS r_stop,
+         alpha_toks * {GOPHER_ALPHA_DEN} >= n * {GOPHER_ALPHA_NUM}
+           AS r_alpha,
+         sym * {GOPHER_SYM_DEN} <= n * {GOPHER_SYM_NUM} AS r_sym
+  FROM base)
+SELECT doc_id, n_tokens, r_len, r_mwl, r_stop, r_alpha, r_sym,
+       (r_len AND r_mwl AND r_stop AND r_alpha AND r_sym) AS keep
+FROM rules ORDER BY doc_id
+"""
+
+
 QUERIES_EXT14: dict[str, dict] = {
     "snapshot_delete": {"fn": q_snapshot_delete,
                         "sql": SQL_SNAPSHOT_DELETE},
     "snapshot_zorder": {"fn": q_snapshot_zorder,
                         "sql": SQL_SNAPSHOT_ZORDER},
+    "llm_gopher_filter": {"fn": q_llm_gopher_filter,
+                          "sql": _sql_llm_gopher_filter()},
 }

@@ -1660,3 +1660,44 @@ def test_json_divergences_pinned(engines):
         .first()[0] is None
     with pytest.raises(Exception):
         con.execute("SELECT json_extract_string('not json', '$.a')")
+
+
+# ---------------------------------------------------------------------
+# RANGE-frame window family (round 9): value-based frames over an
+# integer ORDER key — a distinct semantic from the ROWS frames the
+# window family already fuzzes (peers enter by VALUE distance, ties
+# share a frame), and a shape the trailing-window operators lean on.
+
+def _range_frame_cases():
+    rng = random.Random(SEED + 11)
+    aggs = ["SUM(l_quantity)", "MIN(l_orderkey)", "MAX(l_orderkey)",
+            "COUNT(*)"]
+    out = []
+    for i in range(15):
+        lo, hi = rng.randint(0, 800), rng.randint(0, 800)
+        frame = rng.choice([
+            f"RANGE BETWEEN {lo} PRECEDING AND CURRENT ROW",
+            f"RANGE BETWEEN CURRENT ROW AND {hi} FOLLOWING",
+            f"RANGE BETWEEN {lo} PRECEDING AND {hi} FOLLOWING",
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        ])
+        out.append((i, rng.choice(aggs), frame))
+    return out
+
+
+@pytest.mark.parametrize("i,agg,frame", _range_frame_cases())
+def test_range_frame_windows_agree_across_engines(engines, i, agg,
+                                                  frame):
+    """Value-based frames: the window key is l_partkey (ties are
+    real, so peer-inclusion semantics are exercised), partitioned by
+    linestatus to keep partitions wide; integer aggregates compare
+    exactly via an outer checksum."""
+    spark, con = engines
+    sql = (f"SELECT COUNT(*) AS n, "
+           f"SUM(CAST(w AS BIGINT)) AS s, MIN(w) AS mn, MAX(w) AS mx "
+           f"FROM (SELECT {agg} OVER (PARTITION BY l_linestatus "
+           f"ORDER BY l_partkey {frame}) AS w "
+           f"FROM fuzz_lineitem WHERE l_orderkey % 11 = {i % 11})")
+    got = tuple(spark.sql(sql).first())
+    want = tuple(con.execute(sql).fetchone())
+    assert got == want, f"case {i}: {agg} {frame}"
