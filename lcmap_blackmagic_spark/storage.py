@@ -993,6 +993,53 @@ def snapshot_changes(spark: SparkSession, table_dir: str,
         F.abs(F.col("__net")).alias("_n"))
 
 
+def pump_changes(spark: SparkSession, src_dir: str,
+                 out_dir: str) -> list[int]:
+    """CONTINUOUS CDC: materialize the change-data-feed of every
+    source version not yet pumped into ``out_dir`` — itself a
+    snapshot table of change rows — one TAGGED append per source
+    version.  The tag ``cdf-v{n}`` is both the WATERMARK (the next
+    run reads the committed tags, including vacuum tombstones, and
+    resumes after the highest) and the IDEMPOTENCY key (a replayed
+    or concurrently-racing pump finds the tag and no-ops), so
+    scheduling this at-least-once — cron, Airflow retry, a
+    foreachBatch hook — yields an exactly-once change log.  Version
+    1 pumps as the initial snapshot (every row an 'insert'); later
+    versions pump ``snapshot_changes(v-1, v)``, inheriting its three
+    physical paths (append/delete fast paths, general diff).  Each
+    batch carries ``_src_version``.
+
+    Retention contract (same as the snapshot STREAM): pumping
+    version v needs manifest v-1, so run the pump inside the
+    source's vacuum horizon — a vacuumed gap raises instead of
+    silently skipping changes.  Returns the versions pumped."""
+    import re
+
+    src_latest = latest_version(src_dir)
+    if src_latest is None:
+        raise FileNotFoundError(f"no snapshots in {src_dir}")
+    done = {int(m.group(1)) for t in _committed_tags(out_dir)
+            if (m := re.fullmatch(r"cdf-v(\d+)", t))}
+    start = max(done) + 1 if done else 1
+    pumped: list[int] = []
+    for v in range(start, src_latest + 1):
+        if v == 1:
+            rows = read_snapshot(spark, src_dir, version=1,
+                                 merge_schema=True)
+            ch = (rows.groupBy(*rows.columns)
+                  .agg(F.count(F.lit(1)).alias("_n"))
+                  .select(*rows.columns,
+                          F.lit("insert").alias("_change_type"), "_n"))
+        else:
+            ch = snapshot_changes(spark, src_dir, v - 1, v)
+        out = ch.select("*", F.lit(v).cast("bigint")
+                        .alias("_src_version"))
+        write_snapshot_tagged(out, out_dir, f"cdf-v{v}", mode="append",
+                              collect_stats=False)
+        pumped.append(v)
+    return pumped
+
+
 class ConcurrentSnapshotMerge(RuntimeError):
     """A snapshot MERGE lost the manifest race to a concurrent
     commit.  The merged data was computed against a version that is
