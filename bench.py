@@ -150,6 +150,9 @@ HEADLINE = [
     # round-9: the composed Gopher/C4 keep-drop ruleset, all regexp
     # counts in whole-stage codegen over the document scan
     "llm_gopher_filter",
+    # round-9: LOCF time-weighted average (one window + one
+    # aggregate, both keyed on user_id)
+    "twavg",
 ]
 
 

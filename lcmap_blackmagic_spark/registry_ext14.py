@@ -252,6 +252,65 @@ FROM rules ORDER BY doc_id
 """
 
 
+def q_twavg(spark, sf_dir):
+    """TIME-WEIGHTED average per user over the event stream — the
+    TimescaleDB ``time_weight('LOCF')`` shape: each reading's value
+    holds until the next reading, so the mean weights every value by
+    its holding interval, not its sample count (the right aggregate
+    for irregularly-sampled series; the arithmetic mean over-weights
+    bursts).
+
+    Integer-exact end to end: instants via unix_micros (TZ-safe on
+    the LTZ events column), money in cents, the numerator
+    accumulated in DECIMAL(38,0) (cents × a months-long microsecond
+    interval overflows nothing at 38 digits), and the final average
+    scaled to micro-cents by integer ``div`` — truncation toward
+    zero agrees between engines (verified), where a rounded DECIMAL
+    division would not.  One window (partitioned by the
+    high-cardinality user_id) + one aggregate: two shuffles on the
+    same key, no collect."""
+    from pyspark.sql import Window
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_micros("ts").alias("us"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("cents"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    iv = (e.withColumn("dt", F.lead("us").over(w) - F.col("us"))
+          .filter(F.col("dt").isNotNull()))
+    return (iv.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_intervals"),
+                 F.sum("dt").alias("total_us"),
+                 F.sum((F.col("cents").cast("decimal(20,0)")
+                        * F.col("dt")).cast("decimal(38,0)"))
+                 .alias("num"))
+            .select("user_id", "n_intervals", "total_us",
+                    F.expr("CAST(CAST(num * 1000000 AS DECIMAL(38,0)) "
+                           "div CAST(total_us AS DECIMAL(38,0)) "
+                           "AS BIGINT)").alias("twa_microcents"))
+            .orderBy("user_id"))
+
+
+SQL_TWAVG = """
+WITH s AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events),
+iv AS (
+  SELECT user_id, cents,
+         lead(us) OVER (PARTITION BY user_id
+                        ORDER BY us, event_id) - us AS dt
+  FROM s)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(dt) AS BIGINT) AS total_us,
+       CAST((SUM(CAST(cents AS HUGEINT) * dt) * 1000000) // SUM(dt)
+            AS BIGINT) AS twa_microcents
+FROM iv WHERE dt IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES_EXT14: dict[str, dict] = {
     "snapshot_delete": {"fn": q_snapshot_delete,
                         "sql": SQL_SNAPSHOT_DELETE},
@@ -259,4 +318,5 @@ QUERIES_EXT14: dict[str, dict] = {
                         "sql": SQL_SNAPSHOT_ZORDER},
     "llm_gopher_filter": {"fn": q_llm_gopher_filter,
                           "sql": _sql_llm_gopher_filter()},
+    "twavg": {"fn": q_twavg, "sql": SQL_TWAVG},
 }
