@@ -150,9 +150,10 @@ HEADLINE = [
     # round-9: the composed Gopher/C4 keep-drop ruleset, all regexp
     # counts in whole-stage codegen over the document scan
     "llm_gopher_filter",
-    # round-9: LOCF time-weighted average (one window + one
-    # aggregate, both keyed on user_id)
+    # round-9: LOCF time-weighted average and time-in-state (one
+    # lead window + keyed aggregates)
     "twavg",
+    "state_agg",
 ]
 
 

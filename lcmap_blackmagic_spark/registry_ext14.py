@@ -320,3 +320,59 @@ QUERIES_EXT14: dict[str, dict] = {
                           "sql": _sql_llm_gopher_filter()},
     "twavg": {"fn": q_twavg, "sql": SQL_TWAVG},
 }
+
+
+def q_state_agg(spark, sf_dir):
+    """TIME-IN-STATE per (user, event_type) — the TimescaleDB
+    ``state_agg`` shape under LOCF semantics: a user is "in" the
+    state of their latest event until the next event, so each
+    state's dwell time is the sum of its holding intervals.  Emits
+    dwell microseconds, period count, and the share of the user's
+    total tracked time in integer BASIS POINTS (state_us·10000 div
+    user_us — exact integer division, engine-agreed truncation).
+
+    Shape: the same single lead window as ``twavg`` (partitioned by
+    the high-cardinality user), one aggregate on (user, state), and
+    a user-total window over the AGGREGATED frame — whose partitions
+    are at most |event_type| rows per user, so the second window is
+    group-cardinality-sized, never event-sized."""
+    from pyspark.sql import Window
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros("ts").alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    iv = (e.withColumn("dt", F.lead("us").over(w) - F.col("us"))
+          .filter(F.col("dt").isNotNull()))
+    agg = (iv.groupBy("user_id", "event_type")
+           .agg(F.count(F.lit(1)).alias("n_periods"),
+                F.sum("dt").alias("state_us")))
+    tot = Window.partitionBy("user_id")
+    return (agg.withColumn(
+        "share_bp",
+        F.expr("CAST(state_us * 10000 div "
+               "SUM(state_us) OVER (PARTITION BY user_id) AS BIGINT)"))
+        .orderBy("user_id", "event_type"))
+
+
+SQL_STATE_AGG = """
+WITH s AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+  FROM events),
+iv AS (
+  SELECT user_id, event_type,
+         lead(us) OVER (PARTITION BY user_id
+                        ORDER BY us, event_id) - us AS dt
+  FROM s),
+agg AS (
+  SELECT user_id, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_periods,
+         CAST(SUM(dt) AS BIGINT) AS state_us
+  FROM iv WHERE dt IS NOT NULL GROUP BY user_id, event_type)
+SELECT user_id, event_type, n_periods, state_us,
+       CAST(state_us * 10000 //
+            SUM(state_us) OVER (PARTITION BY user_id) AS BIGINT)
+         AS share_bp
+FROM agg ORDER BY user_id, event_type
+"""
+
+QUERIES_EXT14["state_agg"] = {"fn": q_state_agg, "sql": SQL_STATE_AGG}
