@@ -1458,7 +1458,7 @@ def _dec(col):
     return f"CAST({col} AS DECIMAL(18,2))"
 
 
-def _dec_expr(rng: random.Random) -> tuple[str, int]:
+def _money_round_expr(rng: random.Random) -> tuple[str, int]:
     """One random money expression and the ROUND scale: at most one
     multiplication (keeps the result inside DECIMAL(37,4) — past 38
     Spark silently REDUCES scale while DuckDB errors, a divergence
@@ -1485,13 +1485,14 @@ def _dec_expr(rng: random.Random) -> tuple[str, int]:
     return e, rng.randint(0, 2)
 
 
-def _dec_cases():
+def _money_round_cases():
     rng = random.Random(SEED + 9)
-    return [(i, *_dec_expr(rng)) for i in range(24)]
+    return [(i, *_money_round_expr(rng)) for i in range(24)]
 
 
-@pytest.mark.parametrize("i,expr,r", _dec_cases())
-def test_decimal_arithmetic_agrees_across_engines(engines, i, expr, r):
+@pytest.mark.parametrize("i,expr,r", _money_round_cases())
+def test_decimal_round_battery_agrees_across_engines(engines, i, expr,
+                                                     r):
     """SUM/MIN/MAX of ROUND(<money expr>, r) scaled to integral
     cents: exact decimal arithmetic must agree bit-for-bit (both
     engines ROUND decimals HALF_UP — probed, and pinned below).  The
@@ -1597,7 +1598,7 @@ def _rand_path(rng: random.Random) -> str:
     return "$" + "".join(segs)
 
 
-def _json_cases():
+def _json_path_cases():
     import json as _json
     rng = random.Random(SEED + 10)
     out = []
@@ -1613,7 +1614,7 @@ def test_json_path_extraction_agrees_across_engines(engines):
     engines emit compact JSON), JSON null → SQL NULL, missing keys,
     unicode and control-character unescaping."""
     spark, con = engines
-    cases = _json_cases()
+    cases = _json_path_cases()
 
     def lit(s):
         return s.replace("'", "''")
@@ -1629,7 +1630,7 @@ def test_json_path_extraction_agrees_across_engines(engines):
     assert not bad, bad[:3]
 
 
-def test_json_divergences_pinned(engines):
+def test_json_path_divergences_pinned(engines):
     """The JSON gaps an oracle must route around, pinned:
 
     - integers past int64: Spark returns the literal text, DuckDB
