@@ -311,10 +311,19 @@ def main() -> None:
         victim = min((n for n, v in q.items() if isinstance(v, float)),
                      key=lambda n: q[n], default=None)
         if victim is None:
-            break
-        out["fast_other_sec"] = round(
-            out.get("fast_other_sec", 0.0) + q.pop(victim), 2)
-        out["fast_other_n"] = out.get("fast_other_n", 0) + 1
+            # only "ERR" entries left: fold them too (their names are
+            # in bench_detail.json's failed map) — never print a line
+            # the driver's 2000-char tail parser would drop
+            err = next((n for n, v in q.items()
+                        if not isinstance(v, float)), None)
+            if err is None:
+                break
+            q.pop(err)
+            out["errors_folded"] = out.get("errors_folded", 0) + 1
+        else:
+            out["fast_other_sec"] = round(
+                out.get("fast_other_sec", 0.0) + q.pop(victim), 2)
+            out["fast_other_n"] = out.get("fast_other_n", 0) + 1
         line = json.dumps(out, separators=(",", ":"))
     print(line)
 

@@ -159,7 +159,13 @@ def q_rolling_zscore(spark, sf_dir):
     HUGEINT (DuckDB) so cents² sums can never wrap (the ab_ttest
     lesson) — no float, no sqrt, bit-identical flags.  Window is
     partitioned by event_type and ordered by the epoch-microsecond
-    integer (never calendar functions — the events column is LTZ)."""
+    integer (never calendar functions — the events column is LTZ).
+
+    Scale note: event_type is a 5-value key, so these window
+    partitions cap parallelism at 5 — fine for the oracle shape; the
+    AT-SCALE form is ``rolling_zscore_bp`` (registry_ext12.py),
+    re-keyed by (event_type, epoch_day) with an exact 32-row
+    boundary carry."""
     e = _t(spark, sf_dir, "events")
     # null values are excluded OUTRIGHT (not null-skipped inside the
     # sums) so the row count n and the moment sums always describe
@@ -480,7 +486,13 @@ def q_rank_ratios(spark, sf_dir):
     feature pipeline derives per entity.  With a unique order both
     ratios are exact rationals ((rn−1)/(N−1), rn/N); identical
     integer divisions give identical IEEE doubles in both engines,
-    no rounding needed."""
+    no rounding needed.
+
+    Scale note: o_orderpriority is a 5-value key, so this sorts the
+    whole table under 5 window partitions — fine for the oracle
+    shape; the AT-SCALE form is ``rank_ratios_bp``
+    (registry_ext12.py), exact tie-collapsed rationals from a
+    prefix-sum pyramid with no table-sized per-key sort."""
     o = _t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"),
         F.col("o_orderpriority").alias("grp"),

@@ -346,7 +346,6 @@ def q_state_agg(spark, sf_dir):
     agg = (iv.groupBy("user_id", "event_type")
            .agg(F.count(F.lit(1)).alias("n_periods"),
                 F.sum("dt").alias("state_us")))
-    tot = Window.partitionBy("user_id")
     return (agg.withColumn(
         "share_bp",
         F.expr("CAST(state_us * 10000 div "

@@ -773,6 +773,9 @@ def compact_snapshot_zorder(spark: SparkSession, table_dir: str,
     version = latest_version(table_dir)
     if version is None:
         raise FileNotFoundError(f"no snapshots in {table_dir}")
+    with open(os.path.join(table_dir, SNAP_MANIFESTS,
+                           f"v{version}.json")) as fh:
+        base_man = json.load(fh)
     df = read_snapshot(spark, table_dir, version=version,
                        merge_schema=True)
     xc = F.col(x_col) if isinstance(x_col, str) else x_col
@@ -785,26 +788,56 @@ def compact_snapshot_zorder(spark: SparkSession, table_dir: str,
         bucket = bucket + F.when(F.col("__z") > F.lit(c), 1).otherwise(0)
     staging = os.path.join(table_dir, "data",
                            f".zstage-{uuid.uuid4().hex[:12]}")
-    (keyed.withColumn("__zb", bucket)
-     .repartition(n_dirs, "__zb")
-     .sortWithinPartitions("__zb", "__z")
-     .drop("__z")
-     .write.partitionBy("__zb").mode("error").parquet(staging))
     dirs, stats = [], {}
-    for sub in sorted(os.listdir(staging)):
-        if not sub.startswith("__zb="):
-            continue
-        commit = f"c-{uuid.uuid4().hex[:12]}"
-        os.rename(os.path.join(staging, sub),
-                  os.path.join(table_dir, "data", commit))
-        dirs.append(commit)
-        stats[commit] = _snap_commit_stats(
-            spark, os.path.join(table_dir, "data", commit))
-    shutil.rmtree(staging, ignore_errors=True)
+    try:
+        (keyed.withColumn("__zb", bucket)
+         .repartition(n_dirs, "__zb")
+         .sortWithinPartitions("__zb", "__z")
+         .drop("__z")
+         .write.partitionBy("__zb").mode("error").parquet(staging))
+        # stats are computed on the staging subdirs FIRST (read-back
+        # is path-independent), so the renames into data/ are the
+        # final step — any failure before them leaves nothing outside
+        # staging for the finally below to miss
+        pending = []
+        for sub in sorted(os.listdir(staging)):
+            if not sub.startswith("__zb="):
+                continue
+            pending.append((sub, f"c-{uuid.uuid4().hex[:12]}",
+                            _snap_commit_stats(
+                                spark, os.path.join(staging, sub))))
+        for sub, commit, st in pending:
+            os.rename(os.path.join(staging, sub),
+                      os.path.join(table_dir, "data", commit))
+            dirs.append(commit)
+            stats[commit] = st
+    finally:
+        # a failed write/rename must not orphan the staging dir under
+        # data/ until vacuum's age-gated reaper finds it
+        shutil.rmtree(staging, ignore_errors=True)
     mdir = os.path.join(table_dir, SNAP_MANIFESTS)
     while True:
         vs = _snap_versions(table_dir)
         new_v = vs[-1] + 1
+        if vs[-1] != version:
+            # a commit landed after the rewrite read.  Compaction is
+            # only content-neutral against the state it READ: if the
+            # latest manifest's dirs or deletes differ from the base
+            # version's, publishing would silently drop the winner's
+            # commit (last-writer-wins) — abort like merge does, the
+            # staged dirs are unreferenced and removed.
+            with open(os.path.join(mdir, f"v{vs[-1]}.json")) as fh:
+                cur = json.load(fh)
+            if (cur["dirs"] != base_man["dirs"]
+                    or cur.get("deletes", []) !=
+                    base_man.get("deletes", [])):
+                for d in dirs:
+                    shutil.rmtree(os.path.join(table_dir, "data", d),
+                                  ignore_errors=True)
+                raise ConcurrentSnapshotCompaction(
+                    f"{table_dir} changed concurrently (v{version} → "
+                    f"v{vs[-1]}); z-order rewrite computed against "
+                    f"v{version} aborted")
         man = {"version": new_v, "mode": "overwrite", "dirs": dirs,
                "stats": stats, "seq": {d: new_v for d in dirs}}
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex[:12]}")
@@ -814,7 +847,7 @@ def compact_snapshot_zorder(spark: SparkSession, table_dir: str,
             os.link(tmp, os.path.join(mdir, f"v{new_v}.json"))
             return new_v
         except FileExistsError:
-            continue        # lost the race: claim the next version
+            continue        # lost the race: re-check content, retry
         finally:
             os.remove(tmp)
 
@@ -1038,6 +1071,17 @@ def pump_changes(spark: SparkSession, src_dir: str,
                               collect_stats=False)
         pumped.append(v)
     return pumped
+
+
+class ConcurrentSnapshotCompaction(RuntimeError):
+    """A z-order compaction lost the manifest race to a concurrent
+    commit that changed the table's content (dirs or deletes) after
+    the rewrite read.  Publishing the rewrite would silently drop the
+    winner's rows — the compaction aborts (staged commit dirs
+    removed) and the caller re-runs against the new latest.  A
+    content-neutral intervening commit (e.g. an empty merge that
+    carried every dir forward) does NOT abort: the rewrite is still
+    an exact snapshot of the latest state."""
 
 
 class ConcurrentSnapshotMerge(RuntimeError):

@@ -15,6 +15,7 @@ aggregation expression, so the two can be cross-checked.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -303,7 +304,8 @@ def gdpr_delete_stream(spark: SparkSession, requests_dir: str,
                        table_dir: str, checkpoint_dir: str,
                        key: str = "user_id",
                        available_now: bool = True,
-                       max_files_per_trigger: int = 1) -> StreamingQuery:
+                       max_files_per_trigger: int = 1,
+                       schema: T.StructType | None = None) -> StreamingQuery:
     """Streaming DELETION REQUESTS applied to a snapshot table as
     tagged MERGE-ON-READ equality-delete commits
     (storage.delete_from_snapshot): each micro-batch of key values
@@ -314,10 +316,27 @@ def gdpr_delete_stream(spark: SparkSession, requests_dir: str,
     100 TB: the erasure stream costs kilobytes per trigger; rows
     appended AFTER a request's commit survive it (sequence scoping),
     so a re-registered user is not retro-deleted.  Compaction on its
-    own schedule materializes the accumulated deletes away."""
+    own schedule materializes the accumulated deletes away.
+
+    ``schema`` pins the request-file schema up front — the right call
+    for a feed whose directory may be EMPTY (or not yet created) when
+    the stream starts, the normal state for an erasure-request inbox.
+    When omitted, it falls back to eager inference, which requires at
+    least one request file to exist; the key's type is taken from the
+    target table's latest snapshot so the anti-join key types line
+    up either way."""
     from .. import storage
 
-    schema = spark.read.parquet(requests_dir).schema
+    if schema is None:
+        try:
+            schema = spark.read.parquet(requests_dir).schema
+        except Exception:
+            # empty/absent inbox: a single-column schema typed from
+            # the target table keeps delete keys comparable
+            key_field = storage.read_snapshot(
+                spark, table_dir).schema[key]
+            schema = T.StructType([key_field])
+            os.makedirs(requests_dir, exist_ok=True)
     req = (spark.readStream.schema(schema)
            .option("maxFilesPerTrigger", max_files_per_trigger)
            .parquet(requests_dir))

@@ -36,6 +36,29 @@ def test_compact_line_fits_driver_window():
         "bench_detail.json or the round loses its bench artifact")
 
 
+def _valve(out):
+    """The fold valve exactly as bench.py runs it (kept in sync by
+    test_valve_replica_matches_source below)."""
+    line = json.dumps(out, separators=(",", ":"))
+    while len(line) > 1900 and out["queries"]:
+        q = out["queries"]
+        victim = min((n for n, v in q.items() if isinstance(v, float)),
+                     key=lambda n: q[n], default=None)
+        if victim is None:
+            err = next((n for n, v in q.items()
+                        if not isinstance(v, float)), None)
+            if err is None:
+                break
+            q.pop(err)
+            out["errors_folded"] = out.get("errors_folded", 0) + 1
+        else:
+            out["fast_other_sec"] = round(
+                out.get("fast_other_sec", 0.0) + q.pop(victim), 2)
+            out["fast_other_n"] = out.get("fast_other_n", 0) + 1
+        line = json.dumps(out, separators=(",", ":"))
+    return line
+
+
 def test_fold_valve_converges():
     """The emergency valve in bench.py (fold the fastest queries into
     one residual bucket) must terminate and keep the heavy entries —
@@ -47,19 +70,41 @@ def test_fold_valve_converges():
                     for i in range(200)},
         "sf": 0.1, "anchor_sec": 0.1, "detail": "bench_detail.json",
     }
-    line = json.dumps(out, separators=(",", ":"))
-    assert len(line) > 1900          # the valve has work to do
-    while len(line) > 1900 and out["queries"]:
-        q = out["queries"]
-        victim = min((n for n, v in q.items() if isinstance(v, float)),
-                     key=lambda n: q[n], default=None)
-        if victim is None:
-            break
-        out["fast_other_sec"] = round(
-            out.get("fast_other_sec", 0.0) + q.pop(victim), 2)
-        out["fast_other_n"] = out.get("fast_other_n", 0) + 1
-        line = json.dumps(out, separators=(",", ":"))
+    assert len(json.dumps(out, separators=(",", ":"))) > 1900
+    line = _valve(out)
     assert len(line) <= 1900
     kept = out["queries"]
     assert max(float(n.split("_")[-1]) for n in kept) == 199.0
     assert out["fast_other_n"] > 0
+
+
+def test_fold_valve_converges_on_all_err_headline():
+    """Mass-failure shape: every query is "ERR".  The valve must still
+    shrink the line under the driver window by folding failed-query
+    names into an errors_folded count (their names live in
+    bench_detail.json's failed map) — the exact case the valve exists
+    for, where an unparseable line would lose the round's artifact."""
+    out = {
+        "metric": "headline_queries_total", "value": 0.0, "unit": "sec",
+        "queries": {f"qqqqqqqqqqqqqqqqqqqqqq_{i:03d}": "ERR"
+                    for i in range(200)},
+        "sf": 0.1, "anchor_sec": 0.1, "detail": "bench_detail.json",
+        "errors": 200,
+    }
+    assert len(json.dumps(out, separators=(",", ":"))) > 1900
+    line = _valve(out)
+    assert len(line) <= 1900
+    assert out["errors_folded"] > 0
+    json.loads(line)                 # still one parseable JSON line
+
+
+def test_valve_replica_matches_source():
+    """_valve above must be a literal copy of bench.py's loop body —
+    compare the distinctive lines so the replica cannot drift."""
+    import os
+    src = open(os.path.join(os.path.dirname(__file__), "..",
+                            "bench.py")).read()
+    for frag in ['out["errors_folded"] = out.get("errors_folded", 0) + 1',
+                 'out["fast_other_n"] = out.get("fast_other_n", 0) + 1',
+                 'while len(line) > 1900 and out["queries"]:']:
+        assert frag in src, f"bench.py valve drifted: {frag!r} missing"

@@ -1,6 +1,7 @@
 """Compaction must collapse a streaming-accreted pile of small files
 into one file per partition without changing the data."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from lcmap_blackmagic_spark import storage
@@ -106,3 +107,148 @@ def test_where_list_prunes_on_both_columns_at_once(spark):
            storage.read_snapshot(spark, t,
                                  where=("x", "=", 3)).inputFiles()}
     assert both <= one and len(both) < 8
+
+
+def _ztable(spark, n=512):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lcmap_blackmagic_spark import storage
+
+    t = tempfile.mkdtemp(prefix="zrace_")
+    df = spark.range(n).select(
+        (F.col("id") % 16).alias("x"),
+        (F.col("id") / 16).cast("bigint").alias("y"),
+        F.col("id").alias("v"))
+    storage.write_snapshot(df, t)
+    return t
+
+
+def _referenced_dirs(t):
+    import json
+    import os
+
+    from lcmap_blackmagic_spark import storage
+
+    ref = set()
+    for f in os.listdir(os.path.join(t, storage.SNAP_MANIFESTS)):
+        if f.startswith("v") and f.endswith(".json"):
+            with open(os.path.join(t, storage.SNAP_MANIFESTS, f)) as fh:
+                ref.update(json.load(fh)["dirs"])
+    return ref
+
+
+def test_zorder_compaction_aborts_on_concurrent_commit(spark,
+                                                       monkeypatch):
+    """A commit that lands between the z-order rewrite read and its
+    publish changes the table's content — publishing the rewrite
+    would silently drop it (last-writer-wins), so the compaction must
+    ABORT like merge does, clean up its staged dirs, and leave the
+    winner's commit as latest."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lcmap_blackmagic_spark import storage
+
+    t = _ztable(spark)
+    want = sorted((r["x"], r["y"], r["v"]) for r in
+                  storage.read_snapshot(spark, t).collect())
+    orig = storage._snap_commit_stats
+    fired = {"n": 0}
+
+    def hook(sp, d):
+        # first stats call = after the rewrite read, before publish:
+        # land a foreign append exactly in the race window
+        if fired["n"] == 0:
+            fired["n"] = 1
+            monkeypatch.setattr(storage, "_snap_commit_stats", orig)
+            storage.write_snapshot(
+                spark.createDataFrame([(99, 99, 9999)],
+                                      "x long, y long, v long"),
+                t, mode="append")
+            monkeypatch.setattr(storage, "_snap_commit_stats", hook)
+        return orig(sp, d)
+
+    monkeypatch.setattr(storage, "_snap_commit_stats", hook)
+    with pytest.raises(storage.ConcurrentSnapshotCompaction):
+        storage.compact_snapshot_zorder(spark, t, "x", "y", n_dirs=4)
+    monkeypatch.setattr(storage, "_snap_commit_stats", orig)
+    # the append won; nothing of the aborted rewrite is visible
+    assert storage.latest_version(t) == 2
+    got = sorted((r["x"], r["y"], r["v"]) for r in
+                 storage.read_snapshot(spark, t).collect())
+    assert got == sorted(want + [(99, 99, 9999)])
+    # staged z-dirs were removed: every dir under data/ is referenced
+    on_disk = {d for d in os.listdir(os.path.join(t, "data"))
+               if not d.startswith(".")}
+    assert on_disk <= _referenced_dirs(t)
+    # a retry against the new latest succeeds and keeps the append
+    v = storage.compact_snapshot_zorder(spark, t, "x", "y", n_dirs=4)
+    assert v == 3
+    got = sorted((r["x"], r["y"], r["v"]) for r in
+                 storage.read_snapshot(spark, t).collect())
+    assert got == sorted(want + [(99, 99, 9999)])
+
+
+def test_zorder_compaction_survives_content_neutral_commit(spark,
+                                                           monkeypatch):
+    """An intervening commit that left dirs and deletes UNCHANGED
+    (e.g. an empty merge carrying every dir forward) is content-
+    neutral: the rewrite is still an exact snapshot of latest, so
+    the compaction publishes instead of aborting."""
+    import json
+    import os
+
+    from lcmap_blackmagic_spark import storage
+
+    t = _ztable(spark)
+    want = sorted((r["x"], r["y"], r["v"]) for r in
+                  storage.read_snapshot(spark, t).collect())
+    orig = storage._snap_commit_stats
+    fired = {"n": 0}
+
+    def hook(sp, d):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            mdir = os.path.join(t, storage.SNAP_MANIFESTS)
+            with open(os.path.join(mdir, "v1.json")) as fh:
+                man = json.load(fh)
+            man["version"] = 2
+            man["mode"] = "merge"      # empty merge: same dirs
+            with open(os.path.join(mdir, "v2.json"), "w") as fh:
+                json.dump(man, fh)
+        return orig(sp, d)
+
+    monkeypatch.setattr(storage, "_snap_commit_stats", hook)
+    v = storage.compact_snapshot_zorder(spark, t, "x", "y", n_dirs=4)
+    monkeypatch.setattr(storage, "_snap_commit_stats", orig)
+    assert v == 3
+    got = sorted((r["x"], r["y"], r["v"]) for r in
+                 storage.read_snapshot(spark, t).collect())
+    assert got == want
+
+
+def test_zorder_staging_cleaned_up_on_failure(spark, monkeypatch):
+    """A rewrite that dies mid-flight (here: the stats read raises)
+    must not orphan its .zstage-* staging directory under data/ —
+    and, because stats are computed before any rename, must leave NO
+    unreferenced commit dirs either."""
+    import os
+
+    from lcmap_blackmagic_spark import storage
+
+    t = _ztable(spark)
+
+    def boom(sp, d):
+        raise RuntimeError("injected stats failure")
+
+    monkeypatch.setattr(storage, "_snap_commit_stats", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        storage.compact_snapshot_zorder(spark, t, "x", "y", n_dirs=4)
+    entries = os.listdir(os.path.join(t, "data"))
+    assert not [e for e in entries if e.startswith(".zstage")]
+    assert set(e for e in entries
+               if not e.startswith(".")) == _referenced_dirs(t)
+    assert storage.latest_version(t) == 1

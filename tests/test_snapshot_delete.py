@@ -264,3 +264,43 @@ def test_dead_deletes_pruned_at_commit_time(spark):
     storage.write_snapshot(_batch(spark, [(7, "q")]), t, mode="append")
     with open(os.path.join(t, storage.SNAP_MANIFESTS, "v4.json")) as fh:
         assert "deletes" not in json.load(fh)
+
+
+def test_gdpr_delete_stream_starts_on_empty_inbox(spark):
+    """The erasure-request inbox is usually EMPTY when the stream
+    starts — the stream must come up anyway (schema typed from the
+    target table, no eager inference), drain zero batches, and then
+    apply requests that arrive before a later drain."""
+    from lcmap_blackmagic_spark.streaming.jobs import gdpr_delete_stream
+
+    t = tempfile.mkdtemp(prefix="sdel_")
+    storage.write_snapshot(
+        _batch(spark, [(i, f"v{i}") for i in range(1, 6)]), t)
+    req = os.path.join(tempfile.mkdtemp(prefix="sdel_req_"), "inbox")
+    assert not os.path.exists(req)        # not even created yet
+    ckpt = tempfile.mkdtemp(prefix="sdel_ck_")
+    q = gdpr_delete_stream(spark, req, t, ckpt, key="k")
+    assert q.awaitTermination(300)
+    assert storage.latest_version(t) == 1  # nothing to delete yet
+    # a request lands; the next drain (same checkpoint) applies it
+    _keys(spark, [4]).coalesce(1).write.mode("append").parquet(req)
+    q = gdpr_delete_stream(spark, req, t, ckpt, key="k")
+    assert q.awaitTermination(300)
+    assert _rows(spark, t) == [(i, f"v{i}") for i in (1, 2, 3, 5)]
+
+
+def test_gdpr_delete_stream_explicit_schema(spark):
+    """A caller-pinned schema bypasses inference entirely."""
+    from pyspark.sql import types as T
+
+    from lcmap_blackmagic_spark.streaming.jobs import gdpr_delete_stream
+
+    t = tempfile.mkdtemp(prefix="sdel_")
+    storage.write_snapshot(_batch(spark, [(1, "a"), (2, "b")]), t)
+    req = tempfile.mkdtemp(prefix="sdel_req_")
+    _keys(spark, [1]).coalesce(1).write.mode("append").parquet(req)
+    q = gdpr_delete_stream(
+        spark, req, t, tempfile.mkdtemp(prefix="sdel_ck_"), key="k",
+        schema=T.StructType([T.StructField("k", T.LongType())]))
+    assert q.awaitTermination(300)
+    assert _rows(spark, t) == [(2, "b")]
