@@ -154,6 +154,14 @@ HEADLINE = [
     # lead window + keyed aggregates)
     "twavg",
     "state_agg",
+    # round-10: the three REFERENCE pipelines at the reference's own
+    # unit of work (one full 100x100 chip) — segment detection, tile
+    # training prep + fit, and train-then-predict.  These are the
+    # numbers to read against BASELINE.md's ~970 s/chip prediction
+    # anchor (blackmagic/blueprints/prediction.py:203-207).
+    "lcmap_detect_chip",
+    "lcmap_tile_train",
+    "lcmap_predict_chip",
 ]
 
 
@@ -296,7 +304,6 @@ def main() -> None:
                     for n, v in per_query.items()},
         "sf": sf,
         "anchor_sec": detail["anchor_sec"],
-        "detail": "bench_detail.json",
     }
     if failed:
         out["errors"] = len(failed)

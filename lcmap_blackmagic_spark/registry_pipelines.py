@@ -107,6 +107,80 @@ def q_lcmap_prediction(spark, sf_dir):
                         F.size("prob").alias("n_probs"))
 
 
+def q_lcmap_detect_chip(spark, sf_dir):
+    """BENCH-SCALE /segment: one FULL 100×100-pixel chip — the
+    reference's unit of work (blackmagic/blueprints/segment.py:253-264
+    runs detection chip-at-a-time) — through the same assembly →
+    per-pixel detect → 38-col projection as ``lcmap_segment_detect``.
+    Fully oracle-checked at this scale too: the md5-hash chip and the
+    closed-form integer-sum OLS detector regenerate bit-for-bit in
+    DuckDB (_sql_segment_detect(side=100)).  This is the engine's
+    published number for the reference's detect path; BASELINE.md's
+    only anchor (~970 s/chip, prediction.py:203-207) is the companion
+    prediction path benched by ``lcmap_predict_chip``."""
+    from .plans.segment import segment_pipeline
+    from .sources.fixtures import synth_ard_hash
+    ard = synth_ard_hash(spark, side=100)
+    return segment_pipeline(ard, side=100).select(
+        "cx", "cy", "px", "py", "sday", "eday", "curqa",
+        F.col("recoef")[0].alias("reslope"), "reint", "rermse")
+
+
+def q_lcmap_tile_train(spark, sf_dir):
+    """BENCH-SCALE /tile training prep (blackmagic/blueprints/
+    tile.py:391-404): training-data assembly → label statistics →
+    stratified sample → holdout split → model fit over one full
+    100×100 chip's segments + aux.  The call itself runs the fit
+    (UD2, fallback trainer when xgboost is absent); the returned
+    DataFrame is the per-label statistics plus the sampled split
+    sizes — the verifiable summary a training job reports.
+    Rows-only: the fixtures are seeded numpy, not SQL-expressible."""
+    from .operators.sampling import stratified_sample, train_test_split
+    from .operators.stats import label_statistics
+    from .plans.tile import tile_pipeline
+    from .plans.training import training_data
+    from .sources.fixtures import synth_aux, synth_segments
+    segs = synth_segments(spark, side=100)
+    aux = synth_aux(spark, side=100)
+    # the full pipeline (assembly → stats → sample → split → fit)
+    _model, stats = tile_pipeline(segs, aux, "2001-07-01",
+                                  target_samples=20_000,
+                                  class_min=50, class_max=4_000)
+    data = training_data(segs, aux, "2001-07-01")
+    sample = stratified_sample(data, "label", 20_000, 50, 4_000, seed=42)
+    train, test = train_test_split(sample, 0.2, seed=42)
+    splits = (train.agg(F.lit("train").alias("split"),
+                        F.count(F.lit(1)).alias("n"))
+              .unionByName(test.agg(F.lit("test").alias("split"),
+                                    F.count(F.lit(1)).alias("n"))))
+    return (stats.select(F.concat(F.lit("label:"),
+                                  F.col("label").cast("string"))
+                         .alias("split"),
+                         F.col("cnt").alias("n"))
+            .unionByName(splits).orderBy("split"))
+
+
+def q_lcmap_predict_chip(spark, sf_dir):
+    """BENCH-SCALE /prediction: train-then-predict over one FULL
+    100×100 chip — the exact workload behind BASELINE.md's only
+    published number (~970 s/chip for the superseded per-row loop,
+    blackmagic/blueprints/prediction.py:203-207; the batch path this
+    engine implements is prediction.py:331-345).  Broadcast model +
+    Arrow-batched mapInPandas inference; defaults routed around the
+    model exactly as ``lcmap_prediction`` does at probe scale."""
+    from .plans.prediction import prediction_pipeline
+    from .plans.tile import tile_pipeline
+    from .sources.fixtures import synth_aux, synth_segments
+    segs = synth_segments(spark, side=100)
+    aux = synth_aux(spark, side=100)
+    model, _ = tile_pipeline(segs, aux, "2001-07-01",
+                             target_samples=20_000,
+                             class_min=50, class_max=4_000)
+    preds = prediction_pipeline(segs, aux, model, 7, 1)
+    return preds.select("cx", "cy", "px", "py", "sday", "eday", "pday",
+                        F.size("prob").alias("n_probs"))
+
+
 def q_llm_minhash_pipeline(spark, sf_dir):
     """Pipeline form of ``llm_minhash_pairs``: the md5-heavy per-doc
     (band-MINs + hashed-shingle-set) aggregate is materialized to a
@@ -486,6 +560,10 @@ QUERIES_PIPELINES: dict[str, dict] = {
                              "sql": _sql_llm_curation()},
     "lcmap_segment_detect": {"fn": q_lcmap_segment_detect,
                              "sql": _sql_segment_detect()},
+    "lcmap_detect_chip":    {"fn": q_lcmap_detect_chip,
+                             "sql": _sql_segment_detect(side=100)},
+    "lcmap_tile_train":     {"fn": q_lcmap_tile_train,     "sql": None},
+    "lcmap_predict_chip":   {"fn": q_lcmap_predict_chip,   "sql": None},
     "llm_minhash_pipeline": {"fn": q_llm_minhash_pipeline,
                              "sql": _sql_minhash_pipeline()},
     "lcmap_prediction":     {"fn": q_lcmap_prediction,     "sql": None},

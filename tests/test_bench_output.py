@@ -18,22 +18,44 @@ def _headline():
 
 
 def test_compact_line_fits_driver_window():
-    """Worst-case serialization (4-char medians, an errors field)
-    of the CURRENT headline stays under the 1900-char cap with
-    margin for the 2000-char capture window."""
+    """The REALISTIC envelope of the current headline — every query
+    at a 4-char median ("9.99") plus the 15 heaviest at 5 chars
+    ("99.99") and an errors field — must fit the 1900-char cap with
+    ZERO folding: on any plausible run the driver artifact carries
+    the complete per-query map.  (The all-slow pathological case is
+    handled by the fold valve, tested below — it keeps the heavy
+    entries and the full map always lives in bench_detail.json.)"""
     names = _headline()
     out = {
         "metric": "headline_queries_total", "value": 9999.99,
         "unit": "sec",
-        "queries": {n: 99.99 for n in names},
-        "sf": 0.1, "anchor_sec": 0.999,
-        "detail": "bench_detail.json", "errors": 1,
+        "queries": {n: (99.99 if i < 15 else 9.99)
+                    for i, n in enumerate(names)},
+        "sf": 0.1, "anchor_sec": 0.999, "errors": 1,
     }
     line = json.dumps(out, separators=(",", ":"))
     assert len(line) <= 1900, (
         f"{len(names)}-query headline serializes to {len(line)} chars; "
         "the driver captures only the last 2000 — fold entries into "
         "bench_detail.json or the round loses its bench artifact")
+
+
+def test_pathological_line_folds_few_entries():
+    """Even if EVERY query ran slow (5-char medians across the whole
+    headline — a host meltdown, not a plausible steady state), the
+    valve must recover a parseable line by folding only a handful of
+    the fastest entries."""
+    names = _headline()
+    out = {
+        "metric": "headline_queries_total", "value": 9999.99,
+        "unit": "sec",
+        "queries": {n: 99.99 for n in names},
+        "sf": 0.1, "anchor_sec": 0.999, "errors": 1,
+    }
+    line = _valve(out)
+    assert len(line) <= 1900
+    assert out.get("fast_other_n", 0) <= 15
+    assert len(out["queries"]) >= len(names) - 15
 
 
 def _valve(out):
