@@ -103,10 +103,16 @@ def _partial_cols(spec: list[tuple]) -> dict[str, tuple]:
 
     kind ∈ {n, c, s, mn, mx, hll}: count(*), non-null count, sum,
     min, max, HLL register array.  Derived from the spec so only
-    partials the view needs are stored; avg contributes BOTH s_ and
-    c_ (its exact state pair).
+    partials the view needs are stored — EXCEPT ``__mv_n``, which is
+    always stored: it is the group tombstone signal the delete-aware
+    refresh path needs (a group whose row count retracts to zero
+    leaves the view), one long per group.  ``sum`` contributes its
+    non-null count alongside the sum (like avg): retraction can
+    drive a sum numerically to 0 while the true SQL SUM over the
+    remaining (all-NULL) rows is NULL — the count disambiguates at
+    finalize time.
     """
-    need: dict[str, tuple] = {}
+    need: dict[str, tuple] = {"__mv_n": ("n", None)}
     for op, col, _alias in spec:
         if op not in _MV_OPS and not _Q_RE.fullmatch(op):
             raise ValueError(f"unsupported MV aggregate {op!r}")
@@ -118,6 +124,7 @@ def _partial_cols(spec: list[tuple]) -> dict[str, tuple]:
             need[f"__mv_c_{col}"] = ("c", col)
         elif op == "sum":
             need[f"__mv_s_{col}"] = ("s", col)
+            need[f"__mv_c_{col}"] = ("c", col)
         elif op == "min":
             need[f"__mv_mn_{col}"] = ("mn", col)
         elif op == "max":
@@ -276,6 +283,71 @@ def _merge_partials(parts: DataFrame, keys: list[str],
     return parts.groupBy(*keys).agg(*aggs)
 
 
+def _retractable(spec: list[tuple]) -> bool:
+    """True when every stored partial supports exact RETRACTION —
+    counts and sums subtract, histogram bins subtract element-wise.
+    min/max/hll cannot retract (their fold loses the evicted values),
+    so a spec containing them keeps the full-rebuild path under
+    deletes."""
+    return all(kind in ("n", "c", "s", "hist")
+               for kind, _col in _partial_cols(spec).values())
+
+
+def _delete_delta(spark: SparkSession, src_dir: str,
+                  versions: list[int]) -> DataFrame | None:
+    """The rows REMOVED by the given equality-delete commits, with
+    multiplicity expanded — each commit resolved through
+    storage.snapshot_changes' delete fast path (one bounds-pruned
+    MOR scan per commit: on a key-clustered source the scan is a
+    commit-dir subset, never the table).  Returns None when the
+    commits deleted nothing."""
+    from .storage import snapshot_changes
+    out = None
+    for v in versions:
+        d = snapshot_changes(spark, src_dir, v - 1, v)
+        rows = (d.filter(F.col("_change_type") == "delete")
+                .withColumn("__mv_dup",
+                            F.explode(F.sequence(F.lit(1), F.col("_n"))))
+                .drop("_change_type", "_n", "__mv_dup"))
+        out = rows if out is None else out.unionByName(
+            rows, allowMissingColumns=True)
+    return out
+
+
+def _subtract_partials(pos: DataFrame, neg: DataFrame,
+                       keys: list[str], spec: list[tuple]) -> DataFrame:
+    """Merged positive state minus the deleted rows' partial state.
+    Every deleted row was visible in the positive state's source, so
+    each negative group exists on the left — a LEFT join; groups
+    retracted to zero rows leave the view here."""
+    right = neg
+    for k in keys:
+        right = right.withColumnRenamed(k, f"__mv_r_{k}")
+    cond = None
+    for k in keys:
+        c = pos[k].eqNullSafe(right[f"__mv_r_{k}"])
+        cond = c if cond is None else (cond & c)
+    cols = [pos[k] for k in keys]
+    for name, (kind, _col) in _partial_cols(spec).items():
+        p, n = pos[name], right[name]
+        if kind in ("n", "c"):
+            cols.append((p - F.coalesce(n, F.lit(0))).alias(name))
+        elif kind == "s":
+            # NULL-safe: an untouched group (n NULL) keeps its sum;
+            # sums are NULL only when their count is 0, and the
+            # finalize guard reads the count, so plain subtraction
+            # with a 0 default is exact
+            cols.append(F.when(n.isNull(), p)
+                        .otherwise(p - F.coalesce(n, F.lit(0)))
+                        .alias(name))
+        else:                                   # hist: bin-wise minus
+            cols.append(F.when(n.isNull(), p)
+                        .otherwise(F.zip_with(p, n, lambda a, b: a - b))
+                        .alias(name))
+    return (pos.join(right, cond, "left").select(*cols)
+            .filter(F.col("__mv_n") > 0))
+
+
 def mv_watermark(mv_dir: str) -> int | None:
     """Source version the MV currently reflects, recovered from the
     MV's own latest manifest tag — None if the MV does not exist."""
@@ -311,18 +383,24 @@ def mv_refresh(spark: SparkSession, src_dir: str, mv_dir: str,
     latest_man = _load_manifest(src_dir, src_v)
     wm_man = _load_manifest(src_dir, wm) if wm is not None else None
 
-    incremental = (wm_man is not None
-                   and set(wm_man["dirs"]) <= set(latest_man["dirs"])
-                   # an equality-delete commit keeps dirs identical but
-                   # SUBTRACTS rows — a changed delete list forces the
-                   # full rebuild (the MOR-aware read_snapshot applies
-                   # the deletes there); an UNCHANGED list stays
-                   # incremental: appended delta dirs carry sequence
-                   # numbers above every existing delete, so no delete
-                   # touches their rows
-                   and wm_man.get("deletes", []) ==
-                   latest_man.get("deletes", []))
-    if incremental:
+    dirs_grew = (wm_man is not None
+                 and set(wm_man["dirs"]) <= set(latest_man["dirs"]))
+    old_dels = wm_man.get("deletes", []) if wm_man else []
+    new_dels = latest_man.get("deletes", [])
+    # an equality-delete commit keeps dirs identical but SUBTRACTS
+    # rows.  An UNCHANGED delete list stays on the append-only path:
+    # appended delta dirs carry sequence numbers above every existing
+    # delete, so no delete touches their rows.  A GROWN list (every
+    # old entry still present — append/delete chains never prune
+    # entries, the min dir sequence is unchanged) takes the
+    # delete-aware RETRACTION path when every stored partial can
+    # subtract exactly; anything else (overwrite/merge/vacuumed
+    # watermark, a pruned delete list, min/max/hll in the spec) is a
+    # full rebuild — the MOR-aware read applies the deletes there.
+    deletes_equal = old_dels == new_dels
+    deletes_grew = (not deletes_equal
+                    and all(e in new_dels for e in old_dels))
+    if dirs_grew and deletes_equal:
         delta_dirs = [d for d in latest_man["dirs"]
                       if d not in set(wm_man["dirs"])]
         prev = read_snapshot(spark, mv_dir)      # prior partials
@@ -337,6 +415,33 @@ def mv_refresh(spark: SparkSession, src_dir: str, mv_dir: str,
                 keys, spec)
         else:            # version advanced without new dirs: no-op data
             merged = prev
+    elif dirs_grew and deletes_grew and _retractable(spec) and (
+            chain := [_load_manifest(src_dir, v)
+                      for v in range(wm, src_v + 1)]) and (
+            all(m is not None for m in chain)
+            and all(m["mode"] in ("append", "delete")
+                    for m in chain[1:])):
+        # DELETE-AWARE INCREMENTAL: merge the appended dirs as usual,
+        # then RETRACT the rows the range's delete commits removed —
+        # resolved per commit through the CDF delete fast path
+        # (bounds-pruned MOR scans, delete-delta-sized output), so a
+        # GDPR erasure stream never forces a corpus-sized rebuild of
+        # every MV it touches.
+        delta_dirs = [d for d in latest_man["dirs"]
+                      if d not in set(wm_man["dirs"])]
+        prev = read_snapshot(spark, mv_dir)
+        pos = prev
+        if delta_dirs:
+            delta = spark.read.option("mergeSchema", True).parquet(
+                *[os.path.join(src_dir, "data", d) for d in delta_dirs])
+            pos = prev.unionByName(_partial_agg(delta, keys, spec))
+        merged = _merge_partials(pos, keys, spec)
+        del_versions = [wm + i for i, m in enumerate(chain)
+                        if i > 0 and m["mode"] == "delete"]
+        neg_rows = _delete_delta(spark, src_dir, del_versions)
+        if neg_rows is not None:
+            merged = _subtract_partials(
+                merged, _partial_agg(neg_rows, keys, spec), keys, spec)
     else:
         merged = _partial_agg(read_snapshot(spark, src_dir, version=src_v,
                                             merge_schema=True),
@@ -370,7 +475,12 @@ def mv_read(spark: SparkSession, mv_dir: str, keys: list[str],
         elif op == "count":
             out.append(F.col(f"__mv_c_{col}").alias(alias))
         elif op == "sum":
-            out.append(F.col(f"__mv_s_{col}").alias(alias))
+            # the count guard restores SQL SUM's NULL-over-no-rows:
+            # retraction can land the stored sum on a numeric 0 (or
+            # any value) for a group whose remaining rows are all
+            # NULL in col
+            out.append(F.when(F.col(f"__mv_c_{col}") > 0,
+                              F.col(f"__mv_s_{col}")).alias(alias))
         elif op == "min":
             out.append(F.col(f"__mv_mn_{col}").alias(alias))
         elif op == "max":
@@ -382,8 +492,11 @@ def mv_read(spark: SparkSession, mv_dir: str, keys: list[str],
             out.append((F.lit(hll_alpha_numerator(MV_HLL_P))
                         / s.cast("double")).alias(alias))
         else:
-            out.append((F.col(f"__mv_s_{col}").cast("double")
-                        / F.col(f"__mv_c_{col}")).alias(alias))
+            # explicit zero-count guard: ANSI mode would otherwise
+            # raise DIVIDE_BY_ZERO on a retracted-to-empty column
+            out.append(F.when(F.col(f"__mv_c_{col}") > 0,
+                              F.col(f"__mv_s_{col}").cast("double")
+                              / F.col(f"__mv_c_{col}")).alias(alias))
     res = df.select(*out)
     # quantile family: each col's stored bin array sparsifies back to
     # (key, bin, c) rows and finalizes through the SAME

@@ -982,15 +982,38 @@ def snapshot_changes(spark: SparkSession, table_dir: str,
         have = {e["dir"] for e in chain[0].get("deletes", [])}
         new_dels = [e for e in chain[-1].get("deletes", [])
                     if e["dir"] not in have]
-        base = read_snapshot(spark, table_dir, version=v_from,
-                             merge_schema=True)
         if not new_dels:
+            base = read_snapshot(spark, table_dir, version=v_from,
+                                 merge_schema=True)
             return base.limit(0).select(
                 "*", F.lit("delete").alias("_change_type"),
                 F.lit(0).cast("bigint").alias("_n"))
         groups: dict[tuple, list[dict]] = {}
         for e in new_dels:
             groups.setdefault(tuple(e["key"]), []).append(e)
+        where = None
+        if len(groups) == 1:
+            # single key tuple (the GDPR shape): bound the pinned MOR
+            # scan by the delete keys' [min, max] so manifest stats
+            # prune the base read to the dirs that can hold a deleted
+            # key — on a key-clustered table the delta costs a dir
+            # SUBSET, not a table scan.  Multi-group ranges keep the
+            # unpruned read (a row may match a later group's keys
+            # outside the first group's bounds).
+            (g_keys, g_specs), = groups.items()
+            kd = spark.read.parquet(
+                *[os.path.join(table_dir, "data", e["dir"])
+                  for e in g_specs])
+            b = kd.agg(*[f for k in g_keys
+                         for f in (F.min(k).alias(f"__lo_{k}"),
+                                   F.max(k).alias(f"__hi_{k}"))]) \
+                .collect()[0]
+            where = [p for k in g_keys
+                     if b[f"__lo_{k}"] is not None
+                     for p in ((k, ">=", b[f"__lo_{k}"]),
+                               (k, "<=", b[f"__hi_{k}"]))]
+        base = read_snapshot(spark, table_dir, version=v_from,
+                             merge_schema=True, where=where or None)
         matched, rest = None, base
         for keys, specs in groups.items():
             dd = spark.read.parquet(

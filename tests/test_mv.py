@@ -312,3 +312,236 @@ def test_refresh_with_heterogeneous_delta_dirs(spark):
     mv2 = tempfile.mkdtemp(prefix="mv_")
     mv_refresh(spark, src, mv2, KEYS, SPEC)
     assert _actual(spark, mv2) == _actual(spark, mv)
+
+
+# ---------------------------------------------------------------------
+# delete-aware incremental maintenance (round 10): a grown equality-
+# delete list routes through retraction instead of a full rebuild when
+# every stored partial can subtract exactly.
+
+RSPEC = [
+    ("count", "*", "n"),
+    ("count", "v", "nv"),
+    ("sum",   "v", "sv"),
+    ("avg",   "v", "av"),
+]
+
+
+def _keys_df(spark, ks):
+    return spark.createDataFrame([(k,) for k in ks], "k string")
+
+
+def _rexpected(spark, src):
+    return {
+        r["k"]: (r["n"], r["nv"], r["sv"], r["av"])
+        for r in storage.read_snapshot(spark, src)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.count("v").alias("nv"),
+             F.sum("v").alias("sv"),
+             (F.sum("v").cast("double") / F.count("v")).alias("av"))
+        .collect()}
+
+
+def _ractual(spark, mv, spec=None):
+    spec = spec or RSPEC
+    return {tuple(r[k] for k in KEYS) if len(KEYS) > 1 else r["k"]:
+            tuple(r[a] for _o, _c, a in spec)
+            for r in mv_read(spark, mv, KEYS, spec).collect()}
+
+
+def test_delete_refresh_is_incremental_and_exact(spark, monkeypatch):
+    """A GDPR-shaped delete commit between refreshes must (a) NOT
+    trigger the full-rebuild read of the source, (b) leave the MV
+    exactly equal to the direct aggregate — including a group
+    retracted to zero rows (gone) and a group retracted to all-NULL
+    measures (SQL SUM/AVG = NULL restored by the count guard)."""
+    from lcmap_blackmagic_spark import mv as mvmod
+
+    src = tempfile.mkdtemp(prefix="mvdel_src_")
+    mv = tempfile.mkdtemp(prefix="mvdel_")
+    storage.write_snapshot(
+        _batch(spark, [("a", 1), ("a", 2), ("b", 5), ("b", None),
+                       ("c", 9)]), src)
+    mv_refresh(spark, src, mv, KEYS, RSPEC)
+    assert _ractual(spark, mv) == _rexpected(spark, src)
+
+    # delete: all of c (group disappears), and b's only non-NULL row
+    # (SUM/AVG must come back as NULL, not 0)
+    storage.delete_from_snapshot(
+        spark,
+        src,
+        spark.createDataFrame([("c", 9), ("b", 5)], "k string, v long"),
+        ["k", "v"])
+
+    calls = []
+    real = mvmod.read_snapshot
+
+    def spy(sp, table_dir, **kw):
+        calls.append((table_dir, kw))
+        return real(sp, table_dir, **kw)
+
+    monkeypatch.setattr(mvmod, "read_snapshot", spy)
+    v = mv_refresh(spark, src, mv, KEYS, RSPEC)
+    monkeypatch.setattr(mvmod, "read_snapshot", real)
+    assert v is not None
+    # the rebuild path would call read_snapshot(src_dir, version=...);
+    # the delete-aware path reads only the MV's own partials here
+    # (the bounded delta scan lives inside storage.snapshot_changes)
+    assert all(t != src for t, _kw in calls), calls
+    got = _ractual(spark, mv)
+    assert got == _rexpected(spark, src)
+    assert "c" not in got
+    assert got["b"] == (1, 0, None, None)
+
+
+def test_delete_refresh_mixed_with_appends(spark):
+    """One refresh range holding append AND delete commits — incl. a
+    row appended then deleted INSIDE the range — retracts exactly."""
+    src = tempfile.mkdtemp(prefix="mvdel_src_")
+    mv = tempfile.mkdtemp(prefix="mvdel_")
+    storage.write_snapshot(_batch(spark, [("a", 1), ("b", 2)]), src)
+    mv_refresh(spark, src, mv, KEYS, RSPEC)
+    # range: append (a,10),(d,7) -> delete (a,10) and (b,2) -> append (b,3)
+    storage.write_snapshot(_batch(spark, [("a", 10), ("d", 7)]), src,
+                           mode="append")
+    storage.delete_from_snapshot(
+        spark, src,
+        spark.createDataFrame([("a", 10), ("b", 2)], "k string, v long"),
+        ["k", "v"])
+    storage.write_snapshot(_batch(spark, [("b", 3)]), src, mode="append")
+    assert mv_refresh(spark, src, mv, KEYS, RSPEC) is not None
+    assert _ractual(spark, mv) == _rexpected(spark, src)
+    # replay suppression still holds on the delete-aware path
+    assert mv_refresh(spark, src, mv, KEYS, RSPEC) is None
+
+
+def test_delete_refresh_duplicate_rows_retract_multiplicity(spark):
+    """MOR tables hold duplicate rows; a delete of a duplicated key
+    must retract EVERY copy (the CDF delta's _n expansion)."""
+    src = tempfile.mkdtemp(prefix="mvdel_src_")
+    mv = tempfile.mkdtemp(prefix="mvdel_")
+    storage.write_snapshot(
+        _batch(spark, [("a", 4), ("a", 4), ("a", 4), ("b", 1)]), src)
+    mv_refresh(spark, src, mv, KEYS, RSPEC)
+    storage.delete_from_snapshot(spark, src, _keys_df(spark, ["a"]), "k")
+    assert mv_refresh(spark, src, mv, KEYS, RSPEC) is not None
+    got = _ractual(spark, mv)
+    assert got == _rexpected(spark, src) and "a" not in got
+
+
+def test_delete_refresh_quantile_hist_retracts(spark):
+    """The qNN histogram state subtracts bin-wise: after deleting the
+    upper half of a group's values, the MV median equals the one-shot
+    sketch over the surviving table."""
+    from lcmap_blackmagic_spark.mv import (MV_HIST_BINS, MV_HIST_HI,
+                                           MV_HIST_LO, MV_HIST_SCALE)
+    from lcmap_blackmagic_spark.operators.sketches import (
+        hist_finalize)
+    spec = [("count", "*", "n"), ("q50", "v", "med")]
+    src = tempfile.mkdtemp(prefix="mvdel_src_")
+    mv = tempfile.mkdtemp(prefix="mvdel_")
+    storage.write_snapshot(
+        _batch(spark, [("a", x) for x in range(1, 101)]), src)
+    mv_refresh(spark, src, mv, KEYS, spec)
+    storage.delete_from_snapshot(
+        spark, src,
+        spark.createDataFrame([("a", x) for x in range(51, 101)],
+                              "k string, v long"), ["k", "v"])
+    assert mv_refresh(spark, src, mv, KEYS, spec) is not None
+    got = {r["k"]: (r["n"], r["med"])
+           for r in mv_read(spark, mv, KEYS, spec).collect()}
+    base = (storage.read_snapshot(spark, src)
+            .filter(F.col("v").isNotNull())
+            .select("k", (F.col("v").cast("decimal(18,2)")
+                          * MV_HIST_SCALE).cast("bigint")
+                    .alias("v_scaled")))
+    span = int((MV_HIST_HI - MV_HIST_LO) * MV_HIST_SCALE)
+    width = span // MV_HIST_BINS
+    bins = (base.select("k", F.least(
+        F.lit(MV_HIST_BINS - 1),
+        F.greatest(F.lit(0), F.expr(f"(v_scaled - 0) div {width}")))
+        .alias("bin"))
+        .groupBy("k", "bin").agg(F.count(F.lit(1)).alias("c")))
+    want = {r["k"]: r["q_50"] for r in hist_finalize(
+        bins, KEYS, [0.5], n_bins=MV_HIST_BINS, lo=MV_HIST_LO,
+        hi=MV_HIST_HI, scale=MV_HIST_SCALE).collect()}
+    assert got["a"][0] == 50
+    assert got["a"][1] == want["a"]
+
+
+def test_delete_with_minmax_spec_falls_back_to_rebuild(spark,
+                                                       monkeypatch):
+    """min/max cannot retract — a grown delete list under a spec
+    containing them must take the full-rebuild path and still be
+    exact."""
+    from lcmap_blackmagic_spark import mv as mvmod
+
+    src = tempfile.mkdtemp(prefix="mvdel_src_")
+    mv = tempfile.mkdtemp(prefix="mvdel_")
+    storage.write_snapshot(
+        _batch(spark, [("a", 1), ("a", 9), ("b", 5)]), src)
+    mv_refresh(spark, src, mv, KEYS, SPEC)
+    storage.delete_from_snapshot(
+        spark, src,
+        spark.createDataFrame([("a", 9)], "k string, v long"),
+        ["k", "v"])
+    calls = []
+    real = mvmod.read_snapshot
+
+    def spy(sp, table_dir, **kw):
+        calls.append((table_dir, kw))
+        return real(sp, table_dir, **kw)
+
+    monkeypatch.setattr(mvmod, "read_snapshot", spy)
+    assert mv_refresh(spark, src, mv, KEYS, SPEC) is not None
+    monkeypatch.setattr(mvmod, "read_snapshot", real)
+    assert any(t == src and kw.get("version") is not None
+               for t, kw in calls)           # the rebuild read
+    assert _actual(spark, mv) == _expected(spark, src)
+    # max correctly dropped from 9 to 1 (a rebuild, not a stale fold)
+    assert _actual(spark, mv)["a"][4] == 1
+
+
+def test_gdpr_stream_drives_delete_aware_mv(spark):
+    """VERDICT round-9 item 4, end to end: a gdpr_delete_stream
+    micro-batch lands an equality-delete commit; the MV refresh
+    consumes the delete DELTA only (no source-table rebuild read) and
+    equals a from-scratch MV built beside it."""
+    from lcmap_blackmagic_spark import mv as mvmod
+    from lcmap_blackmagic_spark.streaming.jobs import gdpr_delete_stream
+
+    src = tempfile.mkdtemp(prefix="mvdel_src_")
+    mv = tempfile.mkdtemp(prefix="mvdel_")
+    storage.write_snapshot(
+        _batch(spark, [(f"u{i}", i) for i in range(20)]), src)
+    storage.write_snapshot(
+        _batch(spark, [(f"u{i}", 100 + i) for i in range(20)]), src,
+        mode="append")
+    mv_refresh(spark, src, mv, KEYS, RSPEC)
+
+    req = tempfile.mkdtemp(prefix="mvdel_req_")
+    _keys_df(spark, ["u3", "u7"]).coalesce(1) \
+        .write.mode("append").parquet(req)
+    q = gdpr_delete_stream(spark, req, src,
+                           tempfile.mkdtemp(prefix="mvdel_ck_"), key="k")
+    assert q.awaitTermination(300)
+
+    calls = []
+    real = mvmod.read_snapshot
+
+    def spy(sp, table_dir, **kw):
+        calls.append((table_dir, kw))
+        return real(sp, table_dir, **kw)
+
+    import pytest as _pytest
+    mp = _pytest.MonkeyPatch()
+    mp.setattr(mvmod, "read_snapshot", spy)
+    try:
+        assert mv_refresh(spark, src, mv, KEYS, RSPEC) is not None
+    finally:
+        mp.undo()
+    assert all(t != src for t, _kw in calls), calls
+    fresh = tempfile.mkdtemp(prefix="mvdel_fresh_")
+    mv_refresh(spark, src, fresh, KEYS, RSPEC)
+    assert _ractual(spark, mv) == _ractual(spark, fresh)
+    assert "u3" not in _ractual(spark, mv)

@@ -216,3 +216,40 @@ def test_pump_changes_materializes_exactly_once(spark):
         .groupBy("k", "v").agg(F.sum("__d").alias("n"))
         .filter("n > 0"))
     assert sorted((r["k"], r["v"]) for r in net.collect()) == [(4, "d")]
+
+
+def test_delete_fast_path_prunes_base_scan_by_key_bounds(spark):
+    """On a key-clustered table (disjoint per-commit key ranges), the
+    delete fast path's pinned MOR scan is bounded by the delete keys'
+    [min, max]: only the commit dirs whose stats overlap are listed,
+    and the delta equals the unpruned expectation."""
+    t = tempfile.mkdtemp(prefix="scdf_")
+    # three clustered commits: k in [0,9], [10,19], [20,29]
+    for lo in (0, 10, 20):
+        storage.write_snapshot(
+            _batch(spark, [(k, f"v{k}") for k in range(lo, lo + 10)]),
+            t, mode="append" if lo else "overwrite")
+    keys = spark.createDataFrame([(12,), (17,)], "k long")
+    storage.delete_from_snapshot(spark, t, keys, "k")
+    ch = storage.snapshot_changes(spark, t, 3, 4)
+    scanned = {f.split("/data/")[1].split("/")[0]
+               for f in ch.inputFiles()
+               if "/data/" in f}
+    with open(os.path.join(t, storage.SNAP_MANIFESTS, "v3.json")) as fh:
+        man = json.load(fh)
+    data_dirs = set(man["dirs"])
+    # the delete-key dirs are also read (broadcast side); data-side
+    # pruning keeps exactly the one overlapping commit dir
+    assert len(scanned & data_dirs) == 1
+    assert _got(ch) == [(12, "v12", "delete", 1),
+                        (17, "v17", "delete", 1)]
+    # multi-group ranges (two different key tuples) stay unpruned but
+    # exact: add a second delete on (k, v)
+    storage.delete_from_snapshot(
+        spark, t,
+        spark.createDataFrame([(25, "v25")], "k long, v string"),
+        ["k", "v"])
+    ch2 = storage.snapshot_changes(spark, t, 3, 5)
+    assert _got(ch2) == [(12, "v12", "delete", 1),
+                         (17, "v17", "delete", 1),
+                         (25, "v25", "delete", 1)]
