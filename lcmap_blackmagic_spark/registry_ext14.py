@@ -268,7 +268,9 @@ def q_twavg(spark, sf_dir):
     zero agrees between engines (verified), where a rounded DECIMAL
     division would not.  One window (partitioned by the
     high-cardinality user_id) + one aggregate: two shuffles on the
-    same key, no collect."""
+    same key, no collect.  Streaming twin: streaming/jobs.py
+    twavg_stream (O(1) LOCF state per user, last emission bit-equal
+    to this query — flag-exact test in tests/test_streaming.py)."""
     from pyspark.sql import Window
     e = _t(spark, sf_dir, "events").select(
         "user_id", "event_id",
@@ -335,7 +337,10 @@ def q_state_agg(spark, sf_dir):
     the high-cardinality user), one aggregate on (user, state), and
     a user-total window over the AGGREGATED frame — whose partitions
     are at most |event_type| rows per user, so the second window is
-    group-cardinality-sized, never event-sized."""
+    group-cardinality-sized, never event-sized.  Streaming twin:
+    streaming/jobs.py state_agg_stream (bounded per-state dwell
+    table, shares finalized from the last emissions — exactness test
+    in tests/test_streaming.py)."""
     from pyspark.sql import Window
     e = _t(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type",

@@ -291,6 +291,205 @@ def zscore_stream(events: DataFrame, watermark: str = "2 hours",
                                     "append", _no_timeout()))
 
 
+def _cents(x) -> int | None:
+    """decimal(18,2)*100 twin of the batch cast: shortest-repr
+    decimal of the double, HALF_UP at 2 dp exactly like Spark's
+    decimal cast, then exact integer scaling.  NaN/None -> None
+    (SQL NULL semantics carry through the fold)."""
+    if x is None or x != x:
+        return None
+    from decimal import ROUND_HALF_UP, Decimal
+    return int(Decimal(repr(float(x)))
+               .quantize(Decimal("0.01"), ROUND_HALF_UP) * 100)
+
+
+def _div_trunc(a: int, b: int) -> int:
+    """Integer division truncating toward zero — the semantics of
+    SQL ``div`` in BOTH engines (and of the batch twins' DECIMAL
+    div), where Python's ``//`` floors."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+TWAVG_OUT = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_id", T.LongType()),
+    T.StructField("n_intervals", T.LongType()),
+    T.StructField("total_us", T.LongType()),
+    T.StructField("twa_microcents", T.LongType()),
+])
+
+# num (Σ cents·dt) exceeds int64 at cents × months-of-microseconds —
+# the batch twin accumulates it in DECIMAL(38,0); here it rides as a
+# decimal STRING (Python ints are arbitrary-precision, the state
+# store sees an opaque value)
+TWAVG_STATE = T.StructType([
+    T.StructField("num_str", T.StringType()),
+    T.StructField("total_us", T.LongType()),
+    T.StructField("n", T.LongType()),
+    T.StructField("last_us", T.LongType()),
+    T.StructField("last_eid", T.LongType()),
+    T.StructField("last_cents", T.LongType()),
+])
+
+
+def twavg_stream(events: DataFrame,
+                 watermark: str = "2 hours") -> DataFrame:
+    """Stateful streaming TIME-WEIGHTED AVERAGE per user — the
+    O(1)-state LOCF twin of the batch ``twavg`` query
+    (registry_ext14.q_twavg, the TimescaleDB time_weight('LOCF')
+    shape): each reading's value holds until the next reading, so an
+    arriving event CLOSES the previous reading's interval and the
+    running average re-emits.  State per user is six scalars (the
+    LOCF holder: last (ts, event_id, cents) + the running Σdt, count,
+    and Σcents·dt as a decimal string) regardless of stream length.
+
+    Exactness contract: integer microseconds × integer cents,
+    accumulated in Python's arbitrary-precision ints (the batch
+    twin's DECIMAL(38,0)), final average by truncating division —
+    the stream's LAST emission per user is bit-equal to the batch
+    query over the same replayed events.  NULL values hold NULL (the
+    interval counts toward total time, contributes nothing to the
+    numerator), matching the batch NULL-skipping sum.  Ordering
+    contract as ``ewma_stream``: in-order fold on the (ts, event_id)
+    composite, late events dropped, never rewound."""
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+        user_id = key[0]
+        if state.exists:
+            num_s, total, n, last_us, last_eid, last_cents = state.get
+            num = int(num_s)
+        else:
+            num, total, n = 0, 0, 0
+            last_us, last_eid, last_cents = -1, -1, None
+        chunks = [pdf for pdf in pdf_iter if not pdf.empty]
+        out = {"event_id": [], "n_intervals": [], "total_us": [],
+               "twa_microcents": []}
+        if chunks:
+            pdf = (pd.concat(chunks, ignore_index=True)
+                   .sort_values(["ts", "event_id"]))
+            ts_us = (pdf["ts"].astype("datetime64[ns]").astype("int64")
+                     // 1000)
+            for t, eid, x in zip(ts_us, pdf["event_id"], pdf["value"]):
+                t, eid = int(t), int(eid)
+                if (t, eid) <= (last_us, last_eid):
+                    continue  # late or re-delivered: never rewind
+                if last_us >= 0:
+                    dt = t - last_us
+                    total += dt
+                    n += 1
+                    if last_cents is not None:
+                        num += last_cents * dt
+                    out["event_id"].append(eid)
+                    out["n_intervals"].append(n)
+                    out["total_us"].append(total)
+                    out["twa_microcents"].append(
+                        _div_trunc(num * 1_000_000, total)
+                        if total > 0 else None)
+                last_us, last_eid, last_cents = t, eid, _cents(x)
+            state.update((str(num), total, n,
+                          last_us, last_eid, last_cents))
+        if out["event_id"]:
+            yield pd.DataFrame(
+                {"user_id": [user_id] * len(out["event_id"]), **out})
+
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(fn, TWAVG_OUT, TWAVG_STATE,
+                                    "append", _no_timeout()))
+
+
+STATE_AGG_OUT = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("state_us", T.LongType()),
+    T.StructField("n_periods", T.LongType()),
+    T.StructField("user_us", T.LongType()),
+])
+
+STATE_AGG_STATE = T.StructType([
+    T.StructField("states", T.ArrayType(T.StringType())),
+    T.StructField("dwell", T.ArrayType(T.LongType())),
+    T.StructField("counts", T.ArrayType(T.LongType())),
+    T.StructField("last_us", T.LongType()),
+    T.StructField("last_eid", T.LongType()),
+    T.StructField("last_state", T.StringType()),
+])
+
+
+def state_agg_stream(events: DataFrame,
+                     watermark: str = "2 hours") -> DataFrame:
+    """Stateful streaming TIME-IN-STATE per (user, event_type) — the
+    LOCF twin of the batch ``state_agg`` query (registry_ext14.
+    q_state_agg, the TimescaleDB state_agg shape): a user is "in"
+    the state of their latest event until the next event, so an
+    arriving event closes the PREVIOUS state's dwell period and that
+    state's row re-emits with its updated dwell, period count, and
+    the user's running total tracked time (the share denominator —
+    shares are a ratio of FINAL totals, so they finalize at read
+    time: share_bp = state_us·10000 div user_us over the last
+    emission per (user, state), exactly the batch query's integer
+    basis points).
+
+    State per user is the bounded per-state dwell table (|distinct
+    event_type| entries — a handful) plus the LOCF holder.  Ordering
+    contract as ``ewma_stream``."""
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+        user_id = key[0]
+        if state.exists:
+            states, dwell, counts, last_us, last_eid, last_state = \
+                state.get
+            states, dwell, counts = \
+                list(states), list(dwell), list(counts)
+        else:
+            states, dwell, counts = [], [], []
+            last_us, last_eid, last_state = -1, -1, None
+        chunks = [pdf for pdf in pdf_iter if not pdf.empty]
+        out = {"event_id": [], "event_type": [], "state_us": [],
+               "n_periods": [], "user_us": []}
+        if chunks:
+            pdf = (pd.concat(chunks, ignore_index=True)
+                   .sort_values(["ts", "event_id"]))
+            ts_us = (pdf["ts"].astype("datetime64[ns]").astype("int64")
+                     // 1000)
+            for t, eid, etype in zip(ts_us, pdf["event_id"],
+                                     pdf["event_type"]):
+                t, eid = int(t), int(eid)
+                if (t, eid) <= (last_us, last_eid):
+                    continue  # late or re-delivered: never rewind
+                if last_us >= 0:
+                    dt = t - last_us
+                    try:
+                        i = states.index(last_state)
+                    except ValueError:
+                        states.append(last_state)
+                        dwell.append(0)
+                        counts.append(0)
+                        i = len(states) - 1
+                    dwell[i] += dt
+                    counts[i] += 1
+                    out["event_id"].append(eid)
+                    out["event_type"].append(last_state)
+                    out["state_us"].append(dwell[i])
+                    out["n_periods"].append(counts[i])
+                    out["user_us"].append(sum(dwell))
+                last_us, last_eid, last_state = t, eid, etype
+            state.update((states, dwell, counts,
+                          last_us, last_eid, last_state))
+        if out["event_id"]:
+            yield pd.DataFrame(
+                {"user_id": [user_id] * len(out["event_id"]), **out})
+
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(fn, STATE_AGG_OUT, STATE_AGG_STATE,
+                                    "append", _no_timeout()))
+
+
 DOCUMENT = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("text", T.StringType()),

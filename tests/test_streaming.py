@@ -910,3 +910,62 @@ def test_ingest_dedup_random_schedules_match_model(spark, sf_dir):
     # the generator must actually exercise flagging, not just agree
     # on empty sets
     assert interesting >= 15
+
+
+def test_twavg_stream_matches_batch(spark, events_dir, sf_dir,
+                                    state_provider):
+    """The streaming LOCF time-weighted average must land, per user,
+    on EXACTLY the batch twavg row — integer cents x microseconds in
+    arbitrary-precision ints vs the batch DECIMAL(38,0), truncating
+    division on both sides."""
+    from lcmap_blackmagic_spark.registry import QUERIES
+    from lcmap_blackmagic_spark.streaming.jobs import twavg_stream
+    stream = events_stream(spark, events_dir, max_files_per_trigger=1)
+    q = (twavg_stream(stream).writeStream.format("memory")
+         .queryName("twavg_" + state_provider)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    emitted = spark.table("twavg_" + state_provider).collect()
+    # the LAST emission per user is the full-history aggregate
+    last = {}
+    for r in emitted:
+        k = r["user_id"]
+        if k not in last or r["n_intervals"] > last[k]["n_intervals"]:
+            last[k] = r
+    got = {k: (r["n_intervals"], r["total_us"], r["twa_microcents"])
+           for k, r in last.items()}
+    want = {r["user_id"]: (r["n_intervals"], r["total_us"],
+                           r["twa_microcents"])
+            for r in QUERIES["twavg"]["fn"](spark, sf_dir).collect()}
+    assert got == want and got
+
+
+def test_state_agg_stream_matches_batch(spark, events_dir, sf_dir,
+                                        state_provider):
+    """The streaming LOCF time-in-state must reconstruct, from its
+    last emission per (user, state), EXACTLY the batch state_agg
+    rows — dwell microseconds, period counts, and integer
+    basis-point shares of each user's total tracked time."""
+    from lcmap_blackmagic_spark.registry import QUERIES
+    from lcmap_blackmagic_spark.streaming.jobs import state_agg_stream
+    stream = events_stream(spark, events_dir, max_files_per_trigger=1)
+    q = (state_agg_stream(stream).writeStream.format("memory")
+         .queryName("stagg_" + state_provider)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    emitted = spark.table("stagg_" + state_provider).collect()
+    last = {}          # (user, state) -> latest emission
+    user_total = {}    # user -> final total tracked time
+    for r in emitted:
+        k = (r["user_id"], r["event_type"])
+        if k not in last or r["n_periods"] > last[k]["n_periods"]:
+            last[k] = r
+        u = r["user_id"]
+        user_total[u] = max(user_total.get(u, 0), r["user_us"])
+    got = {k: (r["n_periods"], r["state_us"],
+               r["state_us"] * 10000 // user_total[k[0]])
+           for k, r in last.items()}
+    want = {(r["user_id"], r["event_type"]):
+            (r["n_periods"], r["state_us"], r["share_bp"])
+            for r in QUERIES["state_agg"]["fn"](spark, sf_dir).collect()}
+    assert got == want and got
