@@ -313,11 +313,88 @@ GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_snapshot_bloom(spark, sf_dir):
+    """Per-commit BLOOM SIDECARS under the gate: orders lands in 4
+    append commits HASH-split on o_custkey (custkey % 4 — every dir's
+    custkey [min, max] spans the whole key space, so manifest stats
+    cannot prune an id equality), each commit written with
+    ``bloom_cols=["o_custkey"]``.  A point read of a planned custkey
+    must scan a STRICT SUBSET of the commit dirs (asserted in-query —
+    the bloom finds the one hash bucket the key lives in), and a
+    probe past the key space must bloom-exclude essentially
+    everything; the oracle pins that pruning changed no answer.
+    Complements ``snapshot_zorder`` (range pruning on clustered
+    columns) with the id-lookup half of data skipping."""
+    from .registry import _staging
+    from .storage import read_snapshot, write_snapshot
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("cents"))
+    table = _staging(sf_dir, "bloom_orders")
+    for b in range(4):
+        write_snapshot(o.filter(F.col("o_custkey") % 4 == b), table,
+                       mode="append" if b else "overwrite",
+                       bloom_cols=["o_custkey"])
+    # planned probes (one tiny agg): the custkey of the smallest
+    # orderkey (definitely present), and one past the key space
+    row = o.agg(F.min("o_orderkey").alias("ok0"),
+                F.max("o_custkey").alias("mx")).collect()[0]
+    ck0 = o.filter(F.col("o_orderkey") == row["ok0"]) \
+           .agg(F.max("o_custkey")).collect()[0][0]
+    absent = row["mx"] + 1009
+
+    def probe(ck, step, max_dirs):
+        df = read_snapshot(spark, table, where=("o_custkey", "=", ck))
+        scanned = {f.split("/data/")[-1].split("/")[0]
+                   for f in df.inputFiles()}
+        if len(scanned) > max_dirs:
+            raise AssertionError(
+                f"bloom pruning ineffective for {step}: "
+                f"{len(scanned)} dirs scanned (cap {max_dirs})")
+        return (df.agg(F.count(F.lit(1)).alias("n_orders"),
+                       F.sum("cents").alias("sum_cents"),
+                       F.min("o_orderkey").alias("min_key"),
+                       F.max("o_orderkey").alias("max_key"))
+                .select(F.lit(step).alias("step"), "*"))
+
+    # present key: its hash bucket (+~0.8% fp per other dir); absent
+    # key: everything excluded up to the same fp allowance
+    return (probe(ck0, "present", max_dirs=2)
+            .unionByName(probe(absent, "absent", max_dirs=1))
+            .orderBy("step"))
+
+
+SQL_SNAPSHOT_BLOOM = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM orders),
+ck AS (SELECT MAX(o_custkey) AS v FROM o
+       WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM o)),
+absent AS (SELECT MAX(o_custkey) + 1009 AS v FROM o)
+SELECT 'absent' AS step, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+FROM o WHERE o_custkey = (SELECT v FROM absent)
+UNION ALL
+SELECT 'present', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(cents) AS BIGINT),
+       MIN(o_orderkey), MAX(o_orderkey)
+FROM o WHERE o_custkey = (SELECT v FROM ck)
+ORDER BY step
+"""
+
+
 QUERIES_EXT14: dict[str, dict] = {
     "snapshot_delete": {"fn": q_snapshot_delete,
                         "sql": SQL_SNAPSHOT_DELETE},
     "snapshot_zorder": {"fn": q_snapshot_zorder,
                         "sql": SQL_SNAPSHOT_ZORDER},
+    "snapshot_bloom":  {"fn": q_snapshot_bloom,
+                        "sql": SQL_SNAPSHOT_BLOOM},
     "llm_gopher_filter": {"fn": q_llm_gopher_filter,
                           "sql": _sql_llm_gopher_filter()},
     "twavg": {"fn": q_twavg, "sql": SQL_TWAVG},

@@ -355,6 +355,89 @@ def latest_version(table_dir: str) -> int | None:
 
 SNAP_STATS_MAX_COLS = 32   # Delta's dataSkippingNumIndexedCols default
 
+SNAP_BLOOM = "_bloom.json"
+
+
+def _snap_commit_bloom(spark: SparkSession, data_dir: str,
+                       cols: list[str],
+                       bits_per_key: int = 10) -> None:
+    """Per-COMMIT-DIR Bloom sidecar for point-lookup dir skipping on
+    HIGH-CARDINALITY columns the layout is not sorted by — manifest
+    min/max stats prune range predicates on clustered columns but are
+    useless for an id equality on a randomly-placed key (every dir's
+    [min, max] spans the id space).  One filter per column over the
+    whole dir, the ``write_with_bloom`` construction at dir
+    granularity: md5-derived positions (engine-portable), bitset
+    packed executor-side via bit_or word partials, the driver
+    collects m/8 bytes per column.  The sidecar lives INSIDE the
+    commit dir (a leading-underscore file — invisible to parquet
+    scans), so it is immutable with the dir, rides through manifest
+    carry-forward, and vanishes with vacuum; dirs written without one
+    (merge rewrites, compactions, old commits) simply never prune —
+    conservative by construction."""
+    import base64
+    import json
+
+    back = spark.read.parquet(data_dir)
+    n_rows = back.count()
+    m = max(64, int(bits_per_key * n_rows))
+    n_words = (m + 63) // 64
+    out = {}
+    for col in cols:
+        words = (back.filter(F.col(col).isNotNull())
+                 .select(F.explode(_bloom_positions(F.col(col), m))
+                         .alias("pos"))
+                 .groupBy(F.shiftright(F.col("pos"), 6).alias("w"))
+                 .agg(F.bit_or(F.expr(
+                     "shiftleft(CAST(1 AS BIGINT), pos % 64)"))
+                     .alias("bits"))
+                 .collect())
+        ws = [0] * n_words
+        for row in words:
+            ws[row["w"]] = row["bits"]
+        bits = bytearray((m + 7) // 8)
+        for wi, word in enumerate(ws):
+            bits[wi * 8:wi * 8 + 8] = (word & 0xFFFFFFFFFFFFFFFF
+                                       ).to_bytes(8, "little")
+        out[col] = {"m": m, "k": BLOOM_K,
+                    "bits": base64.b64encode(
+                        bytes(bits[:(m + 7) // 8])).decode("ascii")}
+    with open(os.path.join(data_dir, SNAP_BLOOM), "w") as fh:
+        json.dump(out, fh)
+
+
+def _snap_bloom_may_match(table_dir: str, d: str, col: str,
+                          value) -> bool:
+    """Probe one commit dir's Bloom sidecar for ``col = value``:
+    False ONLY when the sidecar proves the value absent.  Missing
+    sidecar / untracked column / non-int-str-bool probe value →
+    True (never prune on an unproven representation: the write side
+    hashes Spark's cast-to-string, which is guaranteed to agree with
+    Python's str() for ints, strings, and booleans only)."""
+    import base64
+    import hashlib
+    import json
+
+    p = os.path.join(table_dir, "data", d, SNAP_BLOOM)
+    if not os.path.exists(p):
+        return True
+    if isinstance(value, bool):
+        probe = "true" if value else "false"
+    elif isinstance(value, (int, str)):
+        probe = str(value)
+    else:
+        return True
+    with open(p) as fh:
+        sc = json.load(fh)
+    e = sc.get(col)
+    if e is None:
+        return True
+    m, bits = e["m"], base64.b64decode(e["bits"])
+    positions = [int(hashlib.md5(f"{i}:{probe}".encode())
+                     .hexdigest()[:12], 16) % m
+                 for i in range(e["k"])]
+    return all(bits[pos >> 3] & (1 << (pos & 7)) for pos in positions)
+
 
 def _snap_commit_stats(spark: SparkSession, data_dir: str) -> dict:
     """Per-commit column min/max for data skipping, computed from
@@ -385,7 +468,8 @@ def write_snapshot(df: DataFrame, table_dir: str,
                    mode: str = "overwrite",
                    tag: str | None = None,
                    dedupe_tag: bool = False,
-                   collect_stats: bool = True) -> int | None:
+                   collect_stats: bool = True,
+                   bloom_cols: list[str] | None = None) -> int | None:
     """Transactional snapshot write — the minimal table-format
     commit protocol (what Delta/Iceberg do under their logs),
     expressed with nothing but parquet + one JSON manifest:
@@ -416,7 +500,14 @@ def write_snapshot(df: DataFrame, table_dir: str,
     staged commit dir — and returns None instead of double-
     publishing the batch.  A check only BEFORE staging would be
     check-then-commit: the manifest link serializes version numbers,
-    not tags."""
+    not tags.
+
+    ``bloom_cols`` additionally writes a per-commit Bloom sidecar
+    over the named columns (``_snap_commit_bloom``): point (=) reads
+    through ``read_snapshot(where=)`` then skip commit dirs whose
+    filter proves the value absent — the id-lookup complement to the
+    min/max stats, for high-cardinality columns the layout is not
+    sorted by."""
     import json
     import shutil
     import uuid
@@ -430,6 +521,8 @@ def write_snapshot(df: DataFrame, table_dir: str,
     # once at write time from the files just written
     stats = (_snap_commit_stats(df.sparkSession, data_dir)
              if collect_stats else {})
+    if bloom_cols:
+        _snap_commit_bloom(df.sparkSession, data_dir, bloom_cols)
     mdir = os.path.join(table_dir, SNAP_MANIFESTS)
     os.makedirs(mdir, exist_ok=True)
     while True:
@@ -636,6 +729,15 @@ def read_snapshot(spark: SparkSession, table_dir: str,
         dirs = [d for d in dirs
                 if all(_snap_dir_may_match(st.get(d, {}), col, op, value)
                        for col, op, value in preds)]
+        # equality predicates additionally consult per-dir Bloom
+        # sidecars (written via bloom_cols): an unsorted id column
+        # whose [min, max] spans every dir still prunes to the dirs
+        # whose filter admits the value
+        eq = [(c, v) for c, op, v in preds if op in ("=", "==")]
+        if eq:
+            dirs = [d for d in dirs
+                    if all(_snap_bloom_may_match(table_dir, d, c, v)
+                           for c, v in eq)]
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", True)

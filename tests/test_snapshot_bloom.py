@@ -1,0 +1,144 @@
+"""Per-commit Bloom sidecars on snapshot tables: point (=) reads
+prune commit dirs on a HIGH-CARDINALITY, UNSORTED column where the
+manifest min/max stats cannot (every dir's range spans the id space),
+and the pruned read is row-identical to the unpruned one."""
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from lcmap_blackmagic_spark import storage
+
+
+def _ids(lo, n, stride):
+    """n ids spread across the WHOLE key space: min/max stats of every
+    commit overlap, so only the bloom can prune."""
+    return [lo + i * stride for i in range(n)]
+
+
+def _table(spark, n_commits=6, per=200, bloom=True):
+    t = tempfile.mkdtemp(prefix="sbloom_")
+    for c in range(n_commits):
+        ids = _ids(c, per, n_commits * 7919)
+        df = spark.createDataFrame(
+            [(i, f"p-{i}") for i in ids], "id long, payload string")
+        storage.write_snapshot(
+            df, t, mode="append" if c else "overwrite",
+            bloom_cols=["id"] if bloom else None)
+    return t
+
+
+def _scanned(df):
+    return {f.split("/data/")[-1].split("/")[0] for f in df.inputFiles()}
+
+
+def test_point_lookup_scans_dir_subset_and_matches_unpruned(spark):
+    t = _table(spark)
+    # a key from commit 3 (ids ≡ 3 mod stride's offset pattern)
+    probe = 3 + 5 * 6 * 7919
+    pruned = storage.read_snapshot(spark, t, where=("id", "=", probe))
+    unpruned = storage.read_snapshot(spark, t).filter(
+        F.col("id") == probe)
+    got = sorted(tuple(r) for r in pruned.collect())
+    want = sorted(tuple(r) for r in unpruned.collect())
+    assert got == want and len(got) == 1
+    n_dirs = 6
+    assert len(_scanned(pruned)) < n_dirs        # strict subset
+    assert len(_scanned(unpruned)) == n_dirs     # stats alone: no help
+    # absent key: every dir bloom-excluded (up to false positives),
+    # zero rows either way
+    missing = storage.read_snapshot(spark, t, where=("id", "=", -99))
+    assert missing.collect() == []
+    assert len(_scanned(missing)) <= 1           # fp allowance
+
+
+def test_blooms_survive_carry_forward_and_compose_with_stats(spark):
+    """Sidecars ride inside their commit dir through append
+    carry-forward; a range predicate still stats-prunes and an
+    equality on the bloomed column prunes FURTHER on the survivors."""
+    t = tempfile.mkdtemp(prefix="sbloom_")
+    # clustered on k (stats-prunable), random-ish id (bloom-prunable)
+    for c in range(4):
+        rows = [(c * 100 + j, (j * 7919 + c) % 100000, f"v{c}-{j}")
+                for j in range(100)]
+        storage.write_snapshot(
+            spark.createDataFrame(rows, "k long, id long, v string"),
+            t, mode="append" if c else "overwrite", bloom_cols=["id"])
+    probe_id = (7 * 7919 + 2) % 100000           # lives in commit 2
+    both = storage.read_snapshot(
+        spark, t, where=[("k", ">=", 200), ("id", "=", probe_id)])
+    rows = [(r["k"], r["id"], r["v"]) for r in both.collect()]
+    assert rows == [(207, probe_id, "v2-7")]
+    assert len(_scanned(both)) == 1
+    # dirs written WITHOUT a sidecar never prune (conservative)
+    storage.write_snapshot(
+        spark.createDataFrame([(999, probe_id, "dup")],
+                              "k long, id long, v string"),
+        t, mode="append")
+    again = storage.read_snapshot(spark, t, where=("id", "=", probe_id))
+    assert sorted((r["k"], r["v"]) for r in again.collect()) == \
+        [(207, "v2-7"), (999, "dup")]
+
+
+def test_bloom_composes_with_mor_deletes(spark):
+    """Equality deletes subtract AFTER pruning — a bloom-pruned point
+    read of a deleted key returns nothing, of a surviving key returns
+    exactly the MOR result."""
+    t = _table(spark, n_commits=3, per=50)
+    alive = 1 + 10 * 3 * 7919
+    dead = 2 + 10 * 3 * 7919
+    storage.delete_from_snapshot(
+        spark, t,
+        spark.createDataFrame([(dead,)], "id long"), "id")
+    assert storage.read_snapshot(
+        spark, t, where=("id", "=", dead)).collect() == []
+    hit = storage.read_snapshot(spark, t, where=("id", "=", alive))
+    assert [r["id"] for r in hit.collect()] == [alive]
+    assert len(_scanned(hit)) < 3 + 1   # data dirs pruned (+ key file)
+
+
+def test_string_and_float_probe_semantics(spark):
+    """String probes prune; float probes never prune (representation
+    not provably shared) but still filter correctly."""
+    t = tempfile.mkdtemp(prefix="sbloom_")
+    for c in range(3):
+        rows = [(f"user-{c}-{j}", float(c * 100 + j) + 0.5, c * 100 + j)
+                for j in range(50)]
+        storage.write_snapshot(
+            spark.createDataFrame(rows, "u string, x double, n long"),
+            t, mode="append" if c else "overwrite",
+            bloom_cols=["u", "x"])
+    hit = storage.read_snapshot(spark, t, where=("u", "=", "user-1-7"))
+    assert [r["n"] for r in hit.collect()] == [107]
+    assert len(_scanned(hit)) < 3
+    fx = storage.read_snapshot(spark, t, where=("x", "=", 107.5))
+    assert [r["n"] for r in fx.collect()] == [107]
+    # float probes never BLOOM-prune (representation not provably
+    # shared) — the helper admits every dir, even one the value is
+    # absent from (here x is clustered, so the dir subset above came
+    # from the min/max stats, not the bloom)
+    data = os.path.join(t, "data")
+    for d in os.listdir(data):
+        if d.startswith("c-"):
+            assert storage._snap_bloom_may_match(t, d, "x", 9999.25)
+
+
+def test_vacuum_reaps_sidecar_with_its_dir(spark):
+    """The sidecar lives inside the commit dir, so retention removes
+    both together — no orphaned index files."""
+    t = _table(spark, n_commits=2, per=20)
+    # overwrite: old dirs become unreferenced by latest
+    storage.write_snapshot(
+        spark.createDataFrame([(1, "z")], "id long, payload string"),
+        t, bloom_cols=["id"])
+    storage.vacuum_snapshots(t, keep=1, min_age_s=0.0)
+    data = os.path.join(t, "data")
+    for d in os.listdir(data):
+        if d.startswith("c-"):
+            assert os.path.exists(os.path.join(data, d))
+    # exactly one live dir remains, sidecar inside it
+    live = [d for d in os.listdir(data) if d.startswith("c-")]
+    assert len(live) == 1
+    assert os.path.exists(os.path.join(data, live[0],
+                                       storage.SNAP_BLOOM))
