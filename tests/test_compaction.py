@@ -252,3 +252,100 @@ def test_zorder_staging_cleaned_up_on_failure(spark, monkeypatch):
     assert set(e for e in entries
                if not e.startswith(".")) == _referenced_dirs(t)
     assert storage.latest_version(t) == 1
+
+
+def test_cdf_ranges_spanning_compaction_stay_multiset_exact(spark):
+    """25 seeded schedules of append / MOR-delete / OPTIMIZE-ZORDER
+    ops, with a pure-Python multiset model per version.  Invariants:
+
+    - compaction is CDF-NEUTRAL: the range (v_compact - 1, v_compact)
+      is an empty delta (same visible multiset, rewritten layout);
+    - a CDF range SPANNING a compaction replays exactly: applying the
+      delta's ±_n rows to the model's from-state reproduces the
+      to-state, multiset-exact — the property the fixed-schedule
+      pins in this file generalize to arbitrary interleavings.
+    """
+    import random
+    import tempfile
+    from collections import Counter
+
+    from lcmap_blackmagic_spark import storage
+
+    def apply_delta(state, delta_rows):
+        out = Counter(state)
+        for r in delta_rows:
+            key = (r["x"], r["y"], r["v"])
+            n = r["_n"]
+            if r["_change_type"] == "insert":
+                out[key] += n
+            else:
+                out[key] -= n
+                if out[key] == 0:
+                    del out[key]
+        return out
+
+    for seed in range(25):
+        rng = random.Random(1000 + seed)
+        t = tempfile.mkdtemp(prefix="cdfz_")
+        nxt = 0
+
+        def fresh_rows(n):
+            nonlocal nxt
+            rows = []
+            for _ in range(n):
+                v = nxt
+                nxt += 1
+                copies = 2 if rng.random() < 0.3 else 1
+                rows += [(rng.randrange(16), rng.randrange(16), v)
+                         ] * copies
+            return rows
+
+        rows = fresh_rows(4)
+        ver = storage.write_snapshot(
+            spark.createDataFrame(rows, "x long, y long, v long"), t)
+        states = {ver: Counter(rows)}
+        compactions = []
+        ops = [rng.choice(["append", "delete", "compact"])
+               for _ in range(5)]
+        if "compact" not in ops:
+            ops[rng.randrange(5)] = "compact"
+        for op in ops:
+            cur = states[max(states)]
+            if op == "append":
+                rows = fresh_rows(rng.randint(1, 3))
+                ver = storage.write_snapshot(
+                    spark.createDataFrame(rows,
+                                          "x long, y long, v long"),
+                    t, mode="append")
+                states[ver] = cur + Counter(rows)
+            elif op == "delete":
+                res = rng.randrange(3)
+                # live keys of a residue class + two FUTURE keys (the
+                # sequence-scoping trap: later appends must survive)
+                keys = sorted({v for _x, _y, v in cur if v % 3 == res}
+                              | {nxt, nxt + 1})
+                ver = storage.delete_from_snapshot(
+                    spark, t,
+                    spark.createDataFrame([(k,) for k in keys],
+                                          "v long"), "v")
+                states[ver] = Counter({k: n for k, n in cur.items()
+                                       if k[2] % 3 != res})
+            else:
+                ver = storage.compact_snapshot_zorder(
+                    spark, t, "x", "y", n_dirs=3)
+                states[ver] = Counter(cur)
+                compactions.append(ver)
+        # (a) compaction commits are CDF-neutral
+        for c in compactions:
+            assert storage.snapshot_changes(
+                spark, t, c - 1, c).collect() == [], (seed, c)
+        # (b) the full range (spans >=1 compaction) replays the model
+        lo, hi = min(states), max(states)
+        delta = storage.snapshot_changes(spark, t, lo, hi).collect()
+        assert apply_delta(states[lo], delta) == states[hi], seed
+        # (c) a random sub-range bracketing one compaction
+        c = rng.choice(compactions)
+        a = rng.randint(lo, c - 1) if c > lo else lo
+        b = rng.randint(c, hi)
+        delta = storage.snapshot_changes(spark, t, a, b).collect()
+        assert apply_delta(states[a], delta) == states[b], (seed, a, b)
