@@ -64,11 +64,14 @@ def pixel_timeseries(ard: DataFrame, side: int = 100,
                                     F.to_date(F.lit("0001-01-01"))) + 1)
              .select("cx", "cy", "band", "ordinal",
                      F.posexplode("data").alias("pos", "val"))
-             .withColumn("px", px).withColumn("py", py)
-             .dropDuplicates(["px", "py", "band", "ordinal"]))
+             .withColumn("px", px).withColumn("py", py))
+    # the pivot aggregate IS the duplicate-acquisition dedupe (merlin
+    # drops same-day re-acquisitions): min(val) is deterministic where
+    # a separate dropDuplicates-then-first was an arbitrary pick AND
+    # cost its own full shuffle of the exploded cells
     pivoted = (cells.groupBy("cx", "cy", "px", "py", "ordinal")
                .pivot("band", list(dict.fromkeys(ubid_bands.values())))
-               .agg(F.first("val")))
+               .agg(F.min("val")))
     per_pixel = (pivoted.groupBy("cx", "cy", "px", "py")
                  .agg(F.sort_array(F.collect_list(F.struct(
                      "ordinal", *SPECTRA, "qa"))).alias("obs")))
@@ -130,47 +133,150 @@ def stub_detector(dates: np.ndarray, bands: dict[str, np.ndarray],
     return [seg]
 
 
+def _iso_cache() -> dict:
+    return {1: "0001-01-01"}
+
+
+def _stub_batch_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized twin of ``stub_detector`` over a whole pixel GROUP:
+    the same exact-integer sums and the same left-associative float
+    expressions, evaluated elementwise across pixels (numpy int64
+    sums are exact here — every intermediate is < 2^53, so the int→
+    float conversions are exact and each elementwise division equals
+    the scalar path's correctly-rounded quotient; bit-equality with
+    the per-pixel path is pinned by the lcmap_segment_detect /
+    lcmap_detect_chip oracles and a direct A/B test).  Falls back to
+    the row loop when the group's series are ragged (per-pixel
+    lengths differ — possible under duplicate-day drops)."""
+    lens = {len(d) for d in pdf["dates"]}
+    if len(lens) != 1:
+        return _loop_group(pdf, stub_detector)
+    dates = np.stack(pdf["dates"].to_numpy()).astype(np.int64)
+    qas = np.stack(pdf["qas"].to_numpy())
+    clear = qas == QA_CLEAR
+    n = clear.sum(axis=1).astype(np.int64)
+    ok = n >= 12
+    x = np.where(clear, dates, 0)
+    sx = x.sum(1)
+    sxx = (x * x).sum(1)
+    big = np.iinfo(np.int64)
+    minx = np.where(clear, dates, big.max).min(1)
+    maxx = np.where(clear, dates, big.min).max(1)
+    P = len(pdf)
+    cache = _iso_cache()
+
+    def iso(arr):
+        out = []
+        for o, k in zip(arr, ok):
+            o = int(o) if k else 1
+            s = cache.get(o)
+            if s is None:
+                s = cache[o] = datetime.date.fromordinal(o).isoformat()
+            out.append(s)
+        return out
+
+    rec = {
+        "cx": pdf["cx"].to_numpy(), "cy": pdf["cy"].to_numpy(),
+        "px": pdf["px"].to_numpy(), "py": pdf["py"].to_numpy(),
+        "sday": iso(minx), "eday": iso(maxx), "bday": iso(maxx),
+        "chprob": np.zeros(P),
+        "curqa": np.where(ok, int(QA_CLEAR), 0).astype(np.int64),
+    }
+    zero = np.zeros(P)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for spec, short in SPEC_TO_SHORT.items():
+            band = np.stack(pdf[f"{spec}s"].to_numpy()).astype(np.int64)
+            y = np.where(clear, band, 0)
+            sy = y.sum(1)
+            syy = (y * y).sum(1)
+            sxy = (x * y).sum(1)
+            # identical op order to stub_detector — do not reorder
+            slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+            intercept = (sy - slope * sx) / n
+            ss = (syy - 2.0 * intercept * sy - 2.0 * slope * sxy
+                  + n * intercept * intercept
+                  + 2.0 * slope * intercept * sx
+                  + slope * slope * sxx)
+            # scalar path computes sqrt(ss / n) — mirror it exactly
+            # (the inner where guards keep masked lanes finite)
+            rmse = np.where(ss > 0,
+                            np.sqrt(np.where(ss > 0, ss, 1.0)
+                                    / np.where(n > 0, n, 1)), 0.0)
+            rec[f"{short}mag"] = zero
+            rec[f"{short}rmse"] = np.where(ok, rmse, 0.0)
+            rec[f"{short}int"] = np.where(ok, intercept, 0.0)
+            rec[f"{short}coef"] = [
+                [float(s)] + [0.0] * 6 if k else []
+                for s, k in zip(slope, ok)]
+    cols = [f.name for f in SEGMENTS.fields]
+    return pd.DataFrame(rec, columns=cols)
+
+
+def _loop_group(pdf: pd.DataFrame, detector: Callable) -> pd.DataFrame:
+    """Row-at-a-time group runner for PLUGGABLE detectors (PyCCD
+    adapter, contract fakes) and the ragged fallback."""
+    out = []
+    for row in pdf.itertuples(index=False):
+        dates = np.asarray(row.dates)
+        bands = {s: np.asarray(getattr(row, f"{s}s")) for s in SPECTRA}
+        qas = np.asarray(row.qas)
+        segs = detector(dates, bands, qas) or [{}]
+        for s in segs:
+            rec = {
+                "cx": row.cx, "cy": row.cy, "px": row.px, "py": row.py,
+                "sday": _iso(s.get("sday")), "eday": _iso(s.get("eday")),
+                "bday": _iso(s.get("bday")),
+                "chprob": float(s.get("chprob", 0.0)),
+                "curqa": int(s.get("curqa", 0)),
+            }
+            for spec, short in SPEC_TO_SHORT.items():
+                b = s.get(short, {})
+                rec[f"{short}mag"] = float(b.get("magnitude", 0.0))
+                rec[f"{short}rmse"] = float(b.get("rmse", 0.0))
+                rec[f"{short}int"] = float(b.get("intercept", 0.0))
+                rec[f"{short}coef"] = list(b.get("coefficients", []))
+            out.append(rec)
+    cols = [f.name for f in SEGMENTS.fields]
+    return pd.DataFrame(out, columns=cols)
+
+
+def _iso(ordinal):
+    # ordinal→ISO with the reference's default-1 sentinel
+    # (segment.py:68-70: missing dates default to ordinal 1).
+    return datetime.date.fromordinal(int(ordinal or 1)).isoformat()
+
+
+DETECT_GROUPS_PER_CHIP = 64
+
+
 def detect(timeseries: DataFrame,
            detector: Callable = stub_detector) -> DataFrame:
     """UD1: run the detector per pixel via applyInPandas. A pixel
     whose detector returns no models yields one default segment
-    (segment.py:52-53 defaults())."""
-    default_day = datetime.date(1, 1, 1).isoformat()
+    (segment.py:52-53 defaults()).
 
-    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for row in pdf.itertuples(index=False):
-            dates = np.asarray(row.dates)
-            bands = {s: np.asarray(getattr(row, f"{s}s")) for s in SPECTRA}
-            qas = np.asarray(row.qas)
-            segs = detector(dates, bands, qas) or [{}]
-            for s in segs:
-                rec = {
-                    "cx": row.cx, "cy": row.cy, "px": row.px, "py": row.py,
-                    "sday": _iso(s.get("sday")), "eday": _iso(s.get("eday")),
-                    "bday": _iso(s.get("bday")),
-                    "chprob": float(s.get("chprob", 0.0)),
-                    "curqa": int(s.get("curqa", 0)),
-                }
-                for spec, short in SPEC_TO_SHORT.items():
-                    b = s.get(short, {})
-                    rec[f"{short}mag"] = float(b.get("magnitude", 0.0))
-                    rec[f"{short}rmse"] = float(b.get("rmse", 0.0))
-                    rec[f"{short}int"] = float(b.get("intercept", 0.0))
-                    rec[f"{short}coef"] = list(b.get("coefficients", []))
-                out.append(rec)
-        cols = [f.name for f in SEGMENTS.fields]
-        return pd.DataFrame(out, columns=cols)
-
-    def _iso(ordinal):
-        # ordinal→ISO with the reference's default-1 sentinel
-        # (segment.py:68-70: missing dates default to ordinal 1).
-        return datetime.date.fromordinal(int(ordinal or 1)).isoformat()
+    Grouping is SALTED to ~DETECT_GROUPS_PER_CHIP pixel buckets per
+    chip rather than one group per pixel: pixels are independent, so
+    any grouping is correct, and 64 Arrow batches of ~156 pixels cost
+    four orders of magnitude fewer group-function invocations than
+    10,000 singletons while still parallelizing a SINGLE chip across
+    executors (the reference's Pool-per-chip shape, segment.py:
+    188-195, without its one-machine cap).  The default stub detector
+    runs a vectorized whole-group fast path (``_stub_batch_group``,
+    bit-equal by oracle); pluggable detectors run the row loop."""
+    if detector is stub_detector:
+        run_group = _stub_batch_group
+    else:
+        def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _loop_group(pdf, detector)
 
     from ..session import ensure_worker_imports
     ensure_worker_imports(timeseries.sparkSession)
-    return (timeseries
-            .groupBy("cx", "cy", "px", "py")
+    salted = timeseries.withColumn(
+        "__pg", F.pmod(F.xxhash64("px", "py"),
+                       F.lit(DETECT_GROUPS_PER_CHIP)))
+    return (salted
+            .groupBy("cx", "cy", "__pg")
             .applyInPandas(run_group, schema=SEGMENTS))
 
 
