@@ -135,20 +135,25 @@ def q_lcmap_tile_train(spark, sf_dir):
     DataFrame is the per-label statistics plus the sampled split
     sizes — the verifiable summary a training job reports.
     Rows-only: the fixtures are seeded numpy, not SQL-expressible."""
+    from .ml.train import train_model
     from .operators.sampling import stratified_sample, train_test_split
     from .operators.stats import label_statistics
-    from .plans.tile import tile_pipeline
     from .plans.training import training_data
     from .sources.fixtures import synth_aux, synth_segments
     segs = synth_segments(spark, side=100)
     aux = synth_aux(spark, side=100)
-    # the full pipeline (assembly → stats → sample → split → fit)
-    _model, stats = tile_pipeline(segs, aux, "2001-07-01",
-                                  target_samples=20_000,
-                                  class_min=50, class_max=4_000)
-    data = training_data(segs, aux, "2001-07-01")
+    # tile_pipeline's stages, shared instead of recomputed: assembly →
+    # stats → sample → split → fit (plans/tile.py:tile_pipeline
+    # verbatim; inlined so the summary below reuses the same frames)
+    # localCheckpoint: FOUR downstream actions consume the assembled
+    # matrix (stats, the sample, the fit's collect, the split counts) —
+    # without it Catalyst re-runs the segments⨝aux assembly per
+    # consumer.  ~20k rows × 69 features: sample-sized, not tile-sized.
+    data = training_data(segs, aux, "2001-07-01").localCheckpoint()
+    stats = label_statistics(data, "label")
     sample = stratified_sample(data, "label", 20_000, 50, 4_000, seed=42)
     train, test = train_test_split(sample, 0.2, seed=42)
+    train_model(train, test)                       # UD2: the fit
     splits = (train.agg(F.lit("train").alias("split"),
                         F.count(F.lit(1)).alias("n"))
               .unionByName(test.agg(F.lit("test").alias("split"),
