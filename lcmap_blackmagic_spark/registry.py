@@ -587,6 +587,7 @@ from .registry_ext11 import QUERIES_EXT11  # noqa: E402
 from .registry_ext12 import QUERIES_EXT12  # noqa: E402
 from .registry_ext13 import QUERIES_EXT13  # noqa: E402
 from .registry_ext14 import QUERIES_EXT14  # noqa: E402
+from .registry_ext15 import QUERIES_EXT15  # noqa: E402
 from .sql_catalog import QUERIES_SQL  # noqa: E402
 
 QUERIES.update(QUERIES_LLM)
@@ -607,6 +608,7 @@ QUERIES.update(QUERIES_EXT11)
 QUERIES.update(QUERIES_EXT12)
 QUERIES.update(QUERIES_EXT13)
 QUERIES.update(QUERIES_EXT14)
+QUERIES.update(QUERIES_EXT15)
 QUERIES.update(QUERIES_SQL)
 
 
