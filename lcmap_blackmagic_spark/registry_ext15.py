@@ -4,7 +4,10 @@ The round-9 ``llm_gopher_filter`` applies the quality half of the
 Gopher ruleset (Rae et al. 2021, Table A1: length / mean-word-length /
 stopwords / alpha / symbol ratios); this wave adds the REPETITION
 half — the "too much repeated content" signals a pre-training
-curation pass drops boilerplate and spam on:
+curation pass drops boilerplate and spam on (named llm_gopher_repetition: the
+registry's earlier ``llm_repetition`` is the 3-gram repeat-ratio
+profile in registry_ext3 — this entry is the composed Gopher-
+thresholded DECISION over 2- and 5-grams):
 
 - top 2-gram share: fraction of the document's tokens covered by its
   single most frequent word 2-gram (Gopher drops > 0.20);
@@ -125,6 +128,6 @@ FROM prof ORDER BY doc_id
 
 
 QUERIES_EXT15: dict[str, dict] = {
-    "llm_repetition": {"fn": q_llm_repetition,
-                       "sql": _sql_llm_repetition()},
+    "llm_gopher_repetition": {"fn": q_llm_repetition,
+                              "sql": _sql_llm_repetition()},
 }
