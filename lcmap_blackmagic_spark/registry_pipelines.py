@@ -173,14 +173,19 @@ def q_lcmap_predict_chip(spark, sf_dir):
     engine implements is prediction.py:331-345).  Broadcast model +
     Arrow-batched mapInPandas inference; defaults routed around the
     model exactly as ``lcmap_prediction`` does at probe scale."""
+    from .ml.train import train_model
+    from .operators.sampling import stratified_sample, train_test_split
     from .plans.prediction import prediction_pipeline
-    from .plans.tile import tile_pipeline
+    from .plans.training import training_data
     from .sources.fixtures import synth_aux, synth_segments
     segs = synth_segments(spark, side=100)
     aux = synth_aux(spark, side=100)
-    model, _ = tile_pipeline(segs, aux, "2001-07-01",
-                             target_samples=20_000,
-                             class_min=50, class_max=4_000)
+    # tile_pipeline's fit stages with the training matrix checkpointed
+    # once (sample + the fit's two collects re-ran the assembly)
+    data = training_data(segs, aux, "2001-07-01").localCheckpoint()
+    sample = stratified_sample(data, "label", 20_000, 50, 4_000, seed=42)
+    train, test = train_test_split(sample, 0.2, seed=42)
+    model = train_model(train, test)
     preds = prediction_pipeline(segs, aux, model, 7, 1)
     return preds.select("cx", "cy", "px", "py", "sday", "eday", "pday",
                         F.size("prob").alias("n_probs"))
