@@ -237,3 +237,52 @@ def test_cross_validation_spark_ml(spark, sf_dir):
     in_sample = evaluate(train_model(e, trainer="spark_ml"), e)
     mean_cv = sum(r["mlogloss"] for r in results) / 3
     assert mean_cv > in_sample
+
+
+def test_stub_batch_group_matches_loop_on_ragged_groups(spark):
+    """The vectorized stub-detector group runner must agree with the
+    row-loop path bit-for-bit — including its RAGGED fallback, where
+    per-pixel series lengths differ (possible when duplicate-day
+    acquisitions drop unevenly).  Spark-free: drives the two group
+    functions directly on handcrafted pandas groups."""
+    import numpy as np
+    import pandas as pd
+
+    from lcmap_blackmagic_spark.plans.segment import (SPECTRA,
+                                                      _loop_group,
+                                                      _stub_batch_group,
+                                                      stub_detector)
+    from lcmap_blackmagic_spark.sources.fixtures import (QA_CLEAR,
+                                                         QA_CLOUD)
+
+    rng = np.random.RandomState(7)
+
+    def pixel(n_obs, px, cloudy_frac=0.2):
+        dates = np.sort(rng.choice(np.arange(724276, 736000),
+                                   size=n_obs, replace=False))
+        qas = np.where(rng.rand(n_obs) < cloudy_frac, QA_CLOUD,
+                       QA_CLEAR)
+        row = {"cx": 0, "cy": 0, "px": px, "py": -30,
+               "dates": dates.astype("int32"),
+               "qas": qas.astype("int32")}
+        for s in SPECTRA:
+            row[f"{s}s"] = rng.randint(
+                400, 4000, size=n_obs).astype("int32")
+        return row
+
+    for label, lens in [("uniform", [40, 40, 40, 40]),
+                        ("ragged", [40, 39, 40, 12]),
+                        ("too-few-clear", [11, 40, 5, 40])]:
+        pdf = pd.DataFrame([pixel(n, 30 * i)
+                            for i, n in enumerate(lens)])
+        got = _stub_batch_group(pdf.copy())
+        want = _loop_group(pdf.copy(), stub_detector)
+        key = lambda df: df.sort_values("px").reset_index(drop=True)
+        g, w = key(got), key(want)
+        assert list(g.columns) == list(w.columns), label
+        for col in g.columns:
+            gv, wv = list(g[col]), list(w[col])
+            assert [list(x) if isinstance(x, (list, np.ndarray))
+                    else x for x in gv] == \
+                   [list(x) if isinstance(x, (list, np.ndarray))
+                    else x for x in wv], (label, col)
