@@ -10,9 +10,10 @@ Reference shape: merlin assembles 10,000 pixel time series per chip
 Spark shape:
 - A2 assembly: posexplode of the chip raster → (pixel, acquisition)
   rows → pivot bands → one shuffle keyed (px, py), sorted arrays.
-- UD1 detection: ``applyInPandas`` over (cx, cy, px, py) groups —
-  the Pool boundary becomes the executor task boundary; one chip is
-  one (or a few) partitions, a tile run is 2500 chips in one job.
+- UD1 detection: ``applyInPandas`` over salted (cx, cy, bucket)
+  groups (~64 per chip — see detect()) — the Pool boundary becomes
+  the executor task boundary; a single chip spreads across
+  executors, a tile run is 2500 chips in one job.
 - P1 projection: plain select; defaults handled by the detector
   contract (a pixel with no fitted model yields one default segment,
   sday=eday=bday=0001-01-01 — segment.py:52-53, 68-70).
