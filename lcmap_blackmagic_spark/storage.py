@@ -567,7 +567,9 @@ def write_snapshot(df: DataFrame, table_dir: str,
 
 # op -> (bounds test over [lo, hi], Column predicate) — ONE table
 # for both halves of data skipping, so the prune rule and the
-# residual filter cannot drift apart
+# residual filter cannot drift apart.  "in" takes a LIST/SET of
+# values: a dir survives if ANY value may match (an empty list
+# matches nothing — every dir prunes, the residual filter agrees).
 _SNAP_OPS = {
     "=":  (lambda lo, hi, v: lo <= v <= hi, lambda c, v: c == v),
     "==": (lambda lo, hi, v: lo <= v <= hi, lambda c, v: c == v),
@@ -575,6 +577,8 @@ _SNAP_OPS = {
     "<=": (lambda lo, hi, v: lo <= v,       lambda c, v: c <= v),
     ">":  (lambda lo, hi, v: hi > v,        lambda c, v: c > v),
     ">=": (lambda lo, hi, v: hi >= v,       lambda c, v: c >= v),
+    "in": (lambda lo, hi, v: any(lo <= x <= hi for x in v),
+           lambda c, v: c.isin(list(v))),
 }
 
 
@@ -595,7 +599,8 @@ def _snap_dir_may_match(stats: dict, col: str, op: str, value) -> bool:
     lo, hi = stats[col]
     if lo is None and hi is None:
         return False
-    for s in (lo, hi, value):
+    probes = list(value) if op == "in" else [value]
+    for s in (lo, hi, *probes):
         if isinstance(s, str) and not s.isascii():
             return True
         if isinstance(s, float) and s != s:      # NaN bound/probe
@@ -686,8 +691,11 @@ def read_snapshot(spark: SparkSession, table_dir: str,
     older commits read them as NULL — additive evolution only, the
     same contract Delta/Iceberg default to).
 
-    ``where=(col, op, value)`` with op in =,<,<=,>,>= is DATA
-    SKIPPING: commit dirs whose manifest min/max stats prove no row
+    ``where=(col, op, value)`` with op in =,<,<=,>,>=,in is DATA
+    SKIPPING (``in`` takes a list of values — the batched point
+    lookup a GDPR audit or id back-fill runs; a dir survives if any
+    value may match its stats/bloom): commit dirs whose manifest
+    min/max stats prove no row
     can match are dropped from the scan BEFORE Spark ever lists
     their files (Delta-style file skipping on the store's own
     manifest), and the predicate is then applied to the surviving
@@ -729,15 +737,17 @@ def read_snapshot(spark: SparkSession, table_dir: str,
         dirs = [d for d in dirs
                 if all(_snap_dir_may_match(st.get(d, {}), col, op, value)
                        for col, op, value in preds)]
-        # equality predicates additionally consult per-dir Bloom
-        # sidecars (written via bloom_cols): an unsorted id column
-        # whose [min, max] spans every dir still prunes to the dirs
-        # whose filter admits the value
-        eq = [(c, v) for c, op, v in preds if op in ("=", "==")]
+        # equality and IN-list predicates additionally consult
+        # per-dir Bloom sidecars (written via bloom_cols): an
+        # unsorted id column whose [min, max] spans every dir still
+        # prunes to the dirs whose filter admits some probed value
+        eq = ([(c, [v]) for c, op, v in preds if op in ("=", "==")]
+              + [(c, list(v)) for c, op, v in preds if op == "in"])
         if eq:
             dirs = [d for d in dirs
-                    if all(_snap_bloom_may_match(table_dir, d, c, v)
-                           for c, v in eq)]
+                    if all(any(_snap_bloom_may_match(table_dir, d, c, x)
+                               for x in vs) or not vs
+                           for c, vs in eq)]
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", True)
@@ -776,8 +786,9 @@ def read_snapshot(spark: SparkSession, table_dir: str,
         base = _apply_equality_deletes(spark, table_dir, man, base)
     if preds is not None:
         for col, op, value in preds:
-            base = base.filter(_SNAP_OPS[op][1](F.col(col),
-                                                F.lit(value)))
+            # raw value, not F.lit: comparisons auto-lit scalars, and
+            # "in" needs the Python list for Column.isin
+            base = base.filter(_SNAP_OPS[op][1](F.col(col), value))
     return base
 
 

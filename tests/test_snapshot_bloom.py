@@ -142,3 +142,41 @@ def test_vacuum_reaps_sidecar_with_its_dir(spark):
     assert len(live) == 1
     assert os.path.exists(os.path.join(data, live[0],
                                        storage.SNAP_BLOOM))
+
+
+def test_in_list_predicate_prunes_stats_and_bloom(spark):
+    """where=("id", "in", [...]) — the batched point lookup: stats
+    prune dirs no listed value can reach, blooms prune the rest, and
+    the result is row-identical to the unpruned isin filter."""
+    t = _table(spark, n_commits=6, per=200)
+    probes = [0, 3 + 5 * 6 * 7919, -42]        # commits 0 and 3 + miss
+    got = storage.read_snapshot(spark, t, where=("id", "in", probes))
+    want = storage.read_snapshot(spark, t).filter(
+        F.col("id").isin(probes))
+    assert sorted(tuple(r) for r in got.collect()) == \
+        sorted(tuple(r) for r in want.collect())
+    assert got.count() == 2
+    assert 0 < len(_scanned(got)) < 6          # strict dir subset
+    # empty IN-list: zero rows, zero (or trivially few) dirs listed
+    empty = storage.read_snapshot(spark, t, where=("id", "in", []))
+    assert empty.collect() == []
+    # composes with a second predicate
+    both = storage.read_snapshot(
+        spark, t, where=[("id", "in", probes), ("id", ">", 0)])
+    assert [r["id"] for r in both.collect()] == [probes[1]]
+
+
+def test_in_list_stats_pruning_without_blooms(spark):
+    """On a clustered table WITHOUT sidecars, IN-list pruning rides
+    the min/max stats alone."""
+    import tempfile
+
+    t = tempfile.mkdtemp(prefix="sbloomin_")
+    for c in range(4):
+        rows = [(c * 100 + j, f"v{c}-{j}") for j in range(100)]
+        storage.write_snapshot(
+            spark.createDataFrame(rows, "k long, v string"), t,
+            mode="append" if c else "overwrite")
+    got = storage.read_snapshot(spark, t, where=("k", "in", [7, 205]))
+    assert sorted(r["k"] for r in got.collect()) == [7, 205]
+    assert len(_scanned(got)) == 2             # the two hosting dirs
