@@ -355,6 +355,11 @@ def latest_version(table_dir: str) -> int | None:
 
 SNAP_STATS_MAX_COLS = 32   # Delta's dataSkippingNumIndexedCols default
 
+# Max distinct keys routed through an IN-list skip predicate (exact
+# per-value stats + bloom pruning) before falling back to [min, max]
+# bounds — isin past ~1k values bloats the expression for no gain.
+SNAP_IN_PRUNE_CAP = 1024
+
 SNAP_BLOOM = "_bloom.json"
 
 
@@ -1107,24 +1112,36 @@ def snapshot_changes(spark: SparkSession, table_dir: str,
         where = None
         if len(groups) == 1:
             # single key tuple (the GDPR shape): bound the pinned MOR
-            # scan by the delete keys' [min, max] so manifest stats
-            # prune the base read to the dirs that can hold a deleted
-            # key — on a key-clustered table the delta costs a dir
-            # SUBSET, not a table scan.  Multi-group ranges keep the
+            # scan by the delete keys so manifest pruning cuts the
+            # base read to the dirs that can hold a deleted key — on
+            # a key-clustered table the delta costs a dir SUBSET, not
+            # a table scan.  A small SINGLE-column key set rides an
+            # IN-list predicate (exact per-value stats AND bloom-
+            # sidecar pruning); larger or composite keys fall back to
+            # [min, max] bounds.  Multi-group ranges keep the
             # unpruned read (a row may match a later group's keys
             # outside the first group's bounds).
             (g_keys, g_specs), = groups.items()
             kd = spark.read.parquet(
                 *[os.path.join(table_dir, "data", e["dir"])
                   for e in g_specs])
-            b = kd.agg(*[f for k in g_keys
-                         for f in (F.min(k).alias(f"__lo_{k}"),
-                                   F.max(k).alias(f"__hi_{k}"))]) \
-                .collect()[0]
-            where = [p for k in g_keys
-                     if b[f"__lo_{k}"] is not None
-                     for p in ((k, ">=", b[f"__lo_{k}"]),
-                               (k, "<=", b[f"__hi_{k}"]))]
+            where = None
+            if len(g_keys) == 1:
+                k = g_keys[0]
+                vals = [r[0] for r in kd.select(k).distinct()
+                        .limit(SNAP_IN_PRUNE_CAP + 1).collect()]
+                if 0 < len(vals) <= SNAP_IN_PRUNE_CAP \
+                        and all(v is not None for v in vals):
+                    where = [(k, "in", vals)]
+            if where is None:
+                b = kd.agg(*[f for k in g_keys
+                             for f in (F.min(k).alias(f"__lo_{k}"),
+                                       F.max(k).alias(f"__hi_{k}"))]) \
+                    .collect()[0]
+                where = [p for k in g_keys
+                         if b[f"__lo_{k}"] is not None
+                         for p in ((k, ">=", b[f"__lo_{k}"]),
+                                   (k, "<=", b[f"__hi_{k}"]))]
         base = read_snapshot(spark, table_dir, version=v_from,
                              merge_schema=True, where=where or None)
         matched, rest = None, base

@@ -253,3 +253,26 @@ def test_delete_fast_path_prunes_base_scan_by_key_bounds(spark):
     assert _got(ch2) == [(12, "v12", "delete", 1),
                          (17, "v17", "delete", 1),
                          (25, "v25", "delete", 1)]
+
+
+def test_delete_fast_path_bloom_prunes_unsorted_table(spark):
+    """With bloom sidecars on an UNSORTED (hash-split) table, the
+    delete fast path's IN-list predicate prunes the base scan to the
+    dirs whose filters admit a deleted key — min/max stats alone
+    could not (every dir spans the key space)."""
+    t = tempfile.mkdtemp(prefix="scdfb_")
+    for b in range(4):
+        rows = [(k, f"v{k}") for k in range(400) if k % 4 == b]
+        storage.write_snapshot(
+            _batch(spark, rows), t, mode="append" if b else "overwrite",
+            bloom_cols=["k"])
+    # two keys from hash bucket 1
+    keys = spark.createDataFrame([(5,), (9,)], "k long")
+    storage.delete_from_snapshot(spark, t, keys, "k")
+    ch = storage.snapshot_changes(spark, t, 4, 5)
+    assert _got(ch) == [(5, "v5", "delete", 1), (9, "v9", "delete", 1)]
+    with open(os.path.join(t, storage.SNAP_MANIFESTS, "v4.json")) as fh:
+        data_dirs = set(json.load(fh)["dirs"])
+    scanned = {f.split("/data/")[1].split("/")[0]
+               for f in ch.inputFiles() if "/data/" in f}
+    assert len(scanned & data_dirs) == 1       # bloom found the bucket
