@@ -825,7 +825,9 @@ def _committed_tags(table_dir: str) -> set[str]:
 
 def write_snapshot_tagged(df: DataFrame, table_dir: str, tag: str,
                           mode: str = "append",
-                          collect_stats: bool = True) -> int | None:
+                          collect_stats: bool = True,
+                          bloom_cols: list[str] | None = None
+                          ) -> int | None:
     """Replay-safe snapshot commit for streaming ``foreachBatch``
     sinks: ``tag`` (e.g. ``batch-{batch_id}``) is recorded IN the
     atomically published manifest, and a commit whose tag already
@@ -848,7 +850,8 @@ def write_snapshot_tagged(df: DataFrame, table_dir: str, tag: str,
     if tag in _committed_tags(table_dir):
         return None
     return write_snapshot(df, table_dir, mode=mode, tag=tag,
-                          dedupe_tag=True, collect_stats=collect_stats)
+                          dedupe_tag=True, collect_stats=collect_stats,
+                          bloom_cols=bloom_cols)
 
 
 def compact_snapshot_zorder(spark: SparkSession, table_dir: str,

@@ -180,3 +180,23 @@ def test_in_list_stats_pruning_without_blooms(spark):
     got = storage.read_snapshot(spark, t, where=("k", "in", [7, 205]))
     assert sorted(r["k"] for r in got.collect()) == [7, 205]
     assert len(_scanned(got)) == 2             # the two hosting dirs
+
+
+def test_tagged_streaming_commits_carry_blooms(spark):
+    """A foreachBatch sink writing via write_snapshot_tagged(
+    bloom_cols=) gets per-commit sidecars like any other commit —
+    and a replayed tag still no-ops (no stray sidecar writes)."""
+    t = tempfile.mkdtemp(prefix="sbloomtag_")
+    for b in range(3):
+        v = storage.write_snapshot_tagged(
+            spark.createDataFrame(
+                [(k, f"b{b}") for k in range(b, 300, 3)],
+                "id long, src string"),
+            t, tag=f"batch-{b}", bloom_cols=["id"])
+        assert v == b + 1
+    assert storage.write_snapshot_tagged(
+        spark.createDataFrame([(999, "dup")], "id long, src string"),
+        t, tag="batch-1", bloom_cols=["id"]) is None
+    hit = storage.read_snapshot(spark, t, where=("id", "=", 7))
+    assert [(r["id"], r["src"]) for r in hit.collect()] == [(7, "b1")]
+    assert len(_scanned(hit)) < 3
