@@ -339,6 +339,42 @@ def read_bloom_pruned(spark: SparkSession, out_dir: str,
 SNAP_MANIFESTS = "_manifests"
 
 
+def _commit_ts() -> float:
+    """Wall-clock commit timestamp stamped into every manifest —
+    what TIMESTAMP AS OF resolves against.  Single-writer wall clock,
+    the same contract Delta's timestamp travel has: a skewed clock
+    skews resolution, never correctness of a pinned-version read."""
+    import time
+    return round(time.time(), 3)
+
+
+def version_as_of(table_dir: str, ts) -> int:
+    """Resolve TIMESTAMP AS OF: the LATEST version whose manifest
+    commit time is <= ``ts`` (float epoch seconds, datetime, or ISO
+    string).  Manifests written before timestamps existed count as
+    arbitrarily old (they provably predate the feature, hence any
+    queried instant of interest).  Raises when every surviving
+    version is newer than ``ts`` — same contract as reading a
+    vacuumed version: loud, never silently-latest."""
+    import datetime as _dt
+    import json
+    if isinstance(ts, str):
+        ts = _dt.datetime.fromisoformat(ts).timestamp()
+    elif isinstance(ts, _dt.datetime):
+        ts = ts.timestamp()
+    best = None
+    for v in _snap_versions(table_dir):
+        with open(os.path.join(table_dir, SNAP_MANIFESTS,
+                               f"v{v}.json")) as fh:
+            mts = json.load(fh).get("ts")
+        if mts is None or mts <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no snapshot of {table_dir} at or before {ts}")
+    return best
+
+
 def _snap_versions(table_dir: str) -> list[int]:
     import re
     mdir = os.path.join(table_dir, SNAP_MANIFESTS)
@@ -553,7 +589,7 @@ def write_snapshot(df: DataFrame, table_dir: str,
             seq = {**prior.get("seq", {}), **seq}
             deletes = _live_deletes(prior.get("deletes", []), dirs, seq)
         man = {"version": version, "mode": mode, "dirs": dirs,
-               "stats": all_stats, "seq": seq}
+               "stats": all_stats, "seq": seq, "ts": _commit_ts()}
         if deletes:
             man["deletes"] = deletes
         if tag is not None:
@@ -687,7 +723,8 @@ def _apply_equality_deletes(spark: SparkSession, table_dir: str,
 def read_snapshot(spark: SparkSession, table_dir: str,
                   version: int | None = None,
                   merge_schema: bool = False,
-                  where: tuple | None = None) -> DataFrame:
+                  where: tuple | None = None,
+                  as_of=None) -> DataFrame:
     """Read a pinned snapshot version (default: latest). The
     returned plan lists exactly the manifest's commit dirs, so later
     commits — even overwrites — cannot change what this DataFrame
@@ -721,9 +758,18 @@ def read_snapshot(spark: SparkSession, table_dir: str,
     ``where`` also accepts a LIST of (col, op, value) triples,
     AND-combined: a dir survives only if every predicate may match
     it — the two-column point read a z-ordered layout
-    (``compact_snapshot_zorder``) exists for."""
+    (``compact_snapshot_zorder``) exists for.
+
+    ``as_of`` (float epoch seconds, datetime, or ISO string) is
+    TIMESTAMP AS OF travel: the read pins the latest version whose
+    manifest commit time is at or before the instant
+    (``version_as_of``) — mutually exclusive with ``version``."""
     import json
 
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of, not both")
+        version = version_as_of(table_dir, as_of)
     if version is None:
         version = latest_version(table_dir)
         if version is None:
@@ -960,7 +1006,8 @@ def compact_snapshot_zorder(spark: SparkSession, table_dir: str,
                     f"v{vs[-1]}); z-order rewrite computed against "
                     f"v{version} aborted")
         man = {"version": new_v, "mode": "overwrite", "dirs": dirs,
-               "stats": stats, "seq": {d: new_v for d in dirs}}
+               "stats": stats, "seq": {d: new_v for d in dirs},
+               "ts": _commit_ts()}
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex[:12]}")
         with open(tmp, "w") as fh:
             json.dump(man, fh)
@@ -1358,6 +1405,7 @@ def merge_into_snapshot(spark: SparkSession, table_dir: str,
     stats = _snap_commit_stats(spark, data_dir)
     prior_seq = man.get("seq", {})
     new_man = {"version": version + 1, "mode": "merge",
+               "ts": _commit_ts(),
                "dirs": carried + [commit],
                "stats": {**{d: st[d] for d in carried if d in st},
                          commit: stats},
@@ -1460,6 +1508,7 @@ def delete_from_snapshot(spark: SparkSession, table_dir: str,
         with open(os.path.join(mdir, f"v{vs[-1]}.json")) as fh:
             prior = json.load(fh)
         man = {"version": version, "mode": "delete",
+               "ts": _commit_ts(),
                "dirs": prior["dirs"], "stats": prior.get("stats", {}),
                "seq": prior.get("seq", {}),
                "deletes": _live_deletes(prior.get("deletes", []),

@@ -435,3 +435,52 @@ def test_data_skipping_random_commits_and_predicates(spark):
         got = norm(tuple(r) for r in pruned.select(*cols).collect())
         want = norm(tuple(r) for r in want_df.select(*cols).collect())
         assert got == want, f"seed {seed}: {col} {op} {value}"
+
+
+def test_timestamp_as_of_travel(spark):
+    """TIMESTAMP AS OF: commits are wall-clock stamped in their
+    manifests; read_snapshot(as_of=) pins the latest version at or
+    before the instant, across every write path (overwrite, append,
+    MOR delete), and is loud when the instant predates the table."""
+    import datetime
+    import time
+
+    import pytest
+
+    t = tempfile.mkdtemp(prefix="snap_asof_")
+    df = lambda vals: spark.createDataFrame([(v,) for v in vals],
+                                            "v long")
+    before_any = time.time()
+    time.sleep(0.05)
+    storage.write_snapshot(df([1, 2]), t)                      # v1
+    time.sleep(0.05)
+    t1 = time.time()
+    time.sleep(0.05)
+    storage.write_snapshot(df([3]), t, mode="append")          # v2
+    time.sleep(0.05)
+    t2 = time.time()
+    time.sleep(0.05)
+    storage.delete_from_snapshot(spark, t, df([1]), "v")       # v3
+    time.sleep(0.05)
+
+    assert _vals(storage.read_snapshot(spark, t, as_of=t1)) == [1, 2]
+    assert _vals(storage.read_snapshot(spark, t, as_of=t2)) == [1, 2, 3]
+    assert _vals(storage.read_snapshot(spark, t,
+                                       as_of=time.time())) == [2, 3]
+    # datetime and ISO spellings resolve identically
+    assert storage.version_as_of(
+        t, datetime.datetime.fromtimestamp(t2)) == 2
+    assert storage.version_as_of(
+        t, datetime.datetime.fromtimestamp(t2).isoformat()) == 2
+    with pytest.raises(ValueError, match="at or before"):
+        storage.read_snapshot(spark, t, as_of=before_any)
+    with pytest.raises(ValueError, match="not both"):
+        storage.read_snapshot(spark, t, version=1, as_of=t1)
+    # a pre-feature manifest (no ts) counts as arbitrarily old
+    import json
+    import os
+    p = os.path.join(t, storage.SNAP_MANIFESTS, "v1.json")
+    man = json.load(open(p))
+    del man["ts"]
+    json.dump(man, open(p, "w"))
+    assert storage.version_as_of(t, before_any) == 1
