@@ -339,6 +339,91 @@ def read_bloom_pruned(spark: SparkSession, out_dir: str,
 SNAP_MANIFESTS = "_manifests"
 
 
+SNAP_CONSTRAINTS = "_constraints.json"
+
+
+class SnapshotConstraintViolation(ValueError):
+    """A commit's rows violate a table CHECK constraint — the commit
+    is refused before any data lands (the no-partial-writes contract
+    extended to data QUALITY, Delta's CHECK/NOT NULL shape).  The
+    message carries per-constraint violation counts and up to three
+    example rows per violated constraint."""
+
+
+def set_snapshot_constraint(table_dir: str, name: str,
+                            expr: str) -> None:
+    """Register a CHECK constraint on a snapshot table: ``expr`` is a
+    Spark SQL boolean over the table's columns that every row of
+    every FUTURE commit must satisfy (rows where it is false OR NULL
+    violate — stricter than the SQL-standard null-passes rule, the
+    right default for a data contract; spell nullable columns
+    explicitly, e.g. ``v IS NULL OR v > 0``).  Existing data is not
+    re-validated (as in Delta, adding a constraint is cheap; backfill
+    checks are a read-side query)."""
+    import json
+    os.makedirs(table_dir, exist_ok=True)
+    p = os.path.join(table_dir, SNAP_CONSTRAINTS)
+    cons = {}
+    if os.path.exists(p):
+        with open(p) as fh:
+            cons = json.load(fh)
+    cons[name] = expr
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(cons, fh)
+    os.replace(tmp, p)
+
+
+def drop_snapshot_constraint(table_dir: str, name: str) -> bool:
+    import json
+    p = os.path.join(table_dir, SNAP_CONSTRAINTS)
+    if not os.path.exists(p):
+        return False
+    with open(p) as fh:
+        cons = json.load(fh)
+    if name not in cons:
+        return False
+    del cons[name]
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(cons, fh)
+    os.replace(tmp, p)
+    return True
+
+
+def snapshot_constraints(table_dir: str) -> dict[str, str]:
+    import json
+    p = os.path.join(table_dir, SNAP_CONSTRAINTS)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _validate_constraints(df: DataFrame, table_dir: str) -> None:
+    """One aggregate pass over the commit's rows: count violations of
+    every registered constraint at once; refuse the commit (loudly,
+    with examples) if any row fails any check.  Tables without a
+    constraints file cost one os.path.exists."""
+    cons = snapshot_constraints(table_dir)
+    if not cons:
+        return
+    names = list(cons)
+    viol = [F.sum(F.when(~F.coalesce(F.expr(cons[n]), F.lit(False)),
+                         1).otherwise(0)).alias(n) for n in names]
+    row = df.agg(*viol).collect()[0]
+    bad = {n: int(row[n] or 0) for n in names if row[n]}
+    if not bad:
+        return
+    examples = {}
+    for n in bad:
+        examples[n] = [tuple(r) for r in df.filter(
+            ~F.coalesce(F.expr(cons[n]), F.lit(False))).take(3)]
+    raise SnapshotConstraintViolation(
+        f"commit to {table_dir} violates CHECK constraints "
+        f"{bad} (counts); examples: {examples}")
+
+
 def _commit_ts() -> float:
     """Wall-clock commit timestamp stamped into every manifest —
     what TIMESTAMP AS OF resolves against.  Single-writer wall clock,
@@ -555,6 +640,7 @@ def write_snapshot(df: DataFrame, table_dir: str,
 
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unknown snapshot mode {mode!r}")
+    _validate_constraints(df, table_dir)
     commit = f"c-{uuid.uuid4().hex[:12]}"
     data_dir = os.path.join(table_dir, "data", commit)
     df.write.mode("error").parquet(data_dir)
@@ -1399,6 +1485,10 @@ def merge_into_snapshot(spark: SparkSession, table_dir: str,
         target = read_snapshot(spark, table_dir, version=version,
                                merge_schema=True).limit(0)
     merged = merge_into(target, source, key, op_col=op_col)
+    # the merged REWRITE must honor the table's CHECK constraints too
+    # (an upsert can introduce violating values the append path would
+    # have refused)
+    _validate_constraints(merged, table_dir)
     commit = f"c-{uuid.uuid4().hex[:12]}"
     data_dir = os.path.join(table_dir, "data", commit)
     merged.write.mode("error").parquet(data_dir)
