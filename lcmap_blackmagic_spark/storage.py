@@ -400,28 +400,71 @@ def snapshot_constraints(table_dir: str) -> dict[str, str]:
         return json.load(fh)
 
 
-def _validate_constraints(df: DataFrame, table_dir: str) -> None:
-    """One aggregate pass over the commit's rows: count violations of
-    every registered constraint at once; refuse the commit (loudly,
-    with examples) if any row fails any check.  Tables without a
-    constraints file cost one os.path.exists."""
+SNAP_QUARANTINE = "_quarantine"
+
+
+def _violations_col(cons: dict[str, str]):
+    """Array of the constraint names each row violates (false-or-NULL
+    evaluation violates)."""
+    return F.array_compact(F.array(*[
+        F.when(~F.coalesce(F.expr(expr), F.lit(False)), F.lit(name))
+        for name, expr in cons.items()]))
+
+
+def _validate_constraints(df: DataFrame, table_dir: str,
+                          on_violation: str = "fail") -> DataFrame:
+    """Enforce the table's CHECK constraints on a commit's rows —
+    the three expectation policies of production quality gates:
+
+    - ``fail`` (default): ONE aggregate pass counts violations of
+      every constraint at once; any violation refuses the whole
+      commit (loudly, with per-constraint counts and example rows).
+    - ``drop``: violating rows are silently filtered out of the
+      commit; the survivors land.
+    - ``quarantine``: like drop, but the violating rows are ALSO
+      appended — with a ``__violated`` array column naming the failed
+      constraints — to the table's quarantine snapshot table
+      (``<table>/_quarantine``, itself time-travelable), for triage
+      and replay.  The quarantine append publishes before the main
+      commit, so a crash between the two can duplicate quarantined
+      rows but never lose them (at-least-once on the dead-letter
+      side, exactly-once on the table — the standard DLQ trade).
+
+    Returns the (possibly filtered) DataFrame to commit.  Tables
+    without a constraints file cost one os.path.exists."""
     cons = snapshot_constraints(table_dir)
     if not cons:
-        return
-    names = list(cons)
-    viol = [F.sum(F.when(~F.coalesce(F.expr(cons[n]), F.lit(False)),
-                         1).otherwise(0)).alias(n) for n in names]
-    row = df.agg(*viol).collect()[0]
-    bad = {n: int(row[n] or 0) for n in names if row[n]}
-    if not bad:
-        return
-    examples = {}
-    for n in bad:
-        examples[n] = [tuple(r) for r in df.filter(
-            ~F.coalesce(F.expr(cons[n]), F.lit(False))).take(3)]
-    raise SnapshotConstraintViolation(
-        f"commit to {table_dir} violates CHECK constraints "
-        f"{bad} (counts); examples: {examples}")
+        return df
+    if on_violation not in ("fail", "drop", "quarantine"):
+        raise ValueError(f"unknown on_violation {on_violation!r}")
+    if on_violation == "fail":
+        names = list(cons)
+        viol = [F.sum(F.when(~F.coalesce(F.expr(cons[n]),
+                                         F.lit(False)),
+                             1).otherwise(0)).alias(n) for n in names]
+        row = df.agg(*viol).collect()[0]
+        bad = {n: int(row[n] or 0) for n in names if row[n]}
+        if not bad:
+            return df
+        examples = {}
+        for n in bad:
+            examples[n] = [tuple(r) for r in df.filter(
+                ~F.coalesce(F.expr(cons[n]), F.lit(False))).take(3)]
+        raise SnapshotConstraintViolation(
+            f"commit to {table_dir} violates CHECK constraints "
+            f"{bad} (counts); examples: {examples}")
+    flagged = df.withColumn("__violated", _violations_col(cons))
+    if on_violation == "quarantine":
+        dead = flagged.filter(F.size("__violated") > 0)
+        if not dead.isEmpty():
+            write_snapshot(dead, os.path.join(table_dir,
+                                              SNAP_QUARANTINE),
+                           mode="append" if latest_version(
+                               os.path.join(table_dir,
+                                            SNAP_QUARANTINE))
+                           else "overwrite")
+    return (flagged.filter(F.size("__violated") == 0)
+            .drop("__violated"))
 
 
 def _commit_ts() -> float:
@@ -595,7 +638,8 @@ def write_snapshot(df: DataFrame, table_dir: str,
                    tag: str | None = None,
                    dedupe_tag: bool = False,
                    collect_stats: bool = True,
-                   bloom_cols: list[str] | None = None) -> int | None:
+                   bloom_cols: list[str] | None = None,
+                   on_violation: str = "fail") -> int | None:
     """Transactional snapshot write — the minimal table-format
     commit protocol (what Delta/Iceberg do under their logs),
     expressed with nothing but parquet + one JSON manifest:
@@ -628,6 +672,12 @@ def write_snapshot(df: DataFrame, table_dir: str,
     check-then-commit: the manifest link serializes version numbers,
     not tags.
 
+    ``on_violation`` selects the CHECK-constraint policy when the
+    table has registered constraints: ``fail`` (refuse the commit —
+    default), ``drop`` (filter violating rows), or ``quarantine``
+    (drop + dead-letter them to ``<table>/_quarantine`` with a
+    ``__violated`` column) — see ``_validate_constraints``.
+
     ``bloom_cols`` additionally writes a per-commit Bloom sidecar
     over the named columns (``_snap_commit_bloom``): point (=) reads
     through ``read_snapshot(where=)`` then skip commit dirs whose
@@ -640,7 +690,7 @@ def write_snapshot(df: DataFrame, table_dir: str,
 
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unknown snapshot mode {mode!r}")
-    _validate_constraints(df, table_dir)
+    df = _validate_constraints(df, table_dir, on_violation)
     commit = f"c-{uuid.uuid4().hex[:12]}"
     data_dir = os.path.join(table_dir, "data", commit)
     df.write.mode("error").parquet(data_dir)
@@ -1487,8 +1537,9 @@ def merge_into_snapshot(spark: SparkSession, table_dir: str,
     merged = merge_into(target, source, key, op_col=op_col)
     # the merged REWRITE must honor the table's CHECK constraints too
     # (an upsert can introduce violating values the append path would
-    # have refused)
-    _validate_constraints(merged, table_dir)
+    # have refused); MERGE is always fail-policy — dropping rows from
+    # a rewrite would silently delete pre-existing data
+    merged = _validate_constraints(merged, table_dir)
     commit = f"c-{uuid.uuid4().hex[:12]}"
     data_dir = os.path.join(table_dir, "data", commit)
     merged.write.mode("error").parquet(data_dir)

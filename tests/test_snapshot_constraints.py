@@ -81,3 +81,53 @@ def test_constraint_lifecycle_and_introspection(spark):
     # tables WITHOUT constraints skip validation entirely (no file)
     t2 = tempfile.mkdtemp(prefix="scons_")
     assert storage.write_snapshot(_df(spark, [(1, -1)]), t2) == 1
+
+
+def test_drop_policy_filters_violators(spark):
+    t = tempfile.mkdtemp(prefix="scons_")
+    storage.set_snapshot_constraint(t, "v_pos", "v > 0")
+    v = storage.write_snapshot(
+        _df(spark, [(1, 10), (2, -2), (3, 30), (4, None)]), t,
+        on_violation="drop")
+    assert v == 1
+    assert sorted((r["k"], r["v"]) for r in
+                  storage.read_snapshot(spark, t).collect()) == \
+        [(1, 10), (3, 30)]
+
+
+def test_quarantine_policy_dead_letters_with_reasons(spark):
+    import os
+
+    t = tempfile.mkdtemp(prefix="scons_")
+    storage.set_snapshot_constraint(t, "v_pos", "v > 0")
+    storage.set_snapshot_constraint(t, "k_small", "k < 100")
+    storage.write_snapshot(
+        _df(spark, [(1, 10), (2, -2), (500, -9)]), t,
+        on_violation="quarantine")
+    assert sorted((r["k"], r["v"]) for r in
+                  storage.read_snapshot(spark, t).collect()) == [(1, 10)]
+    q = storage.read_snapshot(
+        spark, os.path.join(t, storage.SNAP_QUARANTINE))
+    dead = {r["k"]: sorted(r["__violated"]) for r in q.collect()}
+    assert dead == {2: ["v_pos"], 500: ["k_small", "v_pos"]}
+    # a second quarantining commit APPENDS to the dead-letter table
+    storage.write_snapshot(_df(spark, [(7, -1), (8, 80)]), t,
+                           mode="append", on_violation="quarantine")
+    q2 = storage.read_snapshot(
+        spark, os.path.join(t, storage.SNAP_QUARANTINE))
+    assert sorted(r["k"] for r in q2.collect()) == [2, 7, 500]
+    assert sorted((r["k"]) for r in
+                  storage.read_snapshot(spark, t).collect()) == [1, 8]
+
+
+def test_clean_commit_under_drop_policy_is_untouched(spark):
+    t = tempfile.mkdtemp(prefix="scons_")
+    storage.set_snapshot_constraint(t, "v_pos", "v > 0")
+    storage.write_snapshot(_df(spark, [(1, 1), (2, 2)]), t,
+                           on_violation="quarantine")
+    import os
+    assert storage.latest_version(
+        os.path.join(t, storage.SNAP_QUARANTINE)) is None  # no dir
+    with pytest.raises(ValueError, match="on_violation"):
+        storage.write_snapshot(_df(spark, [(3, 3)]), t,
+                               mode="append", on_violation="explode")
