@@ -127,7 +127,83 @@ FROM prof ORDER BY doc_id
 """
 
 
+EXPECT_MIN_CHARS = 120
+EXPECT_LANGS = ("en", "de", "fr")
+
+
+def q_snapshot_expectations(spark, sf_dir):
+    """CHECK constraints under the gate: documents land in a snapshot
+    table through the QUARANTINE expectation policy (two registered
+    constraints — a min-length rule and a language allowlist), and
+    the query emits the ingestion funnel: rows kept, rows
+    dead-lettered, and per-constraint violation counts read back from
+    the quarantine table's ``__violated`` reasons.  Every number is a
+    deterministic integer function of the documents table, so the
+    whole flow carries a bit-exact oracle.  Self-contained staging
+    (registry._staging), built ONCE per process: quarantine appends
+    per commit, so an unconditional rebuild would double the
+    dead-letter counts — the latest_version gate keeps double runs
+    byte-stable (the pattern every snapshot_* query uses)."""
+    import os
+
+    from .registry import _staging
+    from .storage import (SNAP_QUARANTINE, latest_version,
+                          read_snapshot, set_snapshot_constraint,
+                          write_snapshot)
+
+    d = _t(spark, sf_dir, "documents")
+    table = _staging(sf_dir, "expect_docs")
+    if latest_version(table) is None:
+        set_snapshot_constraint(table, "min_len",
+                                f"n_chars >= {EXPECT_MIN_CHARS}")
+        set_snapshot_constraint(
+            table, "lang_allowed",
+            "lang IN ("
+            + ", ".join(f"'{x}'" for x in EXPECT_LANGS) + ")")
+        write_snapshot(d.select("doc_id", "lang", "n_chars"), table,
+                       on_violation="quarantine")
+    kept = read_snapshot(spark, table)
+    dead = read_snapshot(spark, os.path.join(table, SNAP_QUARANTINE))
+    funnel = (kept.agg(F.lit("kept").alias("bucket"),
+                       F.count(F.lit(1)).alias("n"))
+              .unionByName(
+                  dead.agg(F.lit("quarantined").alias("bucket"),
+                           F.count(F.lit(1)).alias("n")))
+              .unionByName(
+                  dead.select(F.explode("__violated").alias("c"))
+                  .groupBy("c")
+                  .agg(F.count(F.lit(1)).alias("n"))
+                  .select(F.concat(F.lit("violated:"), F.col("c"))
+                          .alias("bucket"), "n")))
+    return funnel.orderBy("bucket")
+
+
+def _sql_snapshot_expectations() -> str:
+    langs = ", ".join(f"'{x}'" for x in EXPECT_LANGS)
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, n_chars,
+         n_chars >= {EXPECT_MIN_CHARS} AS ok_len,
+         lang IN ({langs}) AS ok_lang
+  FROM documents)
+SELECT 'kept' AS bucket, CAST(COUNT(*) AS BIGINT) AS n
+FROM d WHERE ok_len AND ok_lang
+UNION ALL
+SELECT 'quarantined', CAST(COUNT(*) AS BIGINT)
+FROM d WHERE NOT (ok_len AND ok_lang)
+UNION ALL
+SELECT 'violated:min_len', CAST(COUNT(*) AS BIGINT)
+FROM d WHERE NOT ok_len
+UNION ALL
+SELECT 'violated:lang_allowed', CAST(COUNT(*) AS BIGINT)
+FROM d WHERE NOT ok_lang
+ORDER BY bucket
+"""
+
+
 QUERIES_EXT15: dict[str, dict] = {
     "llm_gopher_repetition": {"fn": q_llm_repetition,
                               "sql": _sql_llm_repetition()},
+    "snapshot_expectations": {"fn": q_snapshot_expectations,
+                              "sql": _sql_snapshot_expectations()},
 }
