@@ -127,6 +127,53 @@ FROM prof ORDER BY doc_id
 """
 
 
+def q_llm_vocab_stats(spark, sf_dir):
+    """Per-SOURCE vocabulary profile — the corpus-analysis numbers a
+    tokenizer/mixture design reads first: token count, distinct
+    vocabulary size, hapax legomena (frequency-1 tokens, the Zipf
+    tail mass), the modal token's share in basis points, and the
+    type-token ratio in basis points.  All integers and truncating
+    divisions — bit-exact oracle.
+
+    Scale shape: one explode, counts keyed (source, token) with
+    map-side combine, then one source-keyed aggregate — vocabulary-
+    sized state per source, never corpus-sized."""
+    d = _t(spark, sf_dir, "documents")
+    toks = (d.select("source",
+                     F.explode(F.split(F.lower(F.trim("text")), " "))
+                     .alias("w"))
+            .groupBy("source", "w")
+            .agg(F.count(F.lit(1)).alias("c")))
+    return (toks.groupBy("source")
+            .agg(F.sum("c").alias("n_tokens"),
+                 F.count(F.lit(1)).alias("n_vocab"),
+                 F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+                 .alias("n_hapax"),
+                 F.max("c").alias("top_count"))
+            .select("source", "n_tokens", "n_vocab", "n_hapax",
+                    F.expr("top_count * 10000 div n_tokens")
+                    .alias("top_share_bp"),
+                    F.expr("n_vocab * 10000 div n_tokens")
+                    .alias("ttr_bp"))
+            .orderBy("source"))
+
+
+SQL_LLM_VOCAB_STATS = """
+WITH toks AS (
+  SELECT source, UNNEST(string_split(lower(trim(text)), ' ')) AS w
+  FROM documents),
+c AS (SELECT source, w, COUNT(*) AS c FROM toks GROUP BY source, w)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_vocab,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hapax,
+       CAST(MAX(c) * 10000 // SUM(c) AS BIGINT) AS top_share_bp,
+       CAST(COUNT(*) * 10000 // SUM(c) AS BIGINT) AS ttr_bp
+FROM c GROUP BY source ORDER BY source
+"""
+
+
 EXPECT_MIN_CHARS = 120
 EXPECT_LANGS = ("en", "de", "fr")
 
@@ -206,4 +253,6 @@ QUERIES_EXT15: dict[str, dict] = {
                               "sql": _sql_llm_repetition()},
     "snapshot_expectations": {"fn": q_snapshot_expectations,
                               "sql": _sql_snapshot_expectations()},
+    "llm_vocab_stats": {"fn": q_llm_vocab_stats,
+                        "sql": SQL_LLM_VOCAB_STATS},
 }
