@@ -153,6 +153,17 @@ def _stub_batch_group(pdf: pd.DataFrame) -> pd.DataFrame:
     if len(lens) != 1:
         return _loop_group(pdf, stub_detector)
     dates = np.stack(pdf["dates"].to_numpy()).astype(np.int64)
+    # int64 headroom guard: the largest intermediate is n*sxx ≤
+    # T²·M² (T = series length, M = max |ordinal| ≈ 7.3e5); numpy
+    # wraps int64 SILENTLY past that, diverging from the scalar
+    # stub_detector's exact Python ints (wrap starts near T ≈ 4100
+    # clear obs at Landsat-era ordinals).  Exact-int check in Python;
+    # overflow-risk groups take the loop path, mirroring the ragged
+    # fallback.  Realistic stacks (~1-2k obs) never trip it.
+    T = dates.shape[1] if dates.ndim == 2 else 0
+    M = int(np.abs(dates).max()) if dates.size else 0
+    if T * T * M * M >= 2 ** 63:
+        return _loop_group(pdf, stub_detector)
     qas = np.stack(pdf["qas"].to_numpy())
     clear = qas == QA_CLEAR
     n = clear.sum(axis=1).astype(np.int64)
@@ -187,6 +198,11 @@ def _stub_batch_group(pdf: pd.DataFrame) -> pd.DataFrame:
     with np.errstate(divide="ignore", invalid="ignore"):
         for spec, short in SPEC_TO_SHORT.items():
             band = np.stack(pdf[f"{spec}s"].to_numpy()).astype(np.int64)
+            # same headroom check for the band-valued intermediates
+            # (n*sxy ≤ T²·M·Y, syy ≤ T·Y²) — exact Python ints
+            Y = int(np.abs(band).max()) if band.size else 0
+            if T * T * M * Y >= 2 ** 63 or T * Y * Y >= 2 ** 63:
+                return _loop_group(pdf, stub_detector)
             y = np.where(clear, band, 0)
             sy = y.sum(1)
             syy = (y * y).sum(1)

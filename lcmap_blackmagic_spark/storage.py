@@ -526,6 +526,25 @@ SNAP_IN_PRUNE_CAP = 1024
 
 SNAP_BLOOM = "_bloom.json"
 
+# Hard cap on a snapshot bloom sidecar's bitset size (bits).  The
+# build collects the bitset's non-zero 64-bit words on the driver
+# (plus the m/8-byte bytearray), so an UNCAPPED m = 10 bits/row
+# means a 10^9-row bulk-load commit materializes ~1.2 GB per bloom
+# column driver-side.  2^27 bits = 16 MB bitset / ~2M words max per
+# column — bounded regardless of commit size.  Past the cap the
+# effective bits/key drops below 10 and the false-positive rate
+# degrades toward 1 (the filter saturates): pruning weakens
+# gracefully to "never prunes", it never turns wrong.
+SNAP_BLOOM_MAX_BITS = 1 << 27
+
+# Spark storage types a probe Python value may prune against: the
+# write side hashes Spark's CAST(col AS STRING), which provably
+# equals Python's str() only when the probe's type matches the
+# column's storage family (an int probe against a double column
+# renders "107" vs the sidecar's "107.0" — the bloom would 'prove'
+# absence of a value that IS present).  Anything else → no prune.
+_SNAP_BLOOM_INT_TYPES = ("tinyint", "smallint", "int", "bigint")
+
 
 def _snap_commit_bloom(spark: SparkSession, data_dir: str,
                        cols: list[str],
@@ -543,13 +562,20 @@ def _snap_commit_bloom(spark: SparkSession, data_dir: str,
     scans), so it is immutable with the dir, rides through manifest
     carry-forward, and vanishes with vacuum; dirs written without one
     (merge rewrites, compactions, old commits) simply never prune —
-    conservative by construction."""
+    conservative by construction.
+
+    m is capped at ``SNAP_BLOOM_MAX_BITS`` so the driver-side build
+    (word partials + bytearray) stays bounded no matter how large the
+    commit is; each column also records its Spark storage type so the
+    probe side can refuse cross-type pruning (see
+    ``_snap_bloom_may_match``)."""
     import base64
     import json
 
     back = spark.read.parquet(data_dir)
+    types = {f.name: f.dataType.simpleString() for f in back.schema.fields}
     n_rows = back.count()
-    m = max(64, int(bits_per_key * n_rows))
+    m = max(64, min(int(bits_per_key * n_rows), SNAP_BLOOM_MAX_BITS))
     n_words = (m + 63) // 64
     out = {}
     for col in cols:
@@ -568,40 +594,77 @@ def _snap_commit_bloom(spark: SparkSession, data_dir: str,
         for wi, word in enumerate(ws):
             bits[wi * 8:wi * 8 + 8] = (word & 0xFFFFFFFFFFFFFFFF
                                        ).to_bytes(8, "little")
-        out[col] = {"m": m, "k": BLOOM_K,
+        out[col] = {"m": m, "k": BLOOM_K, "type": types.get(col),
                     "bits": base64.b64encode(
                         bytes(bits[:(m + 7) // 8])).decode("ascii")}
     with open(os.path.join(data_dir, SNAP_BLOOM), "w") as fh:
         json.dump(out, fh)
 
 
-def _snap_bloom_may_match(table_dir: str, d: str, col: str,
-                          value) -> bool:
-    """Probe one commit dir's Bloom sidecar for ``col = value``:
-    False ONLY when the sidecar proves the value absent.  Missing
-    sidecar / untracked column / non-int-str-bool probe value →
-    True (never prune on an unproven representation: the write side
-    hashes Spark's cast-to-string, which is guaranteed to agree with
-    Python's str() for ints, strings, and booleans only)."""
+def _snap_bloom_load(table_dir: str, d: str,
+                     cache: dict | None = None) -> dict | None:
+    """Load + base64-decode one commit dir's Bloom sidecar ONCE per
+    read: an IN-list probe of up to SNAP_IN_PRUNE_CAP values over
+    many dirs would otherwise re-open/re-parse/re-decode the same
+    JSON per (dir, value) pair.  ``cache`` (per-read_snapshot-call
+    dict, keyed by dir) memoizes the decoded form; None = no sidecar."""
     import base64
-    import hashlib
     import json
 
+    if cache is not None and d in cache:
+        return cache[d]
     p = os.path.join(table_dir, "data", d, SNAP_BLOOM)
-    if not os.path.exists(p):
+    sc = None
+    if os.path.exists(p):
+        with open(p) as fh:
+            raw = json.load(fh)
+        sc = {col: {"m": e["m"], "k": e["k"], "type": e.get("type"),
+                    "bits": base64.b64decode(e["bits"])}
+              for col, e in raw.items()}
+    if cache is not None:
+        cache[d] = sc
+    return sc
+
+
+def _snap_bloom_may_match(table_dir: str, d: str, col: str,
+                          value, cache: dict | None = None) -> bool:
+    """Probe one commit dir's Bloom sidecar for ``col = value``:
+    False ONLY when the sidecar proves the value absent.  Missing
+    sidecar / untracked column / unprovable probe → True.
+
+    Pruning requires BOTH representations to provably agree: the
+    write side hashed Spark's CAST(col AS STRING), so the probe's
+    Python str() must match that rendering — which holds only when
+    the probe's type matches the column's recorded storage type
+    (int probe ↔ integral column, str ↔ string, bool ↔ boolean).
+    A cross-typed probe (e.g. int 107 against a double column
+    holding 107.0 — Spark renders "107.0") or a legacy sidecar with
+    no recorded type never prunes; the residual filter still runs,
+    so the answer stays right."""
+    import hashlib
+
+    sc = _snap_bloom_load(table_dir, d, cache)
+    if sc is None:
         return True
-    if isinstance(value, bool):
-        probe = "true" if value else "false"
-    elif isinstance(value, (int, str)):
-        probe = str(value)
-    else:
-        return True
-    with open(p) as fh:
-        sc = json.load(fh)
     e = sc.get(col)
     if e is None:
         return True
-    m, bits = e["m"], base64.b64decode(e["bits"])
+    ctype = e.get("type")
+    if isinstance(value, bool):
+        if ctype != "boolean":
+            return True
+        probe = "true" if value else "false"
+    elif isinstance(value, int):
+        if ctype not in _SNAP_BLOOM_INT_TYPES:
+            return True
+        probe = str(value)
+    elif isinstance(value, str):
+        if ctype != "string":
+            return True
+        probe = value
+    else:
+        return True
+    m, bits = e["m"], e["bits"]
     positions = [int(hashlib.md5(f"{i}:{probe}".encode())
                      .hexdigest()[:12], 16) % m
                  for i in range(e["k"])]
@@ -931,8 +994,10 @@ def read_snapshot(spark: SparkSession, table_dir: str,
         eq = ([(c, [v]) for c, op, v in preds if op in ("=", "==")]
               + [(c, list(v)) for c, op, v in preds if op == "in"])
         if eq:
+            bcache: dict = {}   # dir -> decoded sidecar, one load each
             dirs = [d for d in dirs
-                    if all(any(_snap_bloom_may_match(table_dir, d, c, x)
+                    if all(any(_snap_bloom_may_match(table_dir, d, c, x,
+                                                     cache=bcache)
                                for x in vs) or not vs
                            for c, vs in eq)]
     reader = spark.read
@@ -1535,11 +1600,21 @@ def merge_into_snapshot(spark: SparkSession, table_dir: str,
         target = read_snapshot(spark, table_dir, version=version,
                                merge_schema=True).limit(0)
     merged = merge_into(target, source, key, op_col=op_col)
-    # the merged REWRITE must honor the table's CHECK constraints too
+    # the merge's OWN rows must honor the table's CHECK constraints
     # (an upsert can introduce violating values the append path would
     # have refused); MERGE is always fail-policy — dropping rows from
-    # a rewrite would silently delete pre-existing data
-    merged = _validate_constraints(merged, table_dir)
+    # a rewrite would silently delete pre-existing data.  Validation
+    # scopes to rows whose key is in the source batch (the rows this
+    # merge inserted or updated): pre-existing rows written before a
+    # constraint was registered are NOT re-validated, matching the
+    # set_snapshot_constraint contract — otherwise one legacy
+    # violating row would permanently refuse every future merge with
+    # no path to fix the data via merge itself.  The source is
+    # CDC-batch-sized, so the semi-join broadcasts.
+    _validate_constraints(
+        merged.join(F.broadcast(source.select(key).dropDuplicates()),
+                    key, "left_semi"),
+        table_dir)
     commit = f"c-{uuid.uuid4().hex[:12]}"
     data_dir = os.path.join(table_dir, "data", commit)
     merged.write.mode("error").parquet(data_dir)

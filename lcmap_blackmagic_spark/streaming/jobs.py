@@ -429,9 +429,13 @@ def state_agg_stream(events: DataFrame,
     state's row re-emits with its updated dwell, period count, and
     the user's running total tracked time (the share denominator —
     shares are a ratio of FINAL totals, so they finalize at read
-    time: share_bp = state_us·10000 div user_us over the last
-    emission per (user, state), exactly the batch query's integer
-    basis points).
+    time: take each (user, state)'s LAST emission for state_us, but
+    the denominator is the user's MAXIMUM user_us across ALL of that
+    user's emissions — a state that stops recurring carries only the
+    running total as of its last emission, not the user's final
+    total; then share_bp = state_us·10000 div max(user_us), exactly
+    the batch query's integer basis points, as
+    test_state_agg_stream_matches_batch computes it).
 
     State per user is the bounded per-state dwell table (|distinct
     event_type| entries — a handful) plus the LOCF holder.  Ordering

@@ -286,3 +286,45 @@ def test_stub_batch_group_matches_loop_on_ragged_groups(spark):
                     else x for x in gv] == \
                    [list(x) if isinstance(x, (list, np.ndarray))
                     else x for x in wv], (label, col)
+
+
+def test_stub_batch_group_falls_back_past_int64_headroom():
+    """Very long series (~4100+ clear obs at Landsat-era ordinals)
+    would silently WRAP numpy's int64 in the vectorized n*sxx / sx*sx
+    intermediates, diverging from the scalar stub_detector's exact
+    Python ints — the headroom guard must route such groups through
+    the row loop, keeping the two paths bit-equal."""
+    import numpy as np
+    import pandas as pd
+
+    from lcmap_blackmagic_spark.plans.segment import (SPECTRA,
+                                                      _loop_group,
+                                                      _stub_batch_group,
+                                                      stub_detector)
+    from lcmap_blackmagic_spark.sources.fixtures import QA_CLEAR
+
+    rng = np.random.RandomState(11)
+    n_obs = 5000                      # T² · M² > 2^63 at M ≈ 7.3e5
+    rows = []
+    for i in range(3):
+        dates = np.sort(rng.choice(np.arange(724276, 736000),
+                                   size=n_obs, replace=False))
+        row = {"cx": 0, "cy": 0, "px": 30 * i, "py": -30,
+               "dates": dates.astype("int32"),
+               "qas": np.full(n_obs, QA_CLEAR, dtype="int32")}
+        for s in SPECTRA:
+            row[f"{s}s"] = rng.randint(400, 4000,
+                                       size=n_obs).astype("int32")
+        rows.append(row)
+    pdf = pd.DataFrame(rows)
+    got = _stub_batch_group(pdf.copy())
+    want = _loop_group(pdf.copy(), stub_detector)
+    key = lambda df: df.sort_values("px").reset_index(drop=True)
+    g, w = key(got), key(want)
+    assert list(g.columns) == list(w.columns)
+    for col in g.columns:
+        gv = [list(x) if isinstance(x, (list, np.ndarray)) else x
+              for x in g[col]]
+        wv = [list(x) if isinstance(x, (list, np.ndarray)) else x
+              for x in w[col]]
+        assert gv == wv, col

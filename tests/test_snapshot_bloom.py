@@ -200,3 +200,97 @@ def test_tagged_streaming_commits_carry_blooms(spark):
     hit = storage.read_snapshot(spark, t, where=("id", "=", 7))
     assert [(r["id"], r["src"]) for r in hit.collect()] == [(7, "b1")]
     assert len(_scanned(hit)) < 3
+
+
+def test_cross_type_int_probe_on_double_never_prunes(spark):
+    """An int probe against a DOUBLE column must not bloom-prune:
+    the write side hashed Spark's cast-to-string ("107.0"), so a
+    probe hashing "107" would 'prove' absence of a value that IS
+    present — the sidecar records the column's storage type and the
+    probe side refuses cross-type pruning."""
+    t = tempfile.mkdtemp(prefix="sbloomty_")
+    for c in range(3):
+        rows = [(float(c * 100 + j), c * 100 + j) for j in range(50)]
+        storage.write_snapshot(
+            spark.createDataFrame(rows, "x double, n long"),
+            t, mode="append" if c else "overwrite", bloom_cols=["x"])
+    # x holds 107.0, which Spark's numeric equality matches with the
+    # int literal 107 — the read must return the row, not a
+    # silently-pruned empty result
+    hit = storage.read_snapshot(spark, t, where=("x", "=", 107))
+    assert [r["n"] for r in hit.collect()] == [107]
+    data = os.path.join(t, "data")
+    for d in os.listdir(data):
+        if d.startswith("c-"):
+            assert storage._snap_bloom_may_match(t, d, "x", 107)
+    # bool probe against a non-boolean column: also never prunes
+    for d in os.listdir(data):
+        if d.startswith("c-"):
+            assert storage._snap_bloom_may_match(t, d, "n", True)
+
+
+def test_legacy_sidecar_without_type_never_prunes(spark):
+    """Sidecars written before the type field existed cannot prove
+    representation agreement — they must admit every probe."""
+    import json
+
+    t = _table(spark, n_commits=1, per=20)
+    data = os.path.join(t, "data")
+    d = [x for x in os.listdir(data) if x.startswith("c-")][0]
+    p = os.path.join(data, d, storage.SNAP_BLOOM)
+    with open(p) as fh:
+        sc = json.load(fh)
+    for e in sc.values():
+        e.pop("type", None)
+    with open(p, "w") as fh:
+        json.dump(sc, fh)
+    assert storage._snap_bloom_may_match(t, d, "id", -424242)
+    # and the read stays correct (just unpruned)
+    assert storage.read_snapshot(
+        spark, t, where=("id", "=", -424242)).collect() == []
+
+
+def test_bloom_bits_capped_and_correct_when_saturated(spark,
+                                                      monkeypatch):
+    """SNAP_BLOOM_MAX_BITS bounds the driver-side build regardless of
+    commit row count; a capped (saturating) filter weakens pruning,
+    never correctness."""
+    import json
+
+    monkeypatch.setattr(storage, "SNAP_BLOOM_MAX_BITS", 2048)
+    t = tempfile.mkdtemp(prefix="sbloomcap_")
+    df = spark.createDataFrame([(i, f"p{i}") for i in range(1000)],
+                               "id long, payload string")
+    storage.write_snapshot(df, t, bloom_cols=["id"])
+    data = os.path.join(t, "data")
+    d = [x for x in os.listdir(data) if x.startswith("c-")][0]
+    with open(os.path.join(data, d, storage.SNAP_BLOOM)) as fh:
+        sc = json.load(fh)
+    # uncapped m would be 10 * 1000 = 10_000 bits; the cap bounds the
+    # bitset (and hence the collected word partials) at 2048 bits
+    assert sc["id"]["m"] == 2048
+    hit = storage.read_snapshot(spark, t, where=("id", "=", 777))
+    assert [r["id"] for r in hit.collect()] == [777]
+    assert storage.read_snapshot(
+        spark, t, where=("id", "=", 10 ** 12)).count() == 0
+
+
+def test_in_list_decodes_each_sidecar_once(spark, monkeypatch):
+    """An IN-list probe of many values over many dirs must load and
+    decode each dir's sidecar at most ONCE per read (per-read cache),
+    not once per (dir, value) pair."""
+    t = _table(spark, n_commits=4, per=100)
+    loads = []
+    orig = storage._snap_bloom_load
+
+    def spy(table_dir, d, cache=None):
+        if cache is None or d not in cache:
+            loads.append(d)
+        return orig(table_dir, d, cache)
+
+    monkeypatch.setattr(storage, "_snap_bloom_load", spy)
+    probes = [0, 1, 2, 3] + list(range(-60, 0))   # 4 hits + 60 misses
+    got = storage.read_snapshot(spark, t, where=("id", "in", probes))
+    assert sorted(r["id"] for r in got.collect()) == [0, 1, 2, 3]
+    assert len(loads) <= 4                        # one real load per dir
+    assert len(loads) == len(set(loads))

@@ -131,3 +131,35 @@ def test_clean_commit_under_drop_policy_is_untouched(spark):
     with pytest.raises(ValueError, match="on_violation"):
         storage.write_snapshot(_df(spark, [(3, 3)]), t,
                                mode="append", on_violation="explode")
+
+
+def test_merge_not_blocked_by_legacy_violations(spark):
+    """Constraints validate only rows originating from the MERGE
+    source: pre-existing rows written BEFORE the constraint was
+    registered (which set_snapshot_constraint documents are not
+    re-validated) must not permanently refuse every future merge —
+    and a merge can even FIX the legacy row."""
+    t = tempfile.mkdtemp(prefix="scons_")
+    storage.write_snapshot(_df(spark, [(1, -5), (2, 20)]), t)
+    storage.set_snapshot_constraint(t, "v_pos", "v > 0")
+    # merge touching only k=2 succeeds despite the legacy k=1 row
+    ok = spark.createDataFrame([(2, 30, "U")],
+                               "k long, v long, op string")
+    assert storage.merge_into_snapshot(spark, t, ok, "k") == 2
+    got = dict((r["k"], r["v"]) for r in
+               storage.read_snapshot(spark, t).collect())
+    assert got == {1: -5, 2: 30}
+    # the merge's OWN rows are still validated
+    bad = spark.createDataFrame([(3, -1, "I")],
+                                "k long, v long, op string")
+    with pytest.raises(storage.SnapshotConstraintViolation,
+                       match="v_pos"):
+        storage.merge_into_snapshot(spark, t, bad, "k")
+    assert storage.latest_version(t) == 2
+    # and a merge targeting the legacy key can repair it
+    fix = spark.createDataFrame([(1, 5, "U")],
+                                "k long, v long, op string")
+    assert storage.merge_into_snapshot(spark, t, fix, "k") == 3
+    got = dict((r["k"], r["v"]) for r in
+               storage.read_snapshot(spark, t).collect())
+    assert got == {1: 5, 2: 30}
