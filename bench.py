@@ -209,6 +209,39 @@ def python_anchor_sec(spark) -> float:
     return round(sorted(runs)[1], 3)
 
 
+def disk_anchor_sec(spark) -> float:
+    """The DISK twin of the anchors: a fixed parquet write + read-back
+    count (median of 3) against local scratch.  The snapshot_* queries
+    are end-to-end commit protocols — their time is dominated by
+    writing real parquet files, which the CPU-bound anchor_sec cannot
+    see.  Round 10 recorded a 1.3-1.5× 'regression' on exactly that
+    cluster (snapshot_mv/merge/zorder) with non-overlapping spreads
+    after CPU-anchor normalization; the round-11 bisect re-measured
+    every suspect commit solo on ONE host and found NO step — each
+    round-10 commit's medians sat at round-9 levels, and the full
+    bench at round-11 HEAD landed back inside the round-9 spread.
+    The mover was the round-10 VM's storage, invisible to both CPU
+    anchors.  Consumers: normalize snapshot_*/write-heavy entries by
+    THIS anchor, codegen-bound ones by anchor_sec, Python-UDF-heavy
+    ones by python_anchor_sec."""
+    import shutil
+    import tempfile
+
+    runs = []
+    for _ in range(3):
+        d = tempfile.mkdtemp(prefix="bench_disk_anchor_")
+        t0 = time.perf_counter()
+        (spark.range(2_000_000)
+         .selectExpr("id", "CAST(id % 97 AS STRING) AS s",
+                     "id * 2.5 AS x")
+         .repartition(8)
+         .write.mode("overwrite").parquet(d))
+        spark.read.parquet(d).selectExpr("count(*)").collect()
+        runs.append(time.perf_counter() - t0)
+        shutil.rmtree(d, ignore_errors=True)
+    return round(sorted(runs)[1], 3)
+
+
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -276,6 +309,7 @@ def main() -> None:
         "sf": sf,
         "anchor_sec": host_anchor_sec(spark),
         "python_anchor_sec": python_anchor_sec(spark),
+        "disk_anchor_sec": disk_anchor_sec(spark),
     }
     failed = sorted(n for n, v in per_query.items() if isinstance(v, dict))
     if failed:
@@ -304,6 +338,7 @@ def main() -> None:
                     for n, v in per_query.items()},
         "sf": sf,
         "anchor_sec": detail["anchor_sec"],
+        "disk_anchor_sec": detail["disk_anchor_sec"],
     }
     if failed:
         out["errors"] = len(failed)

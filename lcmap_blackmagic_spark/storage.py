@@ -483,18 +483,32 @@ def version_as_of(table_dir: str, ts) -> int:
     arbitrarily old (they provably predate the feature, hence any
     queried instant of interest).  Raises when every surviving
     version is newer than ``ts`` — same contract as reading a
-    vacuumed version: loud, never silently-latest."""
+    vacuumed version: loud, never silently-latest.
+
+    Commit timestamps for versions at or below the manifest-log
+    checkpoint come from the checkpoint's rolled-up map; only the
+    TAIL manifests (written since the last checkpoint) are opened —
+    O(tail), not O(versions), per resolution.  Resolution still
+    ranges over the SURVIVING versions only (directory listing), so
+    a vacuumed version never wins even though the checkpoint may
+    remember its timestamp."""
     import datetime as _dt
     import json
     if isinstance(ts, str):
         ts = _dt.datetime.fromisoformat(ts).timestamp()
     elif isinstance(ts, _dt.datetime):
         ts = ts.timestamp()
+    cp = _snap_read_checkpoint(table_dir)
+    cp_v = cp["version"] if cp else 0
+    cp_ts = cp.get("ts", {}) if cp else {}
     best = None
     for v in _snap_versions(table_dir):
-        with open(os.path.join(table_dir, SNAP_MANIFESTS,
-                               f"v{v}.json")) as fh:
-            mts = json.load(fh).get("ts")
+        if v <= cp_v and str(v) in cp_ts:
+            mts = cp_ts[str(v)]
+        else:
+            with open(os.path.join(table_dir, SNAP_MANIFESTS,
+                                   f"v{v}.json")) as fh:
+                mts = json.load(fh).get("ts")
         if mts is None or mts <= ts:
             best = v
     if best is None:
@@ -515,6 +529,80 @@ def _snap_versions(table_dir: str) -> list[int]:
 def latest_version(table_dir: str) -> int | None:
     vs = _snap_versions(table_dir)
     return vs[-1] if vs else None
+
+
+# --------------------------------- manifest-log checkpoints --------
+# Every manifest is self-contained (read_snapshot opens exactly ONE),
+# but two resolution paths walk the whole log: version_as_of reads
+# every manifest's commit ts, and _committed_tags reads every
+# manifest's tag ON EVERY TAGGED WRITE — a streaming pump committing
+# per micro-batch pays O(versions) file opens per commit, O(V²)
+# over the stream's life.  The checkpoint is the Delta
+# `_last_checkpoint` idea applied to those two maps: every
+# SNAP_CHECKPOINT_EVERY commits the writer rolls {version → ts} and
+# the committed-tag set forward from the PREVIOUS checkpoint plus the
+# tail manifests (amortized O(1) opens per commit), and readers
+# resolve from checkpoint + tail.  Purely advisory: manifests are
+# immutable and versions monotone, so ANY published checkpoint is a
+# correct prefix summary — losing a checkpoint write (crash, race)
+# only means a longer tail walk, never a wrong answer.
+
+SNAP_CHECKPOINT = "_checkpoint.json"
+SNAP_CHECKPOINT_EVERY = 32
+
+
+def _snap_read_checkpoint(table_dir: str) -> dict | None:
+    import json
+    p = os.path.join(table_dir, SNAP_MANIFESTS, SNAP_CHECKPOINT)
+    if not os.path.exists(p):
+        return None
+    try:
+        with open(p) as fh:
+            cp = json.load(fh)
+    except (OSError, ValueError):
+        return None         # torn/unreadable checkpoint: walk the log
+    if not isinstance(cp.get("version"), int):
+        return None
+    return cp
+
+
+def _snap_maybe_checkpoint(table_dir: str, version: int) -> None:
+    """Publish a checkpoint if ``version`` is on the cadence.  Builds
+    incrementally: previous checkpoint + the manifests after it (a
+    vacuumed tail manifest contributes nothing — its ts is dropped,
+    which only matters for versions that can no longer be read
+    anyway, and its tag is already in the tombstone file).  Published
+    via tmp + os.replace: concurrent checkpointers last-write-win,
+    and every candidate is a valid prefix summary."""
+    import json
+    import uuid
+
+    if version % SNAP_CHECKPOINT_EVERY:
+        return
+    mdir = os.path.join(table_dir, SNAP_MANIFESTS)
+    prev = _snap_read_checkpoint(table_dir) or \
+        {"version": 0, "ts": {}, "tags": []}
+    if prev["version"] >= version:
+        return
+    ts = dict(prev.get("ts", {}))
+    tags = set(prev.get("tags", []))
+    for v in range(prev["version"] + 1, version + 1):
+        p = os.path.join(mdir, f"v{v}.json")
+        if not os.path.exists(p):
+            continue                     # vacuumed mid-build
+        try:
+            with open(p) as fh:
+                man = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        ts[str(v)] = man.get("ts")
+        if man.get("tag") is not None:
+            tags.add(man["tag"])
+    cp = {"version": version, "ts": ts, "tags": sorted(tags)}
+    tmp = os.path.join(mdir, f".cp-{uuid.uuid4().hex[:12]}")
+    with open(tmp, "w") as fh:
+        json.dump(cp, fh)
+    os.replace(tmp, os.path.join(mdir, SNAP_CHECKPOINT))
 
 
 SNAP_STATS_MAX_COLS = 32   # Delta's dataSkippingNumIndexedCols default
@@ -798,6 +886,7 @@ def write_snapshot(df: DataFrame, table_dir: str,
             json.dump(man, fh)
         try:
             os.link(tmp, os.path.join(mdir, f"v{version}.json"))
+            _snap_maybe_checkpoint(table_dir, version)
             return version
         except FileExistsError:
             continue        # lost the race: re-read the log, retry
@@ -1048,17 +1137,28 @@ SNAP_TOMBSTONES = "_vacuumed_tags.json"
 
 
 def _committed_tags(table_dir: str) -> set[str]:
-    """Every tag ever committed: live manifests PLUS the tombstone
-    file vacuum leaves behind (a vacuumed version's tag must keep
-    suppressing replays, or a stream re-run after retention would
-    double-count its batches)."""
+    """Every tag ever committed: the manifest-log checkpoint's
+    rolled-up tag set, live manifests AFTER the checkpoint (the
+    tail), PLUS the tombstone file vacuum leaves behind (a vacuumed
+    version's tag must keep suppressing replays, or a stream re-run
+    after retention would double-count its batches).  This runs on
+    EVERY tagged write — a per-micro-batch streaming pump — so the
+    checkpoint turns its cost from O(versions) manifest opens per
+    commit into O(tail)."""
     import json
 
     mdir = os.path.join(table_dir, SNAP_MANIFESTS)
     tags: set[str] = set()
     if not os.path.isdir(mdir):
         return tags
+    cp = _snap_read_checkpoint(table_dir)
+    cp_v = 0
+    if cp:
+        cp_v = cp["version"]
+        tags.update(cp.get("tags", []))
     for v in _snap_versions(table_dir):
+        if v <= cp_v:
+            continue
         with open(os.path.join(mdir, f"v{v}.json")) as fh:
             t = json.load(fh).get("tag")
             if t is not None:
@@ -1214,6 +1314,7 @@ def compact_snapshot_zorder(spark: SparkSession, table_dir: str,
             json.dump(man, fh)
         try:
             os.link(tmp, os.path.join(mdir, f"v{new_v}.json"))
+            _snap_maybe_checkpoint(table_dir, new_v)
             return new_v
         except FileExistsError:
             continue        # lost the race: re-check content, retry
@@ -1642,6 +1743,7 @@ def merge_into_snapshot(spark: SparkSession, table_dir: str,
         json.dump(new_man, fh)
     try:
         os.link(tmp, os.path.join(mdir, f"v{version + 1}.json"))
+        _snap_maybe_checkpoint(table_dir, version + 1)
         return version + 1
     except FileExistsError:
         shutil.rmtree(data_dir, ignore_errors=True)
@@ -1738,6 +1840,7 @@ def delete_from_snapshot(spark: SparkSession, table_dir: str,
             json.dump(man, fh)
         try:
             os.link(tmp, os.path.join(mdir, f"v{version}.json"))
+            _snap_maybe_checkpoint(table_dir, version)
             return version
         except FileExistsError:
             continue        # rebase onto the new latest and retry
