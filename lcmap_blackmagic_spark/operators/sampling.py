@@ -15,6 +15,8 @@ hotspot of a huge class partition.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -148,6 +150,24 @@ def train_test_split(df: DataFrame, test_size: float = 0.2,
     test_size blackmagic/__init__.py:14)."""
     train, test = df.randomSplit([1.0 - test_size, test_size], seed=seed)
     return train, test
+
+
+def train_test_split_hash(df: DataFrame, id_cols: Sequence[str],
+                          test_size: float = 0.2
+                          ) -> tuple[DataFrame, DataFrame]:
+    """Engine-portable twin of ``train_test_split``: the holdout coin
+    is md5('split:' || id)'s 48-bit prefix — a row is TEST iff
+    h < floor(test_size · 2^48), all-integer and reproducible in any
+    engine (randomSplit's RNG is Spark-internal, so the seeded split
+    itself can't be oracled).  Same Bernoulli semantics: expected
+    test fraction test_size, exact membership a pure function of the
+    row's id columns.  Both returned frames are map-side filters of
+    the input — no shuffle, no sort."""
+    thr = int(test_size * HASH_MOD)
+    key = F.concat_ws(":", F.lit("split"),
+                      *[F.col(c).cast("string") for c in id_cols])
+    h = F.conv(F.substring(F.md5(key), 1, 12), 16, 10).cast("bigint")
+    return df.filter(h >= thr), df.filter(h < thr)
 
 
 def priority_sample(df: DataFrame, weight_col: str, id_col: str,

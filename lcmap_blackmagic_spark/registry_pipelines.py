@@ -134,14 +134,21 @@ def q_lcmap_tile_train(spark, sf_dir):
     (UD2, fallback trainer when xgboost is absent); the returned
     DataFrame is the per-label statistics plus the sampled split
     sizes — the verifiable summary a training job reports.
-    Rows-only: the fixtures are seeded numpy, not SQL-expressible."""
+
+    FULLY ORACLE-CHECKED (round 11): the fixtures are the md5-hash
+    twins (synth_segments_hash / synth_aux_hash — regenerable in
+    SQL), sampling orders by an md5 column (the stratified_sample
+    order_col determinism contract) and the holdout coin is
+    train_test_split_hash, so every count in the output is a closed
+    -form function DuckDB reproduces (_sql_tile_train)."""
     from .ml.train import train_model
-    from .operators.sampling import stratified_sample, train_test_split
+    from .operators.sampling import (stratified_sample,
+                                     train_test_split_hash)
     from .operators.stats import label_statistics
     from .plans.training import training_data
-    from .sources.fixtures import synth_aux, synth_segments
-    segs = synth_segments(spark, side=100)
-    aux = synth_aux(spark, side=100)
+    from .sources.fixtures import synth_aux_hash, synth_segments_hash
+    segs = synth_segments_hash(spark, side=100)
+    aux = synth_aux_hash(spark, side=100)
     # tile_pipeline's stages, shared instead of recomputed: assembly →
     # stats → sample → split → fit (plans/tile.py:tile_pipeline
     # verbatim; inlined so the summary below reuses the same frames)
@@ -149,11 +156,17 @@ def q_lcmap_tile_train(spark, sf_dir):
     # matrix (stats, the sample, the fit's collect, the split counts) —
     # without it Catalyst re-runs the segments⨝aux assembly per
     # consumer.  ~20k rows × 69 features: sample-sized, not tile-sized.
-    data = training_data(segs, aux, "2001-07-01").localCheckpoint()
+    ordc = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.lit("ord"), F.col("px").cast("string"),
+        F.col("py").cast("string"))), 1, 12), 16, 10).cast("bigint")
+    data = (training_data(segs, aux, "2001-07-01", keep_keys=True)
+            .withColumn("__ord", ordc).localCheckpoint())
     stats = label_statistics(data, "label")
-    sample = stratified_sample(data, "label", 20_000, 50, 4_000, seed=42)
-    train, test = train_test_split(sample, 0.2, seed=42)
-    train_model(train, test)                       # UD2: the fit
+    sample = stratified_sample(data, "label", 20_000, 50, 4_000,
+                               order_col="__ord")
+    train, test = train_test_split_hash(sample, ["px", "py"], 0.2)
+    train_model(train.select("label", "features"),
+                test.select("label", "features"))  # UD2: the fit
     splits = (train.agg(F.lit("train").alias("split"),
                         F.count(F.lit(1)).alias("n"))
               .unionByName(test.agg(F.lit("test").alias("split"),
@@ -172,23 +185,150 @@ def q_lcmap_predict_chip(spark, sf_dir):
     blackmagic/blueprints/prediction.py:203-207; the batch path this
     engine implements is prediction.py:331-345).  Broadcast model +
     Arrow-batched mapInPandas inference; defaults routed around the
-    model exactly as ``lcmap_prediction`` does at probe scale."""
+    model exactly as ``lcmap_prediction`` does at probe scale.
+
+    FULLY ORACLE-CHECKED (round 11): md5-hash fixtures + the
+    deterministic sample/split; the compared columns (keys, segment
+    dates, exploded prediction dates, and the prob-vector arity —
+    NUM_CLASSES for modeled rows, 0 for default segments) are
+    closed-form in DuckDB (_sql_predict_chip).  The fit and the
+    mapInPandas inference still RUN — their probabilities are the
+    ML boundary the oracle deliberately does not hash."""
     from .ml.train import train_model
-    from .operators.sampling import stratified_sample, train_test_split
+    from .operators.sampling import (stratified_sample,
+                                     train_test_split_hash)
     from .plans.prediction import prediction_pipeline
     from .plans.training import training_data
-    from .sources.fixtures import synth_aux, synth_segments
-    segs = synth_segments(spark, side=100)
-    aux = synth_aux(spark, side=100)
+    from .sources.fixtures import synth_aux_hash, synth_segments_hash
+    segs = synth_segments_hash(spark, side=100)
+    aux = synth_aux_hash(spark, side=100)
     # tile_pipeline's fit stages with the training matrix checkpointed
     # once (sample + the fit's two collects re-ran the assembly)
-    data = training_data(segs, aux, "2001-07-01").localCheckpoint()
-    sample = stratified_sample(data, "label", 20_000, 50, 4_000, seed=42)
-    train, test = train_test_split(sample, 0.2, seed=42)
-    model = train_model(train, test)
+    ordc = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.lit("ord"), F.col("px").cast("string"),
+        F.col("py").cast("string"))), 1, 12), 16, 10).cast("bigint")
+    data = (training_data(segs, aux, "2001-07-01", keep_keys=True)
+            .withColumn("__ord", ordc).localCheckpoint())
+    sample = stratified_sample(data, "label", 20_000, 50, 4_000,
+                               order_col="__ord")
+    train, test = train_test_split_hash(sample, ["px", "py"], 0.2)
+    model = train_model(train.select("label", "features"),
+                        test.select("label", "features"))
     preds = prediction_pipeline(segs, aux, model, 7, 1)
     return preds.select("cx", "cy", "px", "py", "sday", "eday", "pday",
                         F.size("prob").alias("n_probs"))
+
+
+def _h8sql(key: str) -> str:
+    return f"CAST('0x' || substr(md5({key}), 1, 8) AS BIGINT)"
+
+
+def _h12sql(key: str) -> str:
+    return f"CAST('0x' || substr(md5({key}), 1, 12) AS BIGINT)"
+
+
+# The hash-fixture CTE prefix shared by both bench-pipeline oracles:
+# regenerates synth_aux_hash's label column and synth_segments_hash's
+# per-pixel segment layout (is_def, n_seg, interval base/step) from
+# the same md5 coins the Spark fixtures draw.
+def _sql_hash_fixtures(side: int) -> str:
+    return f"""
+pix AS (SELECT CAST(p AS BIGINT) AS p FROM range({side * side}) t(p)),
+aux AS (
+  SELECT p,
+         CASE WHEN {_h8sql("'aux:lab:' || p")} % 100 < 70
+              THEN 1 + {_h8sql("'aux:trn:' || p")} % 8
+              ELSE 0 END AS label
+  FROM pix),
+segp AS (
+  SELECT p,
+         {_h8sql("'seg:def:' || p")} % 100 < 8 AS is_def,
+         1 + {_h8sql("'seg:n:' || p")} % 3 AS n_seg,
+         1986 + {_h8sql("'seg:b:' || p")} % 10 AS b0,
+         2 + {_h8sql("'seg:s:' || p")} % 6 AS st
+  FROM pix),
+real AS (
+  SELECT p, b0 + s * st AS y0, b0 + (s + 1) * st AS y1
+  FROM (SELECT p, b0, st, UNNEST(range(n_seg)) AS s
+        FROM segp WHERE NOT is_def))"""
+
+
+def _sql_tile_train(side: int = 100, cx: int = -2061585,
+                    cy: int = 1922805, date: str = "2001-07-01",
+                    target: int = 20_000, cmin: int = 50,
+                    cmax: int = 4_000, test_size: float = 0.2) -> str:
+    """Oracle for ``q_lcmap_tile_train``: regenerates the hash
+    fixtures, replays training-data assembly (spanning-segment join ×
+    labeled aux — the fixture's disjoint intervals guarantee ≤ 1
+    spanning segment per pixel), label statistics, the order_col
+    stratified sample (row_number ≤ ceil/clip cap), and the md5
+    holdout coin (operators/sampling.train_test_split_hash)."""
+    from .operators.sampling import HASH_MOD
+    thr = int(test_size * HASH_MOD)
+    ordk = _h12sql("'ord:' || px || ':' || py")
+    coink = _h12sql("'split:' || px || ':' || py")
+    return f"""
+WITH {_sql_hash_fixtures(side)},
+spans AS (
+  SELECT DISTINCT p FROM real
+  WHERE make_date(CAST(y0 AS INT), 3, 1) <= DATE '{date}'
+    AND DATE '{date}' <= make_date(CAST(y1 AS INT), 2, 1)),
+data AS (
+  SELECT a.label,
+         {cx} + (a.p % {side}) * 30 AS px,
+         {cy} - (a.p // {side}) * 30 AS py
+  FROM aux a JOIN spans s ON s.p = a.p
+  WHERE a.label <> 0),
+stats AS (SELECT label, COUNT(*) AS cnt FROM data GROUP BY label),
+caps AS (
+  SELECT label,
+         LEAST(GREATEST(CAST(CEIL({target} * (CAST(cnt AS DOUBLE) /
+               (SELECT SUM(cnt) FROM stats))) AS BIGINT),
+               {cmin}), {cmax}) AS cap
+  FROM stats),
+ranked AS (
+  SELECT label, {coink} AS coin,
+         ROW_NUMBER() OVER (PARTITION BY label ORDER BY {ordk}) AS rn
+  FROM data),
+sample AS (
+  SELECT r.label, r.coin FROM ranked r
+  JOIN caps c ON r.label = c.label AND r.rn <= c.cap)
+SELECT 'label:' || label AS split, cnt AS n FROM stats
+UNION ALL SELECT 'test', COUNT(*) FROM sample WHERE coin < {thr}
+UNION ALL SELECT 'train', COUNT(*) FROM sample WHERE coin >= {thr}
+ORDER BY split
+"""
+
+
+def _sql_predict_chip(side: int = 100, cx: int = -2061585,
+                      cy: int = 1922805) -> str:
+    """Oracle for ``q_lcmap_predict_chip``: the hash fixtures'
+    segment rows exploded to annual July-1 prediction dates (a real
+    segment [Mar y0, Feb y1] contains July 1 of exactly the years
+    y0..y1-1; a default segment yields one sentinel row), with the
+    prob-vector arity — NUM_CLASSES for modeled rows, 0 for defaults
+    (operators/unions.default_predictions)."""
+    from .schemas import NUM_CLASSES
+    return f"""
+WITH {_sql_hash_fixtures(side)},
+rows_real AS (
+  SELECT p,
+         CAST(y0 AS VARCHAR) || '-03-01' AS sday,
+         CAST(y1 AS VARCHAR) || '-02-01' AS eday,
+         CAST(UNNEST(range(y0, y1)) AS VARCHAR) || '-07-01' AS pday,
+         CAST({NUM_CLASSES} AS INT) AS n_probs
+  FROM real),
+rows_def AS (
+  SELECT p, '0001-01-01' AS sday, '0001-01-01' AS eday,
+         '0001-01-01' AS pday, CAST(0 AS INT) AS n_probs
+  FROM segp WHERE is_def),
+allrows AS (SELECT * FROM rows_real UNION ALL SELECT * FROM rows_def)
+SELECT CAST({cx} AS BIGINT) AS cx, CAST({cy} AS BIGINT) AS cy,
+       {cx} + (p % {side}) * 30 AS px,
+       {cy} - (p // {side}) * 30 AS py,
+       sday, eday, pday, n_probs
+FROM allrows
+"""
 
 
 def q_llm_minhash_pipeline(spark, sf_dir):
@@ -572,8 +712,10 @@ QUERIES_PIPELINES: dict[str, dict] = {
                              "sql": _sql_segment_detect()},
     "lcmap_detect_chip":    {"fn": q_lcmap_detect_chip,
                              "sql": _sql_segment_detect(side=100)},
-    "lcmap_tile_train":     {"fn": q_lcmap_tile_train,     "sql": None},
-    "lcmap_predict_chip":   {"fn": q_lcmap_predict_chip,   "sql": None},
+    "lcmap_tile_train":     {"fn": q_lcmap_tile_train,
+                             "sql": _sql_tile_train()},
+    "lcmap_predict_chip":   {"fn": q_lcmap_predict_chip,
+                             "sql": _sql_predict_chip()},
     "llm_minhash_pipeline": {"fn": q_llm_minhash_pipeline,
                              "sql": _sql_minhash_pipeline()},
     "lcmap_prediction":     {"fn": q_lcmap_prediction,     "sql": None},

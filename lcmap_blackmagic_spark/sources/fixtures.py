@@ -203,3 +203,116 @@ def synth_segments(spark: SparkSession, cx: int = -2061585,
                             f"{b}coef": [float(x) for x in rng.rand(7)]}
                 recs.append(rec)
     return spark.createDataFrame(pd.DataFrame(recs), schema=SEGMENTS)
+
+
+def _h8(key):
+    """First 8 md5 hex digits of a key Column as a non-negative
+    bigint — the engine-portable coin every *_hash fixture draws."""
+    from pyspark.sql import functions as F
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+
+
+def synth_aux_hash(spark: SparkSession, cx: int = -2061585,
+                   cy: int = 1922805, side: int = 10) -> DataFrame:
+    """SQL-expressible twin of ``synth_aux``: every field is a
+    deterministic md5 function of the pixel index (no numpy RNG), so
+    a DuckDB oracle regenerates the identical table with SQL alone —
+    the ``synth_ard_hash`` idea applied to the aux layers.  Same
+    shape contract: ~70% of pixels labeled (nlcdtrn in 1..8), the
+    numeric layers integer-valued (exact in any engine)."""
+    from pyspark.sql import functions as F
+
+    def h(tag):
+        return _h8(F.concat_ws(":", F.lit(f"aux:{tag}"),
+                               F.col("id").cast("string")))
+
+    return spark.range(side * side).select(
+        F.lit(cx).cast("long").alias("cx"),
+        F.lit(cy).cast("long").alias("cy"),
+        (F.lit(cx) + (F.col("id") % side) * PIXEL_M)
+        .cast("long").alias("px"),
+        (F.lit(cy) - F.expr(f"id div {side}") * PIXEL_M)
+        .cast("long").alias("py"),
+        F.when(h("lab") % 100 < 70, F.lit(1) + h("trn") % 8)
+        .otherwise(F.lit(0)).cast("int").alias("nlcdtrn"),
+        (F.lit(11) + h("nlcd") % 84).cast("int").alias("nlcd"),
+        (h("asp") % 360).cast("int").alias("aspect"),
+        (h("pos") % 10).cast("float").alias("posidex"),
+        (h("slp") % 45).cast("float").alias("slope"),
+        (h("mpw") % 100).cast("int").alias("mpw"),
+        (h("dem") % 3000).cast("float").alias("dem"))
+
+
+def synth_segments_hash(spark: SparkSession, cx: int = -2061585,
+                        cy: int = 1922805, side: int = 10) -> DataFrame:
+    """SQL-expressible twin of ``synth_segments``: per pixel, ~8%
+    default segments; otherwise 1-3 segments with DISJOINT intervals
+    [Mar(b0 + s·step), Feb(b0 + (s+1)·step)] — b0 in 1986..1995, step
+    in 2..7, all md5-derived — so at most ONE segment spans any
+    mid-year training date and a DuckDB oracle can regenerate the
+    keys, dates, and label joins exactly.  Band values are
+    integer-valued doubles (the fit consumes them; checked outputs
+    never do)."""
+    from pyspark.sql import functions as F
+
+    def h(tag, *extra):
+        parts = [F.lit(f"seg:{tag}"), F.col("id").cast("string")]
+        parts += [e if isinstance(e, F.Column) else F.lit(str(e))
+                  for e in extra]
+        return _h8(F.concat_ws(":", *parts))
+
+    p = spark.range(side * side)
+    is_def = h("def") % 100 < 8
+    n_seg = (F.lit(1) + h("n") % 3).cast("int")
+    segs = F.when(is_def, F.array(F.lit(-1))).otherwise(
+        F.sequence(F.lit(0), n_seg - 1))
+    df = p.select(
+        "id",
+        (F.lit(1986) + h("b") % 10).alias("b0"),
+        (F.lit(2) + h("s") % 6).alias("st"),
+        F.explode(segs).alias("s"))
+    sc = F.col("s").cast("string")
+
+    def hs(tag):
+        return _h8(F.concat_ws(":", F.lit(f"seg:{tag}"),
+                               F.col("id").cast("string"), sc))
+
+    d = F.col("s") < 0
+    y0 = F.col("b0") + F.col("s") * F.col("st")
+    y1 = F.col("b0") + (F.col("s") + 1) * F.col("st")
+    eday = F.when(d, F.lit(DEFAULT_DAY)).otherwise(
+        F.concat(y1.cast("string"), F.lit("-02-01")))
+    cols = [
+        F.lit(cx).cast("long").alias("cx"),
+        F.lit(cy).cast("long").alias("cy"),
+        (F.lit(cx) + (F.col("id") % side) * PIXEL_M)
+        .cast("long").alias("px"),
+        (F.lit(cy) - F.expr(f"id div {side}") * PIXEL_M)
+        .cast("long").alias("py"),
+        F.when(d, F.lit(DEFAULT_DAY)).otherwise(
+            F.concat(y0.cast("string"), F.lit("-03-01"))).alias("sday"),
+        eday.alias("eday"),
+        eday.alias("bday"),
+        F.when(d, F.lit(0.0)).otherwise(
+            (hs("cp") % 100).cast("double")).alias("chprob"),
+        F.when(d, F.lit(0)).otherwise(hs("qa") % 50)
+        .cast("int").alias("curqa"),
+    ]
+    for b in BANDS:
+        cols += [
+            F.when(d, F.lit(0.0)).otherwise(
+                (hs(f"{b}mag") % 100).cast("double")).alias(f"{b}mag"),
+            F.when(d, F.lit(0.0)).otherwise(
+                (hs(f"{b}rmse") % 100).cast("double")).alias(f"{b}rmse"),
+            F.when(d, F.lit(0.0)).otherwise(
+                (hs(f"{b}int") % 3000).cast("double")).alias(f"{b}int"),
+            F.when(d, F.array().cast("array<double>")).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(6)),
+                    lambda i: (_h8(F.concat_ws(
+                        ":", F.lit(f"seg:{b}coef"),
+                        F.col("id").cast("string"), sc,
+                        i.cast("string"))) % 100).cast("double")))
+            .alias(f"{b}coef"),
+        ]
+    return df.select(*cols)
