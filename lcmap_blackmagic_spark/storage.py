@@ -841,6 +841,12 @@ def write_snapshot(df: DataFrame, table_dir: str,
 
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unknown snapshot mode {mode!r}")
+    # replayed tag: no-op BEFORE validation so a quarantine-policy
+    # replay cannot re-append its dead rows to the DLQ (the in-loop
+    # re-check below still closes the concurrent-twin race)
+    if dedupe_tag and tag is not None \
+            and tag in _committed_tags(table_dir):
+        return None
     df = _validate_constraints(df, table_dir, on_violation)
     commit = f"c-{uuid.uuid4().hex[:12]}"
     data_dir = os.path.join(table_dir, "data", commit)
@@ -1173,8 +1179,8 @@ def _committed_tags(table_dir: str) -> set[str]:
 def write_snapshot_tagged(df: DataFrame, table_dir: str, tag: str,
                           mode: str = "append",
                           collect_stats: bool = True,
-                          bloom_cols: list[str] | None = None
-                          ) -> int | None:
+                          bloom_cols: list[str] | None = None,
+                          on_violation: str = "fail") -> int | None:
     """Replay-safe snapshot commit for streaming ``foreachBatch``
     sinks: ``tag`` (e.g. ``batch-{batch_id}``) is recorded IN the
     atomically published manifest, and a commit whose tag already
@@ -1193,12 +1199,21 @@ def write_snapshot_tagged(df: DataFrame, table_dir: str, tag: str,
     where two concurrent writers with the same tag both pass this
     precheck: the one that loses the manifest-link race re-reads the
     log, sees the tag, and aborts instead of publishing a second
-    tagged version."""
+    tagged version.
+
+    ``on_violation`` carries the table's CHECK-constraint policy into
+    the streaming path — ``quarantine`` is the expectations contract
+    for ingest (a malformed event dead-letters instead of failing the
+    stream).  The tag precheck running BEFORE validation matters
+    here: a replayed batch no-ops without re-appending its dead rows
+    to the quarantine table, so DLQ duplication is confined to the
+    crash window write_snapshot documents, never ordinary replays."""
     if tag in _committed_tags(table_dir):
         return None
     return write_snapshot(df, table_dir, mode=mode, tag=tag,
                           dedupe_tag=True, collect_stats=collect_stats,
-                          bloom_cols=bloom_cols)
+                          bloom_cols=bloom_cols,
+                          on_violation=on_violation)
 
 
 def compact_snapshot_zorder(spark: SparkSession, table_dir: str,
@@ -1532,7 +1547,7 @@ def snapshot_changes(spark: SparkSession, table_dir: str,
 
 
 def pump_changes(spark: SparkSession, src_dir: str,
-                 out_dir: str) -> list[int]:
+                 out_dir: str, on_violation: str = "fail") -> list[int]:
     """CONTINUOUS CDC: materialize the change-data-feed of every
     source version not yet pumped into ``out_dir`` — itself a
     snapshot table of change rows — one TAGGED append per source
@@ -1550,7 +1565,12 @@ def pump_changes(spark: SparkSession, src_dir: str,
     Retention contract (same as the snapshot STREAM): pumping
     version v needs manifest v-1, so run the pump inside the
     source's vacuum horizon — a vacuumed gap raises instead of
-    silently skipping changes.  Returns the versions pumped."""
+    silently skipping changes.  Returns the versions pumped.
+
+    ``on_violation`` is the OUT table's CHECK-constraint policy (the
+    change log can carry expectations like any snapshot table);
+    ``quarantine`` dead-letters malformed change rows instead of
+    halting the pump."""
     import re
 
     src_latest = latest_version(src_dir)
@@ -1573,7 +1593,8 @@ def pump_changes(spark: SparkSession, src_dir: str,
         out = ch.select("*", F.lit(v).cast("bigint")
                         .alias("_src_version"))
         write_snapshot_tagged(out, out_dir, f"cdf-v{v}", mode="append",
-                              collect_stats=False)
+                              collect_stats=False,
+                              on_violation=on_violation)
         pumped.append(v)
     return pumped
 

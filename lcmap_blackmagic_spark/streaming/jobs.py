@@ -802,6 +802,52 @@ def snapshot_rollup_stream(spark: SparkSession, events_dir: str,
     return writer.start()
 
 
+def snapshot_ingest_stream(spark: SparkSession, events_dir: str,
+                           table_dir: str, checkpoint_dir: str,
+                           available_now: bool = True,
+                           max_files_per_trigger: int = 1,
+                           on_violation: str = "quarantine"
+                           ) -> StreamingQuery:
+    """STREAMING EXPECTATIONS: land raw events into a CHECK-
+    constrained snapshot table — one TAGGED append per micro-batch —
+    with the table's constraint policy enforced ON THE INGEST PATH
+    (storage._validate_constraints via write_snapshot_tagged's
+    on_violation passthrough).  Under the default ``quarantine``
+    policy a malformed event dead-letters to ``<table>/_quarantine``
+    with its ``__violated`` reasons instead of failing the stream or
+    landing in the table; under ``fail`` the batch raises and the
+    query stops (the strict-contract variant); ``drop`` discards
+    silently.  Replayed batches no-op entirely — the tag precheck
+    runs before validation, so a replay re-appends to NEITHER the
+    table NOR the quarantine (exactly-once on both, outside the
+    crash window write_snapshot documents).
+
+    The streaming twin of the batch ``snapshot_expectations`` funnel
+    (registry_ext15): the same rows streamed through this job and
+    committed in one batch write must leave identical kept /
+    quarantined / per-constraint-count states
+    (tests/test_streaming_expectations.py)."""
+    from .. import storage
+
+    stream = events_stream(spark, events_dir,
+                           max_files_per_trigger=max_files_per_trigger)
+
+    def fb(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        storage.write_snapshot_tagged(batch_df, table_dir,
+                                      f"batch-{batch_id}",
+                                      mode="append",
+                                      collect_stats=False,
+                                      on_violation=on_violation)
+
+    writer = (stream.writeStream.foreachBatch(fb)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def read_snapshot_rollup(spark: SparkSession, table_dir: str,
                          version: int | None = None) -> DataFrame:
     """Merge the snapshot table's partials into final totals — at
