@@ -805,3 +805,105 @@ def test_frame_sample_uses_mp4_timing(spark):
     # 3 (1200ms), 4 (1800ms): nearest-sample set {0, 2, 4} (tie at
     # 1000 goes to the lower index via min-first scan)
     assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+
+
+# ---- real MJPEG-in-MP4 frame decode --------------------------------
+
+def _mjpeg_mp4(frames, frame_ms=500, timescale=1000, codec=b"jpeg"):
+    """Real Motion-JPEG-in-MP4: ftyp + mdat holding actual JPEG
+    samples + moov with the full addressing triple (stsd/stts/stsc/
+    stsz/stco) — the QuickTime MJPEG layout."""
+    import struct
+    jpegs = [_jpeg_payload(f) for f in frames]
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mdat = _box(b"mdat", b"".join(jpegs))
+    base = len(ftyp) + 8                 # absolute offset of sample 0
+    n = len(jpegs)
+    total = n * frame_ms
+    mvhd = _box(b"mvhd", struct.pack(">B3xII", 0, 0, 0)
+                + struct.pack(">II", timescale, total) + b"\x00" * 80)
+    mdhd = _box(b"mdhd", struct.pack(">B3xII", 0, 0, 0)
+                + struct.pack(">II", timescale, total) + b"\x00" * 4)
+    stts = _box(b"stts", struct.pack(">B3xI", 0, 1)
+                + struct.pack(">II", n, frame_ms))
+    entry = struct.pack(">I4s", 16, codec) + b"\x00" * 8
+    stsd = _box(b"stsd", struct.pack(">B3xI", 0, 1) + entry)
+    stsz = _box(b"stsz", struct.pack(">B3xII", 0, 0, n)
+                + b"".join(struct.pack(">I", len(j)) for j in jpegs))
+    stsc = _box(b"stsc", struct.pack(">B3xI", 0, 1)
+                + struct.pack(">III", 1, n, 1))
+    stco = _box(b"stco", struct.pack(">B3xI", 0, 1)
+                + struct.pack(">I", base))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", mdhd + minf)
+    trak = _box(b"trak", mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def test_decode_mp4_frame_real_mjpeg_pixels():
+    """Uniform JPEG frames survive DC-only coding EXACTLY, so the
+    decoded MP4 frames must be bit-equal to the encoded rasters."""
+    import numpy as np
+
+    from lcmap_blackmagic_spark.llm.multimodal import (decode_mp4_frame,
+                                                       probe_mp4)
+    f0 = np.full((16, 16), 64.0)
+    f1 = np.full((16, 16), 192.0)
+    payload = _mjpeg_mp4([f0, f1])
+    meta = probe_mp4(payload)
+    assert meta["codec"] == "jpeg"
+    assert len(meta["samples"]) == 2
+    assert np.array_equal(decode_mp4_frame(payload, meta, 0),
+                          f0.astype(np.float32))
+    assert np.array_equal(decode_mp4_frame(payload, meta, 1),
+                          f1.astype(np.float32))
+
+
+def test_decode_mp4_frame_foreign_codec_gates():
+    import numpy as np
+    import pytest as _pytest
+
+    from lcmap_blackmagic_spark.llm.multimodal import (decode_mp4_frame,
+                                                       probe_mp4)
+    payload = _mjpeg_mp4([np.full((16, 16), 10.0)], codec=b"avc1")
+    meta = probe_mp4(payload)
+    with _pytest.raises(ValueError, match="decoder= seam"):
+        decode_mp4_frame(payload, meta, 0)
+
+
+def test_frame_sample_decodes_real_mjpeg_frames(spark):
+    """frame_sample over a real MJPEG MP4 returns features computed
+    from the DECODED frames (column means of the true pixels), not
+    the digest fake."""
+    import numpy as np
+
+    from lcmap_blackmagic_spark.llm.multimodal import frame_sample
+    f0 = np.full((16, 16), 64.0)
+    f1 = np.full((16, 16), 192.0)
+    payload = _mjpeg_mp4([f0, f1], frame_ms=500)
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(payload), None, None, None, None)],
+        "media_id LONG, kind STRING, payload BINARY, mime STRING, "
+        "width INT, height INT, duration_ms INT")
+    rows = {r["frame_idx"]: r["feat"]
+            for r in frame_sample(media, every_ms=500).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0] == [64.0] * 16
+    assert rows[1] == [192.0] * 16
+
+
+def test_frame_sample_metadata_only_mp4_keeps_fake_path(spark):
+    """An MP4 without a sample table (the metadata fixture) still
+    samples by timing and features via the pluggable fake decoder —
+    unchanged contract."""
+    from lcmap_blackmagic_spark.llm.multimodal import frame_sample
+    payload = _mp4_payload()
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(payload), None, None, None, None)],
+        "media_id LONG, kind STRING, payload BINARY, mime STRING, "
+        "width INT, height INT, duration_ms INT")
+    rows = frame_sample(media, every_ms=1000).collect()
+    assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+    assert all(len(r["feat"]) == 16 for r in rows)
