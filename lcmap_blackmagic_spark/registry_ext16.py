@@ -1,0 +1,229 @@
+"""Seventeenth extension wave (round 11) — the two features this
+round added to the table format and the curation surface, under the
+correctness gate:
+
+- ``snapshot_timetravel``: TIMESTAMP AS OF resolution over a
+  multi-commit log (storage.version_as_of — round 10's as_of reader
+  atop round 11's manifest-log checkpoints: resolution reads the
+  checkpoint's rolled-up {version → ts} map plus the tail manifests,
+  O(tail) opens).  The oracle recomputes each pinned version's
+  CONTENT from the slice arithmetic, so a mis-resolved instant can
+  not hash-match.
+
+- ``llm_bloom_decontam``: decontamination against a benchmark split
+  through a BROADCAST BLOOM FILTER — the at-scale form of the
+  5-gram semi-join (``llm_decontaminate``): the benchmark's grams
+  fold into an m-bit bitset (executor-side bit_or word partials, the
+  storage-layer bloom construction), the bitset broadcasts to every
+  worker (kilobytes, not the gram list), and each corpus gram tests
+  k md5 positions in one Arrow-vectorized numpy pass.  Because the
+  positions are deterministic md5, DuckDB replays the EXACT
+  membership decision — including any false positives — so the whole
+  filter (a probabilistic structure!) carries a bit-exact oracle.
+
+Reference anchor: nothing in lcmap-blackmagic — the snapshot store
+and the LLM curation surface are the engine's own first-class
+additions (brief §LLM-ops); the bloom construction mirrors
+storage.write_with_bloom (file skipping) re-aimed at membership
+filtering.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from .registry import _t
+
+# ---------------------------------------------------- timetravel ----
+
+TT_SLICES = 4
+
+
+def q_snapshot_timetravel(spark, sf_dir):
+    """Commit orders in TT_SLICES key-sliced appends, then read the
+    table TIMESTAMP AS OF an instant inside each inter-commit gap
+    (plus one after the last) and aggregate what each pinned instant
+    sees.  A second run in the same process appends onto the same
+    staging table (double-run stability): the as_of instants are
+    recomputed from THIS run's manifests, and the first write is an
+    overwrite, so every run's four reads see exactly slices
+    0..k-1."""
+    import json
+    import os
+
+    from .registry import _staging
+    from .storage import SNAP_MANIFESTS, read_snapshot, write_snapshot
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("cents"))
+    t = _staging(sf_dir, "tt_orders")
+    versions = []
+    for s in range(TT_SLICES):
+        v = write_snapshot(o.filter(F.col("o_orderkey") % TT_SLICES == s),
+                           t, mode="append" if s else "overwrite",
+                           collect_stats=False)
+        versions.append(v)
+    ts = []
+    for v in versions:
+        with open(os.path.join(t, SNAP_MANIFESTS, f"v{v}.json")) as fh:
+            ts.append(json.load(fh)["ts"])
+    # midpoints between consecutive commit instants (and +1 s after
+    # the last): unambiguous even if two commits share a rounded ms
+    instants = [(a + b) / 2 for a, b in zip(ts, ts[1:])] + [ts[-1] + 1.0]
+    out = None
+    for k, inst in enumerate(instants, start=1):
+        part = (read_snapshot(spark, t, as_of=inst)
+                .agg(F.lit(k).alias("n_slices"),
+                     F.count(F.lit(1)).alias("n_orders"),
+                     F.sum("cents").alias("sum_cents")))
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("n_slices")
+
+
+SQL_SNAPSHOT_TIMETRAVEL = f"""
+SELECT v.k AS n_slices,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                     AS BIGINT)) AS BIGINT) AS sum_cents
+FROM orders, (SELECT UNNEST(range(1, {TT_SLICES + 1})) AS k) v
+WHERE o_orderkey % {TT_SLICES} < v.k
+GROUP BY v.k
+ORDER BY n_slices
+"""
+
+# ------------------------------------------------ bloom decontam ----
+
+BLOOM_M = 1 << 17         # bits; ~2 KB/word-packed — broadcastable
+BLOOM_K = 7
+DECON_N = 5               # word n-gram order (llm_decontaminate's)
+
+
+def _gram_positions(gram_col, m: int, k: int):
+    """The k md5-derived bit positions of a gram — the engine-portable
+    construction of storage._bloom_positions (48-bit prefix mod m)."""
+    return F.array(*[
+        (F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"), gram_col)),
+                            1, 12), 16, 10).cast("bigint")
+         % F.lit(m)).cast("long")
+        for i in range(k)])
+
+
+def q_llm_bloom_decontam(spark, sf_dir):
+    """Corpus docs (source != src0) are DROPPED when any of their
+    word 5-grams bloom-hits the src0 benchmark set.  Output: the
+    per-source funnel (docs in, docs dropped, docs kept).
+
+    Scale shape: the benchmark grams never leave the executors as a
+    list — they fold into BLOOM_M bits via bit_or word partials (the
+    driver collects m/64 words once), and the probe side tests each
+    distinct (doc, gram)'s k positions against the BROADCAST bitset
+    in one vectorized numpy pass per Arrow batch.  At 100 TB the
+    bitset for a 10^9-gram benchmark is ~1.2 GB broadcast once,
+    vs shuffling the corpus's grams against a multi-TB gram table —
+    the standard production decontam trade (deterministic FPR instead
+    of an exact join; the FPR is part of the checked semantics)."""
+    from .llm.dedup import shingles
+
+    d = _t(spark, sf_dir, "documents")
+    bench_pos = (d.filter(F.col("source") == "src0")
+                 .select(F.explode(shingles("text", DECON_N)).alias("g"))
+                 .distinct()
+                 .select(F.explode(_gram_positions(F.col("g"), BLOOM_M,
+                                                   BLOOM_K)).alias("pos")))
+    words = (bench_pos
+             .groupBy(F.shiftright(F.col("pos"), 6).alias("w"))
+             .agg(F.bit_or(F.expr(
+                 "shiftleft(CAST(1 AS BIGINT), pos % 64)")).alias("bits"))
+             .collect())
+    bits = np.zeros(BLOOM_M // 64, dtype=np.uint64)
+    for row in words:
+        bits[row["w"]] = np.uint64(row["bits"] & 0xFFFFFFFFFFFFFFFF)
+    bbits = spark.sparkContext.broadcast(bits)
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def bloom_hit(pos: pd.Series) -> pd.Series:
+        # one vectorized pass: (n, k) position matrix -> bit tests
+        bs = bbits.value
+        arr = np.asarray([np.asarray(p, dtype=np.int64) for p in pos])
+        if arr.size == 0:
+            return pd.Series(np.zeros(len(pos), dtype=bool))
+        w = bs[arr >> 6]
+        hit = (w >> (arr % 64).astype(np.uint64)) & np.uint64(1)
+        return pd.Series(hit.all(axis=1).astype(bool))
+
+    corpus = d.filter(F.col("source") != "src0")
+    grams = (corpus.select("doc_id", "source",
+                           F.explode(shingles("text", DECON_N))
+                           .alias("g"))
+             .withColumn("pos", _gram_positions(F.col("g"), BLOOM_M,
+                                                BLOOM_K)))
+    dropped = (grams.filter(bloom_hit(F.col("pos")))
+               .select("doc_id").distinct())
+    flagged = corpus.join(F.broadcast(dropped.withColumn(
+        "__hit", F.lit(1))), "doc_id", "left")
+    return (flagged.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(F.col("__hit").isNotNull(), 1)
+                       .otherwise(0)).cast("bigint").alias("n_dropped"),
+                 F.sum(F.when(F.col("__hit").isNull(), 1)
+                       .otherwise(0)).cast("bigint").alias("n_kept"))
+            .orderBy("source"))
+
+
+def _sql_bloom_decontam() -> str:
+    """DuckDB replay of the EXACT bloom decision: a corpus gram hits
+    iff every one of its k positions is set by SOME benchmark gram's
+    positions — k-out-of-k membership in the benchmark's position
+    set, false positives included."""
+    gram5 = ("UNNEST(list_transform(generate_series(1, len(ws) - 4), "
+             "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' "
+             "|| ws[i+3] || ' ' || ws[i+4]))")
+    pos = " UNION ALL ".join(
+        f"SELECT g, CAST('0x' || substr(md5('{i}:' || g), 1, 12) "
+        f"AS BIGINT) % {BLOOM_M} AS pos FROM {{src}}"
+        for i in range(BLOOM_K))
+    return f"""
+WITH bgrams AS (
+  SELECT DISTINCT {gram5} AS g
+  FROM (SELECT string_split(lower(trim(text)), ' ') AS ws
+        FROM documents WHERE source = 'src0')),
+bpos AS (SELECT DISTINCT pos FROM ({pos.format(src='bgrams')})),
+cgrams AS (
+  SELECT DISTINCT doc_id, {gram5} AS g
+  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws
+        FROM documents WHERE source <> 'src0')),
+cg AS (SELECT DISTINCT g FROM cgrams),
+cpos AS ({pos.format(src='cg')}),
+hits AS (
+  SELECT c.g
+  FROM cpos c LEFT JOIN bpos b ON b.pos = c.pos
+  GROUP BY c.g
+  HAVING COUNT(*) = {BLOOM_K} AND COUNT(b.pos) = {BLOOM_K}),
+dropped AS (
+  SELECT DISTINCT cgrams.doc_id
+  FROM cgrams JOIN hits ON hits.g = cgrams.g)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept
+FROM documents d LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+WHERE d.source <> 'src0'
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+QUERIES_EXT16: dict[str, dict] = {
+    "snapshot_timetravel": {"fn": q_snapshot_timetravel,
+                            "sql": SQL_SNAPSHOT_TIMETRAVEL},
+    "llm_bloom_decontam":  {"fn": q_llm_bloom_decontam,
+                            "sql": _sql_bloom_decontam()},
+}
