@@ -162,6 +162,12 @@ HEADLINE = [
     "lcmap_detect_chip",
     "lcmap_tile_train",
     "lcmap_predict_chip",
+    # round-11 additions (snapshot_timetravel, llm_bloom_decontam)
+    # are NOT in the headline: the 82-entry compact line sits ~60
+    # chars under the driver's 2000-char stdout window, and two more
+    # entries would force the fold valve on every ordinary run
+    # (test_compact_line_fits_driver_window pins the zero-fold
+    # envelope).  Both are gate-checked and in LOCAL_CORRECTNESS.
 ]
 
 
@@ -338,13 +344,14 @@ def main() -> None:
                     for n, v in per_query.items()},
         "sf": sf,
         "anchor_sec": detail["anchor_sec"],
-        "disk_anchor_sec": detail["disk_anchor_sec"],
+        # disk_anchor_sec lives in bench_detail.json only: the
+        # compact line's 82-entry map leaves no slack for another key
     }
     if failed:
         out["errors"] = len(failed)
     line = json.dumps(out, separators=(",", ":"))
     while len(line) > 1900 and out["queries"]:
-        # Emergency valve (should never trigger near today's 74-query
+        # Emergency valve (should never trigger on the 82-query
         # headline): fold the fastest queries into one residual bucket
         # until the line fits — a coarse artifact beats an unparseable
         # one.  Fold order is by time so the judge keeps the heavy,
