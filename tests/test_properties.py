@@ -151,3 +151,27 @@ def test_hll_permutation_and_duplication_invariance(spark, keys):
     a = hll_distinct(base.withColumn("g", F.lit(1)), ["g"], "k").collect()
     b = hll_distinct(mixed.withColumn("g", F.lit(1)), ["g"], "k").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+@given(n=st.integers(10, 300), frac=st.sampled_from([0.1, 0.2, 0.5]))
+@settings(max_examples=8, deadline=None)
+def test_train_test_split_hash_partitions_exactly(spark, n, frac):
+    """The md5-coin holdout split: train ∪ test = input, train ∩
+    test = ∅, membership deterministic across calls, and the test
+    fraction lands near the requested one (the coin is 48-bit
+    uniform on the id hash)."""
+    from lcmap_blackmagic_spark.operators.sampling import \
+        train_test_split_hash
+    df = spark.range(n).selectExpr("id AS px", "id * 7 AS py",
+                                   "id % 3 AS label")
+    tr, te = train_test_split_hash(df, ["px", "py"], frac)
+    tr_ids = sorted(r["px"] for r in tr.collect())
+    te_ids = sorted(r["px"] for r in te.collect())
+    assert sorted(tr_ids + te_ids) == list(range(n))
+    assert not set(tr_ids) & set(te_ids)
+    tr2, te2 = train_test_split_hash(df, ["px", "py"], frac)
+    assert sorted(r["px"] for r in te2.collect()) == te_ids
+    # Bernoulli(frac) over n draws: allow a generous 4-sigma band
+    import math
+    sigma = math.sqrt(n * frac * (1 - frac))
+    assert abs(len(te_ids) - n * frac) <= 4 * sigma + 1
