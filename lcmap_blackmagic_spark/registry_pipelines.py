@@ -94,12 +94,19 @@ FROM fit3
 
 def q_lcmap_prediction(spark, sf_dir):
     """UD2+UD3: train (fallback classifier) then batch-predict with
-    defaults routing — the full /prediction composition."""
+    defaults routing — the full /prediction composition at probe
+    scale (side=8; the bench-scale twin is ``lcmap_predict_chip``).
+    FULLY ORACLE-CHECKED since round 11: the md5-hash fixtures
+    regenerate in SQL and the compared columns (keys, segment dates,
+    exploded prediction dates, prob arity) are closed-form
+    (_sql_predict_chip(side=8)); the tile_pipeline fit — including
+    its seeded sample/split, which only shape the MODEL, never the
+    compared columns — still runs as the workload."""
     from .plans.prediction import prediction_pipeline
     from .plans.tile import tile_pipeline
-    from .sources.fixtures import synth_aux, synth_segments
-    segs = synth_segments(spark, side=8)
-    aux = synth_aux(spark, side=8)
+    from .sources.fixtures import synth_aux_hash, synth_segments_hash
+    segs = synth_segments_hash(spark, side=8)
+    aux = synth_aux_hash(spark, side=8)
     model, _ = tile_pipeline(segs, aux, "2001-07-01", target_samples=200,
                              class_min=5, class_max=40)
     preds = prediction_pipeline(segs, aux, model, 7, 1)
@@ -718,7 +725,8 @@ QUERIES_PIPELINES: dict[str, dict] = {
                              "sql": _sql_predict_chip()},
     "llm_minhash_pipeline": {"fn": q_llm_minhash_pipeline,
                              "sql": _sql_minhash_pipeline()},
-    "lcmap_prediction":     {"fn": q_lcmap_prediction,     "sql": None},
+    "lcmap_prediction":     {"fn": q_lcmap_prediction,
+                             "sql": _sql_predict_chip(side=8)},
     "llm_ann_topk":         {"fn": q_llm_ann_topk,         "sql": _sql_ann_topk()},
     "llm_ann_ivf":          {"fn": q_llm_ann_ivf,          "sql": None},
     "src_chipmunk":         {"fn": q_src_chipmunk,
