@@ -294,3 +294,67 @@ def test_in_list_decodes_each_sidecar_once(spark, monkeypatch):
     assert sorted(r["id"] for r in got.collect()) == [0, 1, 2, 3]
     assert len(loads) <= 4                        # one real load per dir
     assert len(loads) == len(set(loads))
+
+
+def test_bloom_pruning_fuzz_random_types_and_probes(spark):
+    """Property: for ANY mix of column types, probe types (including
+    cross-typed probes), and commit layouts, a bloom+stats pruned
+    point/IN read equals the unpruned filtered read.  This is the
+    guard on the round-11 type-matching rule — an int probe against a
+    double column once silently pruned a matching dir."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(1105)
+    t = tempfile.mkdtemp(prefix="sbloomfz_")
+    # columns: bigint id, double dx, string s, boolean b, int n
+    rows_of = lambda lo: [
+        (lo + i,
+         float(lo + i) + rng.choice([0.0, 0.5]),
+         f"u-{(lo + i) % 37}",
+         (lo + i) % 2 == 0,
+         (lo + i) % 19)
+        for i in range(40)]
+    for c in range(4):
+        storage.write_snapshot(
+            spark.createDataFrame(
+                rows_of(c * 1000),
+                "id long, dx double, s string, b boolean, n int"),
+            t, mode="append" if c else "overwrite",
+            bloom_cols=["id", "dx", "s", "b", "n"])
+    full = storage.read_snapshot(spark, t)
+    probes = []
+    for _ in range(40):
+        col = rng.choice(["id", "dx", "s", "b", "n"])
+        # half matching values, half misses.  Cross-typed probes are
+        # limited to combinations Spark's analyzer accepts (numeric
+        # coercions): int-vs-double both ways — the exact shape of
+        # the round-10 mis-prune — plus numeric strings against the
+        # string column.  bool-vs-int / int-vs-bool probes raise
+        # DATATYPE_MISMATCH at analysis and can never reach pruning.
+        pool = {
+            "id": [17, 1017, 2040, -5, 3000, 17.0, 2040.5],
+            "dx": [17, 17.0, 1017.5, 9.25, 2040.0, -1.5],
+            "s": ["u-3", "u-99", "17", "true"],
+            "b": [True, False],
+            "n": [3, 18, 99],
+        }[col]
+        if rng.random() < 0.7:
+            probes.append((col, "=", rng.choice(pool)))
+        else:
+            # IN lists must be same-typed: Spark's analyzer refuses a
+            # mixed-type isin (e.g. b IN (1, 0, true)) outright, so a
+            # mixed list can never reach the pruning code anyway
+            ty = type(rng.choice(pool))
+            same = [v for v in pool if type(v) is ty]
+            probes.append((col, "in",
+                           rng.sample(same, k=min(3, len(same)))))
+    for col, op, val in probes:
+        got = storage.read_snapshot(spark, t, where=(col, op, val))
+        want = full.filter(
+            F.col(col).isin(list(val)) if op == "in"
+            else F.col(col) == val)
+        g = sorted(tuple(r) for r in got.collect())
+        w = sorted(tuple(r) for r in want.collect())
+        assert g == w, (col, op, val)
