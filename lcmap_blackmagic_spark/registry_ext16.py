@@ -30,8 +30,6 @@ filtering.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import functions as F
 
 from .registry import _t
@@ -97,19 +95,7 @@ ORDER BY n_slices
 
 # ------------------------------------------------ bloom decontam ----
 
-BLOOM_M = 1 << 17         # bits; ~2 KB/word-packed — broadcastable
-BLOOM_K = 7
-DECON_N = 5               # word n-gram order (llm_decontaminate's)
-
-
-def _gram_positions(gram_col, m: int, k: int):
-    """The k md5-derived bit positions of a gram — the engine-portable
-    construction of storage._bloom_positions (48-bit prefix mod m)."""
-    return F.array(*[
-        (F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"), gram_col)),
-                            1, 12), 16, 10).cast("bigint")
-         % F.lit(m)).cast("long")
-        for i in range(k)])
+from .llm.bloomfilter import BLOOM_K, BLOOM_M, DECON_N  # noqa: E402
 
 
 def q_llm_bloom_decontam(spark, sf_dir):
@@ -117,54 +103,28 @@ def q_llm_bloom_decontam(spark, sf_dir):
     word 5-grams bloom-hits the src0 benchmark set.  Output: the
     per-source funnel (docs in, docs dropped, docs kept).
 
-    Scale shape: the benchmark grams never leave the executors as a
-    list — they fold into BLOOM_M bits via bit_or word partials (the
-    driver collects m/64 words once), and the probe side tests each
-    distinct (doc, gram)'s k positions against the BROADCAST bitset
-    in one vectorized numpy pass per Arrow batch.  At 100 TB the
-    bitset for a 10^9-gram benchmark is ~1.2 GB broadcast once,
-    vs shuffling the corpus's grams against a multi-TB gram table —
-    the standard production decontam trade (deterministic FPR instead
-    of an exact join; the FPR is part of the checked semantics)."""
+    Scale shape (llm/bloomfilter.py, shared with the streaming twin
+    bloom_decontam_stream): the benchmark grams never leave the
+    executors as a list — they fold into BLOOM_M bits via bit_or
+    word partials (the driver collects m/64 words once), and the
+    probe side tests each distinct (doc, gram)'s k positions against
+    the BROADCAST bitset in one vectorized numpy pass per Arrow
+    batch.  At 100 TB the bitset for a 10^9-gram benchmark is
+    ~1.2 GB broadcast once, vs shuffling the corpus's grams against
+    a multi-TB gram table — the standard production decontam trade
+    (deterministic FPR instead of an exact join; the FPR is part of
+    the checked semantics)."""
+    from .llm.bloomfilter import bits_from_words, bloom_words, \
+        contaminated_doc_ids
     from .llm.dedup import shingles
 
     d = _t(spark, sf_dir, "documents")
-    bench_pos = (d.filter(F.col("source") == "src0")
-                 .select(F.explode(shingles("text", DECON_N)).alias("g"))
-                 .distinct()
-                 .select(F.explode(_gram_positions(F.col("g"), BLOOM_M,
-                                                   BLOOM_K)).alias("pos")))
-    words = (bench_pos
-             .groupBy(F.shiftright(F.col("pos"), 6).alias("w"))
-             .agg(F.bit_or(F.expr(
-                 "shiftleft(CAST(1 AS BIGINT), pos % 64)")).alias("bits"))
-             .collect())
-    bits = np.zeros(BLOOM_M // 64, dtype=np.uint64)
-    for row in words:
-        bits[row["w"]] = np.uint64(row["bits"] & 0xFFFFFFFFFFFFFFFF)
-    bbits = spark.sparkContext.broadcast(bits)
-
-    from pyspark.sql.pandas.functions import pandas_udf
-
-    @pandas_udf("boolean")
-    def bloom_hit(pos: pd.Series) -> pd.Series:
-        # one vectorized pass: (n, k) position matrix -> bit tests
-        bs = bbits.value
-        arr = np.asarray([np.asarray(p, dtype=np.int64) for p in pos])
-        if arr.size == 0:
-            return pd.Series(np.zeros(len(pos), dtype=bool))
-        w = bs[arr >> 6]
-        hit = (w >> (arr % 64).astype(np.uint64)) & np.uint64(1)
-        return pd.Series(hit.all(axis=1).astype(bool))
-
+    bench = (d.filter(F.col("source") == "src0")
+             .select(F.explode(shingles("text", DECON_N)).alias("g"))
+             .distinct())
+    bits = bits_from_words(bloom_words(bench).collect())
     corpus = d.filter(F.col("source") != "src0")
-    grams = (corpus.select("doc_id", "source",
-                           F.explode(shingles("text", DECON_N))
-                           .alias("g"))
-             .withColumn("pos", _gram_positions(F.col("g"), BLOOM_M,
-                                                BLOOM_K)))
-    dropped = (grams.filter(bloom_hit(F.col("pos")))
-               .select("doc_id").distinct())
+    dropped = contaminated_doc_ids(corpus, bits)
     flagged = corpus.join(F.broadcast(dropped.withColumn(
         "__hit", F.lit(1))), "doc_id", "left")
     return (flagged.groupBy("source")

@@ -638,6 +638,65 @@ def ingest_dedup_batch(batch_df: DataFrame, batch_id: int,
      .partitionBy("batch_id").parquet(out_dir))
 
 
+def build_bloom_store(bench_docs: DataFrame, store_dir: str) -> None:
+    """Fold a benchmark split's word n-grams into the persisted Bloom
+    WORD table (w, bits) — the decontamination signature store a
+    streaming curation job probes per batch (llm/bloomfilter.py;
+    m/64 rows total, kilobytes on disk)."""
+    from ..llm.bloomfilter import DECON_N, bloom_words
+    from ..llm.dedup import shingles
+
+    grams = (bench_docs
+             .select(F.explode(shingles("text", DECON_N)).alias("g"))
+             .distinct())
+    bloom_words(grams).coalesce(1).write.mode("overwrite") \
+        .parquet(store_dir)
+
+
+def bloom_decontam_stream(docs: DataFrame, store_dir: str,
+                          out_dir: str):
+    """STREAMING decontamination: per micro-batch, probe incoming
+    documents' n-grams against the persisted Bloom store
+    (``build_bloom_store``) and land per-doc keep/drop flags — the
+    streaming twin of the batch ``llm_bloom_decontam`` query, sharing
+    its probe (llm/bloomfilter.contaminated_doc_ids) so the decision
+    is flag-exact by construction.
+
+    Per trigger: one tiny store read (m/64 word rows → broadcast
+    bitset), one vectorized probe pass over the batch's grams —
+    O(batch) work regardless of corpus size, the benchmark never
+    re-hashed.  Flags land under the batch's own ``batch_id=``
+    partition via dynamic overwrite, so a replayed batch rewrites
+    itself (idempotent), like the ingest-dedup sink.  Returns the
+    DataStreamWriter (caller starts it)."""
+    def fb(batch_df: DataFrame, batch_id: int) -> None:
+        bloom_decontam_batch(batch_df, batch_id, store_dir, out_dir)
+
+    return docs.writeStream.foreachBatch(fb)
+
+
+def bloom_decontam_batch(batch_df: DataFrame, batch_id: int,
+                         store_dir: str, out_dir: str) -> None:
+    """One micro-batch of the streaming decontam protocol,
+    module-level so crash-replay idempotency is directly testable."""
+    from ..llm.bloomfilter import bits_from_words, contaminated_doc_ids
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    bits = bits_from_words(spark.read.parquet(store_dir).collect())
+    dropped = contaminated_doc_ids(batch_df, bits)
+    flags = (batch_df.select("doc_id", "source")
+             .join(F.broadcast(dropped.withColumn("dropped",
+                                                  F.lit(True))),
+                   "doc_id", "left")
+             .withColumn("dropped",
+                         F.coalesce(F.col("dropped"), F.lit(False))))
+    (flags.withColumn("batch_id", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id").parquet(out_dir))
+
+
 def session_windows(events: DataFrame, gap_minutes: int = 30,
                     watermark: str = "2 hours") -> DataFrame:
     """Custom stateful streaming operator: gap-based sessionization via
