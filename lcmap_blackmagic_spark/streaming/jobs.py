@@ -205,6 +205,84 @@ def _no_timeout():
     return GroupStateTimeout.NoTimeout
 
 
+def have_transform_with_state() -> bool:
+    """Spark 4's transformWithStateInPandas needs the protobuf
+    package on the PYTHON side (its state-API client speaks proto to
+    the JVM: pyspark/sql/streaming/proto/StateMessage_pb2) —
+    import-gated exactly like xgboost/pyccd: absent in this
+    environment (installs prohibited), verified by the live crash
+    'ImportError: cannot import name descriptor from google.protobuf'
+    out of the TransformWithStateInPySpark driver worker."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def ewma_stream_tws(events: DataFrame,
+                    watermark: str = "2 hours") -> DataFrame:
+    """``ewma_stream`` on Spark 4's transformWithStateInPandas — the
+    NEW arbitrary-state API (StatefulProcessor + typed state
+    variables) that supersedes applyInPandasWithState: state is a
+    named ValueState the runtime manages (schema-checked, RocksDB-
+    backed under the provider flag, TTL-capable), the processor is a
+    class with an explicit lifecycle, and composite/list/map state
+    and timers hang off the same handle.  Semantics are IDENTICAL to
+    ewma_stream — same (ts, event_id) fold order, same composite
+    late-drop, same dyadic alpha — pinned output-equal by
+    tests/test_streaming_tws.py (skipped where protobuf is absent:
+    ``have_transform_with_state``), so the two APIs are
+    interchangeable here and the repo demonstrates both stateful
+    surfaces."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    class EwmaProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._s = handle.getValueState("ewma", EWMA_STATE)
+
+        def handleInputRows(self, key, rows, timer_values):
+            cur = self._s.get()
+            if cur is not None:
+                s, last_us, last_eid = cur
+            else:
+                s, last_us, last_eid = None, -1, -1
+            user_id = key[0]
+            chunks = [pdf for pdf in rows if not pdf.empty]
+            ids, vals = [], []
+            if chunks:
+                pdf = (pd.concat(chunks, ignore_index=True)
+                       .sort_values(["ts", "event_id"]))
+                ts_us = (pdf["ts"].astype("datetime64[ns]")
+                         .astype("int64") // 1000)
+                for t, eid, x in zip(ts_us, pdf["event_id"],
+                                     pdf["value"]):
+                    t, eid = int(t), int(eid)
+                    if (t, eid) <= (last_us, last_eid):
+                        continue
+                    last_us, last_eid = t, eid
+                    x = float(x) if x == x else 0.0
+                    s = x if s is None else (x + s) / 2
+                    ids.append(eid)
+                    vals.append(s)
+            if s is not None:
+                self._s.update((s, last_us, last_eid))
+            if ids:
+                yield pd.DataFrame({"user_id": [user_id] * len(ids),
+                                    "event_id": ids, "ewma": vals})
+
+        def close(self) -> None:
+            pass
+
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .transformWithStateInPandas(EwmaProcessor(), EWMA_OUT,
+                                        "Append", "None"))
+
+
 ZSCORE_OUT = T.StructType([
     T.StructField("event_type", T.StringType()),
     T.StructField("event_id", T.LongType()),
