@@ -568,8 +568,14 @@ ORDER BY cx, cy, ubid
 
 
 def q_mm_extract_features(spark, sf_dir):
-    """Multimodal decode→feature plumbing over binary payloads
-    (deterministic fake decoder; real codecs are a marked stub)."""
+    """Multimodal decode→feature plumbing over binary payloads.
+    FULLY ORACLE-CHECKED (round 11): the deterministic fake decoder
+    is sha256-derived and DuckDB has sha256 — the 16-slot pooled
+    means over the (digest × 8) pseudo-raster reduce to the two
+    half-digest byte means interleaved, all dyadic (exact in
+    float32), so the whole Arrow decode/pool path hash-matches
+    (_sql_mm_features).  Real codecs ride the same plumbing with
+    decoder= (library_decoder)."""
     from .llm.multimodal import attach_payloads, extract_features
     docs = _t(spark, sf_dir, "documents")
     media = attach_payloads(docs.filter(F.col("doc_id") < 120))
@@ -577,11 +583,71 @@ def q_mm_extract_features(spark, sf_dir):
 
 
 def q_mm_resize(spark, sf_dir):
-    """Raster resize plumbing: decode → area-downsample to 8×8."""
+    """Raster resize plumbing: decode → area-downsample to 8×8.
+    FULLY ORACLE-CHECKED (round 11): on the 16×16 sha-raster every
+    2×2 block mean is a four-byte dyadic mean of digest bytes —
+    closed-form in SQL (_sql_mm_resize)."""
     from .llm.multimodal import attach_payloads, resize_images
     docs = _t(spark, sf_dir, "documents")
     media = attach_payloads(docs.filter(F.col("doc_id") < 120))
     return resize_images(media, out_h=8, out_w=8)
+
+
+_MM_BYTES = ("list_transform(generate_series(0, 31), "
+             "i -> CAST('0x' || substr(hx, 2*i + 1, 2) AS INT))")
+
+
+def _sql_mm_features() -> str:
+    """DuckDB replay of fake_decoder + extract_features(16): the
+    pseudo-raster is the sha256 digest repeated 8× (256 bytes);
+    pooled slot j means CONSECUTIVE bytes 16j..16j+15, i.e. the
+    first half-digest mean when j is even, the second when odd."""
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1]
+           AS kind,
+         octet_length(encode(text)) AS n_bytes,
+         sha256(text) AS hx
+  FROM documents WHERE doc_id < 120),
+b AS (SELECT *, {_MM_BYTES} AS bytes FROM m),
+ab AS (SELECT *,
+              CAST(list_sum(bytes[1:16]) AS DOUBLE) / 16 AS a,
+              CAST(list_sum(bytes[17:32]) AS DOUBLE) / 16 AS bb
+       FROM b)
+SELECT media_id, kind, CAST(n_bytes AS INT) AS n_bytes,
+       list_transform(generate_series(1, 16),
+         j -> CAST(CASE WHEN j % 2 = 1 THEN a ELSE bb END AS FLOAT))
+         AS feat
+FROM ab
+"""
+
+
+def _sql_mm_resize() -> str:
+    """DuckDB replay of fake_decoder + resize_images(8, 8): raster
+    cell (y, x) is digest byte 16·(y mod 2) + x, so the 2×2 block
+    mean at (r, c) is (h[2c] + h[2c+1] + h[16+2c] + h[16+2c+1]) / 4 —
+    the same 8 values for every output row."""
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1]
+           AS kind,
+         sha256(text) AS hx
+  FROM documents WHERE doc_id < 120 AND doc_id % 3 <> 1),
+b AS (SELECT *, {_MM_BYTES} AS bytes FROM m),
+rowvals AS (
+  SELECT media_id, kind,
+         list_transform(generate_series(0, 7),
+           c -> CAST((bytes[2*c + 1] + bytes[2*c + 2]
+                      + bytes[16 + 2*c + 1] + bytes[16 + 2*c + 2])
+                     AS DOUBLE) / 4) AS rw
+  FROM b)
+SELECT media_id, kind, CAST(8 AS INT) AS h, CAST(8 AS INT) AS w,
+       flatten(list_transform(generate_series(1, 8),
+         r -> list_transform(rw, v -> CAST(v AS FLOAT)))) AS pixels
+FROM rowvals
+"""
 
 
 def q_mm_frame_sample(spark, sf_dir):
@@ -733,7 +799,9 @@ QUERIES_PIPELINES: dict[str, dict] = {
                              "sql": _sql_src_chipmunk()},
     "approx_sketches":      {"fn": q_approx_sketches,      "sql": None},
     "kmv_sketch":           {"fn": q_kmv_sketch,           "sql": SQL_KMV_SKETCH},
-    "mm_extract_features":  {"fn": q_mm_extract_features,  "sql": None},
-    "mm_resize":            {"fn": q_mm_resize,            "sql": None},
+    "mm_extract_features":  {"fn": q_mm_extract_features,
+                             "sql": _sql_mm_features()},
+    "mm_resize":            {"fn": q_mm_resize,
+                             "sql": _sql_mm_resize()},
     "mm_frame_sample":      {"fn": q_mm_frame_sample,      "sql": None},
 }
