@@ -1218,7 +1218,8 @@ def write_snapshot_tagged(df: DataFrame, table_dir: str, tag: str,
 
 def compact_snapshot_zorder(spark: SparkSession, table_dir: str,
                             x_col, y_col,
-                            n_dirs: int = 8) -> int:
+                            n_dirs: int = 8,
+                            bloom_cols: list[str] | None = None) -> int:
     """OPTIMIZE ZORDER BY for snapshot tables: rewrite the latest
     version into ``n_dirs`` commit dirs that each cover one range of
     the Morton key of (x_col, y_col), published together as ONE
@@ -1246,7 +1247,13 @@ def compact_snapshot_zorder(spark: SparkSession, table_dir: str,
     pass a normalizing expression for the wider one, e.g.
     ``F.floor(F.col("o_orderkey") / 10)`` against a 10×-narrower
     custkey.  Stats (and therefore pruning) are always on the REAL
-    columns, read back from the written files."""
+    columns, read back from the written files.
+
+    ``bloom_cols`` re-creates per-dir Bloom sidecars on the z-range
+    dirs (a rewrite drops the input dirs' sidecars): the z-order
+    layout prunes RANGE predicates on the two Morton inputs, and the
+    sidecars keep point lookups on an unclustered id column pruning
+    too — the two skip structures compose per dir."""
     import json
     import shutil
     import uuid
@@ -1286,6 +1293,9 @@ def compact_snapshot_zorder(spark: SparkSession, table_dir: str,
         for sub in sorted(os.listdir(staging)):
             if not sub.startswith("__zb="):
                 continue
+            if bloom_cols:
+                _snap_commit_bloom(spark, os.path.join(staging, sub),
+                                   bloom_cols)
             pending.append((sub, f"c-{uuid.uuid4().hex[:12]}",
                             _snap_commit_stats(
                                 spark, os.path.join(staging, sub))))
@@ -1338,7 +1348,8 @@ def compact_snapshot_zorder(spark: SparkSession, table_dir: str,
 
 
 def compact_snapshot(spark: SparkSession, table_dir: str,
-                     sort_by: str | None = None) -> int | None:
+                     sort_by: str | None = None,
+                     bloom_cols: list[str] | None = None) -> int | None:
     """OPTIMIZE for snapshot tables: rewrite the LATEST version's
     commit dirs (accumulated by many small appends/merges — the
     small-files problem every log-structured table grows) into ONE
@@ -1353,6 +1364,12 @@ def compact_snapshot(spark: SparkSession, table_dir: str,
     MERGE's dir-level pruning key on — the OPTIMIZE ZORDER analogue
     on one dimension (compose with functions/zorder.zorder_key for
     multi-column layouts).
+
+    ``bloom_cols`` re-creates the point-lookup Bloom sidecar on the
+    rewritten commit dir: a rewrite DROPS the input dirs' sidecars
+    (they are per-dir and immutable), so without this an OPTIMIZE on
+    a bloom-indexed table silently turns its id point reads back
+    into full scans.
 
     Returns the new version, or None when the latest version already
     has a single commit dir and no sort was requested (nothing to
@@ -1380,7 +1397,8 @@ def compact_snapshot(spark: SparkSession, table_dir: str,
     if sort_by is not None:
         df = (df.repartitionByRange(F.col(sort_by))
               .sortWithinPartitions(sort_by))
-    return write_snapshot(df, table_dir, mode="overwrite")
+    return write_snapshot(df, table_dir, mode="overwrite",
+                          bloom_cols=bloom_cols)
 
 
 def snapshot_changes(spark: SparkSession, table_dir: str,

@@ -358,3 +358,54 @@ def test_bloom_pruning_fuzz_random_types_and_probes(spark):
         g = sorted(tuple(r) for r in got.collect())
         w = sorted(tuple(r) for r in want.collect())
         assert g == w, (col, op, val)
+
+
+def test_compaction_can_rebuild_sidecars(spark):
+    """A rewrite DROPS the input dirs' sidecars; compact_snapshot(
+    bloom_cols=) re-creates one on the rewritten dir so id point
+    reads keep pruning after OPTIMIZE."""
+    t = _table(spark, n_commits=3, per=100)
+    probe = 1 + 5 * 3 * 7919                     # lives in commit 1
+    v = storage.compact_snapshot(spark, t, bloom_cols=["id"])
+    assert v == 4
+    data = os.path.join(t, "data")
+    live = storage.read_snapshot(spark, t)
+    new_dirs = _scanned(live)
+    assert len(new_dirs) == 1
+    assert os.path.exists(os.path.join(data, next(iter(new_dirs)),
+                                       storage.SNAP_BLOOM))
+    hit = storage.read_snapshot(spark, t, where=("id", "=", probe))
+    assert [r["id"] for r in hit.collect()] == [probe]
+    miss = storage.read_snapshot(spark, t, where=("id", "=", -7))
+    assert miss.collect() == []
+    assert len(_scanned(miss)) == 0              # bloom-proved absent
+
+
+def test_zorder_composes_with_bloom_sidecars(spark):
+    """OPTIMIZE ZORDER(bloom_cols=): the z-range dirs prune range
+    predicates on the Morton inputs AND point lookups on the
+    unclustered id — both skip structures per rewritten dir, and the
+    pruned point read is row-identical to the unpruned filter."""
+    from pyspark.sql import functions as F
+
+    t = tempfile.mkdtemp(prefix="szb_")
+    rows = [(i, (i * 7919) % 1000, (i * 104729) % 1000,
+             (i * 15485863) % 100000) for i in range(800)]
+    storage.write_snapshot(
+        spark.createDataFrame(rows, "k long, x long, y long, id long"),
+        t)
+    storage.compact_snapshot_zorder(spark, t, "x", "y", n_dirs=4,
+                                    bloom_cols=["id"])
+    data = os.path.join(t, "data")
+    live_dirs = _scanned(storage.read_snapshot(spark, t))
+    assert len(live_dirs) == 4
+    for d in live_dirs:
+        assert os.path.exists(os.path.join(data, d, storage.SNAP_BLOOM))
+    probe = (321 * 15485863) % 100000            # one real id
+    got = storage.read_snapshot(spark, t, where=("id", "=", probe))
+    want = storage.read_snapshot(spark, t).filter(F.col("id") == probe)
+    assert sorted(tuple(r) for r in got.collect()) == \
+        sorted(tuple(r) for r in want.collect())
+    assert len(_scanned(got)) < 4                # bloom pruned dirs
+    assert storage.read_snapshot(
+        spark, t, where=("id", "=", -123)).count() == 0
