@@ -753,15 +753,37 @@ def bloom_decontam_stream(docs: DataFrame, store_dir: str,
     return docs.writeStream.foreachBatch(fb)
 
 
+_BLOOM_STORE_CACHE: dict = {}
+
+
+def _load_bloom_bits(spark, store_dir: str):
+    """Driver-side bitset cache keyed by the store's latest mtime: a
+    per-micro-batch trigger must not re-collect (and re-unpack) the
+    word table when the store hasn't changed — at a production bloom
+    size (~GB for 10^9 reference grams) that collect would dominate
+    every trigger.  A rebuilt store (newer mtime) invalidates."""
+    import os as _os
+
+    from ..llm.bloomfilter import bits_from_words
+    mt = max((e.stat().st_mtime_ns for e in _os.scandir(store_dir)),
+             default=0)
+    hit = _BLOOM_STORE_CACHE.get(store_dir)
+    if hit is None or hit[0] != mt:
+        bits = bits_from_words(spark.read.parquet(store_dir).collect())
+        _BLOOM_STORE_CACHE[store_dir] = (mt, bits)
+        return bits
+    return hit[1]
+
+
 def bloom_decontam_batch(batch_df: DataFrame, batch_id: int,
                          store_dir: str, out_dir: str) -> None:
     """One micro-batch of the streaming decontam protocol,
     module-level so crash-replay idempotency is directly testable."""
-    from ..llm.bloomfilter import bits_from_words, contaminated_doc_ids
+    from ..llm.bloomfilter import contaminated_doc_ids
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
-    bits = bits_from_words(spark.read.parquet(store_dir).collect())
+    bits = _load_bloom_bits(spark, store_dir)
     dropped = contaminated_doc_ids(batch_df, bits)
     flags = (batch_df.select("doc_id", "source")
              .join(F.broadcast(dropped.withColumn("dropped",
