@@ -58,17 +58,15 @@ def _norm(v):
     if isinstance(v, datetime.date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
-        raise TypeError(
-            "unhashable array cell — the driver's pandas canonicalization "
-            "cannot sort/hash list values; stringify or explode array "
-            f"outputs (got {v!r})")
+        # the driver's own compare normalizes list cells to tuples of
+        # normalized elements (its rows come from collect()/fetchall(),
+        # not pandas) — mirror it, so array-valued outputs like
+        # mm_extract_features' feat column are hash-checkable here too
+        return tuple(_norm(x) for x in v)
     if isinstance(v, (str, bytes)):
         return v
     if hasattr(v, "ndim") and getattr(v, "ndim") > 0:  # numpy array
-        raise TypeError(
-            "unhashable array cell — the driver's pandas canonicalization "
-            "cannot sort/hash ndarray values; stringify or explode array "
-            f"outputs (got {v!r})")
+        return tuple(_norm(x) for x in v.tolist())
     if hasattr(v, "item"):  # numpy scalar
         return _norm(v.item())
     if v != v:  # pandas NaT / NA
