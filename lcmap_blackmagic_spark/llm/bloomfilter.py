@@ -78,11 +78,18 @@ def bloom_hit_udf(spark, bits: np.ndarray):
     return bloom_hit
 
 
-def contaminated_doc_ids(docs: DataFrame, bits: np.ndarray,
-                         m: int = BLOOM_M, k: int = BLOOM_K,
-                         n: int = DECON_N) -> DataFrame:
-    """doc_ids whose text shares ANY word n-gram with the bloomed
-    reference set (per the filter's deterministic decision)."""
+def doc_hit_flags(docs: DataFrame, bits: np.ndarray,
+                  m: int = BLOOM_M, k: int = BLOOM_K,
+                  n: int = DECON_N) -> DataFrame:
+    """Per-doc contamination flag ``(doc_id, __hit)`` computed
+    DIRECTLY on the gram probe — one map-side-combinable boolean-max
+    aggregate over the exploded grams.  Consumers left-join this back
+    onto the doc table UNFORCED (no ``F.broadcast``): the flag frame
+    is data-dependent and O(corpus) in the worst case, so an explicit
+    broadcast would bypass AQE's size threshold and build a
+    driver/executor OOM into the plan at 100 TB.  Docs whose text has
+    fewer than ``n`` words produce no grams and therefore no row —
+    the join's null coalesces to not-hit."""
     from .dedup import shingles
 
     spark = docs.sparkSession
@@ -90,5 +97,14 @@ def contaminated_doc_ids(docs: DataFrame, bits: np.ndarray,
     grams = (docs.select("doc_id",
                          F.explode(shingles("text", n)).alias("g"))
              .withColumn("pos", gram_positions(F.col("g"), m, k)))
-    return (grams.filter(hit(F.col("pos")))
-            .select("doc_id").distinct())
+    return (grams.groupBy("doc_id")
+            .agg(F.max(hit(F.col("pos"))).alias("__hit")))
+
+
+def contaminated_doc_ids(docs: DataFrame, bits: np.ndarray,
+                         m: int = BLOOM_M, k: int = BLOOM_K,
+                         n: int = DECON_N) -> DataFrame:
+    """doc_ids whose text shares ANY word n-gram with the bloomed
+    reference set (per the filter's deterministic decision)."""
+    return (doc_hit_flags(docs, bits, m, k, n)
+            .filter(F.col("__hit")).select("doc_id"))

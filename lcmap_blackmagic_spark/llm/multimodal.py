@@ -1027,8 +1027,16 @@ def frame_sample(media: DataFrame, every_ms: int = 1000,
                         for t in want}) if times else []
                 else:
                     idxs = range(max(1, len(payload) // 100))
+                # idxs come from the stts table (sample_times_ms) but
+                # decode_mp4_frame indexes the stsz/stco-derived
+                # samples list — a container whose stts entry count
+                # exceeds the stsz sample count must fall back to the
+                # fake-decoder path like other malformed-metadata
+                # cases, not IndexError inside the Arrow task
                 real = bool(meta and meta.get("samples")
-                            and meta.get("codec") in MJPEG_CODECS)
+                            and meta.get("codec") in MJPEG_CODECS
+                            and (not idxs
+                                 or max(idxs) < len(meta["samples"])))
                 for i in idxs:
                     if real:
                         frame = decode_mp4_frame(payload, meta, i)

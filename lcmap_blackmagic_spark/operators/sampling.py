@@ -162,10 +162,22 @@ def train_test_split_hash(df: DataFrame, id_cols: Sequence[str],
     itself can't be oracled).  Same Bernoulli semantics: expected
     test fraction test_size, exact membership a pure function of the
     row's id columns.  Both returned frames are map-side filters of
-    the input — no shuffle, no sort."""
+    the input — no shuffle, no sort.
+
+    NULL id columns coalesce to a ``\\x00null`` sentinel before
+    hashing: ``concat_ws`` silently SKIPS nulls, so without it a row
+    with a NULL id would collide with a differently-shaped key
+    (weakened determinism) and diverge from any SQL replay whose
+    ``||`` yields NULL (ADVICE r11).  A null-capable SQL twin must
+    use the same sentinel — ``COALESCE(CAST(c AS VARCHAR),
+    chr(0)||'null')``-style; the registered oracles' id columns
+    (px, py) are non-null by construction, where ``c`` and the
+    coalesced form hash identically."""
     thr = int(test_size * HASH_MOD)
     key = F.concat_ws(":", F.lit("split"),
-                      *[F.col(c).cast("string") for c in id_cols])
+                      *[F.coalesce(F.col(c).cast("string"),
+                                   F.lit("\x00null"))
+                        for c in id_cols])
     h = F.conv(F.substring(F.md5(key), 1, 12), 16, 10).cast("bigint")
     return df.filter(h >= thr), df.filter(h < thr)
 

@@ -500,7 +500,7 @@ def version_as_of(table_dir: str, ts) -> int:
         ts = ts.timestamp()
     cp = _snap_read_checkpoint(table_dir)
     cp_v = cp["version"] if cp else 0
-    cp_ts = cp.get("ts", {}) if cp else {}
+    cp_ts = _cp_maps(table_dir, cp)[0] if cp else {}
     best = None
     for v in _snap_versions(table_dir):
         if v <= cp_v and str(v) in cp_ts:
@@ -549,6 +549,14 @@ def latest_version(table_dir: str) -> int | None:
 
 SNAP_CHECKPOINT = "_checkpoint.json"
 SNAP_CHECKPOINT_EVERY = 32
+# Versions per checkpoint SEGMENT file.  The rollup is chunked so a
+# checkpoint on the cadence rewrites only the LAST (partial) segment
+# plus a tiny pointer — O(SNAP_CP_SEG) bytes per checkpoint, CONSTANT
+# in total version count, instead of re-serializing every version's
+# ts and every tag forever (a year-long per-batch CDC pump would
+# otherwise pay O(V/EVERY) amortized write bytes per commit, growing
+# without bound).  Full segments are immutable prefix summaries.
+SNAP_CP_SEG = 256
 
 
 def _snap_read_checkpoint(table_dir: str) -> dict | None:
@@ -561,9 +569,54 @@ def _snap_read_checkpoint(table_dir: str) -> dict | None:
             cp = json.load(fh)
     except (OSError, ValueError):
         return None         # torn/unreadable checkpoint: walk the log
+    # structural validation: a malformed checkpoint must read as
+    # "no checkpoint" (full log walk), never poison a reader or an
+    # on-cadence commit — the file is purely advisory
     if not isinstance(cp.get("version"), int):
         return None
+    if "ts" in cp and not isinstance(cp["ts"], dict):  # legacy inline
+        return None
+    if "tags" in cp and not isinstance(cp["tags"], list):
+        return None
     return cp
+
+
+def _cp_seg_path(mdir: str, n: int) -> str:
+    return os.path.join(mdir, f"_cp_seg_{n:06d}.json")
+
+
+def _cp_read_seg(mdir: str, n: int) -> dict:
+    """One segment's rolled-up maps ({"ts": {...}, "tags": [...]});
+    empty maps if missing/torn (advisory — a longer tail walk at
+    worst, never a wrong answer)."""
+    import json
+    try:
+        with open(_cp_seg_path(mdir, n)) as fh:
+            seg = json.load(fh)
+        if not isinstance(seg.get("ts"), dict) or \
+                not isinstance(seg.get("tags"), list):
+            return {"ts": {}, "tags": []}
+        return seg
+    except (OSError, ValueError):
+        return {"ts": {}, "tags": []}
+
+
+def _cp_maps(table_dir: str, cp: dict) -> tuple[dict, set]:
+    """The checkpoint's rolled-up ({version -> ts}, tag set) — inline
+    for a legacy single-file checkpoint, merged from segment files
+    for the chunked format.  Segment count is V/SNAP_CP_SEG: a few
+    file opens even at thousands of commits, and zero MANIFEST
+    opens."""
+    if "ts" in cp:                       # legacy inline checkpoint
+        return dict(cp["ts"]), set(cp.get("tags", []))
+    mdir = os.path.join(table_dir, SNAP_MANIFESTS)
+    ts: dict = {}
+    tags: set = set()
+    for n in range((cp["version"] + SNAP_CP_SEG - 1) // SNAP_CP_SEG):
+        seg = _cp_read_seg(mdir, n)
+        ts.update(seg["ts"])
+        tags.update(seg["tags"])
+    return ts, tags
 
 
 def _snap_maybe_checkpoint(table_dir: str, version: int) -> None:
@@ -571,21 +624,48 @@ def _snap_maybe_checkpoint(table_dir: str, version: int) -> None:
     incrementally: previous checkpoint + the manifests after it (a
     vacuumed tail manifest contributes nothing — its ts is dropped,
     which only matters for versions that can no longer be read
-    anyway, and its tag is already in the tombstone file).  Published
-    via tmp + os.replace: concurrent checkpointers last-write-win,
-    and every candidate is a valid prefix summary."""
+    anyway, and its tag is already in the tombstone file).  The
+    rollup is SEGMENTED (SNAP_CP_SEG versions per file): only the
+    segments the new tail touches are rewritten — normally just the
+    last partial one — so checkpoint bytes stay constant as the log
+    grows.  Each file publishes via tmp + os.replace: concurrent
+    checkpointers last-write-win and every candidate is a valid
+    prefix summary.  NEVER raises: the checkpoint is advisory and
+    runs AFTER the commit has published its manifest — an exception
+    here would make the caller misclassify a successful commit (and
+    in the merge path trigger a cleanup that rmtree's data the
+    just-published manifest references)."""
+    try:
+        _snap_checkpoint_unsafe(table_dir, version)
+    except Exception:                          # noqa: BLE001
+        pass         # advisory: worst case is a longer tail walk
+
+
+def _snap_checkpoint_unsafe(table_dir: str, version: int) -> None:
     import json
     import uuid
 
     if version % SNAP_CHECKPOINT_EVERY:
         return
     mdir = os.path.join(table_dir, SNAP_MANIFESTS)
-    prev = _snap_read_checkpoint(table_dir) or \
-        {"version": 0, "ts": {}, "tags": []}
+    prev = _snap_read_checkpoint(table_dir) or {"version": 0}
     if prev["version"] >= version:
         return
-    ts = dict(prev.get("ts", {}))
-    tags = set(prev.get("tags", []))
+    # accumulate the new tail's (ts, tag) per segment; a legacy
+    # inline checkpoint migrates by distributing its maps once
+    per_seg: dict[int, dict] = {}
+
+    def _slot(v: int) -> dict:
+        return per_seg.setdefault((v - 1) // SNAP_CP_SEG,
+                                  {"ts": {}, "tags": set()})
+
+    if "ts" in prev:                     # one-time legacy migration
+        for vs, t in prev["ts"].items():
+            _slot(int(vs))["ts"][vs] = t
+        for tag in prev.get("tags", []):
+            # legacy tags lost their version attribution; park them
+            # in segment 0 (the tag SET is what readers consume)
+            _slot(1)["tags"].add(tag)
     for v in range(prev["version"] + 1, version + 1):
         p = os.path.join(mdir, f"v{v}.json")
         if not os.path.exists(p):
@@ -595,13 +675,20 @@ def _snap_maybe_checkpoint(table_dir: str, version: int) -> None:
                 man = json.load(fh)
         except (OSError, ValueError):
             continue
-        ts[str(v)] = man.get("ts")
+        _slot(v)["ts"][str(v)] = man.get("ts")
         if man.get("tag") is not None:
-            tags.add(man["tag"])
-    cp = {"version": version, "ts": ts, "tags": sorted(tags)}
+            _slot(v)["tags"].add(man["tag"])
+    for n, add in sorted(per_seg.items()):
+        seg = _cp_read_seg(mdir, n)      # merge-with-existing
+        seg["ts"].update(add["ts"])
+        seg["tags"] = sorted(set(seg["tags"]) | add["tags"])
+        tmp = os.path.join(mdir, f".cpseg-{uuid.uuid4().hex[:12]}")
+        with open(tmp, "w") as fh:
+            json.dump(seg, fh)
+        os.replace(tmp, _cp_seg_path(mdir, n))
     tmp = os.path.join(mdir, f".cp-{uuid.uuid4().hex[:12]}")
     with open(tmp, "w") as fh:
-        json.dump(cp, fh)
+        json.dump({"version": version}, fh)   # tiny pointer, O(1)
     os.replace(tmp, os.path.join(mdir, SNAP_CHECKPOINT))
 
 
@@ -1161,7 +1248,7 @@ def _committed_tags(table_dir: str) -> set[str]:
     cp_v = 0
     if cp:
         cp_v = cp["version"]
-        tags.update(cp.get("tags", []))
+        tags.update(_cp_maps(table_dir, cp)[1])
     for v in _snap_versions(table_dir):
         if v <= cp_v:
             continue

@@ -737,8 +737,8 @@ def bloom_decontam_stream(docs: DataFrame, store_dir: str,
     documents' n-grams against the persisted Bloom store
     (``build_bloom_store``) and land per-doc keep/drop flags — the
     streaming twin of the batch ``llm_bloom_decontam`` query, sharing
-    its probe (llm/bloomfilter.contaminated_doc_ids) so the decision
-    is flag-exact by construction.
+    its probe (llm/bloomfilter.doc_hit_flags) so the decision is
+    flag-exact by construction.
 
     Per trigger: one tiny store read (m/64 word rows → broadcast
     bitset), one vectorized probe pass over the batch's grams —
@@ -779,18 +779,20 @@ def bloom_decontam_batch(batch_df: DataFrame, batch_id: int,
                          store_dir: str, out_dir: str) -> None:
     """One micro-batch of the streaming decontam protocol,
     module-level so crash-replay idempotency is directly testable."""
-    from ..llm.bloomfilter import contaminated_doc_ids
+    from ..llm.bloomfilter import doc_hit_flags
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
     bits = _load_bloom_bits(spark, store_dir)
-    dropped = contaminated_doc_ids(batch_df, bits)
+    # per-doc flag from the gram probe's aggregate + UNFORCED left
+    # join — the dropped set is bounded by the micro-batch here, but
+    # the helper is shared with the batch query, where a forced
+    # broadcast of a data-dependent side is an OOM-at-100× shape
     flags = (batch_df.select("doc_id", "source")
-             .join(F.broadcast(dropped.withColumn("dropped",
-                                                  F.lit(True))),
-                   "doc_id", "left")
+             .join(doc_hit_flags(batch_df, bits), "doc_id", "left")
              .withColumn("dropped",
-                         F.coalesce(F.col("dropped"), F.lit(False))))
+                         F.coalesce(F.col("__hit"), F.lit(False)))
+             .drop("__hit"))
     (flags.withColumn("batch_id", F.lit(batch_id))
      .write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")

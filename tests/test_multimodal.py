@@ -894,6 +894,38 @@ def test_frame_sample_decodes_real_mjpeg_frames(spark):
     assert rows[1] == [192.0] * 16
 
 
+def test_frame_sample_stts_overrun_falls_back_to_fake(spark):
+    """A container whose stts entry count EXCEEDS the stsz sample
+    count (malformed metadata) must take the fake-decoder path like
+    other malformed cases — never IndexError inside the Arrow task
+    (ADVICE r11): frame indices come from stts timing, but the
+    decoder indexes the stsz/stco samples list."""
+    import struct
+
+    import numpy as np
+
+    from lcmap_blackmagic_spark.llm.multimodal import frame_sample
+    f0 = np.full((16, 16), 64.0)
+    payload = _mjpeg_mp4([f0], frame_ms=500)
+    # stts for n=1 is one (count=1, delta=500) entry; forge count=3
+    # so timing claims 3 samples while stsz/stco carry only 1
+    one = struct.pack(">II", 1, 500)
+    assert payload.count(one) == 1
+    payload = payload.replace(one, struct.pack(">II", 3, 500))
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(payload), None, None, None, None)],
+        "media_id LONG, kind STRING, payload BINARY, mime STRING, "
+        "width INT, height INT, duration_ms INT")
+    rows = {r["frame_idx"]: r["feat"]
+            for r in frame_sample(media, every_ms=500).collect()}
+    # stts timing yields sample times 0/500/1000 while only ONE real
+    # sample exists: index 1 is already out of stsz range
+    assert set(rows) == {0, 1}
+    # fake path, not the real decode: frame 0's feature is NOT the
+    # true raster's column means
+    assert rows[0] != [64.0] * 16
+
+
 def test_frame_sample_metadata_only_mp4_keeps_fake_path(spark):
     """An MP4 without a sample table (the metadata fixture) still
     samples by timing and features via the pluggable fake decoder —

@@ -61,8 +61,9 @@ def test_checkpoint_published_on_cadence(spark, log_table):
     every = storage.SNAP_CHECKPOINT_EVERY
     assert cp["version"] == 2 * every
     # rolled-up maps cover exactly the checkpointed prefix
-    assert sorted(int(k) for k in cp["ts"]) == list(range(1, 2 * every + 1))
-    assert len(cp["tags"]) == 2 * every
+    ts, tags = storage._cp_maps(t, cp)
+    assert sorted(int(k) for k in ts) == list(range(1, 2 * every + 1))
+    assert len(tags) == 2 * every
 
 
 def test_version_as_of_opens_only_the_tail(spark, log_table):
@@ -145,6 +146,118 @@ def test_checkpoint_composes_with_vacuum(spark):
         df, t, tag="b-1", collect_stats=False) is None
 
 
+def _fake_log(tmpdir, total, ts0=1000.0):
+    """Synthesize a manifest log directly on disk (no Spark writes)
+    and run the checkpoint cadence the way the commit loop would —
+    lets the growth tests reach ~1k versions in milliseconds."""
+    mdir = os.path.join(tmpdir, storage.SNAP_MANIFESTS)
+    os.makedirs(mdir, exist_ok=True)
+    for v in range(1, total + 1):
+        with open(os.path.join(mdir, f"v{v}.json"), "w") as fh:
+            json.dump({"version": v, "dirs": [], "ts": ts0 + v,
+                       "tag": f"b-{v}"}, fh)
+        storage._snap_maybe_checkpoint(tmpdir, v)
+    return mdir
+
+
+def test_checkpoint_bytes_bounded_at_1k_commits(tmp_path):
+    """At ~1k commits a late on-cadence checkpoint rewrites only the
+    LAST partial segment plus the O(1) pointer — bytes CONSTANT in
+    total version count — and version_as_of still resolves with
+    O(tail) manifest opens."""
+    t = str(tmp_path)
+    every, seg = storage.SNAP_CHECKPOINT_EVERY, storage.SNAP_CP_SEG
+    total = 4 * seg + 2 * every - 1      # 1087 at (32, 256)
+    mdir = _fake_log(t, total)
+
+    # the NEXT commit lands exactly on a cadence boundary: count the
+    # files its checkpoint replaces and their bytes — must touch ONLY
+    # the last partial segment + the O(1) pointer
+    v = total + 1
+    assert v % every == 0
+    with open(os.path.join(mdir, f"v{v}.json"), "w") as fh:
+        json.dump({"version": v, "dirs": [], "ts": 1000.0 + v,
+                   "tag": f"b-{v}"}, fh)
+    replaced = []
+    orig = os.replace
+
+    def spy(src, dst):
+        replaced.append((dst, os.path.getsize(src)))
+        return orig(src, dst)
+
+    with mock.patch("os.replace", spy):
+        storage._snap_maybe_checkpoint(t, v)
+    assert len(replaced) <= 2            # last segment + pointer
+    total_bytes = sum(b for _, b in replaced)
+    # a flat (unsegmented) rollup of 1k versions' ts+tags is >30 KB
+    # and grows forever; the segmented write stays bounded by one
+    # segment regardless of V
+    assert total_bytes < 12_000
+    # resolution: O(tail) manifest opens at 1k+ versions
+    cp = storage._snap_read_checkpoint(t)
+    assert cp["version"] == v
+    now = 1000.0 + v + 10
+    opens, got = _count_manifest_opens(
+        lambda: storage.version_as_of(t, now))
+    assert got == v
+    assert opens <= (got - cp["version"])       # == 0 here
+    # full-prefix coverage survives the segmentation
+    ts, tags = storage._cp_maps(t, cp)
+    assert sorted(int(k) for k in ts) == list(range(1, cp["version"] + 1))
+    assert f"b-{cp['version']}" in tags and "b-1" in tags
+
+
+def test_legacy_inline_checkpoint_migrates(tmp_path):
+    """A pre-segmentation single-file checkpoint (inline ts/tags)
+    still resolves, and the next on-cadence checkpoint migrates it
+    into segments without losing either map."""
+    t = str(tmp_path)
+    every = storage.SNAP_CHECKPOINT_EVERY
+    mdir = _fake_log(t, every - 1)       # no cadence hit yet
+    legacy = {"version": every - 2,
+              "ts": {str(v): 1000.0 + v for v in range(1, every - 1)},
+              "tags": [f"b-{v}" for v in range(1, every - 1)]}
+    with open(os.path.join(mdir, storage.SNAP_CHECKPOINT), "w") as fh:
+        json.dump(legacy, fh)
+    # legacy read path: maps come straight from the inline fields
+    ts, tags = storage._cp_maps(t, storage._snap_read_checkpoint(t))
+    assert len(ts) == every - 2 and "b-1" in tags
+    assert storage.version_as_of(t, 1000.0 + 5) == 5
+    # next cadence: migrate + extend
+    with open(os.path.join(mdir, f"v{every}.json"), "w") as fh:
+        json.dump({"version": every, "dirs": [], "ts": 1000.0 + every,
+                   "tag": f"b-{every}"}, fh)
+    storage._snap_maybe_checkpoint(t, every)
+    cp = storage._snap_read_checkpoint(t)
+    assert cp["version"] == every and "ts" not in cp
+    ts, tags = storage._cp_maps(t, cp)
+    assert sorted(int(k) for k in ts) == list(range(1, every + 1))
+    assert {f"b-{v}" for v in range(1, every + 1)} <= tags
+
+
+def test_checkpoint_never_raises_post_publish(tmp_path):
+    """The checkpoint runs AFTER the manifest has published; a
+    malformed on-disk state (or any internal failure) must surface
+    as a no-op, never an exception the committer would misread as a
+    failed commit (ADVICE r11: in the merge path it would even
+    rmtree data a published manifest references)."""
+    t = str(tmp_path)
+    every = storage.SNAP_CHECKPOINT_EVERY
+    mdir = _fake_log(t, every - 1)
+    # structurally malformed checkpoint: ts not a dict
+    with open(os.path.join(mdir, storage.SNAP_CHECKPOINT), "w") as fh:
+        json.dump({"version": 5, "ts": "garbage"}, fh)
+    assert storage._snap_read_checkpoint(t) is None   # reads as absent
+    with open(os.path.join(mdir, f"v{every}.json"), "w") as fh:
+        json.dump({"version": every, "dirs": [], "ts": 2000.0}, fh)
+    storage._snap_maybe_checkpoint(t, every)          # must not raise
+    assert storage._snap_read_checkpoint(t)["version"] == every
+    # and an arbitrary internal failure is swallowed (advisory)
+    with mock.patch.object(storage, "_snap_checkpoint_unsafe",
+                           side_effect=RuntimeError("boom")):
+        storage._snap_maybe_checkpoint(t, 2 * every)  # no raise
+
+
 def test_all_write_paths_checkpoint(spark):
     """merge / equality-delete / compaction commits count toward the
     cadence like plain writes."""
@@ -166,5 +279,5 @@ def test_all_write_paths_checkpoint(spark):
     assert v == every
     cp = storage._snap_read_checkpoint(t)
     assert cp is not None and cp["version"] == every
-    assert sorted(int(k) for k in cp["ts"]) == \
+    assert sorted(int(k) for k in storage._cp_maps(t, cp)[0]) == \
         list(range(1, every + 1))
