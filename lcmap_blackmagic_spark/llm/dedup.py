@@ -570,8 +570,12 @@ def _prefix_ranked(df: DataFrame, id_col: str, text_col: str,
         .distinct())
     dfreq = grams.groupBy("tok").agg(F.count(F.lit(1)).alias("dfr"))
     # array_sort on structs gives a deterministic global order no
-    # matter how collect_list interleaves
-    return (grams.join(F.broadcast(dfreq), "tok")
+    # matter how collect_list interleaves.  The df-rank join is
+    # UNFORCED: dfreq is gram-vocabulary-sized (word n-grams —
+    # unbounded at 10^10 docs), so AQE must pick broadcast only when
+    # the dictionary actually fits; both sides hash-partition on tok
+    # otherwise.
+    return (grams.join(dfreq, "tok")
             .groupBy(id_col)
             .agg(F.array_sort(F.collect_list(F.struct("dfr", "tok")))
                  .alias("st")))

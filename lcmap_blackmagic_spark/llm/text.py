@@ -138,7 +138,10 @@ def rarity_scores(df: DataFrame, id_col: str = "doc_id",
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     total = counts.agg(F.sum("c").alias("n_total"))
     inv = F.expr(f"(n_total * {RARITY_SCALE}) div c")
-    return (toks.join(F.broadcast(counts), "tok")
+    # the count-table join is UNFORCED (token-vocabulary sized,
+    # unbounded at corpus scale — AQE broadcasts it only while it
+    # fits); `total` stays an explicit one-row broadcast
+    return (toks.join(counts, "tok")
             .crossJoin(F.broadcast(total))
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_tokens"),

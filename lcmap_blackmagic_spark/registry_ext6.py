@@ -404,10 +404,14 @@ def q_pmi_bigrams(spark, sf_dir):
     n_bi = (uni.groupBy().agg(F.sum("c").alias("n_tok"))
             .crossJoin(n_docs)
             .select((F.col("n_tok") - F.col("n_docs")).alias("n_bi")))
+    # the unigram-count joins are UNFORCED: `uni` is word-vocabulary
+    # sized — Heaps-law sublinear but unbounded at 10^10 docs — so
+    # AQE must pick broadcast only when the dictionary actually fits
+    # (n_bi stays an explicit one-row broadcast)
     scored = (c_xy.filter(F.col("c_xy") >= PMI_MIN_COUNT)
-              .join(F.broadcast(uni.withColumnRenamed("c", "c_x")), "tok")
-              .join(F.broadcast(uni.select(F.col("tok").alias("tok2"),
-                                           F.col("c").alias("c_y"))), "tok2")
+              .join(uni.withColumnRenamed("c", "c_x"), "tok")
+              .join(uni.select(F.col("tok").alias("tok2"),
+                               F.col("c").alias("c_y")), "tok2")
               .crossJoin(F.broadcast(n_bi)))
     # integer div throughout (Spark's / is float; the oracle uses //)
     scored = scored.select(
@@ -576,8 +580,8 @@ def q_lm_score(spark, sf_dir):
     over the doc's bigrams.
 
     Shape: bigrams via codegen arrays_zip (the pmi_bigrams pass); the
-    bigram/unigram count tables are vocabulary-sized and broadcast;
-    one (doc) aggregate.  ln enters only through ratios of exact
+    bigram/unigram count tables are vocabulary-sized, joined UNFORCED
+    (AQE broadcasts while they fit); one (doc) aggregate.  ln enters only through ratios of exact
     integers, and the per-doc sum is wrapped in ROUND(6) — the
     cross-engine float policy the BM25 scorer documents."""
     d = _t(spark, sf_dir, "documents")
@@ -591,8 +595,11 @@ def q_lm_score(spark, sf_dir):
     uni = (arr.select(F.explode("toks").alias("tok"))
            .groupBy("tok").agg(F.count(F.lit(1)).alias("c_x")))
     vocab = uni.groupBy().agg(F.count(F.lit(1)).alias("v"))
-    scored = (bi.join(F.broadcast(c_xy), ["tok", "tok2"])
-              .join(F.broadcast(uni), "tok")
+    # count-table joins UNFORCED: c_xy is bigram-vocabulary sized and
+    # uni unigram-vocabulary sized — both unbounded at corpus scale;
+    # AQE broadcasts them only while they fit (vocab is one row)
+    scored = (bi.join(c_xy, ["tok", "tok2"])
+              .join(uni, "tok")
               .crossJoin(F.broadcast(vocab)))
     logp = F.log((F.col("c_xy") + 1).cast("double")
                  / (F.col("c_x") + F.col("v")))
