@@ -782,6 +782,11 @@ def _mp4_sample_ranges(payload: bytes, stbl: tuple) -> list | None:
 # decode directly (QuickTime Motion JPEG A/B and the generic 'jpeg'
 # entry ISO files use for JPEG video tracks).
 MJPEG_CODECS = ("jpeg", "mjpa", "mjpb", "mjpg", "MJPG")
+# Uncompressed fourccs a pure-stdlib engine decodes for real: 'raw '
+# (QuickTime uncompressed RGB — depth 24 packed RGB, depth 8 gray)
+# and 'v308' (Apple TN2162 8-bit 4:4:4 Y'CbCr, byte order Cr Y' Cb).
+RAW_CODECS = ("raw ", "v308")
+REAL_MP4_CODECS = MJPEG_CODECS + RAW_CODECS
 
 
 def probe_mp4(payload: bytes) -> dict:
@@ -796,7 +801,8 @@ def probe_mp4(payload: bytes) -> dict:
     (stsz/stco|co64/stsc) the probe additionally emits ``codec`` (the
     first stsd sample-entry fourcc) and ``samples`` (absolute
     (offset, size) per sample) — enough for REAL frame extraction;
-    MJPEG tracks then decode with the repo's own JPEG decoder
+    MJPEG tracks then decode with the repo's own JPEG decoder and
+    uncompressed tracks (RAW_CODECS) by sample-entry geometry
     (``decode_mp4_frame``), other codecs (avc1/hevc) remain the
     documented av/PIL decoder= boundary."""
     import struct
@@ -856,11 +862,52 @@ def probe_mp4(payload: bytes) -> dict:
             if n_desc:
                 out["codec"] = payload[stsd[0] + 12:stsd[0] + 16] \
                     .decode("ascii", "replace")
+                # VisualSampleEntry geometry (ISO 14496-12 §12.1.3):
+                # entry content starts after the 8-byte entry header;
+                # width/height at content +24/+26, depth at +74 —
+                # needed to reshape uncompressed (RAW_CODECS) samples
+                ec = stsd[0] + 16
+                if stsd[1] >= ec + 76:
+                    w, h = struct.unpack_from(">HH", payload, ec + 24)
+                    out["width"], out["height"] = w, h
+                    out["depth"] = struct.unpack_from(
+                        ">H", payload, ec + 74)[0]
         samples = _mp4_sample_ranges(payload, stbl)
         if samples is not None:
             out["samples"] = samples
         break                                  # first timed track
     return out
+
+
+def _decode_raw_frame(raw: bytes, meta: dict, codec: str) -> np.ndarray:
+    """Decode one UNCOMPRESSED video sample — the second fully-real
+    pure-stdlib MP4 codec path beside MJPEG (no entropy coding, just
+    the sample-entry geometry):
+
+    - ``raw ``: QuickTime uncompressed — depth 24 is packed RGB
+      (collapsed by channel mean, the raster-codec convention here),
+      depth 8 is grayscale;
+    - ``v308``: Apple TN2162 8-bit 4:4:4 Y'CbCr packed Cr Y' Cb per
+      pixel — the luma plane IS the grayscale output.
+
+    Raises ValueError on missing/inconsistent geometry so callers
+    (frame_sample) can fall back to the fake-decoder path."""
+    w, h = meta.get("width"), meta.get("height")
+    if not w or not h:
+        raise ValueError(f"{codec!r} track without sample-entry "
+                         "width/height — cannot reshape")
+    depth = meta.get("depth", 24)
+    ch = 1 if (codec == "raw " and depth == 8) else 3
+    if len(raw) != w * h * ch:
+        raise ValueError(
+            f"{codec!r} sample is {len(raw)} bytes, expected "
+            f"{w * h * ch} for {w}x{h}x{ch}")
+    a = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, ch)
+    if codec == "v308":
+        return a[:, :, 1].astype(np.float32)        # Cr Y' Cb → Y'
+    if ch == 1:
+        return a[:, :, 0].astype(np.float32)
+    return a.astype(np.float32).mean(axis=2)
 
 
 def decode_mp4_frame(payload: bytes, meta: dict, idx: int) -> np.ndarray:
@@ -880,6 +927,8 @@ def decode_mp4_frame(payload: bytes, meta: dict, idx: int) -> np.ndarray:
     codec = meta.get("codec", "")
     if codec in MJPEG_CODECS:
         return _decode_jpeg(raw)
+    if codec in RAW_CODECS:
+        return _decode_raw_frame(raw, meta, codec)
     try:                                      # import-gated real codec
         import av  # noqa: F401
     except ImportError:
@@ -1034,12 +1083,21 @@ def frame_sample(media: DataFrame, every_ms: int = 1000,
                 # fake-decoder path like other malformed-metadata
                 # cases, not IndexError inside the Arrow task
                 real = bool(meta and meta.get("samples")
-                            and meta.get("codec") in MJPEG_CODECS
+                            and meta.get("codec") in REAL_MP4_CODECS
                             and (not idxs
                                  or max(idxs) < len(meta["samples"])))
                 for i in idxs:
                     if real:
-                        frame = decode_mp4_frame(payload, meta, i)
+                        try:
+                            frame = decode_mp4_frame(payload, meta, i)
+                        except ValueError:
+                            # documented malformed-geometry signal
+                            # (e.g. a raw sample whose byte count
+                            # disagrees with the sample entry) — the
+                            # per-frame fake fallback, same contract
+                            # as metadata-only payloads
+                            frame = decoder(payload + i.to_bytes(4, "big"),
+                                            "video")
                     else:
                         frame = decoder(payload + i.to_bytes(4, "big"),
                                         "video")

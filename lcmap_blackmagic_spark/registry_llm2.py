@@ -268,13 +268,18 @@ def q_seq_pack(spark, sf_dir):
     training windows (first-fit over a deterministic order) —
     the step that turns a tokenized corpus into dense batches.
 
-    Shape: documents are hash-sharded; packing runs per shard in one
-    ``applyInPandas`` pass (packing is inherently sequential WITHIN a
-    bin, so the parallel unit is the shard; bins never span shards —
-    exactly how distributed packing is run in production). Output is
-    one row per document: (shard, bin, off, len) — rows-only entry;
-    invariants (no bin overflow, every doc packed once, offsets
-    contiguous) are property-tested in tests/test_llm_ops.py."""
+    Shape: documents are hash-sharded (md5 48-bit prefix — the
+    engine-portable hash every other sharded operator uses, so DuckDB
+    replays the shard assignment exactly); packing runs per shard in
+    one ``applyInPandas`` pass (packing is inherently sequential
+    WITHIN a bin, so the parallel unit is the shard; bins never span
+    shards — exactly how distributed packing is run in production).
+    Output is one row per document: (shard, bin, off, len).  FULL
+    oracle since round 12: the bin free-list that "defeats SQL" fits
+    in a DuckDB recursive-CTE LIST column — the walk carries the
+    per-shard remaining-capacity list and replays first-fit decision
+    by decision (invariants additionally property-tested in
+    tests/test_llm_ops.py)."""
     import pandas as pd
 
     d = _t(spark, sf_dir, "documents")
@@ -283,8 +288,9 @@ def q_seq_pack(spark, sf_dir):
     base = d.select(
         "doc_id",
         F.least(toks, F.lit(PACK_CAPACITY)).cast("int").alias("n_tok"),
-        (F.crc32(F.col("doc_id").cast("string")) % n_shards)
-        .cast("int").alias("shard"))
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                            1, 12), 16, 10).cast("bigint")
+         % n_shards).cast("int").alias("shard"))
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["n_tok", "doc_id"],
@@ -354,6 +360,49 @@ def q_seq_pack_nextfit(spark, sf_dir):
         pack, schema="shard int, doc_id long, n_tok int, bin int, off int"))
 
 
+SQL_SEQ_PACK = f"""
+WITH RECURSIVE ordered AS (
+  SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+              AS BIGINT) % 16 AS INT) AS shard,
+         doc_id,
+         CAST(least(len(string_split(lower(trim(text)), ' ')),
+                    {PACK_CAPACITY}) AS INT) AS n_tok,
+         ROW_NUMBER() OVER (
+           PARTITION BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 12) AS BIGINT) % 16
+           ORDER BY least(len(string_split(lower(trim(text)), ' ')),
+                          {PACK_CAPACITY}) DESC, doc_id) AS rn
+  FROM documents),
+walk AS (
+  -- first-fit replayed exactly: the recursive state is the bin
+  -- free-list itself (remaining capacity per bin, a LIST column);
+  -- each step scans for the first bin that fits, updates it in
+  -- place, or opens a new one
+  SELECT shard, doc_id, n_tok, rn,
+         0 AS bin, 0 AS off, [{PACK_CAPACITY} - n_tok] AS rems
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.doc_id, o.n_tok, o.rn,
+         CASE WHEN fit.idx IS NOT NULL THEN fit.idx - 1
+              ELSE len(w.rems) END,
+         CASE WHEN fit.idx IS NOT NULL
+              THEN {PACK_CAPACITY} - w.rems[fit.idx] ELSE 0 END,
+         CASE WHEN fit.idx IS NOT NULL
+              THEN w.rems[:fit.idx-1] || [w.rems[fit.idx] - o.n_tok]
+                   || w.rems[fit.idx+1:]
+              ELSE w.rems || [{PACK_CAPACITY} - o.n_tok] END
+  FROM walk w
+  JOIN ordered o ON o.shard = w.shard AND o.rn = w.rn + 1
+  CROSS JOIN LATERAL (
+    SELECT NULLIF(list_position(
+             list_transform(w.rems, r -> r >= o.n_tok), true),
+           0) AS idx) fit)
+SELECT shard, doc_id, n_tok, CAST(bin AS INT) AS bin,
+       CAST(off AS INT) AS off
+FROM walk
+"""
+
+
 SQL_SEQ_PACK_NEXTFIT = f"""
 WITH RECURSIVE ordered AS (
   SELECT CAST(doc_id % 16 AS INT) AS shard, doc_id,
@@ -419,7 +468,7 @@ QUERIES_LLM2: dict[str, dict] = {
     "llm_ngram_topk":   {"fn": q_ngram_topk,     "sql": sql_ngram_topk()},
     "llm_normalize":    {"fn": q_text_normalize, "sql": sql_text_normalize()},
     "llm_embed_quant":  {"fn": q_embed_quantize, "sql": sql_embed_quantize()},
-    "llm_seq_pack":     {"fn": q_seq_pack,       "sql": None},
+    "llm_seq_pack":     {"fn": q_seq_pack,       "sql": SQL_SEQ_PACK},
     "llm_chunk":        {"fn": q_chunk,          "sql": SQL_CHUNK},
     "llm_seq_pack_nextfit": {"fn": q_seq_pack_nextfit,
                              "sql": SQL_SEQ_PACK_NEXTFIT},

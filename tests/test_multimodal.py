@@ -894,6 +894,113 @@ def test_frame_sample_decodes_real_mjpeg_frames(spark):
     assert rows[1] == [192.0] * 16
 
 
+# ---- uncompressed ('raw '/'v308') MP4 frame decode ------------------
+
+def _raw_mp4(samples, codec=b"raw ", width=4, height=4, depth=24,
+             frame_ms=500, timescale=1000):
+    """Uncompressed-video MP4: like _mjpeg_mp4 but with a FULL 86-byte
+    VisualSampleEntry (ISO 14496-12 §12.1.3) carrying width/height/
+    depth — the geometry the raw decoder reshapes by."""
+    import struct
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mdat = _box(b"mdat", b"".join(samples))
+    base = len(ftyp) + 8
+    n = len(samples)
+    total = n * frame_ms
+    mvhd = _box(b"mvhd", struct.pack(">B3xII", 0, 0, 0)
+                + struct.pack(">II", timescale, total) + b"\x00" * 80)
+    mdhd = _box(b"mdhd", struct.pack(">B3xII", 0, 0, 0)
+                + struct.pack(">II", timescale, total) + b"\x00" * 4)
+    stts = _box(b"stts", struct.pack(">B3xI", 0, 1)
+                + struct.pack(">II", n, frame_ms))
+    entry = (struct.pack(">I4s", 86, codec)      # entry header
+             + b"\x00" * 6 + struct.pack(">H", 1)        # dref
+             + b"\x00" * 16                              # pre_defined
+             + struct.pack(">HH", width, height)
+             + struct.pack(">II", 0x00480000, 0x00480000)
+             + b"\x00" * 4 + struct.pack(">H", 1)        # frame_count
+             + b"\x00" * 32                              # compressor
+             + struct.pack(">Hh", depth, -1))
+    stsd = _box(b"stsd", struct.pack(">B3xI", 0, 1) + entry)
+    stsz = _box(b"stsz", struct.pack(">B3xII", 0, 0, n)
+                + b"".join(struct.pack(">I", len(s)) for s in samples))
+    stsc = _box(b"stsc", struct.pack(">B3xI", 0, 1)
+                + struct.pack(">III", 1, n, 1))
+    stco = _box(b"stco", struct.pack(">B3xI", 0, 1)
+                + struct.pack(">I", base))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    moov = _box(b"moov", mvhd + _box(b"trak", _box(
+        b"mdia", mdhd + _box(b"minf", stbl))))
+    return ftyp + mdat + moov
+
+
+def test_decode_mp4_frame_raw_rgb_pixels():
+    """'raw ' depth-24 samples decode bit-exactly: packed RGB bytes
+    reshape by the sample-entry geometry and collapse by channel
+    mean (exact here: (10,20,30) → 20.0)."""
+    import numpy as np
+
+    from lcmap_blackmagic_spark.llm.multimodal import (decode_mp4_frame,
+                                                       probe_mp4)
+    f0 = bytes([10, 20, 30] * 16)              # 4x4 RGB
+    f1 = bytes([90, 120, 60] * 16)
+    payload = _raw_mp4([f0, f1])
+    meta = probe_mp4(payload)
+    assert meta["codec"] == "raw "
+    assert (meta["width"], meta["height"], meta["depth"]) == (4, 4, 24)
+    assert np.array_equal(decode_mp4_frame(payload, meta, 0),
+                          np.full((4, 4), 20.0, dtype=np.float32))
+    assert np.array_equal(decode_mp4_frame(payload, meta, 1),
+                          np.full((4, 4), 90.0, dtype=np.float32))
+
+
+def test_decode_mp4_frame_v308_luma():
+    """'v308' (Cr Y' Cb byte order, TN2162): the luma plane is the
+    grayscale output — byte 1 of each packed pixel."""
+    import numpy as np
+
+    from lcmap_blackmagic_spark.llm.multimodal import (decode_mp4_frame,
+                                                       probe_mp4)
+    pix = bytes([7, 99, 13] * 16)              # Cr=7, Y'=99, Cb=13
+    payload = _raw_mp4([pix], codec=b"v308")
+    meta = probe_mp4(payload)
+    assert np.array_equal(decode_mp4_frame(payload, meta, 0),
+                          np.full((4, 4), 99.0, dtype=np.float32))
+
+
+def test_frame_sample_decodes_raw_frames(spark):
+    """frame_sample over a 'raw ' MP4 features the DECODED pixels,
+    not the digest fake — the second real codec path beside MJPEG."""
+    from lcmap_blackmagic_spark.llm.multimodal import frame_sample
+    f0 = bytes([10, 20, 30] * 16)
+    f1 = bytes([90, 120, 60] * 16)
+    payload = _raw_mp4([f0, f1], frame_ms=500)
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(payload), None, None, None, None)],
+        "media_id LONG, kind STRING, payload BINARY, mime STRING, "
+        "width INT, height INT, duration_ms INT")
+    rows = {r["frame_idx"]: r["feat"]
+            for r in frame_sample(media, every_ms=500).collect()}
+    assert rows[0] == [20.0] * 4
+    assert rows[1] == [90.0] * 4
+
+
+def test_frame_sample_raw_size_mismatch_falls_back(spark):
+    """A raw sample whose byte count disagrees with the sample-entry
+    geometry raises the documented ValueError inside decode, and
+    frame_sample falls back to the fake path instead of crashing the
+    Arrow task."""
+    from lcmap_blackmagic_spark.llm.multimodal import frame_sample
+    short = bytes([10, 20, 30] * 15)           # 45 bytes ≠ 4*4*3
+    payload = _raw_mp4([short])
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(payload), None, None, None, None)],
+        "media_id LONG, kind STRING, payload BINARY, mime STRING, "
+        "width INT, height INT, duration_ms INT")
+    rows = frame_sample(media, every_ms=500).collect()
+    assert rows and all(len(r["feat"]) == 16 for r in rows)  # fake 16x16
+
+
 def test_frame_sample_stts_overrun_falls_back_to_fake(spark):
     """A container whose stts entry count EXCEEDS the stsz sample
     count (malformed metadata) must take the fake-decoder path like
