@@ -1133,6 +1133,24 @@ def _area_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
          for c in range(out_w)] for r in range(out_h)])
 
 
+# pHash fixed-point parameters: the DCT basis rounds to 1/2^16 and
+# the resized raster quantizes to 1/16 grey levels — every
+# intermediate is then an EXACT int64 (|coef| ≤ 32²·2^14·255·16 ≈
+# 2^50), so the hash is a pure integer function any engine replays
+# bit-for-bit (the mm_phash_pairs DuckDB oracle embeds the same
+# rounded basis as literals).  Perceptually the sign structure of the
+# low-frequency block is unchanged: the basis error is < 2^-16
+# relative, far below the coefficient gaps the median threshold
+# compares.
+PHASH_DCT_SCALE = 1 << 16
+PHASH_PIX_SCALE = 16
+
+
+def _dctn_matrix_int(n: int = 32,
+                     scale: int = PHASH_DCT_SCALE) -> np.ndarray:
+    return np.rint(_dctn_matrix(n) * scale).astype(np.int64)
+
+
 def phash64(img: np.ndarray) -> int:
     """64-bit perceptual hash (the classic pHash recipe): area-resize
     to 32×32 → 2-D DCT → keep the 8×8 lowest-frequency block → bit i
@@ -1141,11 +1159,17 @@ def phash64(img: np.ndarray) -> int:
     half the bits). Survives resize/rescale and small noise; hamming
     distance between hashes ranks perceptual similarity. Returned as
     a SIGNED 64-bit int (two's complement) so it lands in a Spark
-    bigint column unchanged."""
-    d = _dctn_matrix(32)
-    coef = d @ _area_resize(img, 32, 32) @ d.T
+    bigint column unchanged.
+
+    SCALED-INTEGER since round 12 (see PHASH_DCT_SCALE above): the
+    median of the 63 AC coefficients is the exact 32nd order
+    statistic of int64s, not a float np.median — engine-portable."""
+    d = _dctn_matrix_int(32)
+    q = np.rint(_area_resize(img, 32, 32)
+                * PHASH_PIX_SCALE).astype(np.int64)
+    coef = d @ q @ d.T
     block = coef[:8, :8].ravel()
-    med = np.median(block[1:])
+    med = int(np.sort(block[1:])[31])
     bits = 0
     for i, v in enumerate(block):
         if v > med:

@@ -279,9 +279,15 @@ def q_mm_phash_pairs(spark, sf_dir):
     """Image near-duplicate pairs by perceptual hash: decode (fake
     deterministic decoder — the real codecs swap in via decoder=) →
     32×32 DCT pHash in one Arrow pass → byte-block pigeonhole
-    banding → exact hamming on candidates, all JVM-side. Rows-only:
-    the DCT lives in Python; golden + invariance tests in
-    tests/test_ext5.py pin the hash itself."""
+    banding → exact hamming on candidates, all JVM-side.  FULL
+    oracle since round 12: the DCT is SCALED-INTEGER
+    (multimodal.PHASH_DCT_SCALE — basis rounded to 1/2^16, raster
+    quantized to 1/16 grey levels, median as the exact 32nd order
+    statistic), so DuckDB replays the hash bit-for-bit from the same
+    rounded basis embedded as literals, INCLUDING the banding
+    candidate step (radius 10 > the pigeonhole-complete 7, so the
+    oracle must replicate the shares-a-byte-block condition, not
+    compute all-pairs)."""
     from .llm.multimodal import attach_payloads, phash_images, phash_pairs
     from .registry import _staging
     docs = _t(spark, sf_dir, "documents")
@@ -567,6 +573,73 @@ def _sql_ivm_agg() -> str:
     return SQL_MERGE_UPSERT
 
 
+def _sql_mm_phash_pairs() -> str:
+    """DuckDB replay of the ENTIRE pHash pipeline: sha256 pseudo-
+    raster (fake_decoder: 16×16 of digest-byte values, raster cell
+    (y,x) = byte (16·(y%2)+x)), exact 2× upsample to 32×32, the
+    scaled-integer 2-D DCT with the SAME rounded basis phash64 uses
+    (embedded below as 1024 literals), the 8×8 block / 32nd-order-
+    statistic median / sign bits, then the byte-block pigeonhole
+    banding and exact hamming ≤ 10 — false negatives of the banding
+    included, because the oracle replays the banding, not all-pairs.
+    HUGEINT carries the unsigned hash; the signed two's-complement
+    BIGINT is what both engines emit."""
+    from .llm.multimodal import _dctn_matrix_int
+    dlist = ",".join(str(int(x)) for x in _dctn_matrix_int(32).ravel())
+    return f"""
+WITH dm AS (
+  SELECT (k // 32) AS u, (k % 32) AS i, d[k + 1] AS c
+  FROM (SELECT [{dlist}] AS d), generate_series(0, 1023) t(k)),
+b AS (
+  SELECT doc_id AS media_id, sha256(text) AS hx
+  FROM documents WHERE doc_id % 3 <> 1),
+pix AS (
+  SELECT media_id, i.i AS i, j.j AS j,
+         CAST('0x' || substr(hx,
+              2 * ((16 * ((i.i // 2) % 2) + (j.j // 2)) % 32) + 1, 2)
+              AS BIGINT) * 16 AS v
+  FROM b, generate_series(0, 31) i(i), generate_series(0, 31) j(j)),
+t1 AS (
+  SELECT p.media_id, dm.u, p.j, SUM(dm.c * p.v) AS s
+  FROM pix p JOIN dm ON dm.i = p.i WHERE dm.u < 8
+  GROUP BY p.media_id, dm.u, p.j),
+t2 AS (
+  SELECT t1.media_id, t1.u, dm.u AS w, SUM(t1.s * dm.c) AS s
+  FROM t1 JOIN dm ON dm.i = t1.j WHERE dm.u < 8
+  GROUP BY t1.media_id, t1.u, dm.u),
+blk AS (SELECT media_id, u * 8 + w AS idx, s FROM t2),
+med AS (
+  SELECT media_id, s AS med FROM (
+    SELECT media_id, s,
+           ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY s) AS rn
+    FROM blk WHERE idx > 0) WHERE rn = 32),
+h AS (
+  SELECT blk.media_id,
+         SUM(CASE WHEN blk.s > med.med
+             THEN CAST(1 AS HUGEINT) << (63 - blk.idx)
+             ELSE CAST(0 AS HUGEINT) END) AS ub
+  FROM blk JOIN med USING (media_id) GROUP BY blk.media_id),
+hh AS (
+  SELECT media_id, ub,
+         CAST(CASE WHEN ub >= CAST(1 AS HUGEINT) << 63
+              THEN ub - (CAST(1 AS HUGEINT) << 64)
+              ELSE ub END AS BIGINT) AS phash
+  FROM h),
+blocks AS (
+  SELECT media_id, phash, bb.b AS blk,
+         CAST((ub >> (8 * bb.b)) & 255 AS BIGINT) AS v
+  FROM hh, generate_series(0, 7) bb(b)),
+cand AS (
+  SELECT DISTINCT a.media_id AS id_a, b2.media_id AS id_b,
+         a.phash AS ha, b2.phash AS hb
+  FROM blocks a JOIN blocks b2 ON a.blk = b2.blk AND a.v = b2.v
+  WHERE a.media_id < b2.media_id)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 10
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES_EXT5: dict[str, dict] = {
     "llm_jaccard_prefix": {"fn": q_jaccard_prefix,
                            "sql": SQL_JACCARD_PREFIX},
@@ -577,7 +650,8 @@ QUERIES_EXT5: dict[str, dict] = {
                            "sql": SQL_FUNNEL_STEPS},
     "mad_outliers":       {"fn": q_mad_outliers,
                            "sql": SQL_MAD_OUTLIERS},
-    "mm_phash_pairs":     {"fn": q_mm_phash_pairs,     "sql": None},
+    "mm_phash_pairs":     {"fn": q_mm_phash_pairs,
+                           "sql": _sql_mm_phash_pairs()},
     "mm_audio_features":  {"fn": q_mm_audio_features,  "sql": None},
     "triangle_count":     {"fn": q_triangle_count,
                            "sql": SQL_TRIANGLE_COUNT},
