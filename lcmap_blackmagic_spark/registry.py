@@ -589,6 +589,7 @@ from .registry_ext13 import QUERIES_EXT13  # noqa: E402
 from .registry_ext14 import QUERIES_EXT14  # noqa: E402
 from .registry_ext15 import QUERIES_EXT15  # noqa: E402
 from .registry_ext16 import QUERIES_EXT16  # noqa: E402
+from .registry_ext17 import QUERIES_EXT17  # noqa: E402
 from .sql_catalog import QUERIES_SQL  # noqa: E402
 
 QUERIES.update(QUERIES_LLM)
@@ -611,6 +612,7 @@ QUERIES.update(QUERIES_EXT13)
 QUERIES.update(QUERIES_EXT14)
 QUERIES.update(QUERIES_EXT15)
 QUERIES.update(QUERIES_EXT16)
+QUERIES.update(QUERIES_EXT17)
 QUERIES.update(QUERIES_SQL)
 
 

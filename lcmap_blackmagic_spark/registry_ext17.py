@@ -1,0 +1,220 @@
+"""Eighteenth extension wave (round 12) — table-format RESTORE, the
+pass@k evaluation metric, and the split-distinct skew rewrite, each
+under the correctness gate:
+
+- ``snapshot_restore``: Delta-style RESTORE TO VERSION AS OF as a
+  METADATA-ONLY commit (storage.restore_snapshot — the new manifest
+  re-references the old commit dirs; zero data movement).  The
+  oracle recomputes every pinned version's content from slice
+  arithmetic, so a restore that re-wrote, mis-referenced, or
+  truncated history could not hash-match.
+
+- ``eval_pass_at_k``: the standard LLM-eval estimator
+  pass@k = 1 − C(n−c, k)/C(n, k) (Chen et al. 2021, the HumanEval
+  combinatorial form) in EXACT integer arithmetic: n ≤ 20 so the
+  binomials evaluate via ``factorial`` (exact ≤ 20! < 2^63 in both
+  engines) and the output is basis points by integer div — no float
+  anywhere, bit-exact across engines.
+
+- ``skew_distinct_split``: COUNT(DISTINCT) under key skew via the
+  two-stage bucket split — per (key, hash-bucket) distinct partials
+  that ADD exactly because the buckets partition the value space.
+  The oracle is the plain COUNT(DISTINCT), pinning that the rewrite
+  changes the plan (no single giant per-key distinct reducer), not
+  the answer.
+
+Reference anchor: nothing in lcmap-blackmagic — the snapshot store
+and the eval/scale surfaces are the engine's own first-class
+additions (brief §LLM-ops / §scale)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import _t
+
+# ------------------------------------------------------- restore ----
+
+RST_SLICES = 4
+
+
+def q_snapshot_restore(spark, sf_dir):
+    """Commit RST_SLICES key-sliced appends, RESTORE to the second
+    commit (metadata-only), then append the first slice AGAIN —
+    duplicating its rows, which makes the post-restore lineage
+    distinguishable from every pre-restore version.  Reads every
+    version of THIS run by its returned version number (not an
+    absolute constant), so a second run in the same process — whose
+    versions continue the staged table's log — sees the same six
+    contents (the first write is an overwrite)."""
+    from .registry import _staging
+    from .storage import read_snapshot, restore_snapshot, write_snapshot
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("cents"))
+    t = _staging(sf_dir, "rst_orders")
+    versions = []
+    for s in range(RST_SLICES):
+        versions.append(write_snapshot(
+            o.filter(F.col("o_orderkey") % RST_SLICES == s), t,
+            mode="append" if s else "overwrite", collect_stats=False))
+    versions.append(restore_snapshot(t, versions[1]))   # back to k=2
+    versions.append(write_snapshot(                     # slice 0 again
+        o.filter(F.col("o_orderkey") % RST_SLICES == 0), t,
+        mode="append", collect_stats=False))
+    out = None
+    for step, v in enumerate(versions, start=1):
+        part = (read_snapshot(spark, t, version=v)
+                .agg(F.lit(step).alias("step"),
+                     F.count(F.lit(1)).alias("n_orders"),
+                     F.sum("cents").alias("sum_cents")))
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("step")
+
+
+SQL_SNAPSHOT_RESTORE = f"""
+WITH c AS (
+  SELECT o_orderkey % {RST_SLICES} AS s,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM orders),
+steps(step) AS (SELECT UNNEST(range(1, 7))),
+sel AS (
+  -- steps 1..4: slices 0..step-1; step 5 (restore to v2): slices
+  -- 0..1; step 6: slices 0..1 plus slice 0 a second time
+  SELECT st.step, c.cents,
+         CASE WHEN st.step <= {RST_SLICES} AND c.s < st.step THEN 1
+              WHEN st.step = 5 AND c.s < 2 THEN 1
+              WHEN st.step = 6 AND c.s < 2 THEN 1
+              ELSE 0 END
+         + CASE WHEN st.step = 6 AND c.s = 0 THEN 1 ELSE 0 END
+           AS copies
+  FROM steps st, c)
+SELECT step, CAST(SUM(copies) AS BIGINT) AS n_orders,
+       CAST(SUM(copies * cents) AS BIGINT) AS sum_cents
+FROM sel GROUP BY step ORDER BY step
+"""
+
+# ------------------------------------------------------ pass@k ------
+
+PASS_TASKS = 40
+PASS_TRIALS = 20          # n ≤ 20: factorial stays exact in int64
+PASS_KS = (1, 5, 10)
+
+
+def q_eval_pass_at_k(spark, sf_dir):
+    """pass@k over synthesized eval runs: orders group into
+    PASS_TASKS tasks (o_custkey mod), the first PASS_TRIALS orders
+    per task (by o_orderkey) are the trials, and a trial "passes"
+    when its deterministic md5 coin lands in the 20% stratum.  The
+    unbiased estimator 1 − C(n−c,k)/C(n,k) is computed in exact
+    integers (factorial ≤ 20!, basis points via integer div) — the
+    numerically-stable product form matters at real n (thousands),
+    but at n ≤ 20 the binomial form is exact and ORACLE-CHECKABLE,
+    which is the point of this entry.
+
+    Scale shape: one narrow projection, one rank window partitioned
+    by task (≤ PASS_TRIALS winners per task), one per-task
+    aggregate; the binomial arithmetic is constant-time per task."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    trials = (o.select(
+        (F.col("o_custkey") % PASS_TASKS).cast("int").alias("task"),
+        "o_orderkey",
+        (F.conv(F.substring(F.md5(F.concat(
+            F.lit("pk:"), F.col("o_orderkey").cast("string"))),
+            1, 12), 16, 10).cast("bigint") % 5 == 0)
+        .cast("int").alias("correct"))
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("task").orderBy("o_orderkey")))
+        .filter(F.col("rn") <= PASS_TRIALS))
+    agg = (trials.groupBy("task")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("correct").alias("c"))
+           .filter(F.col("n") == PASS_TRIALS))
+    cols = [F.col("task"), F.col("n"), F.col("c")]
+    for k in PASS_KS:
+        # C(n-c,k)/C(n,k) in exact integers; n-c < k → pass@k = 1
+        expr = (f"CASE WHEN n - c < {k} THEN CAST(10000 AS BIGINT) "
+                f"ELSE CAST(10000 AS BIGINT) - (10000 * "
+                f"(factorial(CAST(n - c AS INT)) div "
+                f"(factorial({k}) * factorial(CAST(n - c - {k} AS INT))))"
+                f") div (factorial(CAST(n AS INT)) div "
+                f"(factorial({k}) * factorial(CAST(n - {k} AS INT)))) "
+                f"END")
+        cols.append(F.expr(expr).alias(f"pass{k}_bp"))
+    return agg.select(*cols).orderBy("task")
+
+
+def _sql_pass_at_k() -> str:
+    passes = ",\n       ".join(
+        f"CASE WHEN n - c < {k} THEN CAST(10000 AS BIGINT) "
+        f"ELSE CAST(10000 AS BIGINT) - (10000 * "
+        f"(factorial(CAST(n - c AS INT)) // "
+        f"(factorial({k}) * factorial(CAST(n - c - {k} AS INT))))) // "
+        f"(factorial(CAST(n AS INT)) // "
+        f"(factorial({k}) * factorial(CAST(n - {k} AS INT)))) "
+        f"END AS pass{k}_bp"
+        for k in PASS_KS)
+    return f"""
+WITH trials AS (
+  SELECT CAST(o_custkey % {PASS_TASKS} AS INT) AS task,
+         CASE WHEN CAST('0x' || substr(md5('pk:' || o_orderkey), 1, 12)
+                   AS BIGINT) % 5 = 0 THEN 1 ELSE 0 END AS correct,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey % {PASS_TASKS}
+                            ORDER BY o_orderkey) AS rn
+  FROM orders),
+agg AS (
+  SELECT task, COUNT(*) AS n, SUM(correct) AS c
+  FROM trials WHERE rn <= {PASS_TRIALS}
+  GROUP BY task HAVING COUNT(*) = {PASS_TRIALS})
+SELECT task, CAST(n AS BIGINT) AS n, CAST(c AS BIGINT) AS c,
+       {passes}
+FROM agg ORDER BY task
+"""
+
+# ------------------------------------------ split distinct ----------
+
+SPLIT_BUCKETS = 32
+
+
+def q_skew_distinct_split(spark, sf_dir):
+    """COUNT(DISTINCT supplier) per returnflag via the two-stage
+    BUCKET SPLIT — the standard skew rewrite for exact distinct
+    aggregation: stage 1 groups by (key, value-hash-bucket) and
+    distinct-counts WITHIN each bucket; stage 2 SUMS the partials,
+    which is exact because the buckets partition the value space.
+    At 10^12 rows a plain per-key distinct funnels each hot key's
+    whole value set through one reducer; the split bounds every
+    reducer at 1/SPLIT_BUCKETS of a key's values while adding only a
+    (key × bucket)-sized second stage.  The oracle is the PLAIN
+    COUNT(DISTINCT) — pinning that the rewrite changes the plan, not
+    the answer."""
+    li = _t(spark, sf_dir, "lineitem")
+    stage1 = (li.groupBy(
+        "l_returnflag",
+        (F.col("l_suppkey") % SPLIT_BUCKETS).alias("__b"))
+        .agg(F.count_distinct("l_suppkey").alias("__d")))
+    return (stage1.groupBy("l_returnflag")
+            .agg(F.sum("__d").alias("n_suppliers"))
+            .orderBy("l_returnflag"))
+
+
+SQL_SKEW_DISTINCT_SPLIT = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+QUERIES_EXT17: dict[str, dict] = {
+    "snapshot_restore":    {"fn": q_snapshot_restore,
+                            "sql": SQL_SNAPSHOT_RESTORE},
+    "eval_pass_at_k":      {"fn": q_eval_pass_at_k,
+                            "sql": _sql_pass_at_k()},
+    "skew_distinct_split": {"fn": q_skew_distinct_split,
+                            "sql": SQL_SKEW_DISTINCT_SPLIT},
+}

@@ -1303,6 +1303,53 @@ def write_snapshot_tagged(df: DataFrame, table_dir: str, tag: str,
                           on_violation=on_violation)
 
 
+def restore_snapshot(table_dir: str, version: int) -> int:
+    """Delta-style RESTORE TABLE ... TO VERSION AS OF: commit a NEW
+    version whose content IS an earlier version's — METADATA-ONLY.
+    The new manifest re-references the old version's commit dirs,
+    stats, sequence numbers, and outstanding equality-delete files
+    verbatim; zero data moves, so the operation is O(manifest) at
+    any table size (the shape Delta/Iceberg RESTORE has — a rewrite
+    would be O(table)).  History is preserved: the restored-over
+    versions remain readable via time travel, and vacuum keeps every
+    data dir the restore manifest references live (its survivor scan
+    walks manifest ``dirs``).  Constraint validation is skipped by
+    design — RESTORE republishes rows exactly as a previous commit
+    validated them.  Raises if the target version's manifest is
+    vacuumed/absent (loud, like reading a vacuumed version).
+    Returns the new version."""
+    import json
+    import uuid
+
+    mdir = os.path.join(table_dir, SNAP_MANIFESTS)
+    src = os.path.join(mdir, f"v{version}.json")
+    if not os.path.exists(src):
+        raise ValueError(f"cannot restore {table_dir} to version "
+                         f"{version}: manifest is vacuumed or absent")
+    with open(src) as fh:
+        old = json.load(fh)
+    while True:
+        vs = _snap_versions(table_dir)
+        new_v = (vs[-1] + 1) if vs else 1
+        man = {"version": new_v, "mode": "restore",
+               "dirs": old["dirs"], "stats": old.get("stats", {}),
+               "seq": old.get("seq", {}), "ts": _commit_ts(),
+               "restored_from": version}
+        if old.get("deletes"):
+            man["deletes"] = old["deletes"]
+        tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex[:12]}")
+        with open(tmp, "w") as fh:
+            json.dump(man, fh)
+        try:
+            os.link(tmp, os.path.join(mdir, f"v{new_v}.json"))
+            _snap_maybe_checkpoint(table_dir, new_v)
+            return new_v
+        except FileExistsError:
+            continue        # lost the race: re-read the log, retry
+        finally:
+            os.remove(tmp)
+
+
 def compact_snapshot_zorder(spark: SparkSession, table_dir: str,
                             x_col, y_col,
                             n_dirs: int = 8,

@@ -438,3 +438,26 @@ def test_kcenter_round_plan_is_codegen_broadcast(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_skew_distinct_split_stage1_shuffles_on_bucket(spark, sf_dir):
+    """The split-distinct rewrite's whole point is the PLAN: the
+    distinct stage must hash-partition on (key, bucket, value) —
+    bounding each reducer at 1/SPLIT_BUCKETS of a hot key's value
+    set — and only the tiny (key × bucket) partial table may shuffle
+    on the key alone."""
+    from lcmap_blackmagic_spark.registry_ext17 import \
+        q_skew_distinct_split
+    df = q_skew_distinct_split(spark, sf_dir)
+    plan = simple_plan(df)
+    # the distinct aggregation keys include the bucket expression
+    assert "l_returnflag" in plan and "_groupingexpression" in plan
+    # no exchange partitions the raw rows by the key alone: every
+    # hashpartitioning over lineitem carries the bucket column too
+    import re
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        if "l_suppkey" in keys:
+            assert "_groupingexpression" in keys or \
+                "l_returnflag" not in keys
+    assert "CartesianProduct" not in plan

@@ -484,3 +484,54 @@ def test_timestamp_as_of_travel(spark):
     del man["ts"]
     json.dump(man, open(p, "w"))
     assert storage.version_as_of(t, before_any) == 1
+
+
+def test_restore_snapshot_is_metadata_only(spark):
+    """RESTORE commits a new version whose content is the target's —
+    without writing ANY new data files (the new manifest re-references
+    the old commit dirs verbatim, Delta/Iceberg RESTORE's O(manifest)
+    shape)."""
+    t = tempfile.mkdtemp(prefix="srst_")
+    df1 = spark.createDataFrame([(1,)], "v long")
+    df2 = spark.createDataFrame([(2,)], "v long")
+    v1 = storage.write_snapshot(df1, t, mode="overwrite")
+    v2 = storage.write_snapshot(df2, t, mode="append")
+    data = os.path.join(t, "data")
+    dirs_before = set(os.listdir(data))
+    v3 = storage.restore_snapshot(t, v1)
+    assert v3 == v2 + 1
+    assert set(os.listdir(data)) == dirs_before      # zero data moves
+    assert [r.v for r in storage.read_snapshot(spark, t).collect()] \
+        == [1]
+    # history preserved: the restored-over version still reads
+    assert sorted(r.v for r in storage.read_snapshot(
+        spark, t, version=v2).collect()) == [1, 2]
+    # the log continues normally after a restore
+    v4 = storage.write_snapshot(df2, t, mode="append")
+    assert sorted(r.v for r in storage.read_snapshot(
+        spark, t, version=v4).collect()) == [1, 2]
+    import json
+    man = json.load(open(os.path.join(
+        t, storage.SNAP_MANIFESTS, f"v{v3}.json")))
+    assert man["mode"] == "restore" and man["restored_from"] == v1
+
+
+def test_restore_snapshot_composes_with_vacuum(spark):
+    """Vacuum keeps every data dir a SURVIVING manifest references —
+    including a restore manifest pointing at old dirs — and restoring
+    TO a vacuumed version fails loudly."""
+    import pytest as _pt
+    t = tempfile.mkdtemp(prefix="srstv_")
+    df = spark.createDataFrame([(1,)], "v long")
+    v1 = storage.write_snapshot(df, t, mode="overwrite")
+    for i in range(3):
+        storage.write_snapshot(
+            spark.createDataFrame([(10 + i,)], "v long"), t,
+            mode="append")
+    v_restore = storage.restore_snapshot(t, v1)
+    storage.vacuum_snapshots(t, keep=2, min_age_s=0.0)
+    # the restore survives and its referenced v1 data is still live
+    assert [r.v for r in storage.read_snapshot(
+        spark, t, version=v_restore).collect()] == [1]
+    with _pt.raises(ValueError, match="vacuumed or absent"):
+        storage.restore_snapshot(t, 2)          # vacuumed target
