@@ -150,14 +150,17 @@ def q_eval_pass_at_k(spark, sf_dir):
 
 
 def _sql_pass_at_k() -> str:
+    # the outer CAST matters: DuckDB's factorial returns HUGEINT,
+    # which would otherwise propagate to the CASE result and reach
+    # pandas consumers as float64 (exact values, wrong dtype)
     passes = ",\n       ".join(
-        f"CASE WHEN n - c < {k} THEN CAST(10000 AS BIGINT) "
+        f"CAST(CASE WHEN n - c < {k} THEN CAST(10000 AS BIGINT) "
         f"ELSE CAST(10000 AS BIGINT) - (10000 * "
         f"(factorial(CAST(n - c AS INT)) // "
         f"(factorial({k}) * factorial(CAST(n - c - {k} AS INT))))) // "
         f"(factorial(CAST(n AS INT)) // "
         f"(factorial({k}) * factorial(CAST(n - {k} AS INT)))) "
-        f"END AS pass{k}_bp"
+        f"END AS BIGINT) AS pass{k}_bp"
         for k in PASS_KS)
     return f"""
 WITH trials AS (
