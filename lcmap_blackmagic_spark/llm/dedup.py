@@ -574,7 +574,11 @@ def _prefix_ranked(df: DataFrame, id_col: str, text_col: str,
     # UNFORCED: dfreq is gram-vocabulary-sized (word n-grams —
     # unbounded at 10^10 docs), so AQE must pick broadcast only when
     # the dictionary actually fits; both sides hash-partition on tok
-    # otherwise.
+    # otherwise and the gram subtree is shared via exchange reuse.
+    # (A count-window-over-tok variant was measured WORSE — WindowExec
+    # sorts each tok partition; the join form's measured local cost vs
+    # the old forced broadcast is ~1.1× anchor-normalized at sf0.1,
+    # the price of the only plan that survives 10^10-doc vocabularies.)
     return (grams.join(dfreq, "tok")
             .groupBy(id_col)
             .agg(F.array_sort(F.collect_list(F.struct("dfr", "tok")))
