@@ -1096,10 +1096,10 @@ def frame_sample(media: DataFrame, every_ms: int = 1000,
                             # disagrees with the sample entry) — the
                             # per-frame fake fallback, same contract
                             # as metadata-only payloads
-                            frame = decoder(payload + i.to_bytes(4, "big"),
+                            frame = decoder(payload + f"|f{i}".encode(),
                                             "video")
                     else:
-                        frame = decoder(payload + i.to_bytes(4, "big"),
+                        frame = decoder(payload + f"|f{i}".encode(),
                                         "video")
                     out.append({"media_id": row.media_id, "frame_idx": i,
                                 "feat": frame.mean(axis=0)

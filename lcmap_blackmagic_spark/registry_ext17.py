@@ -213,6 +213,150 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+# --------------------------------------- audio descriptors (bp) -----
+
+AUDIO_DFT_SCALE = 1 << 14       # twiddle fixed point: |re| ≤ 32·128·2^14 = 2^26
+AUDIO_DFT_N = 32                # the sha-wave's true period (digest bytes)
+AUDIO_DFT_BINS = 16
+
+
+def _audio_twiddles():
+    """Scaled-integer DFT basis for the 32-sample wave, rounded ONCE
+    here and embedded as literals in BOTH engines' plans — the same
+    determinism move as phash64's DCT.  (The fake 256-sample wave is
+    the digest repeated 8×, so its 256-point spectrum is exactly the
+    32-point spectrum of the digest at every 8th bin — the 32-point
+    DFT loses nothing.)"""
+    import numpy as np
+    k = np.arange(AUDIO_DFT_BINS + 1).reshape(-1, 1)
+    i = np.arange(AUDIO_DFT_N).reshape(1, -1)
+    ang = 2 * np.pi * k * i / AUDIO_DFT_N
+    tc = np.rint(np.cos(ang) * AUDIO_DFT_SCALE).astype(np.int64)
+    ts = np.rint(-np.sin(ang) * AUDIO_DFT_SCALE).astype(np.int64)
+    return tc, ts
+
+
+def q_mm_audio_descriptors_bp(spark, sf_dir):
+    """Engine-portable INTEGER twin of ``mm_audio_features``
+    (llm/multimodal.audio_feature_vector — the float/FFT operator the
+    sine golden test pins): the same descriptor family — energy,
+    zero-crossing rate, spectral centroid, 85% rolloff — defined so
+    every value is an exact integer any engine reproduces:
+
+    - the wave is the 32 centered digest bytes (the fake 256-sample
+      wave repeats them 8×, see _audio_twiddles);
+    - the spectrum is a scaled-integer 32-point DFT (re/im exact
+      int64, |re| ≤ 2^26 so re²+im² ≤ 2^53 stays exact), magnitudes
+      floor(IEEE sqrt) — bit-identical across engines;
+    - outputs are milli-/basis-point integers via integer div; the
+      two IEEE float steps (sqrt, ×1000) are deterministic given
+      exact-integer inputs.
+
+    Fully DECLARATIVE — the whole DFT runs as codegen'd array
+    expressions (transform/aggregate/zip_with), no Python worker at
+    all, unlike the Arrow-batched float operator.  One narrow
+    projection, no shuffle, no join."""
+    tc, ts = _audio_twiddles()
+    tc_csv = ",".join(str(v) for v in tc.ravel())
+    ts_csv = ",".join(str(v) for v in ts.ravel())
+    d = (_t(spark, sf_dir, "documents")
+         .filter((F.col("doc_id") < 200) & (F.col("doc_id") % 3 == 1)))
+    n, bins = AUDIO_DFT_N, AUDIO_DFT_BINS
+    base = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("hx"))
+    xs = (f"transform(sequence(0,{n - 1}), i -> "
+          f"cast(conv(substring(hx, 2*i+1, 2), 16, 10) as bigint)"
+          f" - 128)")
+    w = base.select(
+        "media_id",
+        F.expr(xs).alias("xs"),
+        F.expr(f"array({tc_csv})").alias("tc"),
+        F.expr(f"array({ts_csv})").alias("tsn"))
+    spec = (w
+            .withColumn("sumsq", F.expr(
+                "aggregate(xs, 0L, (a, v) -> a + v * v)"))
+            .withColumn("zc", F.expr(
+                f"aggregate(sequence(2,{n}), 0L, (a, i) -> a + "
+                f"if((element_at(xs,i) < 0) != (element_at(xs,i-1) < 0),"
+                f" 1L, 0L))"))
+            .withColumn("re", F.expr(
+                f"transform(sequence(1,{bins}), k -> "
+                f"aggregate(sequence(1,{n}), 0L, (a, i) -> a + "
+                f"element_at(xs,i) * element_at(tc,(k)*{n} + i)))"))
+            .withColumn("im", F.expr(
+                f"transform(sequence(1,{bins}), k -> "
+                f"aggregate(sequence(1,{n}), 0L, (a, i) -> a + "
+                f"element_at(xs,i) * element_at(tsn,(k)*{n} + i)))"))
+            .withColumn("mag", F.expr(
+                "zip_with(re, im, (r, s) -> cast(floor(sqrt("
+                "cast(r*r + s*s as double))) as bigint))"))
+            .withColumn("tot", F.expr(
+                "aggregate(mag, 0L, (a, v) -> a + v)")))
+    return (spec.select(
+        "media_id", "sumsq",
+        F.expr("cast(floor(sqrt(sumsq / 32.0D) * 1000.0D) as bigint)")
+        .alias("rms_mbp"),
+        F.expr("(10000L * zc) div 31").alias("zcr_bp"),
+        F.expr(f"if(tot = 0, 0L, (10000L * aggregate(sequence(1,{bins}),"
+               f" 0L, (a, k) -> a + k * element_at(mag, k)))"
+               f" div ({bins} * tot))").alias("centroid_bp"),
+        F.expr(f"if(tot = 0, 0L, 1L + size(filter(sequence(1,{bins}),"
+               f" k -> 20 * aggregate(slice(mag, 1, k), 0L,"
+               f" (a, v) -> a + v) < 17 * tot)))").alias("rolloff_bin"))
+        .orderBy("media_id"))
+
+
+def _sql_audio_descriptors_bp() -> str:
+    tc, ts = _audio_twiddles()
+    tc_csv = ",".join(str(v) for v in tc.ravel())
+    ts_csv = ",".join(str(v) for v in ts.ravel())
+    n, bins = AUDIO_DFT_N, AUDIO_DFT_BINS
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id, sha256(text) AS hx
+  FROM documents WHERE doc_id < 200 AND doc_id % 3 = 1),
+x AS (
+  SELECT media_id,
+         list_transform(generate_series(0, {n - 1}),
+           i -> CAST('0x' || substr(hx, 2*i + 1, 2) AS BIGINT) - 128)
+           AS xs
+  FROM m),
+tw AS (SELECT [{tc_csv}] AS tc, [{ts_csv}] AS tsn),
+spec AS (
+  SELECT media_id,
+         list_sum(list_transform(xs, v -> v * v)) AS sumsq,
+         list_sum(list_transform(generate_series(2, {n}),
+           i -> CASE WHEN (xs[i] < 0) <> (xs[i-1] < 0)
+                THEN 1 ELSE 0 END)) AS zc,
+         list_transform(generate_series(1, {bins}), k ->
+           CAST(floor(sqrt(CAST(
+             list_sum(list_transform(generate_series(1, {n}),
+               i -> xs[i] * tc[k*{n} + i]))
+             * list_sum(list_transform(generate_series(1, {n}),
+               i -> xs[i] * tc[k*{n} + i]))
+             + list_sum(list_transform(generate_series(1, {n}),
+               i -> xs[i] * tsn[k*{n} + i]))
+             * list_sum(list_transform(generate_series(1, {n}),
+               i -> xs[i] * tsn[k*{n} + i]))
+             AS DOUBLE))) AS BIGINT)) AS mag
+  FROM x, tw),
+agg AS (SELECT *, list_sum(mag) AS tot FROM spec)
+SELECT media_id, CAST(sumsq AS BIGINT) AS sumsq,
+  CAST(floor(sqrt(sumsq / 32.0) * 1000.0) AS BIGINT) AS rms_mbp,
+  CAST((10000 * zc) // 31 AS BIGINT) AS zcr_bp,
+  CAST(CASE WHEN tot = 0 THEN 0 ELSE
+    (10000 * list_sum(list_transform(generate_series(1, {bins}),
+      k -> k * mag[k]))) // ({bins} * tot) END AS BIGINT)
+    AS centroid_bp,
+  CAST(CASE WHEN tot = 0 THEN 0 ELSE
+    1 + len(list_filter(generate_series(1, {bins}),
+      k -> 20 * list_sum(mag[:k]) < 17 * tot)) END AS BIGINT)
+    AS rolloff_bin
+FROM agg ORDER BY media_id
+"""
+
+
 QUERIES_EXT17: dict[str, dict] = {
     "snapshot_restore":    {"fn": q_snapshot_restore,
                             "sql": SQL_SNAPSHOT_RESTORE},
@@ -220,4 +364,6 @@ QUERIES_EXT17: dict[str, dict] = {
                             "sql": _sql_pass_at_k()},
     "skew_distinct_split": {"fn": q_skew_distinct_split,
                             "sql": SQL_SKEW_DISTINCT_SPLIT},
+    "mm_audio_descriptors_bp": {"fn": q_mm_audio_descriptors_bp,
+                                "sql": _sql_audio_descriptors_bp()},
 }

@@ -304,9 +304,13 @@ def q_mm_phash_pairs(spark, sf_dir):
 
 def q_mm_audio_features(spark, sf_dir):
     """Clip-level audio descriptors (RMS / zero-crossing rate /
-    spectral centroid / rolloff) over opaque payloads — rows-only;
-    the sine-wave golden test pins the DSP math against closed-form
-    expectations."""
+    spectral centroid / rolloff) over opaque payloads — rows-only
+    (numpy rFFT: transcendental twiddles + pairwise float summation
+    no SQL engine replays); the sine-wave golden test pins the DSP
+    math against closed-form expectations, and since round 12 the
+    ORACLE-CHECKED twin ``mm_audio_descriptors_bp``
+    (registry_ext17) pins the same descriptor family bit-exactly via
+    a scaled-integer DFT."""
     from .llm.multimodal import attach_payloads, audio_features
     docs = _t(spark, sf_dir, "documents")
     media = attach_payloads(docs.filter(F.col("doc_id") < 200))

@@ -651,11 +651,48 @@ FROM rowvals
 
 
 def q_mm_frame_sample(spark, sf_dir):
-    """Video frame-sampling plumbing: one row per sampled frame."""
+    """Video frame-sampling plumbing: one row per sampled frame.
+    FULLY ORACLE-CHECKED (round 12): the per-frame fake-decode input
+    is now ``payload || '|f{i}'`` (a PRINTABLE suffix — the old raw
+    4-byte big-endian counter was the one thing DuckDB's
+    VARCHAR-only sha256 could not take), so the whole
+    sample-enumeration + per-frame feature path replays in SQL
+    (_sql_mm_frame_sample).  Real MP4 payloads ride the metadata/
+    real-decode branches instead, pinned by the golden codec tests."""
     from .llm.multimodal import attach_payloads, frame_sample
     docs = _t(spark, sf_dir, "documents")
     media = attach_payloads(docs.filter(F.col("doc_id") < 120))
     return frame_sample(media)
+
+
+def _sql_mm_frame_sample() -> str:
+    """DuckDB replay of frame_sample over non-MP4 payloads: videos
+    (doc_id % 3 = 2) sample max(1, n_bytes // 100) frames; frame i's
+    feature is the 16 column means of fake_decoder(payload||'|f'||i)
+    — column x of the sha-raster holds bytes x and 16+x, so the mean
+    is their dyadic average (exact in float32)."""
+    return """
+WITH m AS (
+  SELECT doc_id AS media_id, text,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents WHERE doc_id < 120 AND doc_id % 3 = 2),
+frames AS (
+  SELECT media_id,
+         CAST(UNNEST(range(greatest(n_bytes // 100, 1))) AS INT)
+           AS frame_idx,
+         text
+  FROM m),
+hx AS (
+  SELECT media_id, frame_idx,
+         sha256(text || '|f' || frame_idx) AS h
+  FROM frames)
+SELECT media_id, frame_idx,
+       list_transform(generate_series(0, 15),
+         x -> CAST((CAST('0x' || substr(h, 2*x + 1, 2) AS INT)
+                    + CAST('0x' || substr(h, 2*(x+16) + 1, 2) AS INT))
+                   / 2.0 AS FLOAT)) AS feat
+FROM hx ORDER BY media_id, frame_idx
+"""
 
 
 def _sql_minhash_pipeline() -> str:
@@ -803,5 +840,6 @@ QUERIES_PIPELINES: dict[str, dict] = {
                              "sql": _sql_mm_features()},
     "mm_resize":            {"fn": q_mm_resize,
                              "sql": _sql_mm_resize()},
-    "mm_frame_sample":      {"fn": q_mm_frame_sample,      "sql": None},
+    "mm_frame_sample":      {"fn": q_mm_frame_sample,
+                             "sql": _sql_mm_frame_sample()},
 }

@@ -276,3 +276,19 @@ def test_delete_fast_path_bloom_prunes_unsorted_table(spark):
     scanned = {f.split("/data/")[1].split("/")[0]
                for f in ch.inputFiles() if "/data/" in f}
     assert len(scanned & data_dirs) == 1       # bloom found the bucket
+
+
+def test_changes_across_restore_boundary(spark):
+    """CDF over a RESTORE commit: rows the restore removed (present
+    at v_from, absent at the restored content) surface as deletes,
+    and a restore back to v_from's own content is an empty delta —
+    the restore manifest is just another version to diff against."""
+    t = tempfile.mkdtemp(prefix="scrst_")
+    v1 = storage.write_snapshot(
+        _batch(spark, [(1, "a")]), t, mode="overwrite")
+    v2 = storage.write_snapshot(
+        _batch(spark, [(2, "b")]), t, mode="append")
+    v3 = storage.restore_snapshot(t, v1)
+    assert _got(storage.snapshot_changes(spark, t, v2, v3)) == \
+        [(2, "b", "delete", 1)]
+    assert _got(storage.snapshot_changes(spark, t, v1, v3)) == []
