@@ -1287,3 +1287,63 @@ def read_cms_rollup(spark: SparkSession, root: str, keys: DataFrame,
     return cms_estimate(storage.read(spark, root, "cms_partial"),
                         keys, "user_id", depth=depth, width=width,
                         group_cols=["bucket"])
+
+
+def priority_sample_batch(batch_df: DataFrame, batch_id: int,
+                          store_dir: str, weight_col: str,
+                          id_col: str, k: int,
+                          group_col: str | None = None) -> None:
+    """One micro-batch of the STREAMING deterministic weighted
+    sampler — the streaming twin of ``operators.sampling.
+    priority_sample`` (Ohlsson sequential-Poisson with md5-derived
+    integer priorities): merge the batch's per-group top-k winners
+    with the persisted winner store and rewrite the store.
+
+    Correctness by construction: a row's priority is a pure function
+    of its id, so top-k over (persisted winners plus new candidates)
+    equals top-k over everything ever seen — the state IS the
+    sample, O(k · groups) regardless of stream length, and a
+    re-delivered batch merges to the identical store (idempotent
+    replay without tags).  Flag-exact with the batch operator over
+    the same rows, pinned by tests/test_priority_sample_stream.py.
+
+    Scale: the store is winner-sized (k per group), so the per-batch
+    rewrite is tiny; the batch-side top-k is the same per-partition
+    heap / per-group window the batch operator uses."""
+    from ..operators.sampling import priority_sample
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    cand = priority_sample(batch_df, weight_col, id_col, k, group_col)
+    cols = cand.columns
+    try:
+        prev = spark.read.parquet(store_dir).select(*cols)
+    except Exception:                       # first batch: empty store
+        prev = None
+    pool = cand if prev is None else cand.unionByName(prev)
+    # a row already in the store re-arrives on replay (and a batch's
+    # own winners land in both sides next round): top-k by row_number
+    # would count the copy as a second slot and evict a real winner —
+    # dedupe on identity first (the id determines the whole row)
+    keys = ([group_col] if group_col else []) + [id_col]
+    winners = priority_sample(pool.drop("priority").dropDuplicates(keys),
+                              weight_col, id_col, k, group_col)
+    # the pool reads lazily from the store being overwritten —
+    # materialize before the rewrite
+    rows = winners.collect()                # O(k · groups), bounded
+    spark.createDataFrame(rows, winners.schema) \
+        .coalesce(1).write.mode("overwrite").parquet(store_dir)
+
+
+def priority_sample_stream(rows: DataFrame, store_dir: str,
+                           weight_col: str, id_col: str, k: int,
+                           group_col: str | None = None):
+    """STREAMING reservoir-style weighted sampling: per micro-batch,
+    fold incoming rows into the persisted per-group winner store
+    (``priority_sample_batch``).  Returns the DataStreamWriter
+    (caller starts it)."""
+    def fb(batch_df: DataFrame, batch_id: int) -> None:
+        priority_sample_batch(batch_df, batch_id, store_dir,
+                              weight_col, id_col, k, group_col)
+
+    return rows.writeStream.foreachBatch(fb)
