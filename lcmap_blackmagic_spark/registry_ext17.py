@@ -213,6 +213,63 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+# ------------------------------------------------- novelty ----------
+
+NOVELTY_N = 3
+
+
+def q_llm_novelty(spark, sf_dir):
+    """Per-document n-gram NOVELTY — the training-data curation
+    signal for ordering/filtering a corpus by marginal information:
+    the fraction of a doc's distinct word trigrams whose FIRST
+    corpus occurrence (by doc_id order — the canonical ingest order)
+    is this document.  Early docs score high, near-duplicates of
+    earlier material score near zero; unlike pairwise dedup this is
+    a per-doc score computable in two aggregates.
+
+    Shape: explode→distinct (doc, gram), per-gram min(doc_id) (one
+    map-side-combinable aggregate), one UNFORCED join back on gram
+    (the first-occurrence table is gram-vocabulary-sized — AQE
+    broadcasts it only while it fits), one per-doc aggregate.  Docs
+    shorter than the gram order produce no grams and are absent —
+    the scoreless-doc policy the oracle shares."""
+    from .llm.dedup import shingles
+
+    d = _t(spark, sf_dir, "documents")
+    grams = (d.select("doc_id",
+                      F.explode(shingles("text", NOVELTY_N)).alias("g"))
+             .distinct())
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (grams.join(first, "g")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                       .otherwise(0)).cast("bigint").alias("n_novel"))
+            .select("doc_id", "n_grams", "n_novel",
+                    F.expr("(10000 * n_novel) div n_grams")
+                    .alias("novelty_bp"))
+            .orderBy("doc_id"))
+
+
+SQL_LLM_NOVELTY = f"""
+WITH grams AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(generate_series(1, len(ws) - {NOVELTY_N - 1}),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws
+        FROM documents)),
+first AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g)
+SELECT grams.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN first.first_doc = grams.doc_id
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST((10000 * SUM(CASE WHEN first.first_doc = grams.doc_id
+                         THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+         AS novelty_bp
+FROM grams JOIN first USING (g)
+GROUP BY grams.doc_id ORDER BY grams.doc_id
+"""
+
 # --------------------------------------- audio descriptors (bp) -----
 
 AUDIO_DFT_SCALE = 1 << 14       # twiddle fixed point: |re| ≤ 32·128·2^14 = 2^26
@@ -366,4 +423,6 @@ QUERIES_EXT17: dict[str, dict] = {
                             "sql": SQL_SKEW_DISTINCT_SPLIT},
     "mm_audio_descriptors_bp": {"fn": q_mm_audio_descriptors_bp,
                                 "sql": _sql_audio_descriptors_bp()},
+    "llm_novelty":         {"fn": q_llm_novelty,
+                            "sql": SQL_LLM_NOVELTY},
 }

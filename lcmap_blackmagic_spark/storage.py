@@ -1105,7 +1105,7 @@ def read_snapshot(spark: SparkSession, table_dir: str,
                   version: int | None = None,
                   merge_schema: bool = False,
                   where: tuple | None = None,
-                  as_of=None) -> DataFrame:
+                  as_of=None, tag: str | None = None) -> DataFrame:
     """Read a pinned snapshot version (default: latest). The
     returned plan lists exactly the manifest's commit dirs, so later
     commits — even overwrites — cannot change what this DataFrame
@@ -1147,10 +1147,12 @@ def read_snapshot(spark: SparkSession, table_dir: str,
     (``version_as_of``) — mutually exclusive with ``version``."""
     import json
 
+    if sum(x is not None for x in (version, as_of, tag)) > 1:
+        raise ValueError("pass version OR as_of OR tag, not both")
     if as_of is not None:
-        if version is not None:
-            raise ValueError("pass version OR as_of, not both")
         version = version_as_of(table_dir, as_of)
+    if tag is not None:
+        version = version_of_tag(table_dir, tag)
     if version is None:
         version = latest_version(table_dir)
         if version is None:
@@ -1301,6 +1303,28 @@ def write_snapshot_tagged(df: DataFrame, table_dir: str, tag: str,
                           dedupe_tag=True, collect_stats=collect_stats,
                           bloom_cols=bloom_cols,
                           on_violation=on_violation)
+
+
+def version_of_tag(table_dir: str, tag: str) -> int:
+    """Resolve a commit tag to its version — tag-based time travel
+    (Iceberg's named refs): tags are unique (the idempotent-write
+    contract suppresses re-commits), so the first match wins.  Walks
+    the SURVIVING manifests newest-first — recent tags resolve in
+    O(recency); a vacuumed tag raises (its version is gone; the tag
+    itself lives on in the tombstones only to suppress replays).
+    This is an interactive-read path, not a per-commit one — the
+    checkpoint keeps the per-commit paths (version_as_of,
+    _committed_tags) O(tail), and deliberately stores only the tag
+    SET, not a version map."""
+    import json
+
+    mdir = os.path.join(table_dir, SNAP_MANIFESTS)
+    for v in reversed(_snap_versions(table_dir)):
+        with open(os.path.join(mdir, f"v{v}.json")) as fh:
+            if json.load(fh).get("tag") == tag:
+                return v
+    raise ValueError(f"no surviving snapshot of {table_dir} carries "
+                     f"tag {tag!r} (never committed, or vacuumed)")
 
 
 def restore_snapshot(table_dir: str, version: int) -> int:

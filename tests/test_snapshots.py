@@ -535,3 +535,33 @@ def test_restore_snapshot_composes_with_vacuum(spark):
         spark, t, version=v_restore).collect()] == [1]
     with _pt.raises(ValueError, match="vacuumed or absent"):
         storage.restore_snapshot(t, 2)          # vacuumed target
+
+
+def test_tag_time_travel(spark):
+    """read_snapshot(tag=) resolves a commit tag to its pinned
+    version (Iceberg-style named ref); a vacuumed or never-committed
+    tag raises loudly."""
+    import pytest as _pt
+    t = tempfile.mkdtemp(prefix="stag_")
+    storage.write_snapshot_tagged(
+        spark.createDataFrame([(1,)], "v long"), t, tag="r1",
+        mode="overwrite")
+    storage.write_snapshot_tagged(
+        spark.createDataFrame([(2,)], "v long"), t, tag="r2")
+    assert [r.v for r in storage.read_snapshot(spark, t,
+                                               tag="r1").collect()] == [1]
+    assert sorted(r.v for r in storage.read_snapshot(
+        spark, t, tag="r2").collect()) == [1, 2]
+    assert storage.version_of_tag(t, "r2") == 2
+    with _pt.raises(ValueError, match="carries tag"):
+        storage.version_of_tag(t, "never")
+    with _pt.raises(ValueError, match="not both"):
+        storage.read_snapshot(spark, t, version=1, tag="r1")
+    # vacuumed tag: replay still suppressed, resolution raises
+    storage.write_snapshot_tagged(
+        spark.createDataFrame([(3,)], "v long"), t, tag="r3")
+    storage.vacuum_snapshots(t, keep=1, min_age_s=0.0)
+    with _pt.raises(ValueError, match="carries tag"):
+        storage.version_of_tag(t, "r1")
+    assert storage.write_snapshot_tagged(
+        spark.createDataFrame([(9,)], "v long"), t, tag="r1") is None
