@@ -1702,3 +1702,55 @@ def test_range_frame_windows_agree_across_engines(engines, i, agg,
     got = tuple(spark.sql(sql).first())
     want = tuple(con.execute(sql).fetchone())
     assert got == want, f"case {i}: {agg} {frame}"
+
+
+# ---- round-12 primitive parity: floor(IEEE sqrt) and factorial -----
+# The scaled-integer DCT/DFT oracles (phash64, mm_audio_descriptors_bp)
+# and the pass@k estimator rest on two cross-engine assumptions:
+# (1) floor(sqrt(CAST(x AS DOUBLE))) is bit-identical for any exact
+#     int64 ≤ 2^53 — both engines call the correctly-rounded IEEE
+#     sqrt, so even where the DOUBLE result differs from exact
+#     integer sqrt (k²-1 at k ≈ 2^26 can round UP to k), it differs
+#     IDENTICALLY;
+# (2) factorial(n) for n ≤ 20 is the exact int64 in both engines.
+
+
+def test_floor_sqrt_parity_across_engines(engines):
+    import random as _r
+    spark, con = engines
+    rng = _r.Random(20260815)
+    vals = ([0, 1, 2, 3, (1 << 52) - 1, 1 << 52, (1 << 53) - 1]
+            + [(1 << 26) ** 2 - 1, (1 << 26) ** 2]          # k²-1 edge
+            + [rng.randrange(1 << 53) for _ in range(200)]
+            + [k * k - 1 for k in (rng.randrange(1 << 26)
+                                   for _ in range(50))])
+    lst = ",".join(str(v) for v in vals)
+    ssql = (f"SELECT collect_list(cast(floor(sqrt(cast(v as double)))"
+            f" as bigint)) FROM "
+            f"(SELECT explode(array({lst})) AS v)")
+    got = list(spark.sql(ssql).first()[0])
+    want = [r[0] for r in con.execute(
+        f"SELECT CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT) "
+        f"FROM (SELECT UNNEST([{lst}]) AS v)").fetchall()]
+    assert got == want
+    # parity (above) is the load-bearing claim; divergence from EXACT
+    # integer sqrt is allowed — but only ever by the one ulp the
+    # k²-1 rounding edge can introduce
+    import math
+    assert all(abs(g - math.isqrt(v)) <= 1 for v, g in zip(vals, got))
+
+
+def test_factorial_parity_across_engines(engines):
+    spark, con = engines
+    import math
+    got = list(spark.sql(
+        "SELECT collect_list(factorial(v)) FROM "
+        "(SELECT explode(sequence(0, 20)) AS v)").first()[0])
+    # DuckDB's factorial binds INTEGER only (range yields BIGINT) —
+    # which is why the pass@k oracle casts every argument to INT
+    want = [r[0] for r in con.execute(
+        "SELECT factorial(CAST(v AS INT)) "
+        "FROM (SELECT UNNEST(range(0, 21)) AS v)"
+    ).fetchall()]
+    assert [int(x) for x in got] == [int(x) for x in want] \
+        == [math.factorial(n) for n in range(21)]
