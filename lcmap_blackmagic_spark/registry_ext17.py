@@ -213,6 +213,88 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+# ------------------------------------------ dedup self-eval ---------
+
+DEDUP_EVAL_T = 0.25        # exactly-representable threshold: the
+#                            float verify (i/u >= 0.25) and the
+#                            integer ground truth (4i >= u) cannot
+#                            disagree on a boundary pair
+
+
+def q_llm_dedup_eval(spark, sf_dir):
+    """RECALL OF THE BANDED MINHASH DEDUP, measured against exact
+    ground truth — the self-evaluation a production dedup pipeline
+    ships with: ground truth is the EXACT trigram-Jaccard pair set at
+    threshold 1/4 computed by the prefix-filter join (PPJoin — exact,
+    no cross product), the system under test is the 8-band MinHash
+    candidate+verify pipeline at the same threshold OVER THE SAME
+    48-bit hashed gram space (both sides hash md5(gram)[:12] of the
+    identical tokens()-derived trigrams, so the Jaccard values are
+    definitionally comparable).  Verified MinHash pairs are a SUBSET
+    of ground truth by construction (the verify step recomputes the
+    same exact Jaccard); what banding can lose is recall — pairs
+    above threshold sharing none of the 8 band minhashes.  Output:
+    one row (n_exact, n_found, n_false_band, recall_bp).
+
+    Scale shape: both sides are the already-audited scale-safe joins
+    (prefix-filter equi-join; banded self-join + verify); the eval
+    adds one left-anti join on pair ids and a one-row aggregate."""
+    from .llm.dedup import minhash_pairs, prefix_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    exact = (prefix_jaccard_pairs(d, n=3, t_num=1, t_den=4)
+             .select("id_a", "id_b", F.lit(1).alias("e")))
+    # broadcast_docs=False: the verify side's per-doc shingle-set
+    # table is data-dependent and O(corpus) — at the 100 TB scale
+    # this eval's docstring argues for, the forced broadcast default
+    # is exactly what the round-12 broadcast audit bans (it hides
+    # behind the parameter, so the AST sweep can't see it)
+    found = (minhash_pairs(d, threshold=DEDUP_EVAL_T,
+                           broadcast_docs=False)
+             .select("id_a", "id_b", F.lit(1).alias("f")))
+    # one declarative plan: full outer join on pair ids, indicator
+    # aggregate — no driver-side counts; every sum coalesces so a
+    # pair-free corpus yields (0,0,0,0) like the oracle, not NULLs
+    both = exact.join(found, ["id_a", "id_b"], "full_outer")
+    return both.agg(
+        F.coalesce(F.sum("e"), F.lit(0)).cast("bigint")
+        .alias("n_exact"),
+        F.coalesce(F.sum("f"), F.lit(0)).cast("bigint")
+        .alias("n_found"),
+        F.coalesce(F.sum(F.when(F.col("f").isNotNull()
+                                & F.col("e").isNull(), 1)
+                         .otherwise(0)), F.lit(0)).cast("bigint")
+        .alias("n_false_band"),
+        F.expr("coalesce((10000 * sum(if(e is not null and f is not"
+               " null, 1, 0))) div sum(e), 0)").alias("recall_bp"))
+
+
+def _sql_dedup_eval() -> str:
+    from .registry_llm import SQL_SHINGLES, sql_minhash_pairs
+    return f"""
+WITH found AS ({sql_minhash_pairs(DEDUP_EVAL_T)}),
+shx AS (SELECT doc_id, {SQL_SHINGLES} AS sh FROM documents),
+ints AS (
+  SELECT doc_id,
+         list_distinct(list_transform(sh,
+           s -> CAST('0x' || substr(md5(s), 1, 12) AS BIGINT))) AS si
+  FROM shx WHERE len(sh) > 0),
+exact AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ints a JOIN ints b ON a.doc_id < b.doc_id
+  WHERE 4 * len(list_intersect(a.si, b.si)) >=
+        (len(a.si) + len(b.si) - len(list_intersect(a.si, b.si)))),
+common AS (SELECT * FROM found WHERE (id_a, id_b) IN
+           (SELECT (id_a, id_b) FROM exact))
+SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+       CAST((SELECT COUNT(*) FROM found) AS BIGINT) AS n_found,
+       CAST((SELECT COUNT(*) FROM found) -
+            (SELECT COUNT(*) FROM common) AS BIGINT) AS n_false_band,
+       CAST(CASE WHEN (SELECT COUNT(*) FROM exact) = 0 THEN 0 ELSE
+         (10000 * (SELECT COUNT(*) FROM common)) //
+         (SELECT COUNT(*) FROM exact) END AS BIGINT) AS recall_bp
+"""
+
 # ------------------------------------------------- novelty ----------
 
 NOVELTY_N = 3
@@ -380,24 +462,27 @@ x AS (
            AS xs
   FROM m),
 tw AS (SELECT [{tc_csv}] AS tc, [{ts_csv}] AS tsn),
-spec AS (
+reim AS (
+  -- each bin's re/im sum computed ONCE (the magnitude expression
+  -- would otherwise evaluate every O(n) sum twice)
   SELECT media_id,
          list_sum(list_transform(xs, v -> v * v)) AS sumsq,
          list_sum(list_transform(generate_series(2, {n}),
            i -> CASE WHEN (xs[i] < 0) <> (xs[i-1] < 0)
                 THEN 1 ELSE 0 END)) AS zc,
          list_transform(generate_series(1, {bins}), k ->
-           CAST(floor(sqrt(CAST(
-             list_sum(list_transform(generate_series(1, {n}),
-               i -> xs[i] * tc[k*{n} + i]))
-             * list_sum(list_transform(generate_series(1, {n}),
-               i -> xs[i] * tc[k*{n} + i]))
-             + list_sum(list_transform(generate_series(1, {n}),
-               i -> xs[i] * tsn[k*{n} + i]))
-             * list_sum(list_transform(generate_series(1, {n}),
-               i -> xs[i] * tsn[k*{n} + i]))
-             AS DOUBLE))) AS BIGINT)) AS mag
+           list_sum(list_transform(generate_series(1, {n}),
+             i -> xs[i] * tc[k*{n} + i]))) AS re,
+         list_transform(generate_series(1, {bins}), k ->
+           list_sum(list_transform(generate_series(1, {n}),
+             i -> xs[i] * tsn[k*{n} + i]))) AS im
   FROM x, tw),
+spec AS (
+  SELECT media_id, sumsq, zc,
+         list_transform(generate_series(1, {bins}), k ->
+           CAST(floor(sqrt(CAST(re[k]*re[k] + im[k]*im[k]
+                           AS DOUBLE))) AS BIGINT)) AS mag
+  FROM reim),
 agg AS (SELECT *, list_sum(mag) AS tot FROM spec)
 SELECT media_id, CAST(sumsq AS BIGINT) AS sumsq,
   CAST(floor(sqrt(sumsq / 32.0) * 1000.0) AS BIGINT) AS rms_mbp,
@@ -425,4 +510,6 @@ QUERIES_EXT17: dict[str, dict] = {
                                 "sql": _sql_audio_descriptors_bp()},
     "llm_novelty":         {"fn": q_llm_novelty,
                             "sql": SQL_LLM_NOVELTY},
+    "llm_dedup_eval":      {"fn": q_llm_dedup_eval,
+                            "sql": _sql_dedup_eval()},
 }

@@ -578,45 +578,56 @@ def _snap_read_checkpoint(table_dir: str) -> dict | None:
         return None
     if "tags" in cp and not isinstance(cp["tags"], list):
         return None
+    if "segs" in cp and not isinstance(cp["segs"], dict):
+        return None
     return cp
 
 
-def _cp_seg_path(mdir: str, n: int) -> str:
-    return os.path.join(mdir, f"_cp_seg_{n:06d}.json")
-
-
-def _cp_read_seg(mdir: str, n: int) -> dict:
-    """One segment's rolled-up maps ({"ts": {...}, "tags": [...]});
-    empty maps if missing/torn (advisory — a longer tail walk at
-    worst, never a wrong answer)."""
+def _cp_read_seg_file(mdir: str, name: str) -> dict | None:
+    """One segment file's rolled-up maps ({"ts": {...}, "tags":
+    [...]}); None if missing/torn — the caller must treat the WHOLE
+    checkpoint as incomplete then (a GC'd segment under a stale
+    pointer must degrade to the full manifest walk, never to a
+    silently smaller tag set)."""
     import json
     try:
-        with open(_cp_seg_path(mdir, n)) as fh:
+        with open(os.path.join(mdir, name)) as fh:
             seg = json.load(fh)
         if not isinstance(seg.get("ts"), dict) or \
                 not isinstance(seg.get("tags"), list):
-            return {"ts": {}, "tags": []}
+            return None
         return seg
     except (OSError, ValueError):
-        return {"ts": {}, "tags": []}
+        return None
 
 
-def _cp_maps(table_dir: str, cp: dict) -> tuple[dict, set]:
-    """The checkpoint's rolled-up ({version -> ts}, tag set) — inline
-    for a legacy single-file checkpoint, merged from segment files
-    for the chunked format.  Segment count is V/SNAP_CP_SEG: a few
-    file opens even at thousands of commits, and zero MANIFEST
-    opens."""
+def _cp_maps(table_dir: str, cp: dict) -> tuple[dict, set, bool]:
+    """The checkpoint's rolled-up ({version -> ts}, tag set,
+    complete?) — inline for a legacy single-file checkpoint, merged
+    from the POINTER-NAMED immutable segment files for the chunked
+    format.  The pointer atomically names the exact segment files
+    that make up this summary (uuid-named, never rewritten in
+    place), so a racing checkpointer can never splice a stale
+    segment under a newer pointer; a reader holding a stale pointer
+    whose segments were GC'd sees ``complete=False`` and falls back
+    to the full walk.  Segment count is V/SNAP_CP_SEG: a few file
+    opens even at thousands of commits, and zero MANIFEST opens."""
     if "ts" in cp:                       # legacy inline checkpoint
-        return dict(cp["ts"]), set(cp.get("tags", []))
+        return dict(cp["ts"]), set(cp.get("tags", [])), True
     mdir = os.path.join(table_dir, SNAP_MANIFESTS)
     ts: dict = {}
     tags: set = set()
-    for n in range((cp["version"] + SNAP_CP_SEG - 1) // SNAP_CP_SEG):
-        seg = _cp_read_seg(mdir, n)
+    complete = True
+    for name in cp.get("segs", {}).values():
+        seg = _cp_read_seg_file(mdir, name)
+        if seg is None:
+            complete = False
+            continue
         ts.update(seg["ts"])
         tags.update(seg["tags"])
-    return ts, tags
+    if "segs" not in cp:
+        complete = False          # interim numbered-file format
+    return ts, tags, complete
 
 
 def _snap_maybe_checkpoint(table_dir: str, version: int) -> None:
@@ -666,7 +677,16 @@ def _snap_checkpoint_unsafe(table_dir: str, version: int) -> None:
             # legacy tags lost their version attribution; park them
             # in segment 0 (the tag SET is what readers consume)
             _slot(1)["tags"].add(tag)
-    for v in range(prev["version"] + 1, version + 1):
+    # roll forward from the manifests, starting below prev["version"]
+    # when the previous pointer's coverage is incomplete (interim
+    # format / GC'd segment) so the rollup HEALS instead of carrying
+    # the gap forever
+    prev_ts, _prev_tags, prev_complete = _cp_maps(table_dir, prev)
+    start = prev["version"] + 1 if ("ts" in prev or prev_complete) \
+        else 1
+    for v in range(start, version + 1):
+        if str(v) in prev_ts and "ts" not in prev:
+            continue                     # already covered by a seg
         p = os.path.join(mdir, f"v{v}.json")
         if not os.path.exists(p):
             continue                     # vacuumed mid-build
@@ -678,18 +698,34 @@ def _snap_checkpoint_unsafe(table_dir: str, version: int) -> None:
         _slot(v)["ts"][str(v)] = man.get("ts")
         if man.get("tag") is not None:
             _slot(v)["tags"].add(man["tag"])
+    # publish: NEW immutable uuid-named files for touched segments,
+    # then ONE atomic pointer naming the exact segment files — a
+    # racing checkpointer's files can never be spliced under this
+    # pointer, so every published (pointer, segments) pair is a
+    # consistent prefix summary; the replaced files are GC'd
+    # best-effort (a stale reader sees complete=False and full-walks)
+    segs: dict[str, str] = dict(prev.get("segs", {}))
+    replaced = [segs[str(n)] for n in per_seg if str(n) in segs]
     for n, add in sorted(per_seg.items()):
-        seg = _cp_read_seg(mdir, n)      # merge-with-existing
-        seg["ts"].update(add["ts"])
-        seg["tags"] = sorted(set(seg["tags"]) | add["tags"])
+        cur = (_cp_read_seg_file(mdir, segs[str(n)])
+               if str(n) in segs else None) or {"ts": {}, "tags": []}
+        cur["ts"].update(add["ts"])
+        cur["tags"] = sorted(set(cur["tags"]) | add["tags"])
+        name = f"_cp_seg_{n:06d}-{uuid.uuid4().hex[:12]}.json"
         tmp = os.path.join(mdir, f".cpseg-{uuid.uuid4().hex[:12]}")
         with open(tmp, "w") as fh:
-            json.dump(seg, fh)
-        os.replace(tmp, _cp_seg_path(mdir, n))
+            json.dump(cur, fh)
+        os.replace(tmp, os.path.join(mdir, name))
+        segs[str(n)] = name
     tmp = os.path.join(mdir, f".cp-{uuid.uuid4().hex[:12]}")
     with open(tmp, "w") as fh:
-        json.dump({"version": version}, fh)   # tiny pointer, O(1)
+        json.dump({"version": version, "segs": segs}, fh)
     os.replace(tmp, os.path.join(mdir, SNAP_CHECKPOINT))
+    for old in replaced:                 # best-effort GC
+        try:
+            os.remove(os.path.join(mdir, old))
+        except OSError:
+            pass
 
 
 SNAP_STATS_MAX_COLS = 32   # Delta's dataSkippingNumIndexedCols default
@@ -1249,8 +1285,14 @@ def _committed_tags(table_dir: str) -> set[str]:
     cp = _snap_read_checkpoint(table_dir)
     cp_v = 0
     if cp:
-        cp_v = cp["version"]
-        tags.update(_cp_maps(table_dir, cp)[1])
+        cp_ts, cp_tags, complete = _cp_maps(table_dir, cp)
+        tags.update(cp_tags)
+        # an INCOMPLETE rollup (stale pointer whose segments were
+        # GC'd, or the interim format) must not shorten the walk: a
+        # missing segment could hide a committed tag, and a replayed
+        # batch would double-publish — fall back to the full walk
+        if complete:
+            cp_v = cp["version"]
     for v in _snap_versions(table_dir):
         if v <= cp_v:
             continue
@@ -1320,9 +1362,12 @@ def version_of_tag(table_dir: str, tag: str) -> int:
 
     mdir = os.path.join(table_dir, SNAP_MANIFESTS)
     for v in reversed(_snap_versions(table_dir)):
-        with open(os.path.join(mdir, f"v{v}.json")) as fh:
-            if json.load(fh).get("tag") == tag:
-                return v
+        try:
+            with open(os.path.join(mdir, f"v{v}.json")) as fh:
+                if json.load(fh).get("tag") == tag:
+                    return v
+        except (OSError, ValueError):
+            continue    # vacuumed between listdir and open, or torn
     raise ValueError(f"no surviving snapshot of {table_dir} carries "
                      f"tag {tag!r} (never committed, or vacuumed)")
 

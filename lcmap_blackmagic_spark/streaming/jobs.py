@@ -1300,34 +1300,46 @@ def priority_sample_batch(batch_df: DataFrame, batch_id: int,
     with the persisted winner store and rewrite the store.
 
     Correctness by construction: a row's priority is a pure function
-    of its id, so top-k over (persisted winners plus new candidates)
-    equals top-k over everything ever seen — the state IS the
-    sample, O(k · groups) regardless of stream length, and a
-    re-delivered batch merges to the identical store (idempotent
-    replay without tags).  Flag-exact with the batch operator over
-    the same rows, pinned by tests/test_priority_sample_stream.py.
+    of (id, weight) and the per-id weight folds through max() — a
+    commutative idempotent semilattice — so top-k over (persisted
+    winners plus new candidates) equals top-k over everything ever
+    seen, the state IS the sample (O(k · groups) regardless of
+    stream length), and a re-delivered batch merges to the identical
+    store (idempotent replay without tags, whatever the delivery
+    order).  Flag-exact with the batch operator over the same rows,
+    pinned by tests/test_priority_sample_stream.py.
 
     Scale: the store is winner-sized (k per group), so the per-batch
     rewrite is tiny; the batch-side top-k is the same per-partition
     heap / per-group window the batch operator uses."""
+    import os as _os
+
     from ..operators.sampling import priority_sample
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
     cand = priority_sample(batch_df, weight_col, id_col, k, group_col)
     cols = cand.columns
-    try:
-        prev = spark.read.parquet(store_dir).select(*cols)
-    except Exception:                       # first batch: empty store
-        prev = None
+    # ONLY a genuinely absent store means "first batch" — any other
+    # read failure (IO hiccup, store torn by a crash mid-overwrite)
+    # must propagate and fail the micro-batch so the stream retries,
+    # never silently discard every previously folded winner
+    prev = (spark.read.parquet(store_dir).select(*cols)
+            if _os.path.isdir(store_dir) else None)
     pool = cand if prev is None else cand.unionByName(prev)
-    # a row already in the store re-arrives on replay (and a batch's
+    # A row already in the store re-arrives on replay (and a batch's
     # own winners land in both sides next round): top-k by row_number
     # would count the copy as a second slot and evict a real winner —
-    # dedupe on identity first (the id determines the whole row)
+    # dedupe on identity first.  The weight is folded DETERMINISTICALLY
+    # (max per id): if the same id ever re-arrives with a different
+    # weight, an arbitrary-copy dropDuplicates would make the winner
+    # store depend on execution order; max() makes the fold a
+    # commutative/idempotent semilattice, so any replay converges.
     keys = ([group_col] if group_col else []) + [id_col]
-    winners = priority_sample(pool.drop("priority").dropDuplicates(keys),
-                              weight_col, id_col, k, group_col)
+    deduped = (pool.drop("priority")
+               .groupBy(*keys)
+               .agg(F.max(weight_col).alias(weight_col)))
+    winners = priority_sample(deduped, weight_col, id_col, k, group_col)
     # the pool reads lazily from the store being overwritten —
     # materialize before the rewrite
     rows = winners.collect()                # O(k · groups), bounded

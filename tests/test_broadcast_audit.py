@@ -13,7 +13,14 @@ hint on an unbounded side).
 
 The sweep is AST-based (like tests/test_no_shadowed_tests.py): it
 resolves one level of local assignment, so ``x = df.groupBy(...);
-F.broadcast(x)`` is caught, not just the inline form.  Sites whose
+F.broadcast(x)`` is caught, not just the inline form.
+
+Known limitation: a broadcast gated behind a FUNCTION PARAMETER
+(``minhash_pairs(broadcast_docs=...)`` — llm/dedup.py) is invisible
+to the sweep because the hint site is conditional.  Those sites must
+document the at-scale toggle in their own docstring (minhash_pairs
+does: default True is argued for corpus-partition granularity, and
+scale-sensitive callers like llm_dedup_eval pass False).  Sites whose
 argument shows no aggregate derivation (dimension-table reads,
 literal ranges, sketch constructors) pass by default — those are
 bounded by what they read, and banning every broadcast would just

@@ -61,7 +61,8 @@ def test_checkpoint_published_on_cadence(spark, log_table):
     every = storage.SNAP_CHECKPOINT_EVERY
     assert cp["version"] == 2 * every
     # rolled-up maps cover exactly the checkpointed prefix
-    ts, tags = storage._cp_maps(t, cp)
+    ts, tags, complete = storage._cp_maps(t, cp)
+    assert complete
     assert sorted(int(k) for k in ts) == list(range(1, 2 * every + 1))
     assert len(tags) == 2 * every
 
@@ -202,7 +203,8 @@ def test_checkpoint_bytes_bounded_at_1k_commits(tmp_path):
     assert got == v
     assert opens <= (got - cp["version"])       # == 0 here
     # full-prefix coverage survives the segmentation
-    ts, tags = storage._cp_maps(t, cp)
+    ts, tags, complete = storage._cp_maps(t, cp)
+    assert complete
     assert sorted(int(k) for k in ts) == list(range(1, cp["version"] + 1))
     assert f"b-{cp['version']}" in tags and "b-1" in tags
 
@@ -220,7 +222,7 @@ def test_legacy_inline_checkpoint_migrates(tmp_path):
     with open(os.path.join(mdir, storage.SNAP_CHECKPOINT), "w") as fh:
         json.dump(legacy, fh)
     # legacy read path: maps come straight from the inline fields
-    ts, tags = storage._cp_maps(t, storage._snap_read_checkpoint(t))
+    ts, tags, _c = storage._cp_maps(t, storage._snap_read_checkpoint(t))
     assert len(ts) == every - 2 and "b-1" in tags
     assert storage.version_as_of(t, 1000.0 + 5) == 5
     # next cadence: migrate + extend
@@ -230,7 +232,8 @@ def test_legacy_inline_checkpoint_migrates(tmp_path):
     storage._snap_maybe_checkpoint(t, every)
     cp = storage._snap_read_checkpoint(t)
     assert cp["version"] == every and "ts" not in cp
-    ts, tags = storage._cp_maps(t, cp)
+    ts, tags, complete = storage._cp_maps(t, cp)
+    assert complete
     assert sorted(int(k) for k in ts) == list(range(1, every + 1))
     assert {f"b-{v}" for v in range(1, every + 1)} <= tags
 
@@ -281,3 +284,45 @@ def test_all_write_paths_checkpoint(spark):
     assert cp is not None and cp["version"] == every
     assert sorted(int(k) for k in storage._cp_maps(t, cp)[0]) == \
         list(range(1, every + 1))
+
+
+def test_stale_pointer_with_gcd_segment_full_walks(tmp_path):
+    """The race the uuid-named-segment design closes: a reader (or a
+    restored backup) holding a STALE pointer whose segment files were
+    GC'd by a later checkpoint must degrade to the full manifest walk
+    — never to a silently smaller tag set (a hidden committed tag
+    would let a replayed batch double-publish)."""
+    t = str(tmp_path)
+    every = storage.SNAP_CHECKPOINT_EVERY
+    mdir = _fake_log(t, every)                   # checkpoint at v=every
+    p = os.path.join(mdir, storage.SNAP_CHECKPOINT)
+    stale = open(p).read()
+    old_segs = list(json.loads(stale)["segs"].values())
+    # later commits + checkpoint: GCs the old segment file
+    for v in range(every + 1, 2 * every + 1):
+        with open(os.path.join(mdir, f"v{v}.json"), "w") as fh:
+            json.dump({"version": v, "dirs": [], "ts": 1000.0 + v,
+                       "tag": f"b-{v}"}, fh)
+        storage._snap_maybe_checkpoint(t, v)
+    assert all(not os.path.exists(os.path.join(mdir, s))
+               for s in old_segs)                # replaced + GC'd
+    # simulate the stale reader: restore the old pointer
+    with open(p, "w") as fh:
+        fh.write(stale)
+    ts, tags, complete = storage._cp_maps(
+        t, storage._snap_read_checkpoint(t))
+    assert not complete
+    # correctness holds via the fallbacks: every tag still found
+    # (full walk), resolution still exact
+    assert {f"b-{v}" for v in range(1, 2 * every + 1)} \
+        <= storage._committed_tags(t)
+    assert storage.version_as_of(t, 1000.0 + every + 3) == every + 3
+    # and the NEXT on-cadence checkpoint HEALS: coverage complete again
+    with open(os.path.join(mdir, f"v{2 * every + 1}.json"), "w") as fh:
+        json.dump({"version": 2 * every + 1, "dirs": [],
+                   "ts": 3000.0, "tag": "late"}, fh)
+    storage._snap_checkpoint_unsafe(t, 3 * every)  # next boundary
+    ts, tags, complete = storage._cp_maps(
+        t, storage._snap_read_checkpoint(t))
+    assert complete
+    assert sorted(int(k) for k in ts) == list(range(1, 2 * every + 2))

@@ -30,7 +30,6 @@ def main() -> None:
     n = 5
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     names = []
-    it = iter(range(len(args)))
     i = 0
     while i < len(args):
         if args[i] == "--sf":
@@ -50,16 +49,23 @@ def main() -> None:
     spark = get_session("lcmap-blackmagic-spark-solo")
     spark.sparkContext.setLogLevel("ERROR")
     out: dict = {"sf": sf, "n": n, "queries": {}}
+    # warm-up at the smallest sibling of the measured SF dir if one
+    # exists (sf0.001 beside sf0.1), else the measured dir itself —
+    # no hardcoded host path
+    sib = os.path.join(os.path.dirname(sf.rstrip("/")), "sf0.001")
+    warm_sf = sib if os.path.isdir(sib) else sf
     for name in names:
         fn = QUERIES[name]["fn"]
-        bench.materialize(fn(spark, "/root/testdata/sf0.001"))  # warm
+        bench.materialize(fn(spark, warm_sf))            # JVM warm-up
         runs = []
         for _ in range(n):
             t0 = time.monotonic()
             bench.materialize(fn(spark, sf))
             runs.append(round(time.monotonic() - t0, 3))
-        out["queries"][name] = {"runs": runs,
-                                "median": sorted(runs)[n // 2]}
+        s = sorted(runs)
+        med = s[n // 2] if n % 2 else \
+            round((s[n // 2 - 1] + s[n // 2]) / 2, 3)
+        out["queries"][name] = {"runs": runs, "median": med}
     # anchors that exist at the checkout under test (disk_anchor_sec
     # only exists from round 11 on)
     for key, fn_name in (("anchor_sec", "host_anchor_sec"),
