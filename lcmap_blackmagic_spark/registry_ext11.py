@@ -720,80 +720,81 @@ def q_kcenter_diverse(spark, sf_dir):
     and every distance is thereafter an exact integer squared-L2.
     Greedy rounds: seed = min vec_id; each next center is the point
     with the MAXIMUM distance to its nearest chosen center
-    (tie-break min vec_id).  Distances run in LONG FORM — corpus
-    exploded to (vec_id, i, qv), broadcast-joined to the ≤8×64-row
-    center table, two map-side-combined aggregates — because the
-    unrolled 8-center×64-dim expression tree blows janino's 64 KB
-    method limit and silently drops to interpreted row mode (first
-    cut of this query; the _bucket_keys_udf lesson).  Each round
-    ends in a TakeOrdered(1); chosen centers re-enter as a literal
-    broadcast table (an 8-row model, not a data collect).  The
-    DuckDB oracle recomputes the identical greedy pyramid from
-    scratch as unrolled materialized CTEs."""
+    (tie-break min vec_id).  Each round is a SHUFFLE-FREE scan:
+    per-center squared-L2 via aggregate(zip_with(qa, lit_center, …))
+    higher-order functions — HOF lambdas evaluate as closures, not
+    inlined codegen, so the 8-center×64-dim expression tree never
+    hits janino's 64 KB method limit (which killed the fully
+    unrolled first cut and forced rounds 6-11 through an
+    explode + broadcast-join + double-aggregate long form; the HOF
+    plan drops both shuffles AND the per-row 64-struct collect_list
+    the long form paid to carry winner coordinates).  least() picks
+    the nearest-center distance, TakeOrdered(1) ends the round, and
+    the winner's own quantized array rides along — chosen centers
+    re-enter as literal arrays (an 8-row model, not a data collect).
+    The quantized (vec_id, qa) form is staged once so all K rounds
+    re-scan a narrow parquet.  The DuckDB oracle recomputes the
+    identical greedy pyramid from scratch as unrolled materialized
+    CTEs."""
     from .registry import _staging
     e = _t(spark, sf_dir, "embeddings")
-    long = (e.select("vec_id", F.posexplode("embedding")
-                     .alias("i", "x"))
-            .select("vec_id", "i",
-                    F.floor(F.col("x").cast("double") * KC_QSCALE)
-                    .cast("bigint").alias("qv")))
-    # the greedy loop consumes the quantized long form ~2K times per
-    # round chain (distance pass + coordinate fetch per round):
-    # stage it once and every consumer reads the narrow parquet
-    staging = _staging(sf_dir, "kcenter_long")
-    long.write.mode("overwrite").parquet(staging)
-    longq = spark.read.parquet(staging)
-    seed_id = longq.agg(F.min("vec_id")).collect()[0][0]
-
-    def coords(vid):
-        return {int(r["i"]): int(r["qv"]) for r in
-                longq.filter(F.col("vec_id") == vid).collect()}
-
-    centers = [coords(seed_id)]
-    picked = [(0, int(seed_id), None)]
+    arr = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * KC_QSCALE)
+            .cast("bigint")).alias("qa"))
+    # all K greedy rounds re-scan the quantized form: stage it once
+    # and every round reads the narrow parquet
+    staging = _staging(sf_dir, "kcenter_arr")
+    arr.write.mode("overwrite").parquet(staging)
+    arrq = spark.read.parquet(staging)
+    seed = (arrq.orderBy("vec_id").limit(1).collect())[0]
+    picked = [(0, int(seed["vec_id"]), None)]
+    cur, prev = arrq, None
+    center = [int(v) for v in seed["qa"]]
     for r in range(1, KC_K):
-        # ONE pass per round: the winner row arrives with its 64
-        # coordinates (collect_list'd on the j=0 branch of the same
-        # aggregate), so no per-pick coordinate re-scan of the
-        # corpus — round 6's second full parquet pass per round
-        far = (kcenter_round(longq, centers)
-               .orderBy(F.desc("d"), "vec_id").limit(1).collect()[0])
-        centers.append({int(p["i"]): int(p["qv"])
-                        for p in far["coords"]})
-        picked.append((r, int(far["vec_id"]), int(far["d"])))
+        # fold ONLY the newest center into the persisted best-so-far
+        # column: O(K·N·D) lambda evals total instead of the
+        # O(K²·N·D) a recompute-all-centers round chain pays
+        cur = kcenter_step(cur, center, have_best=r > 1).persist()
+        far = (cur.orderBy(F.desc("best"), "vec_id")
+               .limit(1).collect()[0])
+        if prev is not None:
+            prev.unpersist()
+        prev = cur
+        center = [int(v) for v in far["qa"]]
+        picked.append((r, int(far["vec_id"]), int(far["best"])))
+    if prev is not None:
+        prev.unpersist()
     return spark.createDataFrame(
         picked, "sel_round int, vec_id long, d2 long")
 
 
-def kcenter_round(long_df, centers) -> "F.DataFrame":
-    """ONE lazy greedy round: per-vector min distance to the chosen
-    centers — (vec_id, d, coords) where coords is the vector's own
-    quantized coordinates, riding along so the caller's TakeOrdered
-    pick needs NO second corpus scan to re-fetch the winner.  The
-    coordinates are collect_list'd only on the j=0 branch (the
-    long-form join duplicates each (vec_id, i) row once per center;
-    the when() guard keeps exactly one copy, and collect_list skips
-    the nulls from the other branches), then flattened in the
-    second aggregate.  Split out of q_kcenter_diverse because the
-    selection loop must execute eagerly (each pick feeds the next
-    round), which makes the registry-level plan audit see only the
-    final 8-row literal: tests/test_plan_shapes.py audits THIS plan
-    instead (broadcast center join, no cartesian/row-UDF/global
-    window)."""
-    spark = long_df.sparkSession
-    cdf = spark.createDataFrame(
-        [(j, i, c[i]) for j, c in enumerate(centers)
-         for i in range(KC_DIM)], "j int, i int, cv long")
-    diff = F.col("qv") - F.col("cv")
-    return (long_df.join(F.broadcast(cdf), "i")
-            .groupBy("vec_id", "j")
-            .agg(F.sum(diff * diff).alias("dj"),
-                 F.collect_list(
-                     F.when(F.col("j") == 0,
-                            F.struct("i", "qv"))).alias("cl"))
-            .groupBy("vec_id")
-            .agg(F.min("dj").alias("d"),
-                 F.flatten(F.collect_list("cl")).alias("coords")))
+def kcenter_step(df, center, have_best) -> "F.DataFrame":
+    """ONE lazy greedy round, incremental form: fold the squared-L2
+    distance to the SINGLE newest center into each vector's
+    best-distance-so-far — (vec_id, qa, best), where qa rides along
+    so the caller's TakeOrdered pick needs NO second corpus scan to
+    re-fetch the winner.  Pure narrow plan: scan → project (one
+    aggregate(zip_with(...)) against a literal center array,
+    least() with the persisted best column) → TakeOrdered.  No
+    join, no exchange, no aggregate — each greedy round is
+    embarrassingly parallel over input partitions, which is exactly
+    the shape that survives a 10^10-vector corpus (the only
+    cross-partition traffic is K winner rows, and each round touches
+    each coordinate exactly once).  Split out of q_kcenter_diverse
+    because the selection loop must execute eagerly (each pick feeds
+    the next round), which makes the registry-level plan audit see
+    only the final 8-row literal: tests/test_plan_shapes.py audits
+    THIS plan instead (no exchange/cartesian/row-UDF)."""
+    carr = F.array(*[F.lit(int(v)) for v in center])
+    sq = F.zip_with(F.col("qa"), carr,
+                    lambda x, cv: (x - cv) * (x - cv))
+    dnew = F.aggregate(sq, F.lit(0).cast("bigint"),
+                       lambda acc, v: acc + v)
+    best = F.least(F.col("best"), dnew) if have_best else dnew
+    return df.select("vec_id", "qa", best.alias("best"))
 
 
 def _sql_kcenter() -> str:

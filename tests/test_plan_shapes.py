@@ -414,28 +414,32 @@ def test_semantic_decon_broadcasts_benchmark(q):
     assert "SortMergeJoin" not in plan
 
 
-def test_kcenter_round_plan_is_codegen_broadcast(spark, sf_dir):
+def test_kcenter_step_plan_is_shuffle_free(spark, sf_dir):
     """The k-center greedy loop executes eagerly (each pick feeds
     the next round), so the registry-level audit only sees the final
-    8-row literal — audit the per-round plan directly: center table
-    broadcast, both aggregates present, and none of the banned
-    shapes (cartesian, row-UDF, unpartitioned window, interpreted
-    Project fallback from an oversized codegen method)."""
+    8-row literal — audit the per-round plan directly: the
+    incremental HOF step must be a pure narrow scan→project (NO
+    exchange, NO join, NO aggregate — the only cross-partition
+    traffic is the caller's TakeOrdered winner row) and none of the
+    banned shapes (cartesian, row-UDF, interpreted fallback)."""
     from pyspark.sql import functions as F
 
     from lcmap_blackmagic_spark.registry import _t
     from lcmap_blackmagic_spark.registry_ext11 import (KC_DIM, KC_QSCALE,
-                                                       kcenter_round)
+                                                       kcenter_step)
     e = _t(spark, sf_dir, "embeddings")
-    long = (e.select("vec_id", F.posexplode("embedding").alias("i", "x"))
-            .select("vec_id", "i",
-                    F.floor(F.col("x").cast("double") * KC_QSCALE)
-                    .cast("bigint").alias("qv")))
-    centers = [{i: 0 for i in range(KC_DIM)},
-               {i: 1 for i in range(KC_DIM)}]
-    plan = simple_plan(kcenter_round(long, centers))
-    assert "BroadcastHashJoin" in plan
-    assert plan.count("HashAggregate") >= 2
+    arr = e.select(
+        "vec_id",
+        F.transform("embedding",
+                    lambda x: F.floor(x.cast("double") * KC_QSCALE)
+                    .cast("bigint")).alias("qa"))
+    stepped = kcenter_step(
+        kcenter_step(arr, [0] * KC_DIM, have_best=False),
+        [1] * KC_DIM, have_best=True)
+    plan = simple_plan(stepped)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
 
