@@ -1419,6 +1419,84 @@ def restore_snapshot(table_dir: str, version: int) -> int:
             os.remove(tmp)
 
 
+def clone_snapshot(src_dir: str, dst_dir: str,
+                   version: int | None = None) -> int:
+    """Delta-style SHALLOW CLONE: create a NEW table whose v1
+    manifest references the source version's commit dirs IN PLACE —
+    metadata-only, O(manifest bytes) at any table size, zero data
+    movement, zero Spark jobs (the same shape as restore_snapshot).
+    The clone's dir entries are paths RELATIVE to its own data/
+    root, so every existing reader (read_snapshot incl. stats/bloom
+    pruning, CDF, compaction, z-order) resolves them with the
+    unchanged ``os.path.join(table_dir, "data", d)`` — no reader
+    changes at all.  After the clone the two tables diverge freely:
+    appends/overwrites/deletes on either side never touch the
+    other's manifests, and the clone's vacuum can never delete
+    source data (its survivor scan only removes children of its OWN
+    data/ directory, which external refs are not).
+
+    Sequence numbers: every cloned dir enters the clone's lineage at
+    seq 0 — exact, because nothing in the clone can predate the
+    clone, so any clone-side equality delete (seq ≥ 2) applies to
+    all cloned rows, and a post-delete re-insert still wins.  (The
+    MOR reader's dir-basename seq lookup misses relative keys and
+    defaults to 0 — the same value — so both paths agree.)
+
+    Two refusals, both loud: the target must be snapshot-free (a
+    clone is a NEW table, not a merge), and the source version must
+    carry no live equality deletes (run compact_snapshot first to
+    materialize them; re-pointing delete files across tables is not
+    worth the seq-map ambiguity).  Like Delta shallow clones,
+    vacuuming the SOURCE can remove dirs a clone still references —
+    the documented retention caveat; compact the clone to
+    materialize it and drop the dependency.  Returns the clone's
+    version (always 1)."""
+    import json
+    import uuid
+
+    if version is None:
+        version = latest_version(src_dir)
+        if version is None:
+            raise FileNotFoundError(f"no snapshots in {src_dir}")
+    src_man = os.path.join(src_dir, SNAP_MANIFESTS, f"v{version}.json")
+    if not os.path.exists(src_man):
+        raise ValueError(f"cannot clone {src_dir} at version "
+                         f"{version}: manifest is vacuumed or absent")
+    with open(src_man) as fh:
+        man = json.load(fh)
+    if man.get("deletes"):
+        raise ValueError(
+            "shallow clone requires a delete-free source version — "
+            "run compact_snapshot on the source first")
+    if _snap_versions(dst_dir):
+        raise ValueError(f"clone target {dst_dir} already has "
+                         "snapshots")
+    dst_data = os.path.join(dst_dir, "data")
+    os.makedirs(dst_data, exist_ok=True)
+    rel = os.path.relpath(os.path.join(src_dir, "data"), dst_data)
+    dirs = [os.path.join(rel, d) for d in man["dirs"]]
+    stats = {os.path.join(rel, d): man.get("stats", {}).get(d, {})
+             for d in man["dirs"]}
+    new_man = {"version": 1, "mode": "clone", "dirs": dirs,
+               "stats": stats, "seq": {d: 0 for d in dirs},
+               "ts": _commit_ts(),
+               "cloned_from": {"table": os.path.abspath(src_dir),
+                               "version": version}}
+    mdir = os.path.join(dst_dir, SNAP_MANIFESTS)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex[:12]}")
+    with open(tmp, "w") as fh:
+        json.dump(new_man, fh)
+    try:
+        os.link(tmp, os.path.join(mdir, "v1.json"))
+    except FileExistsError:
+        raise ValueError(f"clone target {dst_dir} already has "
+                         "snapshots") from None
+    finally:
+        os.remove(tmp)
+    return 1
+
+
 def compact_snapshot_zorder(spark: SparkSession, table_dir: str,
                             x_col, y_col,
                             n_dirs: int = 8,
