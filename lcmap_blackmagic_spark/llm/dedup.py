@@ -681,3 +681,64 @@ def prefix_jaccard_pairs_staged(df: DataFrame, staging_dir: str,
     ranked.write.mode("overwrite").parquet(staging_dir)
     staged = df.sparkSession.read.parquet(staging_dir)
     return _prefix_pairs_from_ranked(staged, id_col, t_num, t_den)
+
+
+# ---- robust winnowing (MOSS) — shared by registry_ext18 and the
+# ---- streaming ingest twin (streaming/jobs.winnow_dedup_stream)
+WIN_K = 4        # word k-gram size
+WIN_W = 4        # winnow window (guarantee: runs of >= w+k-1 words)
+WIN_T = 2        # min shared fingerprints for a reported pair
+WIN_MAXDF = 50   # fingerprint document-frequency cap (skew guard)
+
+
+def winnow_fingerprints(df, id_col: str = "doc_id",
+                        text_col: str = "text"):
+    """(id, fp): each document's DISTINCT robust-winnowing
+    fingerprints — md5 over the positional word WIN_K-gram sequence,
+    minimum per sliding WIN_W-window (see registry_ext18.q_llm_winnow_pairs for the
+    guarantee).  One narrow projection + explode, no shuffle; shared
+    by the batch pair query and the streaming ingest-dedup twin."""
+    toks = F.split(F.lower(F.trim(text_col)), " ")
+    m = F.size(toks) - F.lit(WIN_K - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.md5(F.array_join(F.slice(toks, i, WIN_K), " ")
+                        .cast("binary")))
+    h = F.when(m >= 1, grams).otherwise(
+        F.array().cast("array<string>"))
+    nwin = F.greatest(F.size(F.col("h")) - F.lit(WIN_W - 1), F.lit(1))
+    fps = F.when(
+        F.size(F.col("h")) >= 1,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), nwin),
+            lambda p: F.array_min(F.slice(F.col("h"), p, WIN_W))))
+    ).otherwise(F.array().cast("array<string>"))
+    return (df.select(id_col, h.alias("h"))
+            .select(id_col, F.explode(fps).alias("fp")))
+
+
+def winnow_cross_flags(inc_fps, store_fps, min_shared: int = WIN_T,
+                       max_df: int = WIN_MAXDF):
+    """Flag incoming documents near-duplicating a fingerprint STORE:
+    (incoming_id, n_partners, max_shared, canonical_partner) for
+    every incoming doc sharing ≥ ``min_shared`` fingerprints with
+    some store doc.  Store fingerprints held by more than ``max_df``
+    store docs are dropped BEFORE the join (the same boilerplate
+    df-cap as the batch pair query) — bounding every fp join key's
+    fan-out, so a license-header fingerprint cannot quadratically
+    blow a reducer at any store size.  Shared by the streaming
+    ingest twin and its test reference."""
+    hot = (store_fps.groupBy("fp")
+           .agg(F.count(F.lit(1)).alias("df"))
+           .filter(F.col("df") <= max_df).select("fp"))
+    st = (store_fps.join(hot, "fp")
+          .select(F.col("doc_id").alias("partner_id"), "fp"))
+    inc = inc_fps.select(F.col("doc_id").alias("incoming_id"), "fp")
+    pairs = (inc.join(st, "fp")
+             .groupBy("incoming_id", "partner_id")
+             .agg(F.count(F.lit(1)).alias("n_shared"))
+             .filter(F.col("n_shared") >= min_shared))
+    return (pairs.groupBy("incoming_id")
+            .agg(F.count(F.lit(1)).alias("n_partners"),
+                 F.max("n_shared").alias("max_shared"),
+                 F.min("partner_id").alias("canonical_partner")))

@@ -116,11 +116,12 @@ FROM sel GROUP BY side ORDER BY side
 """
 
 # ------------------------------------------- winnowing (MOSS) -------
+# helpers + constants live in llm/dedup.py (shared with the
+# streaming ingest twin, streaming/jobs.winnow_dedup_stream)
 
-WIN_K = 4        # word k-gram size
-WIN_W = 4        # winnow window (guarantee: runs of >= w+k-1 words)
-WIN_T = 2        # min shared fingerprints for a reported pair
-WIN_MAXDF = 50   # fingerprint document-frequency cap (skew guard)
+from .llm.dedup import (WIN_K, WIN_MAXDF, WIN_T,  # noqa: E402
+                        WIN_W, winnow_cross_flags,  # noqa: F401
+                        winnow_fingerprints)
 
 
 def q_llm_winnow_pairs(spark, sf_dir):
@@ -147,23 +148,7 @@ def q_llm_winnow_pairs(spark, sf_dir):
     their gram hashes) — MOSS's natural boundary case.  Short docs
     (< k words) have no grams and no fingerprints."""
     d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim("text")), " ")
-    m = F.size(toks) - F.lit(WIN_K - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), m),
-        lambda i: F.md5(F.array_join(F.slice(toks, i, WIN_K), " ")
-                        .cast("binary")))
-    h = F.when(m >= 1, grams).otherwise(
-        F.array().cast("array<string>"))
-    nwin = F.greatest(F.size(F.col("h")) - F.lit(WIN_W - 1), F.lit(1))
-    fps = F.when(
-        F.size(F.col("h")) >= 1,
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(1), nwin),
-            lambda p: F.array_min(F.slice(F.col("h"), p, WIN_W))))
-    ).otherwise(F.array().cast("array<string>"))
-    fpl = (d.select("doc_id", h.alias("h"))
-           .select("doc_id", F.explode(fps).alias("fp")))
+    fpl = winnow_fingerprints(d)
     # df cap: vocabulary-sized aggregate, UNFORCED join (AQE
     # broadcasts it only while it fits)
     keep = (fpl.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))

@@ -1497,6 +1497,36 @@ def clone_snapshot(src_dir: str, dst_dir: str,
     return 1
 
 
+def snapshot_history(spark: SparkSession, table_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY for the snapshot store: the manifest log as
+    a DataFrame — one row per live (un-vacuumed) version with its
+    commit mode, commit-dir count, commit timestamp, idempotency
+    tag, and lineage annotations (restore source version / clone
+    origin).  Pure metadata: O(live versions) manifest reads on the
+    driver, zero data files touched — the audit-trail read every
+    table format exposes (Delta DESCRIBE HISTORY, Iceberg
+    ``snapshots``).  Rows arrive version-ascending."""
+    import json
+
+    rows = []
+    for v in _snap_versions(table_dir):
+        with open(os.path.join(table_dir, SNAP_MANIFESTS,
+                               f"v{v}.json")) as fh:
+            man = json.load(fh)
+        cloned = man.get("cloned_from") or {}
+        rows.append((int(man["version"]), man.get("mode"),
+                     len(man["dirs"]),
+                     len(man.get("deletes", [])),
+                     float(man["ts"]) if "ts" in man else None,
+                     man.get("tag"),
+                     man.get("restored_from"),
+                     cloned.get("table")))
+    return spark.createDataFrame(
+        rows, "version int, mode string, n_dirs int, n_deletes int, "
+              "commit_ts double, tag string, restored_from int, "
+              "cloned_from string")
+
+
 def compact_snapshot_zorder(spark: SparkSession, table_dir: str,
                             x_col, y_col,
                             n_dirs: int = 8,

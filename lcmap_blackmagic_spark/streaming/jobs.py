@@ -716,6 +716,73 @@ def ingest_dedup_batch(batch_df: DataFrame, batch_id: int,
      .partitionBy("batch_id").parquet(out_dir))
 
 
+def winnow_dedup_stream(docs: DataFrame, store_dir: str,
+                        out_dir: str, min_shared: int = 2,
+                        update_store: bool = True):
+    """STREAMING winnowing ingest dedup: per micro-batch, fingerprint
+    the incoming documents ONCE (robust winnowing —
+    registry_ext18.winnow_fingerprints, the batch `llm_winnow_pairs`
+    selection) and flag any that near-duplicate the persisted
+    FINGERPRINT STORE.  Third member of the streaming dedup family
+    beside the MinHash signature store (ingest_dedup_stream) and the
+    Bloom decontaminator — winnowing is the one with the positional
+    guarantee (any shared run of ≥ w+k−1 words is caught), which
+    MinHash's whole-doc similarity threshold does not give.
+
+    Same exactly-once protocol as ingest_dedup_stream: incoming
+    fingerprints land FIRST under the batch's own ``batch_id=``
+    partition of ``<store_dir>_updates`` (dynamic partition
+    overwrite — a replayed batch rewrites its own partition), flags
+    are computed against base store ∪ STRICTLY EARLIER batches (a
+    crash-replay never compares a batch against itself), and flags
+    land in ``out_dir`` under the same idempotent partitioning.
+    O(batch) fingerprinting per trigger; the store is never
+    re-fingerprinted, and the store-side df-cap inside
+    winnow_cross_flags bounds every fp join key's fan-out.
+    ``update_store=False`` pins the static-store twin semantics.
+    Returns the DataStreamWriter (caller starts it)."""
+    def fb(batch_df: DataFrame, batch_id: int) -> None:
+        winnow_dedup_batch(batch_df, batch_id, store_dir, out_dir,
+                           min_shared=min_shared,
+                           update_store=update_store)
+
+    return docs.writeStream.foreachBatch(fb)
+
+
+def winnow_dedup_batch(batch_df: DataFrame, batch_id: int,
+                       store_dir: str, out_dir: str,
+                       min_shared: int = 2,
+                       update_store: bool = True) -> None:
+    """One micro-batch of the winnowing ingest-dedup protocol,
+    module-level so crash-replay idempotency is directly testable
+    (re-running the same (batch_df, batch_id) must leave the store
+    and flags byte-identical)."""
+    from ..llm.dedup import winnow_cross_flags, winnow_fingerprints
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    base = spark.read.parquet(store_dir)
+    updates_dir = store_dir.rstrip("/") + "_updates"
+    inc = winnow_fingerprints(batch_df)
+    store = base
+    if update_store:
+        (inc.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(updates_dir))
+        updates = spark.read.parquet(updates_dir)
+        inc = (updates.filter(F.col("batch_id") == batch_id)
+               .drop("batch_id"))
+        store = base.unionByName(
+            updates.filter(F.col("batch_id") < batch_id)
+            .drop("batch_id"))
+    flags = winnow_cross_flags(inc, store, min_shared=min_shared)
+    (flags.withColumn("batch_id", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id").parquet(out_dir))
+
+
 def build_bloom_store(bench_docs: DataFrame, store_dir: str) -> None:
     """Fold a benchmark split's word n-grams into the persisted Bloom
     WORD table (w, bits) — the decontamination signature store a

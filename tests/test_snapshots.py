@@ -565,3 +565,38 @@ def test_tag_time_travel(spark):
         storage.version_of_tag(t, "r1")
     assert storage.write_snapshot_tagged(
         spark.createDataFrame([(9,)], "v long"), t, tag="r1") is None
+
+
+def test_snapshot_history_reflects_log(spark):
+    """DESCRIBE HISTORY: one row per live version, version-ascending,
+    with mode / dir count / delete count / tag / lineage annotations
+    — and vacuumed versions drop out."""
+    import tempfile as _tf
+
+    t = _tf.mkdtemp(prefix="hist_")
+    storage.write_snapshot(
+        spark.createDataFrame([(1,)], "v long"), t)
+    storage.write_snapshot_tagged(
+        spark.createDataFrame([(2,)], "v long"), t, tag="b1")
+    storage.delete_from_snapshot(
+        spark, t, spark.createDataFrame([(1,)], "v long"), "v")
+    storage.restore_snapshot(t, 2)
+    h = storage.snapshot_history(spark, t).collect()
+    assert [r.version for r in h] == [1, 2, 3, 4]
+    assert [r.mode for r in h] == ["overwrite", "append",
+                                   "delete", "restore"]
+    assert [r.n_dirs for r in h] == [1, 2, 2, 2]
+    assert [r.n_deletes for r in h] == [0, 0, 1, 0]
+    assert h[1].tag == "b1" and h[0].tag is None
+    assert h[3].restored_from == 2
+    # clone lineage annotation
+    import os as _os
+    dst = _os.path.join(_tf.mkdtemp(prefix="histc_"), "t")
+    storage.clone_snapshot(t, dst, version=2)
+    hc = storage.snapshot_history(spark, dst).collect()
+    assert [(r.version, r.mode) for r in hc] == [(1, "clone")]
+    assert hc[0].cloned_from == _os.path.abspath(t)
+    # vacuum drops doomed versions from history
+    storage.vacuum_snapshots(t, keep=1, min_age_s=0.0)
+    assert [r.version for r in
+            storage.snapshot_history(spark, t).collect()] == [4]
