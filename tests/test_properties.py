@@ -175,3 +175,77 @@ def test_train_test_split_hash_partitions_exactly(spark, n, frac):
     import math
     sigma = math.sqrt(n * frac * (1 - frac))
     assert abs(len(te_ids) - n * frac) <= 4 * sigma + 1
+
+
+@SETTINGS
+@given(st.data())
+def test_winnow_guarantee_shared_run_yields_shared_fp(spark, data):
+    """The MOSS winnowing guarantee: any shared word run of length
+    ≥ WIN_W + WIN_K − 1 between two documents leaves at least one
+    COMMON fingerprint, regardless of surrounding context."""
+    from lcmap_blackmagic_spark.llm.dedup import (WIN_K, WIN_W,
+                                                  winnow_fingerprints)
+    words = st.text(alphabet="abcdef", min_size=1, max_size=4)
+    run_len = WIN_W + WIN_K - 1
+    run = data.draw(st.lists(words, min_size=run_len,
+                             max_size=run_len + 4))
+    ctx_a = data.draw(st.lists(words, min_size=0, max_size=10))
+    ctx_b = data.draw(st.lists(words, min_size=0, max_size=10))
+    doc_a = " ".join(ctx_a + run)
+    doc_b = " ".join(run + ctx_b)
+    df = spark.createDataFrame([(1, doc_a), (2, doc_b)],
+                               "doc_id long, text string")
+    fps = winnow_fingerprints(df).collect()
+    a = {r["fp"] for r in fps if r["doc_id"] == 1}
+    b = {r["fp"] for r in fps if r["doc_id"] == 2}
+    assert a & b, (doc_a, doc_b)
+
+
+@SETTINGS
+@given(st.lists(st.tuples(st.integers(1, 40), st.integers(0, 40)),
+                min_size=1, max_size=60))
+def test_pareto_skyline_matches_bruteforce(spark, xy):
+    """The bucketed skyline plan must agree with the O(n²)
+    definition: a distinct point survives iff no other point has
+    x' ≥ x and y' ≥ y with one strict."""
+    from pyspark.sql import Window
+
+    import lcmap_blackmagic_spark.registry  # noqa: F401 — wave-module cycle
+    from lcmap_blackmagic_spark.registry_ext19 import SKY_BUCKETS
+
+    pts = {}
+    for x, y in xy:
+        pts[(x, y)] = pts.get((x, y), 0) + 1
+    want = {(x, y, n) for (x, y), n in pts.items()
+            if not any((x2 >= x and y2 >= y and (x2 > x or y2 > y))
+                       for (x2, y2) in pts)}
+
+    # replicate q_pareto_skyline's plan over an arbitrary point set
+    pdf = spark.createDataFrame(
+        [(x, y, n) for (x, y), n in pts.items()],
+        "x long, y long, n_docs long")
+    lo, hi = pdf.agg(F.min("x"), F.max("x")).collect()[0]
+    span = max(int(hi) - int(lo) + 1, 1)
+    bx = ((F.col("x") - F.lit(int(lo))) * SKY_BUCKETS / span) \
+        .cast("int")
+    w = (Window.partitionBy("b").orderBy(F.desc("x"), F.desc("y"))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    local = (pdf.withColumn("b", bx)
+             .withColumn("pm", F.max("y").over(w))
+             .filter(F.col("pm").isNull() | (F.col("pm") < F.col("y"))))
+    bmax = {int(r["b"]): int(r["my"]) for r in
+            (pdf.withColumn("b", bx).groupBy("b")
+             .agg(F.max("y").alias("my")).collect())}
+    suffix, best = {}, None
+    for b in sorted(bmax, reverse=True):
+        suffix[b] = best
+        best = bmax[b] if best is None else max(best, bmax[b])
+    expr = F.lit(None).cast("bigint")
+    for b, s in suffix.items():
+        if s is not None:
+            expr = F.when(F.col("b") == b, F.lit(s)).otherwise(expr)
+    got = {(r["x"], r["y"], r["n_docs"]) for r in
+           (local.withColumn("hy", expr)
+            .filter(F.col("hy").isNull() | (F.col("y") > F.col("hy")))
+            .select("x", "y", "n_docs").collect())}
+    assert got == want
