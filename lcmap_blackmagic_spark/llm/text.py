@@ -253,3 +253,64 @@ def bpe_encode(df: DataFrame, merges: DataFrame, id_col: str = "doc_id",
             .groupBy(id_col)
             .agg(F.sum("nt").alias("n_bpe_tokens"),
                  F.count(F.lit(1)).alias("n_words")))
+
+
+# ---- DSIR importance scoring — shared by registry_ext18 (batch
+# ---- query) and the streaming scorer (streaming/jobs.dsir_score_stream)
+DSIR_B = 4096       # hashed feature buckets
+DSIR_SCALE = 10_000
+
+
+def dsir_features(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(id, f): every token of every document hashed into the
+    DSIR_B-bucket feature space (md5-derived — engine-portable).
+    One explode + projection, no shuffle."""
+    return (df.select(F.col(id_col),
+                      F.explode(F.split(F.lower(F.trim(text_col)), " "))
+                      .alias("tok"))
+            .filter(F.col("tok") != "")
+            .select(F.col(id_col),
+                    (F.conv(F.substring(F.md5(F.col("tok")
+                                              .cast("binary")), 1, 8),
+                            16, 10).cast("bigint") % DSIR_B)
+                    .alias("f")))
+
+
+def dsir_weights(target_docs: DataFrame,
+                 raw_docs: DataFrame) -> DataFrame:
+    """The frozen DSIR weight table (f, w) — AT MOST DSIR_B rows,
+    bounded by a constant: per-feature smoothed target/raw frequency
+    ratio in exact integer basis points,
+
+        w(f) = ((ct+1) · (NR+B) · 10000) div ((cr+1) · (NT+B)).
+
+    See registry_ext18.q_llm_dsir_score for the estimator argument
+    and the int64 headroom bound."""
+    t = dsir_features(target_docs)
+    r = dsir_features(raw_docs)
+    ct = t.groupBy("f").agg(F.count(F.lit(1)).alias("ct"))
+    cr = r.groupBy("f").agg(F.count(F.lit(1)).alias("cr"))
+    tot = (t.agg(F.count(F.lit(1)).alias("nt"))
+           .crossJoin(r.agg(F.count(F.lit(1)).alias("nr"))))
+    return (ct.join(cr, "f", "full")
+            .select("f", F.coalesce("ct", F.lit(0)).alias("ct"),
+                    F.coalesce("cr", F.lit(0)).alias("cr"))
+            .crossJoin(F.broadcast(tot))
+            .select("f", F.expr(
+                f"((ct + 1) * (nr + {DSIR_B}) * {DSIR_SCALE}) div "
+                f"((cr + 1) * (nt + {DSIR_B}))").alias("w")))
+
+
+def dsir_doc_scores(docs: DataFrame, wtab: DataFrame,
+                    id_col: str = "doc_id") -> DataFrame:
+    """(id, n_tok, wsum, score_bp): per-document mean importance
+    ratio against a weight table.  The broadcast is safe at any
+    corpus size — wtab is ≤ DSIR_B = 4096 rows by construction."""
+    return (dsir_features(docs, id_col)
+            .join(F.broadcast(wtab), "f")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tok"),
+                 F.sum("w").alias("wsum"))
+            .select(id_col, "n_tok", "wsum",
+                    F.expr("wsum div n_tok").alias("score_bp")))

@@ -194,8 +194,10 @@ HAVING COUNT(*) >= {WIN_T}
 
 # ------------------------------------- DSIR importance scoring ------
 
-DSIR_B = 4096     # hashed feature buckets
-DSIR_SCALE = 10_000
+# constants + helpers live in llm/text.py (shared with the
+# streaming scorer, streaming/jobs.dsir_score_stream)
+from .llm.text import (DSIR_B, DSIR_SCALE,  # noqa: E402,F401
+                       dsir_doc_scores, dsir_weights)
 
 
 def q_llm_dsir_score(spark, sf_dir):
@@ -225,38 +227,9 @@ def q_llm_dsir_score(spark, sf_dir):
     DSIR_SCALE a decade per decade of growth or move the two scaled
     products to DECIMAL(38,0) — the estimator is unchanged."""
     d = _t(spark, sf_dir, "documents")
-    tl = (d.select("doc_id", "source",
-                   F.explode(F.split(F.lower(F.trim("text")), " "))
-                   .alias("tok"))
-          .filter(F.col("tok") != "")
-          .select("doc_id", "source",
-                  (F.conv(F.substring(F.md5(F.col("tok")
-                                            .cast("binary")), 1, 8),
-                          16, 10).cast("bigint") % DSIR_B)
-                  .alias("f")))
-    ct = (tl.filter(F.col("source") == "src0")
-          .groupBy("f").agg(F.count(F.lit(1)).alias("ct")))
-    cr = (tl.filter(F.col("source") != "src0")
-          .groupBy("f").agg(F.count(F.lit(1)).alias("cr")))
-    tot = (tl.agg(
-        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
-        .cast("bigint").alias("nt"),
-        F.sum(F.when(F.col("source") != "src0", 1).otherwise(0))
-        .cast("bigint").alias("nr")))
-    wtab = (ct.join(cr, "f", "full")
-            .select("f", F.coalesce("ct", F.lit(0)).alias("ct"),
-                    F.coalesce("cr", F.lit(0)).alias("cr"))
-            .crossJoin(F.broadcast(tot))
-            .select("f", F.expr(
-                f"((ct + 1) * (nr + {DSIR_B}) * {DSIR_SCALE}) div "
-                f"((cr + 1) * (nt + {DSIR_B}))").alias("w")))
-    return (tl.filter(F.col("source") != "src0")
-            .join(F.broadcast(wtab), "f")
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_tok"),
-                 F.sum("w").alias("wsum"))
-            .select("doc_id", "n_tok", "wsum",
-                    F.expr("wsum div n_tok").alias("score_bp")))
+    target = d.filter(F.col("source") == "src0")
+    raw = d.filter(F.col("source") != "src0")
+    return dsir_doc_scores(raw, dsir_weights(target, raw))
 
 
 SQL_LLM_DSIR_SCORE = f"""

@@ -783,6 +783,53 @@ def winnow_dedup_batch(batch_df: DataFrame, batch_id: int,
      .partitionBy("batch_id").parquet(out_dir))
 
 
+def build_dsir_store(target_docs: DataFrame, raw_docs: DataFrame,
+                     store_dir: str) -> None:
+    """Freeze the DSIR weight table (llm/text.dsir_weights — ≤
+    DSIR_B = 4096 rows, a constant) from a target split and a
+    reference raw corpus, persisted for the streaming scorer.  Run
+    once (or on a slow refresh cadence); the stream never re-counts
+    either corpus."""
+    from ..llm.text import dsir_weights
+    dsir_weights(target_docs, raw_docs).write.mode("overwrite") \
+        .parquet(store_dir)
+
+
+def dsir_score_stream(docs: DataFrame, store_dir: str,
+                      out_dir: str):
+    """STREAMING DSIR importance scoring: per micro-batch, score
+    incoming documents against the FROZEN weight store — the online
+    half of importance-resampling data selection (score at ingest,
+    sample downstream).  O(batch) work per trigger: one feature
+    hash + one broadcast join against the ≤4096-row store; neither
+    corpus is ever re-counted.  Scores land under the batch's own
+    ``batch_id=`` partition (dynamic overwrite — replays rewrite
+    their own partition, byte-idempotent).  Flag-exact with the
+    batch operator by construction: both ends call
+    llm/text.dsir_doc_scores against the same store.  Returns the
+    DataStreamWriter (caller starts it)."""
+    def fb(batch_df: DataFrame, batch_id: int) -> None:
+        dsir_score_batch(batch_df, batch_id, store_dir, out_dir)
+
+    return docs.writeStream.foreachBatch(fb)
+
+
+def dsir_score_batch(batch_df: DataFrame, batch_id: int,
+                     store_dir: str, out_dir: str) -> None:
+    """One micro-batch of the streaming DSIR scorer, module-level so
+    crash-replay idempotency is directly testable."""
+    from ..llm.text import dsir_doc_scores
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    wtab = spark.read.parquet(store_dir)
+    (dsir_doc_scores(batch_df, wtab)
+     .withColumn("batch_id", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id").parquet(out_dir))
+
+
 def build_bloom_store(bench_docs: DataFrame, store_dir: str) -> None:
     """Fold a benchmark split's word n-grams into the persisted Bloom
     WORD table (w, bits) — the decontamination signature store a

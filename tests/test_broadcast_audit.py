@@ -85,7 +85,7 @@ ALLOWED: dict[str, str] = {
         "one-row global count",
     "llm/text.py:rarity_scores:total":
         "one-row global token total",
-    "registry_ext18.py:q_llm_dsir_score:tot":
+    "llm/text.py:dsir_weights:tot":
         "one-row (nt, nr) global token totals",
     # (q_llm_dsir_score's wtab broadcast is below the sweep's
     # one-level assignment resolution; its bound — ≤ DSIR_B = 4096
