@@ -145,3 +145,16 @@ def test_clone_delete_then_reinsert_on_clone_side(spark):
     # the source never saw any of it
     assert _vals(storage.read_snapshot(spark, src)) == \
         [0, 1, 2, 3, 4, 10, 11, 12]
+
+
+def test_cdf_across_clone_boundary(spark):
+    """CDF inside a clone: changes v1→v2 are exactly the clone-side
+    append (the append fast path scans only the new dir, never the
+    external cloned refs)."""
+    from lcmap_blackmagic_spark.storage import snapshot_changes
+    src, dst = _mk(spark)
+    storage.clone_snapshot(src, dst)
+    storage.write_snapshot(_rng(spark, 20, 22), dst, mode="append")
+    ch = snapshot_changes(spark, dst, 1, 2).collect()
+    assert sorted((r["v"], r["_change_type"], r["_n"]) for r in ch) \
+        == [(20, "insert", 1), (21, "insert", 1)]
