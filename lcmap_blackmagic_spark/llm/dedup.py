@@ -698,7 +698,8 @@ def winnow_fingerprints(df, id_col: str = "doc_id",
     minimum per sliding WIN_W-window (see registry_ext18.q_llm_winnow_pairs for the
     guarantee).  One narrow projection + explode, no shuffle; shared
     by the batch pair query and the streaming ingest-dedup twin."""
-    toks = F.split(F.lower(F.trim(text_col)), " ")
+    from .text import tokens
+    toks = tokens(text_col)
     m = F.size(toks) - F.lit(WIN_K - 1)
     grams = F.transform(
         F.sequence(F.lit(1), m),

@@ -267,8 +267,7 @@ def dsir_features(df: DataFrame, id_col: str = "doc_id",
     DSIR_B-bucket feature space (md5-derived — engine-portable).
     One explode + projection, no shuffle."""
     return (df.select(F.col(id_col),
-                      F.explode(F.split(F.lower(F.trim(text_col)), " "))
-                      .alias("tok"))
+                      F.explode(tokens(text_col)).alias("tok"))
             .filter(F.col("tok") != "")
             .select(F.col(id_col),
                     (F.conv(F.substring(F.md5(F.col("tok")
@@ -279,21 +278,29 @@ def dsir_features(df: DataFrame, id_col: str = "doc_id",
 
 def dsir_weights(target_docs: DataFrame,
                  raw_docs: DataFrame) -> DataFrame:
-    """The frozen DSIR weight table (f, w) — AT MOST DSIR_B rows,
+    """The frozen DSIR weight table (f, w) — EXACTLY DSIR_B rows,
     bounded by a constant: per-feature smoothed target/raw frequency
     ratio in exact integer basis points,
 
         w(f) = ((ct+1) · (NR+B) · 10000) div ((cr+1) · (NT+B)).
 
-    See registry_ext18.q_llm_dsir_score for the estimator argument
-    and the int64 headroom bound."""
+    ALL DSIR_B buckets are materialized (left joins onto the full
+    feature range), so features unseen at freeze time still carry
+    their add-one-smoothing default — the streaming scorer must
+    never silently drop a token whose bucket no frozen corpus
+    happened to populate (an inner join against a sparse table did
+    exactly that; caught in review).  See
+    registry_ext18.q_llm_dsir_score for the estimator argument and
+    the int64 headroom bound."""
     t = dsir_features(target_docs)
     r = dsir_features(raw_docs)
+    spark = target_docs.sparkSession
+    feats = spark.range(DSIR_B).select(F.col("id").alias("f"))
     ct = t.groupBy("f").agg(F.count(F.lit(1)).alias("ct"))
     cr = r.groupBy("f").agg(F.count(F.lit(1)).alias("cr"))
     tot = (t.agg(F.count(F.lit(1)).alias("nt"))
            .crossJoin(r.agg(F.count(F.lit(1)).alias("nr"))))
-    return (ct.join(cr, "f", "full")
+    return (feats.join(ct, "f", "left").join(cr, "f", "left")
             .select("f", F.coalesce("ct", F.lit(0)).alias("ct"),
                     F.coalesce("cr", F.lit(0)).alias("cr"))
             .crossJoin(F.broadcast(tot))

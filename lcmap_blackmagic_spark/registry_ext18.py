@@ -73,8 +73,15 @@ def q_snapshot_clone(spark, sf_dir):
     src = _staging(sf_dir, "cln_orders")
     write_snapshot(sl(0), src, mode="overwrite", collect_stats=False)
     v2 = write_snapshot(sl(1), src, mode="append", collect_stats=False)
-    dst = os.path.join(_staging(sf_dir, "cln_clone"),
-                       uuid.uuid4().hex[:12])
+    # clone targets must be fresh (a clone is a NEW table), but
+    # repeated runs must not leak one slice-2 data copy per call:
+    # drop the previous runs' clones before creating this one
+    # (registry queries execute sequentially per process, and the
+    # staging root is per-process, so nothing can hold a live scan)
+    import shutil
+    clone_base = _staging(sf_dir, "cln_clone")
+    shutil.rmtree(clone_base, ignore_errors=True)
+    dst = os.path.join(clone_base, uuid.uuid4().hex[:12])
     clone_snapshot(src, dst, version=v2)
     write_snapshot(sl(2), dst, mode="append", collect_stats=False)
     v_src = write_snapshot(sl(3), src, mode="append",

@@ -286,8 +286,17 @@ def q_pareto_skyline(spark, sf_dir):
                  f"cast(size(split(lower(trim(text)), ' ')) as bigint)")
     pts = (d.select(n.alias("x"), ttr.alias("y"))
            .groupBy("x", "y")
-           .agg(F.count(F.lit(1)).alias("n_docs")))
+           .agg(F.count(F.lit(1)).alias("n_docs"))
+           # three consumers (min/max collect, the local skyline,
+           # the bucket-maxima collect) — checkpoint the distinct
+           # points once instead of re-scanning + re-tokenizing the
+           # corpus per consumer (the tile_train precedent); the
+           # table is distinct (x, y) pairs, tiny at any corpus size
+           .localCheckpoint())
     lo, hi = pts.agg(F.min("x"), F.max("x")).collect()[0]
+    if lo is None:
+        # empty documents table: the frontier is empty, not a crash
+        return spark.createDataFrame([], "x long, y long, n_docs long")
     span = max(int(hi) - int(lo) + 1, 1)
     bx = ((F.col("x") - F.lit(int(lo))) * SKY_BUCKETS / span) \
         .cast("int")

@@ -717,7 +717,7 @@ def ingest_dedup_batch(batch_df: DataFrame, batch_id: int,
 
 
 def winnow_dedup_stream(docs: DataFrame, store_dir: str,
-                        out_dir: str, min_shared: int = 2,
+                        out_dir: str, min_shared: int | None = None,
                         update_store: bool = True):
     """STREAMING winnowing ingest dedup: per micro-batch, fingerprint
     the incoming documents ONCE (robust winnowing —
@@ -751,13 +751,16 @@ def winnow_dedup_stream(docs: DataFrame, store_dir: str,
 
 def winnow_dedup_batch(batch_df: DataFrame, batch_id: int,
                        store_dir: str, out_dir: str,
-                       min_shared: int = 2,
+                       min_shared: int | None = None,
                        update_store: bool = True) -> None:
     """One micro-batch of the winnowing ingest-dedup protocol,
     module-level so crash-replay idempotency is directly testable
     (re-running the same (batch_df, batch_id) must leave the store
     and flags byte-identical)."""
-    from ..llm.dedup import winnow_cross_flags, winnow_fingerprints
+    from ..llm.dedup import (WIN_T, winnow_cross_flags,
+                             winnow_fingerprints)
+    if min_shared is None:
+        min_shared = WIN_T     # stay pinned to the batch query's knob
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession

@@ -63,3 +63,29 @@ def test_dsir_batch_replay_is_idempotent(spark, sf_dir):
     first = snap()
     dsir_score_batch(batch, 5, store_dir, out_dir)
     assert snap() == first and first
+
+
+def test_dsir_unseen_feature_scores_with_smoothing_default(spark):
+    """A token whose hashed bucket NO frozen corpus populated must
+    still score (add-one smoothing default), not silently vanish
+    from n_tok — the weight table materializes all DSIR_B buckets.
+    With equal corpus sizes the unseen-feature weight is exactly
+    DSIR_SCALE (ratio 1): (1·(NR+B)·S) div (1·(NT+B)) with NT=NR."""
+    from lcmap_blackmagic_spark.llm.text import (DSIR_B, DSIR_SCALE,
+                                                 dsir_weights)
+
+    target = spark.createDataFrame([(1, "alpha beta")],
+                                   "doc_id long, text string")
+    raw = spark.createDataFrame([(2, "gamma delta")],
+                                "doc_id long, text string")
+    wtab = dsir_weights(target, raw)
+    assert wtab.count() == DSIR_B
+    novel = spark.createDataFrame(
+        [(9, "zzz9q8x7 zzz9q8x7w zzz9q8x7v")],
+        "doc_id long, text string")
+    out = dsir_doc_scores(novel, wtab).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_tok"] == 3            # nothing dropped
+    # every novel bucket carries the neutral smoothing weight
+    assert r["score_bp"] == DSIR_SCALE

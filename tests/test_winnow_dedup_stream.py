@@ -52,31 +52,19 @@ def test_winnow_dedup_stream_matches_batch_fold(spark, sf_dir):
             r["canonical_partner"])
            for r in spark.read.parquet(out_dir).collect()}
 
-    # reference: fold the same splits batch-side, in THE ORDER THE
-    # STREAM DELIVERED THEM (one file per trigger; order is the
-    # file-listing order, recovered from each flag row's batch_id)
-    order = {}
-    for r in spark.read.parquet(out_dir).collect():
-        order.setdefault(r["batch_id"], set()).add(r["incoming_id"])
+    # reference: fold batch-side in THE ORDER THE STREAM DELIVERED —
+    # recovered EXACTLY from the persisted _updates partitions (every
+    # batch writes its fingerprints there, flags or not; the earlier
+    # flags-based recovery guessed wrong on zero-flag batches)
+    updates = spark.read.parquet(store_dir + "_updates")
     base_fps = winnow_fingerprints(existing)
     want = set()
     done_fps = base_fps
-    # map batch_id -> split by membership of any flagged id; fall
-    # back to delivery order = split order when a batch had no flags
-    remaining = list(range(3))
-    seq = []
-    for bid in sorted(order):
-        ids = order[bid]
-        hit = [i for i in remaining
-               if {int(x) for x in
-                   [r["doc_id"] for r in splits[i]
-                    .select("doc_id").collect()]} & ids]
-        pick = hit[0] if hit else remaining[0]
-        seq.append(pick)
-        remaining.remove(pick)
-    seq += remaining
-    for i in seq:
-        inc_fps = winnow_fingerprints(splits[i])
+    bids = sorted(r["batch_id"] for r in
+                  updates.select("batch_id").distinct().collect())
+    for bid in bids:
+        inc_fps = (updates.filter(F.col("batch_id") == bid)
+                   .drop("batch_id"))
         for r in winnow_cross_flags(inc_fps, done_fps).collect():
             want.add((r["incoming_id"], r["n_partners"],
                       r["max_shared"], r["canonical_partner"]))
