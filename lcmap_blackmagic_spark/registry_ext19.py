@@ -345,11 +345,200 @@ WHERE prev_maxy IS NULL OR prev_maxy < y
 """
 
 
+# ------------------------------------- exact-replay integer IVF -----
+
+IVX_CELLS = 8     # coarse cells (Voronoi partitions)
+IVX_PROBE = 2     # cells probed per query
+IVX_K = 3         # neighbors returned per query
+IVX_ITERS = 2     # unrolled integer Lloyd iterations
+IVX_QS = 1024     # 2^10 coordinate quantization (exact: double*2^10)
+IVX_DIM = 64
+IVX_STRIDE = 50   # every 50th vec_id is a query
+
+
+def q_llm_ann_ivf_exact(spark, sf_dir):
+    """IVF approximate nearest neighbors with a FULL oracle — the
+    bit-exact sibling of ``llm_ann_ivf`` (whose float k-means is
+    unreplayable by design, the registry's adjudicated rows-only
+    entry).  Every step is integer arithmetic both engines replay
+    identically:
+
+      1. coordinates quantized once by floor(x·2^10) (exact —
+         the kcenter_diverse grid),
+      2. IVX_ITERS unrolled integer Lloyd iterations from
+         deterministic seeds (the IVX_CELLS smallest vec_ids):
+         assignment = argmin exact squared-L2 (tie → smaller cell),
+         centroid update = per-dimension ``sum div count`` (both
+         engines truncate toward zero — the fuzz-pinned rule);
+         an emptied cell keeps its previous centroid,
+      3. queries (every IVX_STRIDE-th id) probe their IVX_PROBE
+         nearest cells, candidates come from probed cells only,
+      4. ranking by true cosine WITHOUT a transcendental: the
+         comparator is sign(dot)·dot² / (|q|²·|n|²) — all three
+         int64-exact (< 2^53, so the ONE IEEE double division is
+         bit-identical across engines); output columns are the
+         INTEGERS (dot, q2, n2), never the ratio.
+
+    Zero-norm vectors are excluded up front (a NaN comparator would
+    order differently across engines).  Scale shape is the IVF
+    shape: the centroid table is a constant (IVX_CELLS×IVX_DIM
+    ints, collected like the k-center model); per Lloyd iteration
+    the only shuffle is the (cell, dim) rollup — IVX_CELLS·IVX_DIM
+    rows out; candidate ranking shuffles per query id with fan-out
+    bounded by the probed cells' population."""
+    from pyspark.sql import Window
+
+    from .registry import _staging
+    e = _t(spark, sf_dir, "embeddings")
+    arr = e.select(
+        "vec_id",
+        F.transform("embedding",
+                    lambda x: F.floor(x.cast("double") * IVX_QS)
+                    .cast("bigint")).alias("qa"))
+    staging = _staging(sf_dir, "ivfx_arr")
+    arr.write.mode("overwrite").parquet(staging)
+    arrq = spark.read.parquet(staging)
+
+    def dist_to(c):
+        carr = F.array(*[F.lit(int(v)) for v in c])
+        return F.aggregate(
+            F.zip_with(F.col("qa"), carr,
+                       lambda x, cv: (x - cv) * (x - cv)),
+            F.lit(0).cast("bigint"), lambda a, v: a + v)
+
+    def cell_of(cents):
+        return F.array_min(F.array(*[
+            F.struct(dist_to(c).alias("d"),
+                     F.lit(int(cid)).alias("cid"))
+            for cid, c in cents]))["cid"]
+
+    cents = sorted(
+        (int(r["vec_id"]), [int(v) for v in r["qa"]])
+        for r in arrq.filter(F.col("vec_id") < IVX_CELLS).collect())
+    for _ in range(IVX_ITERS):
+        rows = (arrq.withColumn("cell", cell_of(cents))
+                .select("cell", F.posexplode("qa").alias("i", "v"))
+                .groupBy("cell", "i")
+                .agg(F.sum("v").alias("s"),
+                     F.count(F.lit(1)).alias("n"))
+                .select("cell", "i", F.expr("s div n").alias("m"))
+                .collect())
+        upd: dict = {}
+        for r in rows:
+            upd.setdefault(int(r["cell"]), {})[int(r["i"])] = int(r["m"])
+        cents = [(cid, [upd[cid][i] for i in range(IVX_DIM)]
+                  if cid in upd else old)
+                 for cid, old in cents]
+
+    sq = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qa"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"), lambda a, v: a + v)
+    corpus = (arrq.withColumn("cell", cell_of(cents))
+              .withColumn("n2", sq).filter(F.col("n2") > 0)
+              .select(F.col("vec_id").alias("nid"),
+                      F.col("qa").alias("nqa"), "cell", "n2"))
+    pc = F.slice(F.array_sort(F.array(*[
+        F.struct(dist_to(c).alias("d"), F.lit(int(cid)).alias("cid"))
+        for cid, c in cents])), 1, IVX_PROBE)
+    qs = (arrq.filter(F.col("vec_id") % IVX_STRIDE == 0)
+          .withColumn("q2", sq).filter(F.col("q2") > 0)
+          .select(F.col("vec_id").alias("qid"),
+                  F.col("qa").alias("qqa"), "q2",
+                  F.explode(F.transform(pc, lambda s: s["cid"]))
+                  .alias("cell")))
+    dot = F.aggregate(
+        F.zip_with(F.col("qqa"), F.col("nqa"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"), lambda a, v: a + v)
+    cand = (qs.join(corpus, "cell")
+            .filter(F.col("qid") != F.col("nid"))
+            .select("qid", "nid", "q2", "n2", dot.alias("dot")))
+    score = (F.when(F.col("dot") >= 0, F.col("dot") * F.col("dot"))
+             .otherwise(-(F.col("dot") * F.col("dot")))
+             .cast("double")
+             / (F.col("q2") * F.col("n2")).cast("double"))
+    w = Window.partitionBy("qid").orderBy(score.desc(), "nid")
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= IVX_K)
+            .select("qid", "rank", "nid", "dot", "q2", "n2"))
+
+
+def _sql_ivf_exact() -> str:
+    gs = f"generate_series(1, {IVX_DIM})"
+
+    def l2(a, b):
+        return (f"list_sum(list_transform({gs}, i -> "
+                f"({a}.qa[i] - {b}.qa[i]) * ({a}.qa[i] - {b}.qa[i])))")
+
+    quant = (f"list_transform(embedding, x -> CAST(floor("
+             f"CAST(x AS DOUBLE) * {IVX_QS}) AS BIGINT))")
+    parts = [f"q AS MATERIALIZED (SELECT vec_id, {quant} AS qa "
+             f"FROM embeddings)",
+             f"c0 AS MATERIALIZED (SELECT vec_id AS cid, qa FROM q "
+             f"WHERE vec_id < {IVX_CELLS})"]
+    prev = "c0"
+    for t in range(1, IVX_ITERS + 1):
+        parts.append(
+            f"a{t} AS MATERIALIZED (SELECT vec_id, qa, cid FROM ("
+            f"SELECT v.vec_id, v.qa, c.cid, ROW_NUMBER() OVER ("
+            f"PARTITION BY v.vec_id ORDER BY {l2('v', 'c')}, c.cid)"
+            f" AS rn FROM q v, {prev} c) WHERE rn = 1)")
+        parts.append(
+            f"m{t} AS MATERIALIZED (SELECT cid, "
+            f"list(m ORDER BY j) AS qa FROM ("
+            f"SELECT a.cid, g.j, SUM(a.qa[g.j]) // COUNT(*) AS m "
+            f"FROM a{t} a CROSS JOIN {gs} AS g(j) "
+            f"GROUP BY a.cid, g.j) GROUP BY cid)")
+        parts.append(
+            f"c{t} AS MATERIALIZED (SELECT {prev}.cid, "
+            f"COALESCE(m{t}.qa, {prev}.qa) AS qa FROM {prev} "
+            f"LEFT JOIN m{t} USING (cid))")
+        prev = f"c{t}"
+    def nrm(a):
+        return f"list_sum(list_transform({a}.qa, x -> x * x))"
+
+    parts.append(
+        f"af AS MATERIALIZED (SELECT vec_id AS nid, qa, cid, n2 "
+        f"FROM (SELECT v.vec_id, v.qa, c.cid, {nrm('v')} AS n2, "
+        f"ROW_NUMBER() OVER (PARTITION BY v.vec_id "
+        f"ORDER BY {l2('v', 'c')}, c.cid) AS rn "
+        f"FROM q v, {prev} c) WHERE rn = 1 AND n2 > 0)")
+    parts.append(
+        f"qs AS MATERIALIZED (SELECT vec_id AS qid, q.qa AS qa, "
+        f"{nrm('q')} AS q2 "
+        f"FROM q WHERE vec_id % {IVX_STRIDE} = 0 AND {nrm('q')} > 0)")
+    parts.append(
+        f"pr AS MATERIALIZED (SELECT qid, cid FROM ("
+        f"SELECT v.qid, c.cid, ROW_NUMBER() OVER (PARTITION BY v.qid "
+        f"ORDER BY {l2('v', 'c')}, c.cid) AS rn "
+        f"FROM qs v, {prev} c) WHERE rn <= {IVX_PROBE})")
+    dot = (f"list_sum(list_transform({gs}, i -> "
+           f"qq.qa[i] * a.qa[i]))")
+    parts.append(
+        f"sc AS MATERIALIZED (SELECT qq.qid, a.nid, qq.q2, a.n2, "
+        f"{dot} AS dot FROM pr p "
+        f"JOIN qs qq ON qq.qid = p.qid "
+        f"JOIN af a ON a.cid = p.cid AND a.nid <> qq.qid)")
+    return ("WITH " + ",\n".join(parts) + "\n"
+            "SELECT qid, CAST(rn AS INT) AS rank, nid, "
+            "CAST(dot AS BIGINT) AS dot, CAST(q2 AS BIGINT) AS q2, "
+            "CAST(n2 AS BIGINT) AS n2 FROM ("
+            "SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY "
+            "CAST(CASE WHEN dot >= 0 THEN dot * dot "
+            "ELSE -(dot * dot) END AS DOUBLE) "
+            "/ CAST(q2 * n2 AS DOUBLE) DESC, nid) AS rn FROM sc) "
+            f"WHERE rn <= {IVX_K}")
+
+
+SQL_LLM_ANN_IVF_EXACT = _sql_ivf_exact()
+
+
 QUERIES_EXT19: dict[str, dict] = {
-    "eval_rouge_n":     {"fn": q_eval_rouge_n,
-                         "sql": SQL_EVAL_ROUGE_N},
-    "snapshot_history": {"fn": q_snapshot_history,
-                         "sql": SQL_SNAPSHOT_HISTORY},
-    "pareto_skyline":   {"fn": q_pareto_skyline,
-                         "sql": SQL_PARETO_SKYLINE},
+    "eval_rouge_n":      {"fn": q_eval_rouge_n,
+                          "sql": SQL_EVAL_ROUGE_N},
+    "snapshot_history":  {"fn": q_snapshot_history,
+                          "sql": SQL_SNAPSHOT_HISTORY},
+    "pareto_skyline":    {"fn": q_pareto_skyline,
+                          "sql": SQL_PARETO_SKYLINE},
+    "llm_ann_ivf_exact": {"fn": q_llm_ann_ivf_exact,
+                          "sql": SQL_LLM_ANN_IVF_EXACT},
 }

@@ -1754,3 +1754,71 @@ def test_factorial_parity_across_engines(engines):
     ).fetchall()]
     assert [int(x) for x in got] == [int(x) for x in want] \
         == [math.factorial(n) for n in range(21)]
+
+
+def test_round12_primitive_divergences_pinned(engines):
+    """Cross-engine primitives the round-12 session leans on, pinned
+    over randomized inputs in one batch per engine:
+
+    - hex-literal cast: DuckDB ``CAST('0x'||substr(md5(t),1,8) AS
+      BIGINT)`` must equal Spark ``conv(substr(md5(t),1,8),16,10)``
+      (llm_dsir_score's feature hash);
+    - md5-hex minimum: ``array_min``/``list_min`` over md5 hex
+      strings agree lexicographically (winnowing's window min);
+    - slice clamping: ``slice(a, p, w)``/``a[p:p+w-1]`` both clamp
+      past the end (winnowing's boundary windows);
+    - signed integral division: ``s div n`` / ``s // n`` truncate
+      toward zero in both engines (the integer-Lloyd centroid
+      update folds negative coordinate sums)."""
+    import random as _r
+    spark, con = engines
+    rng = _r.Random(20260816)
+    toks = ["".join(rng.choice("abcxyz019 _-") for _ in
+                    range(rng.randint(1, 12))) for _ in range(60)]
+    got = spark.sql(
+        "SELECT t, CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)"
+        " % 4096 AS f FROM VALUES "
+        + ", ".join(f"('{t}')" for t in toks) + " AS v(t)").collect()
+    want = con.execute(
+        "SELECT t, CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)"
+        " % 4096 AS f FROM (SELECT UNNEST(["
+        + ", ".join(f"'{t}'" for t in toks) + "]) AS t)").fetchall()
+    assert sorted((r["t"], r["f"]) for r in got) == \
+        sorted(tuple(w) for w in want)
+
+    lists = [[rng.choice(toks) for _ in range(rng.randint(1, 9))]
+             for _ in range(40)]
+
+    def lit_s(xs):
+        return "array(" + ", ".join(f"'{x}'" for x in xs) + ")"
+
+    def lit_d(xs):
+        return "[" + ", ".join(f"'{x}'" for x in xs) + "]"
+
+    for xs in lists:
+        p = rng.randint(1, len(xs) + 2)
+        w = rng.randint(1, 5)
+        g = spark.sql(
+            f"SELECT array_min(transform({lit_s(xs)}, x -> md5(x)))"
+            f" AS mn, slice(transform({lit_s(xs)}, x -> md5(x)),"
+            f" {p}, {w}) AS sl").first()
+        wnt = con.execute(
+            f"SELECT list_min(list_transform({lit_d(xs)},"
+            f" x -> md5(x))) AS mn,"
+            f" list_transform({lit_d(xs)}, x -> md5(x))"
+            f"[{p}:{p}+{w}-1] AS sl").fetchone()
+        assert g["mn"] == wnt[0]
+        assert list(g["sl"]) == list(wnt[1])
+
+    pairs = [(rng.randint(-10**9, 10**9), rng.randint(1, 500))
+             for _ in range(60)]
+    gdiv = spark.sql(
+        "SELECT s, n, s div n AS d FROM VALUES "
+        + ", ".join(f"({s}, {n})" for s, n in pairs)
+        + " AS v(s, n)").collect()
+    wdiv = con.execute(
+        "SELECT s, n, s // n AS d FROM (VALUES "
+        + ", ".join(f"({s}, {n})" for s, n in pairs) + ") AS v(s, n)"
+    ).fetchall()
+    assert sorted((r["s"], r["n"], r["d"]) for r in gdiv) == \
+        sorted(tuple(w) for w in wdiv)
