@@ -229,10 +229,15 @@ def q_llm_dsir_score(spark, sf_dir):
     DSIR_B = 4096 rows — bounded by a constant, not by data — so
     the forced broadcast back onto the token stream is safe at any
     corpus size (the corpus never shuffles).  Range bound: the
-    weight numerator holds in int64 to ~9·10^14 corpus tokens at
-    this scale factor ((ct+1)·(NR+B)·10^4 < 2^63); past that, drop
+    weight numerator (ct+1)·(NR+B)·10^4 must stay below 2^63.  With
+    balanced buckets (ct ≈ NT/DSIR_B) that is NT·NR ≲ 3.8·10^18;
+    the assumption-free worst case (one bucket holding every target
+    token, ct = NT) is NT·NR ≲ 9.2·10^14.  Past either bound, drop
     DSIR_SCALE a decade per decade of growth or move the two scaled
-    products to DECIMAL(38,0) — the estimator is unchanged."""
+    products to DECIMAL(38,0) — the estimator is unchanged, but do
+    it in BOTH engines: non-ANSI Spark wraps int64 silently while
+    DuckDB raises, so an overflow is a cross-engine divergence the
+    oracle only catches once the data is big enough to trip it."""
     d = _t(spark, sf_dir, "documents")
     target = d.filter(F.col("source") == "src0")
     raw = d.filter(F.col("source") != "src0")

@@ -366,7 +366,10 @@ def q_llm_ann_ivf_exact(spark, sf_dir):
       1. coordinates quantized once by floor(x·2^10) (exact —
          the kcenter_diverse grid),
       2. IVX_ITERS unrolled integer Lloyd iterations from
-         deterministic seeds (the IVX_CELLS smallest vec_ids):
+         deterministic seeds (the vectors whose vec_id is below
+         IVX_CELLS — the testdata ids are dense from 0, so these
+         exist; on a sparse/offset id space seed instead from
+         orderBy(vec_id).limit(IVX_CELLS) and mirror the oracle):
          assignment = argmin exact squared-L2 (tie → smaller cell),
          centroid update = per-dimension ``sum div count`` (both
          engines truncate toward zero — the fuzz-pinned rule);
@@ -375,9 +378,14 @@ def q_llm_ann_ivf_exact(spark, sf_dir):
          nearest cells, candidates come from probed cells only,
       4. ranking by true cosine WITHOUT a transcendental: the
          comparator is sign(dot)·dot² / (|q|²·|n|²) — all three
-         int64-exact (< 2^53, so the ONE IEEE double division is
-         bit-identical across engines); output columns are the
-         INTEGERS (dot, q2, n2), never the ratio.
+         int64-exact and < 2^53, so the ONE IEEE double division is
+         bit-identical across engines; output columns are the
+         INTEGERS (dot, q2, n2), never the ratio.  The 2^53 bound
+         ASSUMES |component| ≤ 1 (true of the testdata embeddings):
+         |qa_i| ≤ 2^10 gives |dot| ≤ 64·2^20 = 2^26, so dot² and
+         q2·n2 are ≤ 2^52 — a 2× margin that embeddings with
+         magnitude > 1 silently void; re-derive the bound (or lower
+         IVX_QS) before pointing this at unnormalized vectors.
 
     Zero-norm vectors are excluded up front (a NaN comparator would
     order differently across engines).  Scale shape is the IVF
