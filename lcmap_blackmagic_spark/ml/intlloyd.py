@@ -1,0 +1,117 @@
+"""Bit-exact integer Lloyd iterations, shared by the exact-replay
+IVF (registry_ext19.q_llm_ann_ivf_exact) and SemDeDup
+(registry_ext20.q_llm_semdedup).
+
+The contract both engines replay identically (fuzz-pinned by
+tests/test_primitive_fuzz.py's div rules):
+
+  * coordinates are pre-quantized integers (floor(x · 2^s) — exact
+    on IEEE doubles),
+  * seeds are the vectors whose vec_id is below ``cells`` (dense-id
+    assumption; see the callers' docstrings),
+  * assignment = argmin of exact squared L2 (tie → smaller cell id),
+  * centroid update = per-dimension ``sum div count`` (both engines
+    truncate toward zero), an emptied cell keeps its previous
+    centroid.
+
+Scale shape: the centroid table is a CONSTANT (cells × dim ints,
+collected like a broadcast model — see the collect-audit allowlist);
+per iteration the only shuffle is the (cell, dim) rollup, cells·dim
+rows out.  The corpus itself never shuffles during the fit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dist_to(c: list[int]):
+    """Exact squared L2 from the ``qa`` integer array column to a
+    driver-side centroid vector."""
+    carr = F.array(*[F.lit(int(v)) for v in c])
+    return F.aggregate(
+        F.zip_with(F.col("qa"), carr,
+                   lambda x, cv: (x - cv) * (x - cv)),
+        F.lit(0).cast("bigint"), lambda a, v: a + v)
+
+
+def cell_of(cents: list[tuple[int, list[int]]]):
+    """Nearest-centroid assignment column (tie → smaller cell id)."""
+    return F.array_min(F.array(*[
+        F.struct(dist_to(c).alias("d"),
+                 F.lit(int(cid)).alias("cid"))
+        for cid, c in cents]))["cid"]
+
+
+def sumsq():
+    """Σ qa_i² — the exact integer squared norm of ``qa``."""
+    return F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qa"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"), lambda a, v: a + v)
+
+
+def integer_lloyd(arrq: DataFrame, cells: int, iters: int,
+                  dim: int) -> list[tuple[int, list[int]]]:
+    """Run ``iters`` unrolled integer Lloyd iterations over the
+    (vec_id, qa) frame; returns the fitted centroids as a driver-side
+    list (a model constant, cells × dim ints)."""
+    cents = sorted(
+        (int(r["vec_id"]), [int(v) for v in r["qa"]])
+        for r in arrq.filter(F.col("vec_id") < cells).collect())
+    for _ in range(iters):
+        rows = (arrq.withColumn("cell", cell_of(cents))
+                .select("cell", F.posexplode("qa").alias("i", "v"))
+                .groupBy("cell", "i")
+                .agg(F.sum("v").alias("s"),
+                     F.count(F.lit(1)).alias("n"))
+                .select("cell", "i", F.expr("s div n").alias("m"))
+                .collect())
+        upd: dict = {}
+        for r in rows:
+            upd.setdefault(int(r["cell"]), {})[int(r["i"])] = int(r["m"])
+        cents = [(cid, [upd[cid][i] for i in range(dim)]
+                  if cid in upd else old)
+                 for cid, old in cents]
+    return cents
+
+
+# --------------------------- DuckDB replay of the same iterations ---
+
+def sql_l2(gs: str, a: str, b: str) -> str:
+    return (f"list_sum(list_transform({gs}, i -> "
+            f"({a}.qa[i] - {b}.qa[i]) * ({a}.qa[i] - {b}.qa[i])))")
+
+
+def sql_lloyd_ctes(cells: int, iters: int, dim: int, qs: int,
+                   src: str = "embeddings") -> tuple[list[str], str]:
+    """The quantize + seed + unrolled-Lloyd CTE prefix; returns
+    (parts, name-of-final-centroid-CTE).  Mirrors ``integer_lloyd``
+    CTE-for-collect: aN = assignment, mN = sum//count update, cN =
+    update with emptied cells keeping their previous centroid."""
+    gs = f"generate_series(1, {dim})"
+    quant = (f"list_transform(embedding, x -> CAST(floor("
+             f"CAST(x AS DOUBLE) * {qs}) AS BIGINT))")
+    parts = [f"q AS MATERIALIZED (SELECT vec_id, {quant} AS qa "
+             f"FROM {src})",
+             f"c0 AS MATERIALIZED (SELECT vec_id AS cid, qa FROM q "
+             f"WHERE vec_id < {cells})"]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        parts.append(
+            f"a{t} AS MATERIALIZED (SELECT vec_id, qa, cid FROM ("
+            f"SELECT v.vec_id, v.qa, c.cid, ROW_NUMBER() OVER ("
+            f"PARTITION BY v.vec_id ORDER BY {sql_l2(gs, 'v', 'c')}, "
+            f"c.cid) AS rn FROM q v, {prev} c) WHERE rn = 1)")
+        parts.append(
+            f"m{t} AS MATERIALIZED (SELECT cid, "
+            f"list(m ORDER BY j) AS qa FROM ("
+            f"SELECT a.cid, g.j, SUM(a.qa[g.j]) // COUNT(*) AS m "
+            f"FROM a{t} a CROSS JOIN {gs} AS g(j) "
+            f"GROUP BY a.cid, g.j) GROUP BY cid)")
+        parts.append(
+            f"c{t} AS MATERIALIZED (SELECT {prev}.cid, "
+            f"COALESCE(m{t}.qa, {prev}.qa) AS qa FROM {prev} "
+            f"LEFT JOIN m{t} USING (cid))")
+        prev = f"c{t}"
+    return parts, prev

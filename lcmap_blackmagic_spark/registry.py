@@ -592,6 +592,7 @@ from .registry_ext16 import QUERIES_EXT16  # noqa: E402
 from .registry_ext17 import QUERIES_EXT17  # noqa: E402
 from .registry_ext18 import QUERIES_EXT18  # noqa: E402
 from .registry_ext19 import QUERIES_EXT19  # noqa: E402
+from .registry_ext20 import QUERIES_EXT20  # noqa: E402
 from .sql_catalog import QUERIES_SQL  # noqa: E402
 
 QUERIES.update(QUERIES_LLM)
@@ -617,6 +618,7 @@ QUERIES.update(QUERIES_EXT16)
 QUERIES.update(QUERIES_EXT17)
 QUERIES.update(QUERIES_EXT18)
 QUERIES.update(QUERIES_EXT19)
+QUERIES.update(QUERIES_EXT20)
 QUERIES.update(QUERIES_SQL)
 
 

@@ -396,6 +396,7 @@ def q_llm_ann_ivf_exact(spark, sf_dir):
     bounded by the probed cells' population."""
     from pyspark.sql import Window
 
+    from .ml.intlloyd import cell_of, dist_to, integer_lloyd, sumsq
     from .registry import _staging
     e = _t(spark, sf_dir, "embeddings")
     arr = e.select(
@@ -407,40 +408,8 @@ def q_llm_ann_ivf_exact(spark, sf_dir):
     arr.write.mode("overwrite").parquet(staging)
     arrq = spark.read.parquet(staging)
 
-    def dist_to(c):
-        carr = F.array(*[F.lit(int(v)) for v in c])
-        return F.aggregate(
-            F.zip_with(F.col("qa"), carr,
-                       lambda x, cv: (x - cv) * (x - cv)),
-            F.lit(0).cast("bigint"), lambda a, v: a + v)
-
-    def cell_of(cents):
-        return F.array_min(F.array(*[
-            F.struct(dist_to(c).alias("d"),
-                     F.lit(int(cid)).alias("cid"))
-            for cid, c in cents]))["cid"]
-
-    cents = sorted(
-        (int(r["vec_id"]), [int(v) for v in r["qa"]])
-        for r in arrq.filter(F.col("vec_id") < IVX_CELLS).collect())
-    for _ in range(IVX_ITERS):
-        rows = (arrq.withColumn("cell", cell_of(cents))
-                .select("cell", F.posexplode("qa").alias("i", "v"))
-                .groupBy("cell", "i")
-                .agg(F.sum("v").alias("s"),
-                     F.count(F.lit(1)).alias("n"))
-                .select("cell", "i", F.expr("s div n").alias("m"))
-                .collect())
-        upd: dict = {}
-        for r in rows:
-            upd.setdefault(int(r["cell"]), {})[int(r["i"])] = int(r["m"])
-        cents = [(cid, [upd[cid][i] for i in range(IVX_DIM)]
-                  if cid in upd else old)
-                 for cid, old in cents]
-
-    sq = F.aggregate(
-        F.zip_with(F.col("qa"), F.col("qa"), lambda x, y: x * y),
-        F.lit(0).cast("bigint"), lambda a, v: a + v)
+    cents = integer_lloyd(arrq, IVX_CELLS, IVX_ITERS, IVX_DIM)
+    sq = sumsq()
     corpus = (arrq.withColumn("cell", cell_of(cents))
               .withColumn("n2", sq).filter(F.col("n2") > 0)
               .select(F.col("vec_id").alias("nid"),
@@ -471,36 +440,14 @@ def q_llm_ann_ivf_exact(spark, sf_dir):
 
 
 def _sql_ivf_exact() -> str:
+    from .ml.intlloyd import sql_l2, sql_lloyd_ctes
     gs = f"generate_series(1, {IVX_DIM})"
 
     def l2(a, b):
-        return (f"list_sum(list_transform({gs}, i -> "
-                f"({a}.qa[i] - {b}.qa[i]) * ({a}.qa[i] - {b}.qa[i])))")
+        return sql_l2(gs, a, b)
 
-    quant = (f"list_transform(embedding, x -> CAST(floor("
-             f"CAST(x AS DOUBLE) * {IVX_QS}) AS BIGINT))")
-    parts = [f"q AS MATERIALIZED (SELECT vec_id, {quant} AS qa "
-             f"FROM embeddings)",
-             f"c0 AS MATERIALIZED (SELECT vec_id AS cid, qa FROM q "
-             f"WHERE vec_id < {IVX_CELLS})"]
-    prev = "c0"
-    for t in range(1, IVX_ITERS + 1):
-        parts.append(
-            f"a{t} AS MATERIALIZED (SELECT vec_id, qa, cid FROM ("
-            f"SELECT v.vec_id, v.qa, c.cid, ROW_NUMBER() OVER ("
-            f"PARTITION BY v.vec_id ORDER BY {l2('v', 'c')}, c.cid)"
-            f" AS rn FROM q v, {prev} c) WHERE rn = 1)")
-        parts.append(
-            f"m{t} AS MATERIALIZED (SELECT cid, "
-            f"list(m ORDER BY j) AS qa FROM ("
-            f"SELECT a.cid, g.j, SUM(a.qa[g.j]) // COUNT(*) AS m "
-            f"FROM a{t} a CROSS JOIN {gs} AS g(j) "
-            f"GROUP BY a.cid, g.j) GROUP BY cid)")
-        parts.append(
-            f"c{t} AS MATERIALIZED (SELECT {prev}.cid, "
-            f"COALESCE(m{t}.qa, {prev}.qa) AS qa FROM {prev} "
-            f"LEFT JOIN m{t} USING (cid))")
-        prev = f"c{t}"
+    parts, prev = sql_lloyd_ctes(IVX_CELLS, IVX_ITERS, IVX_DIM, IVX_QS)
+
     def nrm(a):
         return f"list_sum(list_transform({a}.qa, x -> x * x))"
 

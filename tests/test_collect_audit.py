@@ -62,11 +62,12 @@ ALLOWED: dict[str, str] = {
         "Lloyd seed vectors — ≤ k rows (seed_ids has k entries)",
     'ml/kmeans.py:kmeans_fit:long.join(best.select("id", "cid"), "id") .groupBy("cid", "i") .agg(F.count(F.lit(1)).alias("n"), # same wrap risk as the E-step at corpus scale # (n·|q| can pass int64) — widen before sum F.sum(F.col("q").cast("decimal(38,0)")) .alias("s"))':
         "M-step rollup — k × dim rows, both call-site constants",
-    'registry_ext19.py:q_llm_ann_ivf_exact:arrq.filter(F.col("vec_id") < IVX_CELLS)':
-        "Lloyd seeds — ≤ IVX_CELLS rows, a module constant",
-    'registry_ext19.py:q_llm_ann_ivf_exact:arrq.withColumn("cell", cell_of(cents)) .select("cell", F.posexplode("qa").alias("i", "v")) .groupBy("cell", "i") .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")) .select("cell", "i", F.expr("s div n").alias("m"))':
-        "integer-Lloyd M-step — IVX_CELLS × IVX_DIM rows, both"
-        " module constants",
+    'ml/intlloyd.py:integer_lloyd:arrq.filter(F.col("vec_id") < cells)':
+        "Lloyd seeds — ≤ `cells` rows, a caller constant (IVX_CELLS"
+        " / SEM_CELLS)",
+    'ml/intlloyd.py:integer_lloyd:arrq.withColumn("cell", cell_of(cents)) .select("cell", F.posexplode("qa").alias("i", "v")) .groupBy("cell", "i") .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")) .select("cell", "i", F.expr("s div n").alias("m"))':
+        "integer-Lloyd M-step — cells × dim rows, both caller"
+        " constants",
     'llm/text.py:bpe_encode:merges':
         "learned BPE merge table — ≤ the num_merges training budget,"
         " a call-site constant",
