@@ -221,7 +221,26 @@ def q_lcmap_predict_chip(spark, sf_dir):
     train, test = train_test_split_hash(sample, ["px", "py"], 0.2)
     model = train_model(train.select("label", "features"),
                         test.select("label", "features"))
-    preds = prediction_pipeline(segs, aux, model, 7, 1)
+    # prediction_pipeline's stages, inlined (the tile_train precedent)
+    # to cut the final job's contention surface: the defaults/data
+    # union otherwise re-runs the fixture assembly + feature build in
+    # BOTH branches (a 64-task stage), and the modeled branch spawns
+    # one Python worker per upstream partition for a ~20 MB matrix.
+    # Checkpointing the assembled inputs once and coalescing the
+    # Arrow side to 8 partitions keeps the inference stage at 8
+    # Python tasks over staged rows — the shape that stayed flat
+    # under driver-suite load (r12's 5.9→14 s swing; SCALE.md r13).
+    # Chip-scale only: the real tile path (prediction_pipeline) keeps
+    # full parallelism — there the matrix is tile-sized, not 20 MB.
+    from .ml.predict import predict_probabilities
+    from .operators.unions import default_predictions, group_data
+    from .plans.prediction import prediction_inputs
+    inputs = prediction_inputs(segs, aux, 7, 1).localCheckpoint()
+    defaults, data = group_data(inputs)
+    predicted = (predict_probabilities(data.coalesce(8), model,
+                                       "independent")
+                 .drop("independent"))
+    preds = default_predictions(defaults.drop("independent"), predicted)
     return preds.select("cx", "cy", "px", "py", "sday", "eday", "pday",
                         F.size("prob").alias("n_probs"))
 
