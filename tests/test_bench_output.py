@@ -19,25 +19,43 @@ def _headline():
 
 def test_compact_line_fits_driver_window():
     """The REALISTIC envelope of the current headline — every query
-    at a 4-char median ("9.99") plus the 15 heaviest at 5 chars
-    ("99.99") and an errors field — must fit the 1900-char cap with
-    ZERO folding: on any plausible run the driver artifact carries
-    the complete per-query map.  (The all-slow pathological case is
-    handled by the fold valve, tested below — it keeps the heavy
-    entries and the full map always lives in bench_detail.json.)"""
+    at a 3-char 1-decimal median ("9.9") plus the 15 heaviest at 4
+    chars ("99.9") and an errors field — must fit the 1900-char cap
+    with ZERO folding: on any plausible run the driver artifact
+    carries the complete per-query map.  (Round 13 slimmed the
+    compact line to 1-decimal medians and moved anchor_sec into
+    bench_detail.json to fit the 87-entry headline; the all-slow
+    pathological case is handled by the fold valve, tested below —
+    it keeps the heavy entries and the full map always lives in
+    bench_detail.json.)"""
     names = _headline()
     out = {
         "metric": "headline_queries_total", "value": 9999.99,
         "unit": "sec",
-        "queries": {n: (99.99 if i < 15 else 9.99)
+        "queries": {n: (99.9 if i < 15 else 9.9)
                     for i, n in enumerate(names)},
-        "sf": 0.1, "anchor_sec": 0.999, "errors": 1,
+        "sf": 0.1, "errors": 1,
     }
     line = json.dumps(out, separators=(",", ":"))
     assert len(line) <= 1900, (
         f"{len(names)}-query headline serializes to {len(line)} chars; "
         "the driver captures only the last 2000 — fold entries into "
         "bench_detail.json or the round loses its bench artifact")
+
+
+def test_compact_line_formatting_matches_source():
+    """The envelope above is only meaningful if bench.py actually
+    prints 1-decimal medians with no anchor_sec key — pin both
+    against the source so a formatting regression re-runs the
+    envelope math."""
+    import os
+    src = open(os.path.join(os.path.dirname(__file__), "..",
+                            "bench.py")).read()
+    assert '"queries": {n: (round(v, 1) if isinstance(v, float)' in src
+    # anchor_sec appears in the DETAIL dict, never in the compact out
+    compact = src[src.index('out = {'):src.index('if failed:')]
+    assert '"anchor_sec"' not in compact.replace(
+        '# anchor_sec / python_anchor_sec / disk_anchor_sec', '')
 
 
 def test_pathological_line_folds_few_entries():
