@@ -22,13 +22,11 @@ from .registry import _t
 
 # ------------------------------------------------- SemDeDup ---------
 
-SEM_CELLS = 16    # k-means cells (the semantic clusters)
-SEM_ITERS = 2     # unrolled integer Lloyd iterations
-SEM_QS = 1024     # 2^10 coordinate quantization (exact: double*2^10)
-SEM_DIM = 64
-SEM_TAU2_BP = 900  # τ² in basis points: τ = 0.30 (synthetic vectors
-#                    have no true dups; ext2.NEARDUP_THRESHOLD's
-#                    precedent — low enough that cells actually dedup)
+# constants + shared building blocks live in llm/semdedup.py (shared
+# with the streaming ingest twin, streaming/jobs.semdedup_stream)
+from .llm.semdedup import (SEM_CELLS, SEM_DIM,  # noqa: E402,F401
+                           SEM_ITERS, SEM_QS, SEM_TAU2_BP, quantize,
+                           sem_cond)
 
 
 def q_llm_semdedup(spark, sf_dir):
@@ -66,38 +64,28 @@ def q_llm_semdedup(spark, sf_dir):
     within-cell self-join re-reads the STAGED quantized table (one
     parquet materialization, same as the exact IVF), so the funnel
     is one hash-checked query, not four."""
-    from .ml.intlloyd import cell_of, integer_lloyd, sumsq
+    from .llm.semdedup import assign_cells, dot_over
+    from .ml.intlloyd import integer_lloyd
     from .registry import _staging
 
     e = _t(spark, sf_dir, "embeddings")
-    arr = e.select(
-        "vec_id",
-        F.transform("embedding",
-                    lambda x: F.floor(x.cast("double") * SEM_QS)
-                    .cast("bigint")).alias("qa"))
     staging = _staging(sf_dir, "semdedup_arr")
-    arr.write.mode("overwrite").parquet(staging)
+    quantize(e).write.mode("overwrite").parquet(staging)
     arrq = spark.read.parquet(staging)
 
     cents = integer_lloyd(arrq, SEM_CELLS, SEM_ITERS, SEM_DIM)
-    vecs = (arrq.withColumn("cell", cell_of(cents))
-            .withColumn("n2", sumsq()).filter(F.col("n2") > 0)
+    vecs = (assign_cells(arrq, cents)
             .localCheckpoint())  # 3 consumers: both pair sides + funnel
 
     a = vecs.select(F.col("vec_id").alias("ai"), F.col("qa").alias("aq"),
                     "cell", F.col("n2").alias("a2"))
     b = vecs.select(F.col("vec_id").alias("bi"), F.col("qa").alias("bq"),
                     "cell", F.col("n2").alias("b2"))
-    dot = F.aggregate(
-        F.zip_with(F.col("aq"), F.col("bq"), lambda x, y: x * y),
-        F.lit(0).cast("bigint"), lambda acc, v: acc + v)
     cand = (a.join(b, "cell").filter(F.col("ai") < F.col("bi"))
-            .select("ai", "bi", "a2", "b2", dot.alias("dot")))
-    lhs = (F.col("dot") * F.col("dot")).cast("decimal(38,0)") \
-        * F.lit(10_000)
-    rhs = (F.col("a2") * F.col("b2")).cast("decimal(38,0)") \
-        * F.lit(SEM_TAU2_BP)
-    pairs = (cand.filter((F.col("dot") >= 0) & (lhs >= rhs))
+            .select("ai", "bi", "a2", "b2",
+                    dot_over("aq", "bq").alias("dot")))
+    pairs = (cand.filter(sem_cond(F.col("dot"), F.col("a2"),
+                                  F.col("b2"), SEM_TAU2_BP))
              .localCheckpoint())  # 2 consumers: funnel + drop set
     dropped = pairs.select(F.col("bi").alias("vec_id")).distinct()
     survivors = vecs.join(dropped, "vec_id", "left_anti")

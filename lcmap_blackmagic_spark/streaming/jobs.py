@@ -1476,3 +1476,118 @@ def priority_sample_stream(rows: DataFrame, store_dir: str,
                               weight_col, id_col, k, group_col)
 
     return rows.writeStream.foreachBatch(fb)
+
+
+# ------------------------------------------- streaming SemDeDup -----
+
+EMBEDDING = T.StructType([
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("embedding", T.ArrayType(T.FloatType())),
+    T.StructField("label", T.IntegerType()),
+])
+
+
+def embeddings_stream(spark: SparkSession, emb_dir: str,
+                      max_files_per_trigger: int = 1) -> DataFrame:
+    """Parquet-directory embedding stream with the EMBEDDINGS schema —
+    the ingest feed of a streaming semantic-dedup pipeline."""
+    return (spark.readStream.schema(EMBEDDING)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(emb_dir))
+
+
+def build_semdedup_store(emb: DataFrame, store_dir: str) -> None:
+    """Freeze the semantic-dedup store from an existing corpus: fit
+    the integer-Lloyd cells ONCE (ml/intlloyd — the batch
+    `llm_semdedup` clustering) and persist the cell-assigned
+    quantized vectors at ``store_dir`` plus the fitted centroids at
+    ``<store_dir>_centroids`` (a model constant, SEM_CELLS × SEM_DIM
+    ints).  Run once or on a slow refresh cadence; the stream never
+    re-fits the clustering — incoming vectors are assigned to the
+    FROZEN cells, the IVF pattern at ingest."""
+    from ..llm.semdedup import (SEM_CELLS, SEM_DIM, SEM_ITERS,
+                                assign_cells, quantize)
+    from ..ml.intlloyd import integer_lloyd
+    spark = emb.sparkSession
+    arrq = quantize(emb)
+    cents = integer_lloyd(arrq, SEM_CELLS, SEM_ITERS, SEM_DIM)
+    assign_cells(arrq, cents).write.mode("overwrite").parquet(store_dir)
+    spark.createDataFrame(
+        [(cid, c) for cid, c in cents], "cid BIGINT, qa ARRAY<BIGINT>"
+    ).coalesce(1).write.mode("overwrite") \
+        .parquet(store_dir.rstrip("/") + "_centroids")
+
+
+def _load_centroids(spark: SparkSession,
+                    store_dir: str) -> list[tuple[int, list[int]]]:
+    return sorted(
+        (int(r["cid"]), [int(v) for v in r["qa"]])
+        for r in spark.read.parquet(
+            store_dir.rstrip("/") + "_centroids").collect())
+
+
+def semdedup_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
+                   out_dir: str, tau2_bp: int | None = None,
+                   update_store: bool = True) -> None:
+    """One micro-batch of the streaming SemDeDup protocol, module-
+    level so crash-replay idempotency is directly testable (re-running
+    the same (batch_df, batch_id) must leave the store and flags
+    byte-identical).  Same exactly-once protocol as the MinHash /
+    Bloom / winnowing dedup streams: incoming cell-assigned vectors
+    land FIRST under the batch's own ``batch_id=`` partition of
+    ``<store_dir>_updates`` (dynamic partition overwrite — a replayed
+    batch rewrites its own partition), flags are computed against
+    base store ∪ STRICTLY EARLIER batches (a crash-replay never
+    compares a batch against itself), and flags land in ``out_dir``
+    under the same idempotent partitioning.  O(batch) work per
+    trigger: one quantize + frozen-cell assignment (the centroid
+    table is ≤ SEM_CELLS rows) and one equi-join on cell whose
+    per-key fan-out is the probed cell's store population."""
+    from ..llm.semdedup import (SEM_TAU2_BP, assign_cells, quantize,
+                                semdedup_cross_flags)
+    if tau2_bp is None:
+        tau2_bp = SEM_TAU2_BP  # stay pinned to the batch query's knob
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    cents = _load_centroids(spark, store_dir)
+    base = spark.read.parquet(store_dir)
+    updates_dir = store_dir.rstrip("/") + "_updates"
+    inc = assign_cells(quantize(batch_df), cents)
+    store = base
+    if update_store:
+        (inc.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(updates_dir))
+        updates = spark.read.parquet(updates_dir)
+        inc = (updates.filter(F.col("batch_id") == batch_id)
+               .drop("batch_id"))
+        store = base.unionByName(
+            updates.filter(F.col("batch_id") < batch_id)
+            .drop("batch_id"))
+    flags = semdedup_cross_flags(inc, store, tau2_bp=tau2_bp)
+    (flags.withColumn("batch_id", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id").parquet(out_dir))
+
+
+def semdedup_stream(emb: DataFrame, store_dir: str, out_dir: str,
+                    tau2_bp: int | None = None,
+                    update_store: bool = True):
+    """STREAMING semantic ingest dedup: per micro-batch, quantize the
+    incoming embeddings, assign them to the FROZEN integer-Lloyd
+    cells, and flag any with same-cell cosine ≥ τ against the
+    persisted vector store — the streaming twin of the batch
+    ``llm_semdedup`` funnel and the FOURTH member of the streaming
+    dedup family (MinHash signatures / Bloom decontamination /
+    winnowing fingerprints / semantic cells), covering the dup class
+    the lexical three cannot see: same meaning, different words.
+    ``update_store=False`` pins the static-store twin semantics.
+    Returns the DataStreamWriter (caller starts it)."""
+    def fb(batch_df: DataFrame, batch_id: int) -> None:
+        semdedup_batch(batch_df, batch_id, store_dir, out_dir,
+                       tau2_bp=tau2_bp, update_store=update_store)
+
+    return emb.writeStream.foreachBatch(fb)
