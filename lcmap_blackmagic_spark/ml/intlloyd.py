@@ -52,13 +52,24 @@ def sumsq():
 
 
 def integer_lloyd(arrq: DataFrame, cells: int, iters: int,
-                  dim: int) -> list[tuple[int, list[int]]]:
+                  dim: int, seed_smallest: bool = False
+                  ) -> list[tuple[int, list[int]]]:
     """Run ``iters`` unrolled integer Lloyd iterations over the
     (vec_id, qa) frame; returns the fitted centroids as a driver-side
-    list (a model constant, cells × dim ints)."""
+    list (a model constant, cells × dim ints).
+
+    ``seed_smallest=False`` (the exact-IVF contract) seeds from the
+    vectors whose vec_id is BELOW ``cells`` — correct on dense-from-0
+    id spaces only.  ``seed_smallest=True`` seeds from the ``cells``
+    SMALLEST vec_ids actually present (orderBy + limit) — required
+    when fitting a SUBSET (e.g. dedup survivors), whose ids are
+    neither dense nor offset-free.  Mirror the choice in the oracle
+    via ``sql_lloyd_ctes(seed_smallest=...)``."""
+    seeds = (arrq.orderBy("vec_id").limit(cells) if seed_smallest
+             else arrq.filter(F.col("vec_id") < cells))
     cents = sorted(
         (int(r["vec_id"]), [int(v) for v in r["qa"]])
-        for r in arrq.filter(F.col("vec_id") < cells).collect())
+        for r in seeds.collect())
     for _ in range(iters):
         rows = (arrq.withColumn("cell", cell_of(cents))
                 .select("cell", F.posexplode("qa").alias("i", "v"))
@@ -84,34 +95,43 @@ def sql_l2(gs: str, a: str, b: str) -> str:
 
 
 def sql_lloyd_ctes(cells: int, iters: int, dim: int, qs: int,
-                   src: str = "embeddings") -> tuple[list[str], str]:
+                   src: str = "embeddings", prefix: str = "",
+                   seed_smallest: bool = False
+                   ) -> tuple[list[str], str]:
     """The quantize + seed + unrolled-Lloyd CTE prefix; returns
     (parts, name-of-final-centroid-CTE).  Mirrors ``integer_lloyd``
     CTE-for-collect: aN = assignment, mN = sum//count update, cN =
-    update with emptied cells keeping their previous centroid."""
+    update with emptied cells keeping their previous centroid.
+    ``prefix`` namespaces the CTE names so the block composes inside
+    a larger oracle; ``seed_smallest`` mirrors integer_lloyd's
+    subset-safe seeding (ORDER BY vec_id LIMIT cells)."""
     gs = f"generate_series(1, {dim})"
     quant = (f"list_transform(embedding, x -> CAST(floor("
              f"CAST(x AS DOUBLE) * {qs}) AS BIGINT))")
-    parts = [f"q AS MATERIALIZED (SELECT vec_id, {quant} AS qa "
+    p = prefix
+    seed = (f"SELECT vec_id AS cid, qa FROM {p}q "
+            f"ORDER BY vec_id LIMIT {cells}" if seed_smallest else
+            f"SELECT vec_id AS cid, qa FROM {p}q "
+            f"WHERE vec_id < {cells}")
+    parts = [f"{p}q AS MATERIALIZED (SELECT vec_id, {quant} AS qa "
              f"FROM {src})",
-             f"c0 AS MATERIALIZED (SELECT vec_id AS cid, qa FROM q "
-             f"WHERE vec_id < {cells})"]
-    prev = "c0"
+             f"{p}c0 AS MATERIALIZED ({seed})"]
+    prev = f"{p}c0"
     for t in range(1, iters + 1):
         parts.append(
-            f"a{t} AS MATERIALIZED (SELECT vec_id, qa, cid FROM ("
+            f"{p}a{t} AS MATERIALIZED (SELECT vec_id, qa, cid FROM ("
             f"SELECT v.vec_id, v.qa, c.cid, ROW_NUMBER() OVER ("
             f"PARTITION BY v.vec_id ORDER BY {sql_l2(gs, 'v', 'c')}, "
-            f"c.cid) AS rn FROM q v, {prev} c) WHERE rn = 1)")
+            f"c.cid) AS rn FROM {p}q v, {prev} c) WHERE rn = 1)")
         parts.append(
-            f"m{t} AS MATERIALIZED (SELECT cid, "
+            f"{p}m{t} AS MATERIALIZED (SELECT cid, "
             f"list(m ORDER BY j) AS qa FROM ("
             f"SELECT a.cid, g.j, SUM(a.qa[g.j]) // COUNT(*) AS m "
-            f"FROM a{t} a CROSS JOIN {gs} AS g(j) "
+            f"FROM {p}a{t} a CROSS JOIN {gs} AS g(j) "
             f"GROUP BY a.cid, g.j) GROUP BY cid)")
         parts.append(
-            f"c{t} AS MATERIALIZED (SELECT {prev}.cid, "
-            f"COALESCE(m{t}.qa, {prev}.qa) AS qa FROM {prev} "
-            f"LEFT JOIN m{t} USING (cid))")
-        prev = f"c{t}"
+            f"{p}c{t} AS MATERIALIZED (SELECT {prev}.cid, "
+            f"COALESCE({p}m{t}.qa, {prev}.qa) AS qa FROM {prev} "
+            f"LEFT JOIN {p}m{t} USING (cid))")
+        prev = f"{p}c{t}"
     return parts, prev

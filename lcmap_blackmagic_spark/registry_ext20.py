@@ -103,26 +103,42 @@ def q_llm_semdedup(spark, sf_dir):
             .orderBy("stage_id"))
 
 
-def _sql_semdedup() -> str:
+def _sql_sem_parts(prefix: str = "", src: str = "embeddings",
+                   seed_smallest: bool = False) -> list[str]:
+    """The composable DuckDB SemDeDup block: quantize + Lloyd (from
+    ml/intlloyd) + final assignment (``<p>af``) + within-cell pairs
+    above τ (``<p>pr``) + keep-earliest drop set (``<p>dr``).  With
+    the default prefix this is exactly the standalone llm_semdedup
+    oracle's prefix; llm_curation_sem composes it (prefix 's') over
+    the lexical-dedup survivors."""
     from .ml.intlloyd import sql_l2, sql_lloyd_ctes
+    p = prefix
     gs = f"generate_series(1, {SEM_DIM})"
-    parts, prev = sql_lloyd_ctes(SEM_CELLS, SEM_ITERS, SEM_DIM, SEM_QS)
+    parts, prev = sql_lloyd_ctes(SEM_CELLS, SEM_ITERS, SEM_DIM,
+                                 SEM_QS, src=src, prefix=p,
+                                 seed_smallest=seed_smallest)
     parts.append(
-        f"af AS MATERIALIZED (SELECT vec_id, qa, cid, n2 FROM ("
+        f"{p}af AS MATERIALIZED (SELECT vec_id, qa, cid, n2 FROM ("
         f"SELECT v.vec_id, v.qa, c.cid, "
         f"list_sum(list_transform(v.qa, x -> x * x)) AS n2, "
         f"ROW_NUMBER() OVER (PARTITION BY v.vec_id "
         f"ORDER BY {sql_l2(gs, 'v', 'c')}, c.cid) AS rn "
-        f"FROM q v, {prev} c) WHERE rn = 1 AND n2 > 0)")
+        f"FROM {p}q v, {prev} c) WHERE rn = 1 AND n2 > 0)")
     dot = f"list_sum(list_transform({gs}, i -> a.qa[i] * b.qa[i]))"
     parts.append(
-        f"pr AS MATERIALIZED (SELECT ai, bi FROM ("
+        f"{p}pr AS MATERIALIZED (SELECT ai, bi FROM ("
         f"SELECT a.vec_id AS ai, b.vec_id AS bi, {dot} AS dot, "
         f"a.n2 AS a2, b.n2 AS b2 "
-        f"FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id)"
+        f"FROM {p}af a JOIN {p}af b ON a.cid = b.cid "
+        f"AND a.vec_id < b.vec_id)"
         f" WHERE dot >= 0 AND CAST(dot * dot AS HUGEINT) * 10000 >= "
         f"CAST(a2 * b2 AS HUGEINT) * {SEM_TAU2_BP})")
-    parts.append("dr AS (SELECT DISTINCT bi AS vec_id FROM pr)")
+    parts.append(f"{p}dr AS (SELECT DISTINCT bi AS vec_id FROM {p}pr)")
+    return parts
+
+
+def _sql_semdedup() -> str:
+    parts = _sql_sem_parts()
     return ("WITH " + ",\n".join(parts) + "\n"
             "SELECT 1 AS stage_id, 'vectors' AS stage, "
             "COUNT(*) AS n FROM af\n"
@@ -136,6 +152,269 @@ def _sql_semdedup() -> str:
 SQL_LLM_SEMDEDUP = _sql_semdedup()
 
 
+# --------------------------- curation with the semantic second pass -
+
+def q_llm_curation_sem(spark, sf_dir):
+    """END-TO-END modern corpus curation — ``llm_curation``'s lexical
+    pipeline with the SEMANTIC second dedup pass public LLM-corpus
+    pipelines run after MinHash (the SemDeDup position):
+
+      1. quality cut (token count in [CURATE_TOK_MIN, CURATE_TOK_MAX]),
+      2. lexical near-dup dedup: MinHash LSH pairs → connected
+         components → one representative per cluster,
+      3. SEMANTIC dedup over the lexical survivors: their embeddings
+         (vec_id = doc_id) quantized, clustered with subset-safe
+         integer Lloyd (seed_smallest — survivor ids are not dense),
+         within-cell cosine ≥ τ keep-earliest, flagged docs dropped;
+         docs with no embedding row (or a zero-norm one) pass through
+         — no vector, no semantic evidence,
+      4. decontamination: drop survivors sharing any word 5-gram with
+         the 'src0' benchmark split.
+
+    Emits the 5-stage survival funnel (docs + tokens).  Every stage
+    is integer-exact, so the WHOLE pipeline carries one composed
+    DuckDB oracle (the lexical block is llm_curation's; the semantic
+    block is llm_semdedup's, namespaced and re-pointed at the
+    survivor subset).  Scale shape: inherits each stage's argued
+    shape — banded MinHash, within-cell pairs only, broadcast
+    benchmark grams; the new joins are all keyed by doc id."""
+    from pyspark.sql import Window
+
+    from .llm.dedup import (dedup_components, minhash_pairs_staged,
+                            shingles)
+    from .llm.semdedup import assign_cells, dot_over
+    from .ml.intlloyd import integer_lloyd
+    from .registry import _staging
+    from .registry_pipelines import CURATE_TOK_MAX, CURATE_TOK_MIN
+    d = _t(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.lower(F.trim("text")), " "))
+    q = (d.withColumn("n_tok", ntok.cast("bigint"))
+         .filter(ntok.between(CURATE_TOK_MIN, CURATE_TOK_MAX)))
+
+    pairs = minhash_pairs_staged(
+        q, _staging(sf_dir, "curation_sem_minhash"), threshold=0.2)
+    comp = dedup_components(pairs, q.select("doc_id"))
+    sized = comp.join(q.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"),
+                                                "doc_id")
+    # rep_ids feeds THREE consumers (the semantic subset join, the
+    # dedup funnel row via repd, and the survivors' base) — the
+    # llm_curation checkpoint argument verbatim
+    rep_ids = (sized.select("doc_id", F.row_number().over(w).alias("rn"))
+               .filter(F.col("rn") == 1).select("doc_id")
+               .localCheckpoint())
+    repd = q.join(rep_ids, "doc_id")
+
+    emb = (_t(spark, sf_dir, "embeddings")
+           .join(rep_ids.select(F.col("doc_id").alias("vec_id")),
+                 "vec_id"))
+    staging = _staging(sf_dir, "curation_sem_arr")
+    quantize(emb).write.mode("overwrite").parquet(staging)
+    arrq = spark.read.parquet(staging)
+    cents = integer_lloyd(arrq, SEM_CELLS, SEM_ITERS, SEM_DIM,
+                          seed_smallest=True)
+    vecs = assign_cells(arrq, cents).localCheckpoint()
+    a = vecs.select(F.col("vec_id").alias("ai"),
+                    F.col("qa").alias("aq"), "cell",
+                    F.col("n2").alias("a2"))
+    b = vecs.select(F.col("vec_id").alias("bi"),
+                    F.col("qa").alias("bq"), "cell",
+                    F.col("n2").alias("b2"))
+    dropped = (a.join(b, "cell").filter(F.col("ai") < F.col("bi"))
+               .filter(sem_cond(dot_over("aq", "bq"), F.col("a2"),
+                                F.col("b2"), SEM_TAU2_BP))
+               .select(F.col("bi").alias("doc_id")).distinct())
+    semd = repd.join(dropped, "doc_id", "left_anti")
+
+    corpus = semd.filter(F.col("source") != "src0")
+    bench = (q.filter(F.col("source") == "src0")
+             .select(F.explode(shingles("text", 5)).alias("g"))
+             .distinct())
+    cont = (corpus.select("doc_id",
+                          F.explode(shingles("text", 5)).alias("g"))
+            .join(F.broadcast(bench), "g").select("doc_id").distinct())
+    clean = corpus.join(cont, "doc_id", "left_anti")
+
+    def stage(i, name, df):
+        return df.agg(F.lit(i).alias("stage_id"),
+                      F.lit(name).alias("stage"),
+                      F.count(F.lit(1)).alias("n_docs"),
+                      F.sum(F.size(F.split(F.lower(F.trim("text")), " "))
+                            .cast("bigint")).alias("n_tokens"))
+
+    return (stage(1, "start", d)
+            .unionByName(stage(2, "quality", q.drop("n_tok")))
+            .unionByName(stage(3, "dedup", repd))
+            .unionByName(stage(4, "semdedup", semd))
+            .unionByName(stage(5, "decontam", clean))
+            .orderBy("stage_id"))
+
+
+def _sql_llm_curation_sem() -> str:
+    from .registry_llm2 import sql_dedup_groups
+    from .registry_pipelines import CURATE_TOK_MAX, CURATE_TOK_MIN
+    groups = sql_dedup_groups().replace("FROM documents", "FROM qdocs")
+    gram5 = ("UNNEST(list_transform(generate_series(1, len(ws) - 4), "
+             "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' "
+             "|| ws[i+3] || ' ' || ws[i+4]))")
+    tok = "len(string_split(lower(trim(text)), ' '))"
+    sem = ",\n".join(_sql_sem_parts(
+        prefix="s",
+        src=("(SELECT e.vec_id, e.embedding FROM embeddings e "
+             "JOIN repd r ON r.doc_id = e.vec_id)"),
+        seed_smallest=True))
+    return f"""
+WITH qdocs AS (
+  SELECT * FROM documents
+  WHERE {tok} BETWEEN {CURATE_TOK_MIN} AND {CURATE_TOK_MAX}),
+comp AS (SELECT * FROM ({groups}) g),
+reps AS (
+  SELECT c.doc_id,
+         ROW_NUMBER() OVER (PARTITION BY c.component
+                            ORDER BY d.n_chars DESC, c.doc_id) AS rn
+  FROM comp c JOIN qdocs d USING (doc_id)),
+repd AS (SELECT d.* FROM qdocs d
+         JOIN reps r ON r.doc_id = d.doc_id AND r.rn = 1),
+{sem},
+semd AS (SELECT * FROM repd
+         WHERE doc_id NOT IN (SELECT vec_id FROM sdr)),
+corpus AS (SELECT * FROM semd WHERE source <> 'src0'),
+bench AS (
+  SELECT DISTINCT {gram5} AS g
+  FROM (SELECT string_split(lower(trim(text)), ' ') AS ws
+        FROM qdocs WHERE source = 'src0')),
+cont AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, {gram5} AS g
+        FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws
+              FROM corpus)) cg
+  JOIN bench USING (g)),
+clean AS (SELECT * FROM corpus
+          WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+SELECT 1 AS stage_id, 'start' AS stage, COUNT(*) AS n_docs,
+       CAST(SUM({tok}) AS BIGINT) AS n_tokens FROM documents
+UNION ALL SELECT 2, 'quality', COUNT(*), CAST(SUM({tok}) AS BIGINT)
+FROM qdocs
+UNION ALL SELECT 3, 'dedup', COUNT(*), CAST(SUM({tok}) AS BIGINT)
+FROM repd
+UNION ALL SELECT 4, 'semdedup', COUNT(*), CAST(SUM({tok}) AS BIGINT)
+FROM semd
+UNION ALL SELECT 5, 'decontam', COUNT(*), CAST(SUM({tok}) AS BIGINT)
+FROM clean
+ORDER BY stage_id
+"""
+
+
+# ------------------------------------- multi-signal dup-graph k-core
+
+KCORE_K = 16      # minimum induced degree to stay in the core
+KCORE_ROUNDS = 5  # unrolled peel rounds (fixpoint at sf0.01: round 5
+#                   re-peels 2 of 298; both engines replay the SAME
+#                   rounds, so non-convergence at another SF is still
+#                   bit-exact — the pagerank unrolling precedent)
+
+
+def q_llm_dup_kcore(spark, sf_dir):
+    """k-core decomposition of the MULTI-SIGNAL duplicate graph —
+    vertices are documents, edges the union of the three lexical
+    near-dup detectors this registry already oracle-checks (MinHash
+    LSH pairs, SimHash hamming pairs, blocked n-gram Jaccard pairs).
+    Peeling to the K-core keeps only documents embedded in DENSE dup
+    neighborhoods — template/boilerplate farms where every member has
+    ≥ K flagged partners even after weakly-attached docs are removed;
+    the standard graph signal for cluster-level (not pairwise)
+    dedup decisions.  Emits the peel profile: (round, n_core,
+    n_edges) for round 0 (the full dup graph) through KCORE_ROUNDS.
+
+    Fully oracle-checked: the three edge lists are the SAME md5-exact
+    pair queries the registry pins individually, and the peel is
+    KCORE_ROUNDS unrolled rounds (alive ← vertices whose
+    alive-induced degree ≥ K) — deterministic set arithmetic both
+    engines replay identically, converged or not.
+
+    Scale shape: each round is one equi-join of the edge list against
+    the frontier on each endpoint plus a count aggregate — no global
+    structure, shuffles keyed by doc id; the edge list is built once
+    and localCheckpointed (3 signal pipelines × 6 consumers would
+    otherwise re-run per round), and each round's frontier is
+    checkpointed (O(core) rows) because round t's plan would
+    otherwise embed TWO copies of round t−1's — the standard
+    materialize-the-frontier shape of distributed iterative graph
+    algorithms.  Peel work only ever shrinks: round t touches the
+    edges induced by round t−1's survivors."""
+    from .registry_llm import (q_minhash_pairs, q_ngram_jaccard,
+                               q_simhash_pairs)
+    mh = q_minhash_pairs(spark, sf_dir).select("id_a", "id_b")
+    sh = q_simhash_pairs(spark, sf_dir).select("id_a", "id_b")
+    ng = q_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    ep = (mh.unionByName(sh).unionByName(ng).distinct()
+          .localCheckpoint())
+    und = ep.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")) \
+        .unionByName(
+            ep.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+
+    def stage(t, alive):
+        n_core = alive.agg(F.lit(t).alias("round"),
+                           F.count(F.lit(1)).alias("n_core"))
+        n_edges = (ep.join(alive.select(F.col("u").alias("id_a")),
+                           "id_a")
+                   .join(alive.select(F.col("u").alias("id_b")), "id_b")
+                   .agg(F.lit(t).alias("round"),
+                        F.count(F.lit(1)).alias("n_edges")))
+        return n_core.join(n_edges, "round")
+
+    alive = und.select("u").distinct().localCheckpoint()
+    out = stage(0, alive)
+    for t in range(1, KCORE_ROUNDS + 1):
+        deg = (und.join(alive, "u")
+               .join(alive.select(F.col("u").alias("v")), "v")
+               .groupBy("u").agg(F.count(F.lit(1)).alias("d")))
+        alive = (deg.filter(F.col("d") >= KCORE_K).select("u")
+                 .localCheckpoint())
+        out = out.unionByName(stage(t, alive))
+    return out.orderBy("round")
+
+
+def _sql_dup_kcore() -> str:
+    from .registry_llm import (SQL_MINHASH_PAIRS, SQL_NGRAM_JACCARD,
+                               SQL_SIMHASH_PAIRS)
+    parts = [
+        f"ep AS MATERIALIZED (\n"
+        f"  SELECT id_a, id_b FROM ({SQL_MINHASH_PAIRS})\n"
+        f"  UNION SELECT id_a, id_b FROM ({SQL_SIMHASH_PAIRS})\n"
+        f"  UNION SELECT id_a, id_b FROM ({SQL_NGRAM_JACCARD}))",
+        "und AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM ep "
+        "UNION ALL SELECT id_b, id_a FROM ep)",
+        "a0 AS MATERIALIZED (SELECT DISTINCT u FROM und)",
+    ]
+    prev = "a0"
+    for t in range(1, KCORE_ROUNDS + 1):
+        parts.append(
+            f"a{t} AS MATERIALIZED (SELECT u FROM ("
+            f"SELECT g.u, COUNT(*) AS d FROM und g "
+            f"JOIN {prev} x ON g.u = x.u JOIN {prev} y ON g.v = y.u "
+            f"GROUP BY g.u) WHERE d >= {KCORE_K})")
+        prev = f"a{t}"
+    rounds = "\nUNION ALL ".join(
+        f"SELECT {t} AS round, (SELECT COUNT(*) FROM a{t}) AS n_core, "
+        f"(SELECT COUNT(*) FROM ep JOIN a{t} x ON ep.id_a = x.u "
+        f"JOIN a{t} y ON ep.id_b = y.u) AS n_edges"
+        for t in range(KCORE_ROUNDS + 1))
+    return ("WITH " + ",\n".join(parts) + "\n" + rounds
+            + "\nORDER BY round")
+
+
+SQL_LLM_DUP_KCORE = _sql_dup_kcore()
+
+
+SQL_LLM_CURATION_SEM = _sql_llm_curation_sem()
+
+
 QUERIES_EXT20: dict[str, dict] = {
-    "llm_semdedup": {"fn": q_llm_semdedup, "sql": SQL_LLM_SEMDEDUP},
+    "llm_semdedup":     {"fn": q_llm_semdedup,
+                         "sql": SQL_LLM_SEMDEDUP},
+    "llm_dup_kcore":    {"fn": q_llm_dup_kcore,
+                         "sql": SQL_LLM_DUP_KCORE},
+    "llm_curation_sem": {"fn": q_llm_curation_sem,
+                         "sql": SQL_LLM_CURATION_SEM},
 }

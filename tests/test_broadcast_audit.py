@@ -104,6 +104,9 @@ ALLOWED: dict[str, str] = {
     "registry_ext3.py:q_decontaminate:bench":
         "benchmark-split 5-grams — bounded by the held-out benchmark"
         " size (same contract as llm_curation)",
+    "registry_ext20.py:q_llm_curation_sem:bench":
+        "benchmark-split 5-grams — bounded by the held-out benchmark"
+        " size (same contract as llm_curation)",
     "storage.py:snapshot_changes:dd":
         "equality-delete key sets of ONE version range — bounded by"
         " the delta commits' own key files, not the table",

@@ -62,9 +62,13 @@ ALLOWED: dict[str, str] = {
         "Lloyd seed vectors — ≤ k rows (seed_ids has k entries)",
     'ml/kmeans.py:kmeans_fit:long.join(best.select("id", "cid"), "id") .groupBy("cid", "i") .agg(F.count(F.lit(1)).alias("n"), # same wrap risk as the E-step at corpus scale # (n·|q| can pass int64) — widen before sum F.sum(F.col("q").cast("decimal(38,0)")) .alias("s"))':
         "M-step rollup — k × dim rows, both call-site constants",
-    'ml/intlloyd.py:integer_lloyd:arrq.filter(F.col("vec_id") < cells)':
-        "Lloyd seeds — ≤ `cells` rows, a caller constant (IVX_CELLS"
-        " / SEM_CELLS)",
+    # (integer_lloyd's seed collect auto-passes: the resolved seed
+    # expression carries the ORDER BY/LIMIT branch — and the other
+    # branch, vec_id < cells, is ≤ `cells` rows by the same caller
+    # constant)
+    'streaming/jobs.py:_load_centroids:spark.read.parquet( store_dir.rstrip("/") + "_centroids")':
+        "frozen SemDeDup centroid store — SEM_CELLS × SEM_DIM ints,"
+        " a model constant persisted by build_semdedup_store",
     'ml/intlloyd.py:integer_lloyd:arrq.withColumn("cell", cell_of(cents)) .select("cell", F.posexplode("qa").alias("i", "v")) .groupBy("cell", "i") .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")) .select("cell", "i", F.expr("s div n").alias("m"))':
         "integer-Lloyd M-step — cells × dim rows, both caller"
         " constants",
