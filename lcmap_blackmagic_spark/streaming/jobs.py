@@ -1591,3 +1591,119 @@ def semdedup_stream(emb: DataFrame, store_dir: str, out_dir: str,
                        tau2_bp=tau2_bp, update_store=update_store)
 
     return emb.writeStream.foreachBatch(fb)
+
+
+# ------------------------------------ streaming curation pipeline ---
+
+def curation_batch(batch_df: DataFrame, batch_id: int,
+                   signature_dir: str, bloom_store_dir: str,
+                   dsir_store_dir: str, docs_dir: str,
+                   metrics_dir: str, tok_min: int = 30,
+                   tok_max: int = 100, threshold: float = 0.2,
+                   update_store: bool = True) -> None:
+    """One micro-batch of the COMPOSED streaming curation pipeline —
+    the streaming twin of the batch ``llm_curation`` funnel, built
+    from the family's existing per-stage members:
+
+      1. quality cut (token count in [tok_min, tok_max]),
+      2. lexical ingest dedup against the persisted MinHash
+         SIGNATURE store (ingest_dedup_batch's exactly-once updates
+         protocol: quality survivors' signatures land FIRST under
+         the batch's own partition; flags are computed against base
+         ∪ STRICTLY EARLIER batches, never the batch itself),
+      3. Bloom decontamination against the benchmark store
+         (bloom_decontam_batch's probe — flag-exact with the batch
+         query by sharing doc_hit_flags),
+      4. DSIR importance scoring of the survivors against the frozen
+         weight store (score at ingest; sample downstream).
+
+    Curated+scored docs land under ``docs_dir``'s batch partition;
+    the per-stage funnel (stage_id, stage, n_docs — the batch
+    funnel's verifiable summary, one row set per batch) lands under
+    ``metrics_dir``'s.  All sinks and the signature updates use
+    batch_id dynamic-partition overwrite, so a crash-replay rewrites
+    its own partitions byte-identically.  O(batch) work per trigger:
+    the base signature store is never re-hashed, the Bloom store is
+    a cached constant-size bitset, the DSIR table ≤ 4096 rows."""
+    from ..llm.bloomfilter import doc_hit_flags
+    from ..llm.dedup import _minhash_doc_aggregate, minhash_cross_flags
+    from ..llm.text import dsir_doc_scores
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    ntok = F.size(F.split(F.lower(F.trim("text")), " "))
+    # FIVE downstream consumers (signature hash, dedup anti-join,
+    # decontam probe, metrics, sink) — checkpoint the micro-batch's
+    # quality survivors once; batch-sized, not corpus-sized
+    q = batch_df.filter(ntok.between(tok_min, tok_max)).localCheckpoint()
+
+    base = spark.read.parquet(signature_dir)
+    updates_dir = signature_dir.rstrip("/") + "_updates"
+    inc = _minhash_doc_aggregate(q, "doc_id", "text", 3, 8)
+    store = base
+    if update_store:
+        (inc.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(updates_dir))
+        updates = spark.read.parquet(updates_dir)
+        inc = (updates.filter(F.col("batch_id") == batch_id)
+               .drop("batch_id"))
+        store = base.unionByName(
+            updates.filter(F.col("batch_id") < batch_id)
+            .drop("batch_id"))
+    flagged = minhash_cross_flags(inc, store, threshold=threshold) \
+        .select(F.col("inc_id").alias("doc_id"))
+    deduped = q.join(flagged, "doc_id", "left_anti").localCheckpoint()
+
+    bits = _load_bloom_bits(spark, bloom_store_dir)
+    hit = doc_hit_flags(deduped, bits)
+    clean = (deduped.join(hit, "doc_id", "left")
+             .filter(~F.coalesce(F.col("__hit"), F.lit(False)))
+             .drop("__hit").localCheckpoint())
+
+    wtab = spark.read.parquet(dsir_store_dir)
+    scored = clean.join(dsir_doc_scores(clean, wtab), "doc_id")
+    (scored.withColumn("batch_id", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id").parquet(docs_dir))
+
+    def stage(i, name, df):
+        return df.agg(F.lit(i).alias("stage_id"),
+                      F.lit(name).alias("stage"),
+                      F.count(F.lit(1)).alias("n_docs"))
+
+    metrics = (stage(1, "start", batch_df)
+               .unionByName(stage(2, "quality", q))
+               .unionByName(stage(3, "dedup", deduped))
+               .unionByName(stage(4, "decontam", clean)))
+    (metrics.withColumn("batch_id", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id").parquet(metrics_dir))
+
+
+def curation_stream(docs: DataFrame, signature_dir: str,
+                    bloom_store_dir: str, dsir_store_dir: str,
+                    docs_dir: str, metrics_dir: str,
+                    tok_min: int = 30, tok_max: int = 100,
+                    threshold: float = 0.2,
+                    update_store: bool = True):
+    """STREAMING corpus curation END-TO-END — quality cut → MinHash
+    ingest dedup → Bloom decontamination → DSIR scoring, composed
+    from the streaming family's per-stage members into ONE
+    foreachBatch job emitting curated+scored documents plus the
+    per-batch survival funnel.  This is the continuous form of the
+    batch ``llm_curation`` query: a corpus ingested through this
+    stream converges to the same quality/dedup/decontam decisions
+    the batch funnel makes, with each decision O(batch) per trigger
+    against persisted stores.  Returns the DataStreamWriter (caller
+    starts it)."""
+    def fb(batch_df: DataFrame, batch_id: int) -> None:
+        curation_batch(batch_df, batch_id, signature_dir,
+                       bloom_store_dir, dsir_store_dir, docs_dir,
+                       metrics_dir, tok_min=tok_min, tok_max=tok_max,
+                       threshold=threshold, update_store=update_store)
+
+    return docs.writeStream.foreachBatch(fb)
