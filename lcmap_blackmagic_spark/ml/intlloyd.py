@@ -94,7 +94,7 @@ def sql_l2(gs: str, a: str, b: str) -> str:
             f"({a}.qa[i] - {b}.qa[i]) * ({a}.qa[i] - {b}.qa[i])))")
 
 
-def sql_lloyd_ctes(cells: int, iters: int, dim: int, qs: int,
+def sql_lloyd_ctes(cells: int, iters: int, dim: int, qs: int | None,
                    src: str = "embeddings", prefix: str = "",
                    seed_smallest: bool = False
                    ) -> tuple[list[str], str]:
@@ -104,9 +104,12 @@ def sql_lloyd_ctes(cells: int, iters: int, dim: int, qs: int,
     update with emptied cells keeping their previous centroid.
     ``prefix`` namespaces the CTE names so the block composes inside
     a larger oracle; ``seed_smallest`` mirrors integer_lloyd's
-    subset-safe seeding (ORDER BY vec_id LIMIT cells)."""
+    subset-safe seeding (ORDER BY vec_id LIMIT cells).  ``qs=None``
+    means the src ALREADY provides an integer ``qa`` column (e.g. a
+    subvector slice of an earlier quantization) — no re-quantize."""
     gs = f"generate_series(1, {dim})"
-    quant = (f"list_transform(embedding, x -> CAST(floor("
+    quant = ("qa" if qs is None else
+             f"list_transform(embedding, x -> CAST(floor("
              f"CAST(x AS DOUBLE) * {qs}) AS BIGINT))")
     p = prefix
     seed = (f"SELECT vec_id AS cid, qa FROM {p}q "

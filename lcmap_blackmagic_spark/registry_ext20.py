@@ -410,6 +410,181 @@ SQL_LLM_DUP_KCORE = _sql_dup_kcore()
 SQL_LLM_CURATION_SEM = _sql_llm_curation_sem()
 
 
+# ----------------------------------------- exact-replay IVF-PQ ------
+
+PQ_M = 8       # subspaces
+PQ_DS = 8      # dims per subspace (PQ_M · PQ_DS = the embedding dim)
+PQ_CELLS = 8   # codewords per subspace (3-bit codes)
+PQ_ITERS = 2   # unrolled integer Lloyd iterations per subspace
+
+
+def q_llm_ann_ivfpq_exact(spark, sf_dir):
+    """IVF-PQ approximate nearest neighbors with a FULL oracle — the
+    memory-bounded flagship of large-scale ANN (Jégou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search"; the FAISS
+    IVF-PQ shape with by_residual=False), composed from this repo's
+    bit-exact integer machinery:
+
+      1. coarse: the exact-IVF integer-Lloyd cells (registry_ext19's
+         IVX_* config) partition the corpus; queries (every
+         IVX_STRIDE-th id) probe their IVX_PROBE nearest cells —
+         candidate generation is an equi-join on cell, never
+         all-pairs,
+      2. PQ codebooks: each of PQ_M = 8 subspaces of PQ_DS = 8 dims
+         gets its own integer Lloyd (PQ_CELLS codewords, seeds =
+         vec_ids below PQ_CELLS — dense testdata ids, so codeword
+         ids are exactly 0..PQ_CELLS−1; the element_at lookup below
+         relies on that),
+      3. encode: every corpus vector compresses to PQ_M 3-bit codes
+         (argmin exact squared-L2 per subspace, tie → smaller id) —
+         the 64·int64 vector becomes 8 small ints, the 64× memory
+         reduction that lets a 100 TB corpus's index fit in RAM,
+      4. ADC ranking: per query, a distance TABLE (its subvector's
+         exact L2² to each codeword, PQ_M × PQ_CELLS ints) is built
+         once; a candidate's asymmetric distance is the sum of 8
+         table lookups via its codes — never a full-vector distance
+         at scan time.  Top IVX_K per query by (adc, nid).
+
+    Every step is integer arithmetic both engines replay identically;
+    the oracle unrolls the coarse Lloyd + all 8 subspace Lloyds as
+    CTE pyramids (ml/intlloyd.sql_lloyd_ctes with prefixes).
+    Residual encoding (quantize x − coarse_centroid instead of x) is
+    the accuracy upgrade at the same plan shape — differences of
+    int64s stay exact — left as the documented variant.
+
+    Scale shape: codebook training collects only constants (8 ×
+    PQ_CELLS × PQ_DS ints + the coarse table); encoding is a
+    projection; the ADC join's fan-out is the probed cells'
+    population with 8-lookup per-pair cost — the reason IVF-PQ is
+    the standard at billion-vector scale."""
+    from pyspark.sql import Window
+
+    from .ml.intlloyd import cell_of, dist_to, integer_lloyd
+    from .registry import _staging
+    from .registry_ext19 import (IVX_CELLS, IVX_DIM, IVX_ITERS, IVX_K,
+                                 IVX_PROBE, IVX_QS, IVX_STRIDE)
+    e = _t(spark, sf_dir, "embeddings")
+    staging = _staging(sf_dir, "ivfpq_arr")
+    quantize(e, IVX_QS).write.mode("overwrite").parquet(staging)
+    arrq = spark.read.parquet(staging)
+
+    coarse = integer_lloyd(arrq, IVX_CELLS, IVX_ITERS, IVX_DIM)
+    subcents = []
+    for m in range(PQ_M):
+        sub = arrq.select(
+            "vec_id", F.slice("qa", m * PQ_DS + 1, PQ_DS).alias("qa"))
+        subcents.append(integer_lloyd(sub, PQ_CELLS, PQ_ITERS, PQ_DS))
+
+    def sub_col(m):
+        return F.slice(F.col("qa"), m * PQ_DS + 1, PQ_DS)
+
+    def dist_sub(c, m):
+        carr = F.array(*[F.lit(int(v)) for v in c])
+        return F.aggregate(
+            F.zip_with(sub_col(m), carr,
+                       lambda x, cv: (x - cv) * (x - cv)),
+            F.lit(0).cast("bigint"), lambda a, v: a + v)
+
+    def code_col(m):
+        return F.array_min(F.array(*[
+            F.struct(dist_sub(c, m).alias("d"),
+                     F.lit(int(cid)).alias("cid"))
+            for cid, c in subcents[m]]))["cid"]
+
+    corpus = arrq.select(
+        F.col("vec_id").alias("nid"), cell_of(coarse).alias("cell"),
+        F.array(*[code_col(m) for m in range(PQ_M)]).alias("codes"))
+
+    dtab = F.array(*[F.array(*[dist_sub(c, m) for _, c in subcents[m]])
+                     for m in range(PQ_M)])
+    pc = F.slice(F.array_sort(F.array(*[
+        F.struct(dist_to(c).alias("d"), F.lit(int(cid)).alias("cid"))
+        for cid, c in coarse])), 1, IVX_PROBE)
+    qs = (arrq.filter(F.col("vec_id") % IVX_STRIDE == 0)
+          .select(F.col("vec_id").alias("qid"), dtab.alias("dtab"),
+                  F.explode(F.transform(pc, lambda s: s["cid"]))
+                  .alias("cell")))
+    adc = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("dtab"),
+                   lambda code, row:
+                   F.element_at(row, (code + 1).cast("int"))),
+        F.lit(0).cast("bigint"), lambda a, v: a + v)
+    cand = (qs.join(corpus, "cell")
+            .filter(F.col("qid") != F.col("nid"))
+            .select("qid", "nid", adc.alias("adc")))
+    w = Window.partitionBy("qid").orderBy("adc", "nid")
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= IVX_K)
+            .select("qid", "rank", "nid", "adc"))
+
+
+def _sql_ivfpq_exact() -> str:
+    from .ml.intlloyd import sql_l2, sql_lloyd_ctes
+    from .registry_ext19 import (IVX_CELLS, IVX_DIM, IVX_ITERS, IVX_K,
+                                 IVX_PROBE, IVX_QS, IVX_STRIDE)
+    gs64 = f"generate_series(1, {IVX_DIM})"
+    gs8 = f"generate_series(1, {PQ_DS})"
+    parts, coarse = sql_lloyd_ctes(IVX_CELLS, IVX_ITERS, IVX_DIM,
+                                   IVX_QS, prefix="c")
+    subfinals = []
+    for m in range(PQ_M):
+        lo, hi = m * PQ_DS + 1, (m + 1) * PQ_DS
+        sp, sf = sql_lloyd_ctes(
+            PQ_CELLS, PQ_ITERS, PQ_DS, None,
+            src=f"(SELECT vec_id, qa[{lo}:{hi}] AS qa FROM cq)",
+            prefix=f"s{m}")
+        parts += sp
+        subfinals.append(sf)
+    # per-subspace encode: one code column per subspace, argmin with
+    # the (distance, cid) tie rule
+    for m in range(PQ_M):
+        parts.append(
+            f"e{m} AS MATERIALIZED (SELECT vec_id, cid AS code{m} "
+            f"FROM (SELECT v.vec_id, c.cid, ROW_NUMBER() OVER ("
+            f"PARTITION BY v.vec_id ORDER BY {sql_l2(gs8, 'v', 'c')}, "
+            f"c.cid) AS rn FROM s{m}q v, {subfinals[m]} c) "
+            f"WHERE rn = 1)")
+    parts.append(
+        f"af AS MATERIALIZED (SELECT vec_id AS nid, cid AS cell FROM ("
+        f"SELECT v.vec_id, c.cid, ROW_NUMBER() OVER ("
+        f"PARTITION BY v.vec_id ORDER BY {sql_l2(gs64, 'v', 'c')}, "
+        f"c.cid) AS rn FROM cq v, {coarse} c) WHERE rn = 1)")
+    parts.append(
+        f"qids AS MATERIALIZED (SELECT vec_id AS qid FROM cq "
+        f"WHERE vec_id % {IVX_STRIDE} = 0)")
+    parts.append(
+        f"pr AS MATERIALIZED (SELECT qid, cid FROM ("
+        f"SELECT v.vec_id AS qid, c.cid, ROW_NUMBER() OVER ("
+        f"PARTITION BY v.vec_id ORDER BY {sql_l2(gs64, 'v', 'c')}, "
+        f"c.cid) AS rn FROM cq v JOIN qids ON v.vec_id = qids.qid, "
+        f"{coarse} c) WHERE rn <= {IVX_PROBE})")
+    # per-query per-subspace distance tables
+    for m in range(PQ_M):
+        parts.append(
+            f"dt{m} AS MATERIALIZED (SELECT v.vec_id AS qid, c.cid, "
+            f"{sql_l2(gs8, 'v', 'c')} AS d "
+            f"FROM s{m}q v JOIN qids ON v.vec_id = qids.qid, "
+            f"{subfinals[m]} c)")
+    code_joins = " ".join(
+        f"JOIN e{m} ON e{m}.vec_id = a.nid" for m in range(PQ_M))
+    dt_joins = " ".join(
+        f"JOIN dt{m} ON dt{m}.qid = p.qid AND dt{m}.cid = e{m}.code{m}"
+        for m in range(PQ_M))
+    adc = " + ".join(f"dt{m}.d" for m in range(PQ_M))
+    parts.append(
+        f"sc AS MATERIALIZED (SELECT p.qid, a.nid, {adc} AS adc "
+        f"FROM pr p JOIN af a ON a.cell = p.cid AND a.nid <> p.qid "
+        f"{code_joins} {dt_joins})")
+    return ("WITH " + ",\n".join(parts) + "\n"
+            "SELECT qid, CAST(rn AS INT) AS rank, nid, adc FROM ("
+            "SELECT *, ROW_NUMBER() OVER (PARTITION BY qid "
+            "ORDER BY adc, nid) AS rn FROM sc) "
+            f"WHERE rn <= {IVX_K}")
+
+
+SQL_LLM_ANN_IVFPQ_EXACT = _sql_ivfpq_exact()
+
+
 QUERIES_EXT20: dict[str, dict] = {
     "llm_semdedup":     {"fn": q_llm_semdedup,
                          "sql": SQL_LLM_SEMDEDUP},
@@ -417,4 +592,6 @@ QUERIES_EXT20: dict[str, dict] = {
                          "sql": SQL_LLM_DUP_KCORE},
     "llm_curation_sem": {"fn": q_llm_curation_sem,
                          "sql": SQL_LLM_CURATION_SEM},
+    "llm_ann_ivfpq_exact": {"fn": q_llm_ann_ivfpq_exact,
+                            "sql": SQL_LLM_ANN_IVFPQ_EXACT},
 }
