@@ -1637,6 +1637,30 @@ def curation_batch(batch_df: DataFrame, batch_id: int,
     # quality survivors once; batch-sized, not corpus-sized
     q = batch_df.filter(ntok.between(tok_min, tok_max)).localCheckpoint()
 
+    def stage(i, name, df):
+        return df.agg(F.lit(i).alias("stage_id"),
+                      F.lit(name).alias("stage"),
+                      F.count(F.lit(1)).alias("n_docs"))
+
+    def write_metrics(deduped_df, clean_df):
+        metrics = (stage(1, "start", batch_df)
+                   .unionByName(stage(2, "quality", q))
+                   .unionByName(stage(3, "dedup", deduped_df))
+                   .unionByName(stage(4, "decontam", clean_df)))
+        (metrics.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(metrics_dir))
+
+    if q.isEmpty():
+        # nothing survives quality: no signatures to stage (an empty
+        # dynamic-overwrite write creates NO partition, and reading a
+        # never-created _updates dir would raise on the next batch),
+        # no docs to sink — but the funnel row set still lands, all
+        # downstream stages at zero
+        write_metrics(q, q)
+        return
+
     base = spark.read.parquet(signature_dir)
     updates_dir = signature_dir.rstrip("/") + "_updates"
     inc = _minhash_doc_aggregate(q, "doc_id", "text", 3, 8)
@@ -1669,19 +1693,7 @@ def curation_batch(batch_df: DataFrame, batch_id: int,
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("batch_id").parquet(docs_dir))
 
-    def stage(i, name, df):
-        return df.agg(F.lit(i).alias("stage_id"),
-                      F.lit(name).alias("stage"),
-                      F.count(F.lit(1)).alias("n_docs"))
-
-    metrics = (stage(1, "start", batch_df)
-               .unionByName(stage(2, "quality", q))
-               .unionByName(stage(3, "dedup", deduped))
-               .unionByName(stage(4, "decontam", clean)))
-    (metrics.withColumn("batch_id", F.lit(batch_id))
-     .write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy("batch_id").parquet(metrics_dir))
+    write_metrics(deduped, clean)
 
 
 def curation_stream(docs: DataFrame, signature_dir: str,

@@ -145,3 +145,24 @@ def test_curation_batch_replay_is_idempotent(spark, sf_dir):
     curation_batch(incoming, 0, d["signatures"], d["bloom"],
                    d["dsir"], d["out"], d["metrics"])   # crash-replay
     assert snapshot() == first
+
+
+def test_curation_batch_empty_quality_still_writes_funnel(spark, sf_dir):
+    """A micro-batch whose quality cut empties out must still land
+    its funnel rows (zeros downstream) and must NOT create an empty
+    signature _updates partition — and a following nonempty batch
+    must work (the never-created-updates-dir read was a crash)."""
+    docs, existing, incoming, d = _setup(spark, sf_dir, "curation_e_")
+    # batch 0: every doc fails the token cut (impossible bounds)
+    curation_batch(incoming, 0, d["signatures"], d["bloom"],
+                   d["dsir"], d["out"], d["metrics"],
+                   tok_min=10**6, tok_max=10**6 + 1)
+    rows = {(r["stage_id"], r["n_docs"]) for r in
+            spark.read.parquet(d["metrics"])
+            .filter(F.col("batch_id") == 0).collect()}
+    assert rows == {(1, incoming.count()), (2, 0), (3, 0), (4, 0)}
+    assert not os.path.exists(d["signatures"] + "_updates")
+    # batch 1: normal bounds — must not crash on the missing updates
+    curation_batch(incoming, 1, d["signatures"], d["bloom"],
+                   d["dsir"], d["out"], d["metrics"])
+    assert spark.read.parquet(d["out"]).count() > 0
