@@ -595,3 +595,104 @@ QUERIES_EXT20: dict[str, dict] = {
     "llm_ann_ivfpq_exact": {"fn": q_llm_ann_ivfpq_exact,
                             "sql": SQL_LLM_ANN_IVFPQ_EXACT},
 }
+
+
+# ------------------------------------- snapshot schema evolution ----
+
+EVO_SLICES = 3
+
+
+def q_snapshot_evolution(spark, sf_dir):
+    """SCHEMA EVOLUTION under the snapshot store, hash-checked
+    end-to-end: v1 overwrites (o_orderkey, cents); v2 APPENDS a
+    commit that ADDS column ``disc``; v3 appends one that adds
+    ``qty`` — additive evolution, the contract
+    ``read_snapshot(merge_schema=True)`` documents (older commits
+    read the new columns as NULL).  Each version is then read back
+    with merge_schema and aggregated: row/sum totals plus the NULL
+    back-fill counts of both evolved columns.  A reader that dropped
+    an evolved column, back-filled non-NULL, leaked a later commit
+    into an earlier version (time travel × evolution), or unioned
+    dirs positionally instead of by name could not hash-match.
+    Pre-evolution versions genuinely lack the columns (their dirs
+    predate them), so the reader treats a missing column as NULL —
+    exactly what a production consumer of an evolving table does.
+
+    Scale shape: the store's evolution is O(manifest) — no data
+    rewrite ever happens; merge_schema costs one footer read per
+    commit dir.  Re-run convention: aggregates are keyed to THIS
+    run's returned versions (the snapshot_history precedent), so a
+    second in-process run hash-matches."""
+    from .registry import _staging
+    from .storage import read_snapshot, write_snapshot
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("cents"))
+
+    def sl(s):
+        return o.filter(F.col("o_orderkey") % EVO_SLICES == s)
+
+    disc = (F.col("o_orderkey") % 97).cast("bigint").alias("disc")
+    qty = (F.col("o_orderkey") % 7).cast("bigint").alias("qty")
+    t = _staging(sf_dir, "evo_orders")
+    v1 = write_snapshot(sl(0), t, mode="overwrite",
+                        collect_stats=False)
+    v2 = write_snapshot(sl(1).select("o_orderkey", "cents", disc),
+                        t, mode="append", collect_stats=False)
+    v3 = write_snapshot(sl(2).select("o_orderkey", "cents", disc, qty),
+                        t, mode="append", collect_stats=False)
+
+    def colw(df, name):
+        return (F.col(name) if name in df.columns
+                else F.lit(None).cast("bigint"))
+
+    out = None
+    for i, v in enumerate((v1, v2, v3), start=1):
+        df = read_snapshot(spark, t, version=v, merge_schema=True)
+        part = df.agg(
+            F.lit(i).alias("step"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+            F.sum(F.when(colw(df, "disc").isNull(), 1).otherwise(0))
+            .alias("n_disc_null"),
+            F.sum(colw(df, "disc")).alias("sum_disc"),
+            F.sum(F.when(colw(df, "qty").isNull(), 1).otherwise(0))
+            .alias("n_qty_null"),
+            F.sum(colw(df, "qty")).alias("sum_qty"))
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("step")
+
+
+SQL_SNAPSHOT_EVOLUTION = f"""
+WITH c AS (
+  SELECT o_orderkey % {EVO_SLICES} AS s,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents,
+         CAST(o_orderkey % 97 AS BIGINT) AS disc,
+         CAST(o_orderkey % 7 AS BIGINT) AS qty
+  FROM orders),
+sel AS (
+  -- step 1: slice 0, neither evolved column exists (all NULL);
+  -- step 2: slices 0,1 — disc live on slice 1 only; step 3: all
+  -- slices — disc live on 1,2, qty live on 2 only
+  SELECT st.step, c.cents,
+         CASE WHEN st.step >= 2 AND c.s >= 1 THEN c.disc END AS disc,
+         CASE WHEN st.step = 3 AND c.s = 2 THEN c.qty END AS qty,
+         c.s
+  FROM (VALUES (1), (2), (3)) st(step)
+  JOIN c ON c.s < st.step)
+SELECT step,
+       COUNT(*) AS n_rows,
+       SUM(cents) AS sum_cents,
+       SUM(CASE WHEN disc IS NULL THEN 1 ELSE 0 END) AS n_disc_null,
+       SUM(disc) AS sum_disc,
+       SUM(CASE WHEN qty IS NULL THEN 1 ELSE 0 END) AS n_qty_null,
+       SUM(qty) AS sum_qty
+FROM sel GROUP BY step ORDER BY step
+"""
+
+
+QUERIES_EXT20["snapshot_evolution"] = {"fn": q_snapshot_evolution,
+                                       "sql": SQL_SNAPSHOT_EVOLUTION}
