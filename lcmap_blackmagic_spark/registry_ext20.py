@@ -576,7 +576,8 @@ def _sql_ivfpq_exact() -> str:
         f"FROM pr p JOIN af a ON a.cell = p.cid AND a.nid <> p.qid "
         f"{code_joins} {dt_joins})")
     return ("WITH " + ",\n".join(parts) + "\n"
-            "SELECT qid, CAST(rn AS INT) AS rank, nid, adc FROM ("
+            "SELECT qid, CAST(rn AS INT) AS rank, nid, "
+            "CAST(adc AS BIGINT) AS adc FROM ("
             "SELECT *, ROW_NUMBER() OVER (PARTITION BY qid "
             "ORDER BY adc, nid) AS rn FROM sc) "
             f"WHERE rn <= {IVX_K}")
@@ -685,11 +686,13 @@ sel AS (
   JOIN c ON c.s < st.step)
 SELECT step,
        COUNT(*) AS n_rows,
-       SUM(cents) AS sum_cents,
-       SUM(CASE WHEN disc IS NULL THEN 1 ELSE 0 END) AS n_disc_null,
-       SUM(disc) AS sum_disc,
-       SUM(CASE WHEN qty IS NULL THEN 1 ELSE 0 END) AS n_qty_null,
-       SUM(qty) AS sum_qty
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(SUM(CASE WHEN disc IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_disc_null,
+       CAST(SUM(disc) AS BIGINT) AS sum_disc,
+       CAST(SUM(CASE WHEN qty IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_qty_null,
+       CAST(SUM(qty) AS BIGINT) AS sum_qty
 FROM sel GROUP BY step ORDER BY step
 """
 
