@@ -469,11 +469,24 @@ def _ivfpq_topk(spark, sf_dir):
     arrq = spark.read.parquet(staging)
 
     coarse = integer_lloyd(arrq, IVX_CELLS, IVX_ITERS, IVX_DIM)
+    # the ADC lookup below maps code m -> dtab[m][code + 1]; that is
+    # only correct when codeword (and coarse-cell) ids are EXACTLY
+    # 0..CELLS-1.  The dense-id seeding guarantees it on the test
+    # tables, but on any id space missing a low vec_id the mapping
+    # would silently shift — enforce rather than document.
+    if [cid for cid, _ in coarse] != list(range(IVX_CELLS)):
+        raise ValueError("IVF-PQ coarse cell ids are not dense "
+                         "0..IVX_CELLS-1; refit with a dense id space")
     subcents = []
     for m in range(PQ_M):
         sub = arrq.select(
             "vec_id", F.slice("qa", m * PQ_DS + 1, PQ_DS).alias("qa"))
         subcents.append(integer_lloyd(sub, PQ_CELLS, PQ_ITERS, PQ_DS))
+        if [cid for cid, _ in subcents[m]] != list(range(PQ_CELLS)):
+            raise ValueError(
+                f"PQ subspace {m} codeword ids are not dense "
+                "0..PQ_CELLS-1; the ADC element_at lookup would "
+                "silently mis-map codes to distances")
 
     def sub_col(m):
         return F.slice(F.col("qa"), m * PQ_DS + 1, PQ_DS)
@@ -759,6 +772,13 @@ def q_llm_ann_recall(spark, sf_dir):
     # ground-truth corpus assignment
     arrq = spark.read.parquet(_staging(sf_dir, "ivfpq_arr"))
     coarse = integer_lloyd(arrq, IVX_CELLS, IVX_ITERS, IVX_DIM)
+    # the probe-all-cells enumeration below explodes range(IVX_CELLS);
+    # coverage is exact only when the fitted cell ids are exactly
+    # that range — enforce, don't assume (mirrors _ivfpq_topk)
+    if [cid for cid, _ in coarse] != list(range(IVX_CELLS)):
+        raise ValueError("recall ground-truth coarse cell ids are "
+                         "not dense 0..IVX_CELLS-1; corpus coverage "
+                         "of the all-cells enumeration would be lost")
     corpus = arrq.select(F.col("vec_id").alias("nid"),
                          F.col("qa").alias("nqa"),
                          cell_of(coarse).alias("cell"))

@@ -1504,13 +1504,25 @@ def build_semdedup_store(emb: DataFrame, store_dir: str) -> None:
     ``<store_dir>_centroids`` (a model constant, SEM_CELLS × SEM_DIM
     ints).  Run once or on a slow refresh cadence; the stream never
     re-fits the clustering — incoming vectors are assigned to the
-    FROZEN cells, the IVF pattern at ingest."""
+    FROZEN cells, the IVF pattern at ingest.
+
+    The store corpus is an ARBITRARY subset (dedup survivors, a
+    sampled bootstrap …), so the fit seeds from the SEM_CELLS
+    smallest vec_ids actually present (``seed_smallest=True`` —
+    intlloyd's subset contract); the dense-id default would silently
+    under-seed any id space missing low ids and fail outright on one
+    whose minimum id is ≥ SEM_CELLS."""
     from ..llm.semdedup import (SEM_CELLS, SEM_DIM, SEM_ITERS,
                                 assign_cells, quantize)
     from ..ml.intlloyd import integer_lloyd
     spark = emb.sparkSession
     arrq = quantize(emb)
-    cents = integer_lloyd(arrq, SEM_CELLS, SEM_ITERS, SEM_DIM)
+    cents = integer_lloyd(arrq, SEM_CELLS, SEM_ITERS, SEM_DIM,
+                          seed_smallest=True)
+    if len(cents) != SEM_CELLS:
+        raise ValueError(
+            f"semdedup store corpus has only {len(cents)} usable "
+            f"vectors; need at least SEM_CELLS={SEM_CELLS} to seed")
     assign_cells(arrq, cents).write.mode("overwrite").parquet(store_dir)
     spark.createDataFrame(
         [(cid, c) for cid, c in cents], "cid BIGINT, qa ARRAY<BIGINT>"
@@ -1554,6 +1566,15 @@ def semdedup_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
     base = spark.read.parquet(store_dir)
     updates_dir = store_dir.rstrip("/") + "_updates"
     inc = assign_cells(quantize(batch_df), cents)
+    if inc.isEmpty():
+        # assign_cells drops zero-norm vectors, so a nonempty batch
+        # can still produce an empty increment; writing it would
+        # create no _updates partition and the unconditional read
+        # below would raise on a never-created directory (the same
+        # hardening curation_batch carries).  Nothing to flag, and a
+        # replay of the same batch takes this branch again — still
+        # idempotent.
+        return
     store = base
     if update_store:
         (inc.withColumn("batch_id", F.lit(batch_id))
