@@ -8,6 +8,7 @@ whole plan — scan, shuffle, agg — without driver collect overhead).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -261,6 +262,38 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def clear_session_state(spark) -> None:
+    """Return the long-lived bench session to a clean state between
+    repetitions and entries.
+
+    The heavy pipeline queries `localCheckpoint()` 2-3 frames per run
+    (registry_pipelines.py:170/:218/:238/:832); each call pins RDD
+    blocks in the block manager that are freed only when the
+    ContextCleaner notices the py4j reference died — ASYNCHRONOUS
+    cleanup that lags badly on a loaded host.  Across 87 entries × 3
+    repetitions the dead blocks (plus cached plans) accumulate, and
+    the round-13 driver run showed the python-family spreads
+    degrading MONOTONICALLY within one query's 3-run loop
+    (lcmap_tile_train [3.54, 7.66, 7.91]) while run 1 matched a
+    clean-session median — median-of-3 then reports the inflated
+    middle run.  So: drop cached plans, synchronously unpersist every
+    persistent RDD (localCheckpoint blocks included), and nudge both
+    collectors so py4j-held JVM refs actually die before the next
+    timed run starts."""
+    spark.catalog.clearCache()
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in jmap.values():
+            jrdd.unpersist()            # blocking: gone BEFORE next run
+    except Exception:  # noqa: BLE001 — private API; never fail a bench
+        pass
+    gc.collect()                        # drop py4j refs driver-side
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -284,6 +317,7 @@ def main() -> None:
             materialize(QUERIES[name]["fn"](spark, warm))
         except Exception:  # noqa: BLE001 — warm fixture only; continue
             pass
+        clear_session_state(spark)
 
     # median-of-3: steady-state timing is what matters (GC pauses,
     # JIT recompiles, and first-touch parquet footer reads produced
@@ -305,9 +339,13 @@ def main() -> None:
                 t0 = time.perf_counter()
                 materialize(fn(spark, sf_dir))
                 runs.append(time.perf_counter() - t0)
+                # OUTSIDE the timed window: run 2 must start from run
+                # 1's clean state, not its leftover checkpoint blocks
+                clear_session_state(spark)
         except Exception as exc:  # noqa: BLE001
             per_query[name] = {
                 "err": f"{type(exc).__name__}: {exc}".splitlines()[0][:300]}
+            clear_session_state(spark)
             continue
         runs.sort()
         dt = round(runs[1], 3)                  # median of 3
