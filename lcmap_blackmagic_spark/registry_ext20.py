@@ -418,7 +418,9 @@ PQ_CELLS = 8   # codewords per subspace (3-bit codes)
 PQ_ITERS = 2   # unrolled integer Lloyd iterations per subspace
 
 
-def _ivfpq_topk(spark, sf_dir):
+def _ivfpq_topk(spark, sf_dir, *, source_fn=None,
+                staging_key: str = "ivfpq_arr",
+                residual: bool = False):
     """IVF-PQ approximate nearest neighbors with a FULL oracle — the
     memory-bounded flagship of large-scale ANN (Jégou et al. 2011,
     "Product Quantization for Nearest Neighbor Search"; the FAISS
@@ -448,9 +450,20 @@ def _ivfpq_topk(spark, sf_dir):
     Every step is integer arithmetic both engines replay identically;
     the oracle unrolls the coarse Lloyd + all 8 subspace Lloyds as
     CTE pyramids (ml/intlloyd.sql_lloyd_ctes with prefixes).
-    Residual encoding (quantize x − coarse_centroid instead of x) is
-    the accuracy upgrade at the same plan shape — differences of
-    int64s stay exact — left as the documented variant.
+    ``residual=True`` is that same pipeline with RESIDUAL encoding
+    (FAISS by_residual=True): the PQ codebooks are fit on — and the
+    codes/distance tables computed from — x − coarse_centroid(x)
+    instead of x, so the 8 codewords per subspace only have to span
+    a CELL's spread, not the whole space; differences of int64s stay
+    exact, so the full oracle carries over unchanged in shape.  The
+    query-side distance table then depends on the PROBED CELL (the
+    query's residual differs per cell), which is why it is computed
+    after the probe explode.
+
+    ``source_fn(spark, sf_dir) -> DataFrame[(vec_id, qa)]`` swaps the
+    corpus (already integer-quantized) — used by the clustered-
+    fixture recall entries; ``staging_key`` keeps distinct sources in
+    distinct staging tables.
 
     Scale shape: codebook training collects only constants (8 ×
     PQ_CELLS × PQ_DS ints + the coarse table); encoding is a
@@ -463,9 +476,12 @@ def _ivfpq_topk(spark, sf_dir):
     from .registry import _staging
     from .registry_ext19 import (IVX_CELLS, IVX_DIM, IVX_ITERS, IVX_K,
                                  IVX_PROBE, IVX_QS, IVX_STRIDE)
-    e = _t(spark, sf_dir, "embeddings")
-    staging = _staging(sf_dir, "ivfpq_arr")
-    quantize(e, IVX_QS).write.mode("overwrite").parquet(staging)
+    staging = _staging(sf_dir, staging_key)
+    if source_fn is None:
+        src = quantize(_t(spark, sf_dir, "embeddings"), IVX_QS)
+    else:
+        src = source_fn(spark, sf_dir)
+    src.write.mode("overwrite").parquet(staging)
     arrq = spark.read.parquet(staging)
 
     coarse = integer_lloyd(arrq, IVX_CELLS, IVX_ITERS, IVX_DIM)
@@ -477,9 +493,19 @@ def _ivfpq_topk(spark, sf_dir):
     if [cid for cid, _ in coarse] != list(range(IVX_CELLS)):
         raise ValueError("IVF-PQ coarse cell ids are not dense "
                          "0..IVX_CELLS-1; refit with a dense id space")
+    cent_arr = F.array(*[F.array(*[F.lit(int(v)) for v in c])
+                         for _, c in coarse])
+    enc = arrq.withColumn("cell", cell_of(coarse))
+    if residual:
+        # encode x − coarse_centroid(cell): the codebooks below are
+        # fit on — and the codes computed from — the residual frame
+        enc = enc.withColumn("qa", F.zip_with(
+            F.col("qa"),
+            F.element_at(cent_arr, (F.col("cell") + 1).cast("int")),
+            lambda x, c: x - c))
     subcents = []
     for m in range(PQ_M):
-        sub = arrq.select(
+        sub = enc.select(
             "vec_id", F.slice("qa", m * PQ_DS + 1, PQ_DS).alias("qa"))
         subcents.append(integer_lloyd(sub, PQ_CELLS, PQ_ITERS, PQ_DS))
         if [cid for cid, _ in subcents[m]] != list(range(PQ_CELLS)):
@@ -504,8 +530,8 @@ def _ivfpq_topk(spark, sf_dir):
                      F.lit(int(cid)).alias("cid"))
             for cid, c in subcents[m]]))["cid"]
 
-    corpus = arrq.select(
-        F.col("vec_id").alias("nid"), cell_of(coarse).alias("cell"),
+    corpus = enc.select(
+        F.col("vec_id").alias("nid"), "cell",
         F.array(*[code_col(m) for m in range(PQ_M)]).alias("codes"))
 
     dtab = F.array(*[F.array(*[dist_sub(c, m) for _, c in subcents[m]])
@@ -513,10 +539,19 @@ def _ivfpq_topk(spark, sf_dir):
     pc = F.slice(F.array_sort(F.array(*[
         F.struct(dist_to(c).alias("d"), F.lit(int(cid)).alias("cid"))
         for cid, c in coarse])), 1, IVX_PROBE)
+    # probe by the RAW query vector; under residual encoding the
+    # distance table is per (query, probed cell) — the query residual
+    # differs per cell — so dtab is evaluated AFTER the explode
     qs = (arrq.filter(F.col("vec_id") % IVX_STRIDE == 0)
-          .select(F.col("vec_id").alias("qid"), dtab.alias("dtab"),
+          .select(F.col("vec_id").alias("qid"), F.col("qa"),
                   F.explode(F.transform(pc, lambda s: s["cid"]))
                   .alias("cell")))
+    if residual:
+        qs = qs.withColumn("qa", F.zip_with(
+            F.col("qa"),
+            F.element_at(cent_arr, (F.col("cell") + 1).cast("int")),
+            lambda x, c: x - c))
+    qs = qs.select("qid", "cell", dtab.alias("dtab"))
     adc = F.aggregate(
         F.zip_with(F.col("codes"), F.col("dtab"),
                    lambda code, row:
@@ -531,22 +566,42 @@ def _ivfpq_topk(spark, sf_dir):
             .select("qid", "rank", "nid", "adc"))
 
 
-def _sql_ivfpq_parts() -> tuple[list[str], str]:
+def _sql_ivfpq_parts(src: str = "embeddings",
+                     qs_scale: int | None = None,
+                     residual: bool = False) -> tuple[list[str], str]:
     """(CTE parts, final ranked-top-k SELECT) — shared by the
-    standalone IVF-PQ oracle and the recall oracle."""
+    standalone IVF-PQ oracles and the recall oracles.  ``src`` /
+    ``qs_scale`` flow into the quantize CTE (``qs_scale=None`` means
+    the src already provides an integer ``qa``); ``residual=True``
+    mirrors ``_ivfpq_topk(residual=True)``: codebooks/codes over
+    x − coarse_centroid, per-(query, probed-cell) distance tables."""
     from .ml.intlloyd import sql_l2, sql_lloyd_ctes
     from .registry_ext19 import (IVX_CELLS, IVX_DIM, IVX_ITERS, IVX_K,
                                  IVX_PROBE, IVX_QS, IVX_STRIDE)
+    if qs_scale is None and src == "embeddings":
+        qs_scale = IVX_QS
     gs64 = f"generate_series(1, {IVX_DIM})"
     gs8 = f"generate_series(1, {PQ_DS})"
     parts, coarse = sql_lloyd_ctes(IVX_CELLS, IVX_ITERS, IVX_DIM,
-                                   IVX_QS, prefix="c")
+                                   qs_scale, src=src, prefix="c")
+    parts.append(
+        f"af AS MATERIALIZED (SELECT vec_id AS nid, cid AS cell FROM ("
+        f"SELECT v.vec_id, c.cid, ROW_NUMBER() OVER ("
+        f"PARTITION BY v.vec_id ORDER BY {sql_l2(gs64, 'v', 'c')}, "
+        f"c.cid) AS rn FROM cq v, {coarse} c) WHERE rn = 1)")
+    if residual:
+        parts.append(
+            f"rc AS MATERIALIZED (SELECT a.nid AS vec_id, "
+            f"list_transform({gs64}, j -> v.qa[j] - c.qa[j]) AS qa "
+            f"FROM af a JOIN cq v ON v.vec_id = a.nid "
+            f"JOIN {coarse} c ON c.cid = a.cell)")
+    encsrc = "rc" if residual else "cq"
     subfinals = []
     for m in range(PQ_M):
         lo, hi = m * PQ_DS + 1, (m + 1) * PQ_DS
         sp, sf = sql_lloyd_ctes(
             PQ_CELLS, PQ_ITERS, PQ_DS, None,
-            src=f"(SELECT vec_id, qa[{lo}:{hi}] AS qa FROM cq)",
+            src=f"(SELECT vec_id, qa[{lo}:{hi}] AS qa FROM {encsrc})",
             prefix=f"s{m}")
         parts += sp
         subfinals.append(sf)
@@ -560,11 +615,6 @@ def _sql_ivfpq_parts() -> tuple[list[str], str]:
             f"c.cid) AS rn FROM s{m}q v, {subfinals[m]} c) "
             f"WHERE rn = 1)")
     parts.append(
-        f"af AS MATERIALIZED (SELECT vec_id AS nid, cid AS cell FROM ("
-        f"SELECT v.vec_id, c.cid, ROW_NUMBER() OVER ("
-        f"PARTITION BY v.vec_id ORDER BY {sql_l2(gs64, 'v', 'c')}, "
-        f"c.cid) AS rn FROM cq v, {coarse} c) WHERE rn = 1)")
-    parts.append(
         f"qids AS MATERIALIZED (SELECT vec_id AS qid FROM cq "
         f"WHERE vec_id % {IVX_STRIDE} = 0)")
     parts.append(
@@ -573,18 +623,38 @@ def _sql_ivfpq_parts() -> tuple[list[str], str]:
         f"PARTITION BY v.vec_id ORDER BY {sql_l2(gs64, 'v', 'c')}, "
         f"c.cid) AS rn FROM cq v JOIN qids ON v.vec_id = qids.qid, "
         f"{coarse} c) WHERE rn <= {IVX_PROBE})")
-    # per-query per-subspace distance tables
-    for m in range(PQ_M):
+    if residual:
+        # the query's residual differs per probed cell, so the
+        # distance tables are per (qid, probed cell)
         parts.append(
-            f"dt{m} AS MATERIALIZED (SELECT v.vec_id AS qid, c.cid, "
-            f"{sql_l2(gs8, 'v', 'c')} AS d "
-            f"FROM s{m}q v JOIN qids ON v.vec_id = qids.qid, "
-            f"{subfinals[m]} c)")
+            f"rq AS MATERIALIZED (SELECT p.qid, p.cid AS pcid, "
+            f"list_transform({gs64}, j -> v.qa[j] - c.qa[j]) AS qa "
+            f"FROM pr p JOIN cq v ON v.vec_id = p.qid "
+            f"JOIN {coarse} c ON c.cid = p.cid)")
+        for m in range(PQ_M):
+            lo = m * PQ_DS
+            parts.append(
+                f"dt{m} AS MATERIALIZED (SELECT r.qid, r.pcid, c.cid, "
+                f"list_sum(list_transform({gs8}, i -> "
+                f"(r.qa[{lo} + i] - c.qa[i]) * "
+                f"(r.qa[{lo} + i] - c.qa[i]))) AS d "
+                f"FROM rq r, {subfinals[m]} c)")
+        dt_joins = " ".join(
+            f"JOIN dt{m} ON dt{m}.qid = p.qid AND dt{m}.pcid = p.cid "
+            f"AND dt{m}.cid = e{m}.code{m}" for m in range(PQ_M))
+    else:
+        # per-query per-subspace distance tables
+        for m in range(PQ_M):
+            parts.append(
+                f"dt{m} AS MATERIALIZED (SELECT v.vec_id AS qid, "
+                f"c.cid, {sql_l2(gs8, 'v', 'c')} AS d "
+                f"FROM s{m}q v JOIN qids ON v.vec_id = qids.qid, "
+                f"{subfinals[m]} c)")
+        dt_joins = " ".join(
+            f"JOIN dt{m} ON dt{m}.qid = p.qid "
+            f"AND dt{m}.cid = e{m}.code{m}" for m in range(PQ_M))
     code_joins = " ".join(
         f"JOIN e{m} ON e{m}.vec_id = a.nid" for m in range(PQ_M))
-    dt_joins = " ".join(
-        f"JOIN dt{m} ON dt{m}.qid = p.qid AND dt{m}.cid = e{m}.code{m}"
-        for m in range(PQ_M))
     adc = " + ".join(f"dt{m}.d" for m in range(PQ_M))
     parts.append(
         f"sc AS MATERIALIZED (SELECT p.qid, a.nid, {adc} AS adc "
@@ -598,8 +668,10 @@ def _sql_ivfpq_parts() -> tuple[list[str], str]:
     return parts, final
 
 
-def _sql_ivfpq_exact() -> str:
-    parts, final = _sql_ivfpq_parts()
+def _sql_ivfpq_exact(src: str = "embeddings",
+                     qs_scale: int | None = None,
+                     residual: bool = False) -> str:
+    parts, final = _sql_ivfpq_parts(src, qs_scale, residual)
     return "WITH " + ",\n".join(parts) + "\n" + final
 
 
@@ -760,17 +832,30 @@ def q_llm_ann_recall(spark, sf_dir):
     parameters recover most of the ranking — and THIS query is how
     you'd verify that before trusting the index, which is the point
     of shipping the measurement next to the index."""
+    return recall_of(spark, sf_dir)
+
+
+def recall_of(spark, sf_dir, *, source_fn=None,
+              staging_key: str = "ivfpq_arr", residual: bool = False):
+    """Recall@k harness shared by the uniform-fixture entry
+    (``llm_ann_recall``), the clustered-fixture pin
+    (``llm_ann_recall_clustered``), and the residual-encoding
+    variant (``llm_ann_recall_resid``) — see ``q_llm_ann_recall``
+    for the protocol.  Ground truth is ALWAYS exact integer L2 over
+    the raw quantized vectors; only the index under test changes."""
     from pyspark.sql import Window
 
     from .ml.intlloyd import cell_of, integer_lloyd
     from .registry import _staging
     from .registry_ext19 import (IVX_CELLS, IVX_DIM, IVX_ITERS, IVX_K,
                                  IVX_STRIDE)
-    pq = _ivfpq_topk(spark, sf_dir).select("qid", "nid")
+    pq = _ivfpq_topk(spark, sf_dir, source_fn=source_fn,
+                     staging_key=staging_key,
+                     residual=residual).select("qid", "nid")
     # the helper staged the quantized table and fit the coarse cells;
     # refit deterministically (bit-identical centroids) for the
     # ground-truth corpus assignment
-    arrq = spark.read.parquet(_staging(sf_dir, "ivfpq_arr"))
+    arrq = spark.read.parquet(_staging(sf_dir, staging_key))
     coarse = integer_lloyd(arrq, IVX_CELLS, IVX_ITERS, IVX_DIM)
     # the probe-all-cells enumeration below explodes range(IVX_CELLS);
     # coverage is exact only when the fitted cell ids are exactly
@@ -808,11 +893,13 @@ def q_llm_ann_recall(spark, sf_dir):
             .orderBy("qid"))
 
 
-def _sql_ann_recall() -> str:
+def _sql_ann_recall(src: str = "embeddings",
+                    qs_scale: int | None = None,
+                    residual: bool = False) -> str:
     from .ml.intlloyd import sql_l2
     from .registry_ext19 import IVX_DIM, IVX_K
     gs64 = f"generate_series(1, {IVX_DIM})"
-    parts, final = _sql_ivfpq_parts()
+    parts, final = _sql_ivfpq_parts(src, qs_scale, residual)
     parts.append(f"pq AS MATERIALIZED (SELECT qid, nid FROM ({final}))")
     parts.append(
         f"exd AS MATERIALIZED (SELECT v.vec_id AS qid, n.vec_id AS "

