@@ -1740,3 +1740,148 @@ def curation_stream(docs: DataFrame, signature_dir: str,
                        threshold=threshold, update_store=update_store)
 
     return docs.writeStream.foreachBatch(fb)
+
+
+# ------------------- deletion through the dedup signature stores ----
+#
+# The four streaming dedup stores (MinHash signatures, winnowing
+# fingerprints, semantic cells, Bloom decontamination) only GROW
+# through their ingest protocols; without a delete path, a
+# GDPR-deleted document's signatures keep suppressing future
+# near-dups forever.  The jobs below are the engine-side completion
+# of gdpr_delete_stream: run them with the owning stream quiesced
+# (between triggers or stopped — the same discipline as any offline
+# compaction), and the next micro-batch flags EXACTLY as if the
+# deleted documents had never been ingested (pinned by
+# tests/test_store_delete.py against a recompute from the surviving
+# corpus).
+
+
+def store_delete(spark: SparkSession, store_dir: str, ids,
+                 id_col: str) -> dict:
+    """Remove every row of ``store_dir`` (and, if present, of its
+    ``<store_dir>_updates`` batch-partitioned sibling) whose
+    ``id_col`` is in ``ids`` (an iterable or a one-column DataFrame).
+
+    Scale shape: the BASE rewrite is O(store) — unavoidable for a
+    flat parquet store; it lands in ``<store_dir>_pending`` first and
+    swaps in with two directory renames (on an object store this
+    swap is the snapshot store's MERGE/equality-delete commit — see
+    storage.py — which is the right tool once the store outgrows a
+    flat directory).  The UPDATES rewrite is O(affected partitions)
+    only: batch partitions containing none of the ids are never read
+    past their footers, surviving rows of affected partitions are
+    re-written through dynamic partition overwrite, and partitions
+    emptied entirely are dropped explicitly (dynamic overwrite
+    leaves a partition it writes no rows for untouched — the classic
+    silent-resurrection bug).
+
+    Replay-idempotent: deleting ids already gone is a no-op, so a
+    crashed-and-rerun delete job converges to the identical store.
+    Returns {"base_removed": n, "updates_removed": m}."""
+    import os as _os
+    import shutil as _shutil
+
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame(
+            [(int(i),) for i in ids], f"{id_col} BIGINT")
+    idsd = ids.select(id_col).distinct().localCheckpoint()
+
+    base = spark.read.parquet(store_dir)
+    kept = base.join(idsd, id_col, "left_anti")
+    n_base = base.count()
+    pending = store_dir.rstrip("/") + "_pending"
+    kept.write.mode("overwrite").parquet(pending)
+    removed_base = n_base - spark.read.parquet(pending).count()
+    trash = store_dir.rstrip("/") + "_trash"
+    _shutil.rmtree(trash, ignore_errors=True)
+    _os.rename(store_dir, trash)
+    _os.rename(pending, store_dir)
+    _shutil.rmtree(trash)
+
+    removed_upd = 0
+    updates_dir = store_dir.rstrip("/") + "_updates"
+    if _os.path.isdir(updates_dir):
+        upd = spark.read.parquet(updates_dir)
+        affected = sorted(
+            r["batch_id"] for r in upd.join(idsd, id_col, "semi")
+            .select("batch_id").distinct().collect())
+        if affected:
+            hit = upd.filter(F.col("batch_id").isin(affected))
+            n_aff = hit.count()
+            # materialize BEFORE the dynamic overwrite reads race
+            # with the rewrite of their own partitions
+            kept_upd = hit.join(idsd, id_col, "left_anti") \
+                          .localCheckpoint()
+            removed_upd = n_aff - kept_upd.count()
+            survivors = {r["batch_id"] for r in kept_upd
+                         .select("batch_id").distinct().collect()}
+            if survivors:
+                (kept_upd.write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("batch_id").parquet(updates_dir))
+            for bid in affected:
+                if bid not in survivors:
+                    _shutil.rmtree(
+                        _os.path.join(updates_dir, f"batch_id={bid}"),
+                        ignore_errors=True)
+            # an updates dir with NO partitions left is unreadable
+            # (schema inference fails on it) — drop it entirely,
+            # restoring the pre-first-batch state every ingest job
+            # already handles (the next batch's write recreates it)
+            if not any(e.name.startswith("batch_id=")
+                       for e in _os.scandir(updates_dir)):
+                _shutil.rmtree(updates_dir)
+    return {"base_removed": removed_base,
+            "updates_removed": removed_upd}
+
+
+def minhash_store_delete(spark: SparkSession, signature_dir: str,
+                         doc_ids) -> dict:
+    """Delete documents from the MinHash SIGNATURE store
+    (ingest_dedup_stream's state): one (doc_id, m0..mB, si) row per
+    doc in base and updates — a plain id filter removes every trace,
+    so the next batch's LSH banding and exact-Jaccard verify behave
+    as if the docs were never hashed."""
+    return store_delete(spark, signature_dir, doc_ids, "doc_id")
+
+
+def winnow_store_delete(spark: SparkSession, store_dir: str,
+                        doc_ids) -> dict:
+    """Delete documents from the winnowing FINGERPRINT store
+    (winnow_dedup_stream's state): a doc owns multiple (doc_id, fp)
+    rows; the id filter removes them all, so a future doc sharing
+    only the deleted doc's runs is no longer flagged (and the store-
+    side df-cap in winnow_cross_flags sees the lower true df)."""
+    return store_delete(spark, store_dir, doc_ids, "doc_id")
+
+
+def semdedup_store_delete(spark: SparkSession, store_dir: str,
+                          vec_ids) -> dict:
+    """Delete vectors from the SEMANTIC store (semdedup_stream's
+    state): removes the (vec_id, qa, cell, n2) rows from base and
+    updates.  The FROZEN centroid table (<store_dir>_centroids) is
+    deliberately untouched: the cells are a fitted model constant —
+    the IVF contract — and future assignments must stay consistent
+    with the vectors already filed under them; deletion changes what
+    a probe can MATCH, never where a vector files."""
+    return store_delete(spark, store_dir, vec_ids, "vec_id")
+
+
+def bloom_store_rebuild(surviving_docs: DataFrame,
+                        store_dir: str) -> None:
+    """The deletion answer for the Bloom decontamination store is a
+    REBUILD from the surviving benchmark corpus: a standard Bloom
+    filter cannot unset a bit (each bit is the OR of every inserted
+    key's hashes — clearing one would also delete the other keys
+    that set it).  The two textbook options are (a) rebuild — O(|
+    surviving corpus|), exact, chosen here because the store is
+    kilobytes and the corpus pass is one shingle explode — or (b) a
+    counting Bloom filter (per-slot counters instead of bits,
+    decrement on delete), which quadruples-or-worse the store for a
+    delete path that still needs the false-positive audit after
+    heavy churn.  Rebuild keeps ``bloom_decontam_batch`` exact-as-
+    if-never-inserted (pinned in tests/test_store_delete.py), and
+    the mtime-keyed _BLOOM_STORE_CACHE picks the new table up on the
+    next batch without a process restart."""
+    build_bloom_store(surviving_docs, store_dir)
