@@ -39,6 +39,16 @@ ENGINE_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # the engine's celled joins (SemDeDup / IVF / IVF-PQ candidate
+    # generation) are equi-joins on cell FOLLOWED by a same-key
+    # aggregation; in that shape OptimizeSkewedJoin declines to split
+    # a hot cell because the split breaks the downstream distribution
+    # requirement (measured round 14 — tests/test_hot_cell_skew.py
+    # pins both behaviors).  Forcing the split re-shuffles the join
+    # output once, which is the right trade exactly when one cell
+    # holds a disproportionate share of the corpus; with no skewed
+    # partition detected this config changes nothing.
+    "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     # dynamic partition overwrite = the reference's delete-then-write
