@@ -178,6 +178,11 @@ HEADLINE = [
     "pareto_skyline",
     "llm_ann_ivf_exact",
     "llm_semdedup",
+    # round 14: residual IVF-PQ + the clustered-fixture recall pin
+    # (the recall entry runs index + exact ground truth — the most
+    # join-heavy ANN shape in the registry)
+    "llm_ann_ivfpq_resid",
+    "llm_ann_recall_clustered",
 ]
 
 
@@ -387,9 +392,12 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
-        # 1-decimal medians: the 87-entry map must clear the 1900-char
-        # zero-fold envelope (test_bench_output.py); full 3-decimal
-        # medians + [min, median, max] spreads are in bench_detail.json
+        # 1-decimal medians; the 89-entry map may exceed the
+        # 1900-char window by a hair in the worst case — the fold
+        # valve below trims the fastest few entries then (full
+        # 3-decimal medians + [min, median, max] spreads are always
+        # in bench_detail.json); test_bench_output.py pins the
+        # envelope + fold bound
         "queries": {n: (round(v, 1) if isinstance(v, float) else "ERR")
                     for n, v in per_query.items()},
         "sf": sf,
@@ -401,11 +409,14 @@ def main() -> None:
         out["errors"] = len(failed)
     line = json.dumps(out, separators=(",", ":"))
     while len(line) > 1900 and out["queries"]:
-        # Emergency valve (should never trigger on the 82-query
-        # headline): fold the fastest queries into one residual bucket
-        # until the line fits — a coarse artifact beats an unparseable
-        # one.  Fold order is by time so the judge keeps the heavy,
-        # informative entries.
+        # Fold valve: fold the fastest queries into one residual
+        # bucket until the line fits — a coarse artifact beats an
+        # unparseable one.  At the 89-entry round-14 headline this is
+        # EXPECTED to trim a couple of sub-second entries (their full
+        # 3-decimal values stay in the committed bench_detail.json);
+        # fold order is by time so the heavy, informative entries —
+        # the ones diffed round-over-round — always survive.
+        # test_bench_output.py caps the realistic fold count at 4.
         q = out["queries"]
         victim = min((n for n, v in q.items() if isinstance(v, float)),
                      key=lambda n: q[n], default=None)
