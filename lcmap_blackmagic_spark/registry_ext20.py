@@ -418,9 +418,12 @@ PQ_CELLS = 8   # codewords per subspace (3-bit codes)
 PQ_ITERS = 2   # unrolled integer Lloyd iterations per subspace
 
 
+PQ_REFINE = 12  # exact-rerank shortlist size (4 × IVX_K)
+
+
 def _ivfpq_topk(spark, sf_dir, *, source_fn=None,
                 staging_key: str = "ivfpq_arr",
-                residual: bool = False):
+                residual: bool = False, refine: int = 0):
     """IVF-PQ approximate nearest neighbors with a FULL oracle — the
     memory-bounded flagship of large-scale ANN (Jégou et al. 2011,
     "Product Quantization for Nearest Neighbor Search"; the FAISS
@@ -464,6 +467,19 @@ def _ivfpq_topk(spark, sf_dir, *, source_fn=None,
     corpus (already integer-quantized) — used by the clustered-
     fixture recall entries; ``staging_key`` keeps distinct sources in
     distinct staging tables.
+
+    ``refine=R`` adds the third standard accuracy knob (FAISS
+    IndexRefine): keep the top R candidates per query by ADC, then
+    re-rank the shortlist by EXACT integer L2 on the stored vectors
+    and emit the top k of that.  Per query the exact work is R
+    distances instead of |corpus| — the re-rank join is an equi-join
+    of an |queries|·R shortlist against the vector table.  Output
+    column ``d`` is then the exact distance (``adc`` otherwise).
+    Refined recall dominates unrefined BY CONSTRUCTION: any true
+    neighbor that survives into the shortlist is, by definition of
+    "true neighbor", among the shortlist's k exactly-smallest
+    distances — so refinement can only add hits (pinned as a
+    per-query inequality in tests/test_ann_clustered.py).
 
     Scale shape: codebook training collects only constants (8 ×
     PQ_CELLS × PQ_DS ints + the coarse table); encoding is a
@@ -561,14 +577,32 @@ def _ivfpq_topk(spark, sf_dir, *, source_fn=None,
             .filter(F.col("qid") != F.col("nid"))
             .select("qid", "nid", adc.alias("adc")))
     w = Window.partitionBy("qid").orderBy("adc", "nid")
-    return (cand.withColumn("rank", F.row_number().over(w))
+    if not refine:
+        return (cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= IVX_K)
+                .select("qid", "rank", "nid", "adc"))
+    shortlist = (cand.withColumn("rr", F.row_number().over(w))
+                 .filter(F.col("rr") <= refine).select("qid", "nid"))
+    qv = arrq.select(F.col("vec_id").alias("qid"),
+                     F.col("qa").alias("qqa"))
+    nv = arrq.select(F.col("vec_id").alias("nid"),
+                     F.col("qa").alias("nqa"))
+    exact = F.aggregate(
+        F.zip_with(F.col("qqa"), F.col("nqa"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"), lambda a, v: a + v)
+    rer = (shortlist.join(qv, "qid").join(nv, "nid")
+           .select("qid", "nid", exact.alias("d")))
+    wr = Window.partitionBy("qid").orderBy("d", "nid")
+    return (rer.withColumn("rank", F.row_number().over(wr))
             .filter(F.col("rank") <= IVX_K)
-            .select("qid", "rank", "nid", "adc"))
+            .select("qid", "rank", "nid", "d"))
 
 
 def _sql_ivfpq_parts(src: str = "embeddings",
                      qs_scale: int | None = None,
-                     residual: bool = False) -> tuple[list[str], str]:
+                     residual: bool = False,
+                     refine: int = 0) -> tuple[list[str], str]:
     """(CTE parts, final ranked-top-k SELECT) — shared by the
     standalone IVF-PQ oracles and the recall oracles.  ``src`` /
     ``qs_scale`` flow into the quantize CTE (``qs_scale=None`` means
@@ -660,18 +694,35 @@ def _sql_ivfpq_parts(src: str = "embeddings",
         f"sc AS MATERIALIZED (SELECT p.qid, a.nid, {adc} AS adc "
         f"FROM pr p JOIN af a ON a.cell = p.cid AND a.nid <> p.qid "
         f"{code_joins} {dt_joins})")
-    final = ("SELECT qid, CAST(rn AS INT) AS rank, nid, "
-             "CAST(adc AS BIGINT) AS adc FROM ("
-             "SELECT *, ROW_NUMBER() OVER (PARTITION BY qid "
-             "ORDER BY adc, nid) AS rn FROM sc) "
-             f"WHERE rn <= {IVX_K}")
+    if refine:
+        parts.append(
+            f"sl AS MATERIALIZED (SELECT qid, nid FROM ("
+            f"SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid "
+            f"ORDER BY adc, nid) AS rr FROM sc) WHERE rr <= {refine})")
+        parts.append(
+            f"rf AS MATERIALIZED (SELECT s.qid, s.nid, "
+            f"{sql_l2(gs64, 'v', 'n')} AS d FROM sl s "
+            f"JOIN cq v ON v.vec_id = s.qid "
+            f"JOIN cq n ON n.vec_id = s.nid)")
+        final = ("SELECT qid, CAST(rn AS INT) AS rank, nid, "
+                 "CAST(d AS BIGINT) AS d FROM ("
+                 "SELECT *, ROW_NUMBER() OVER (PARTITION BY qid "
+                 "ORDER BY d, nid) AS rn FROM rf) "
+                 f"WHERE rn <= {IVX_K}")
+    else:
+        final = ("SELECT qid, CAST(rn AS INT) AS rank, nid, "
+                 "CAST(adc AS BIGINT) AS adc FROM ("
+                 "SELECT *, ROW_NUMBER() OVER (PARTITION BY qid "
+                 "ORDER BY adc, nid) AS rn FROM sc) "
+                 f"WHERE rn <= {IVX_K}")
     return parts, final
 
 
 def _sql_ivfpq_exact(src: str = "embeddings",
                      qs_scale: int | None = None,
-                     residual: bool = False) -> str:
-    parts, final = _sql_ivfpq_parts(src, qs_scale, residual)
+                     residual: bool = False,
+                     refine: int = 0) -> str:
+    parts, final = _sql_ivfpq_parts(src, qs_scale, residual, refine)
     return "WITH " + ",\n".join(parts) + "\n" + final
 
 
@@ -836,7 +887,8 @@ def q_llm_ann_recall(spark, sf_dir):
 
 
 def recall_of(spark, sf_dir, *, source_fn=None,
-              staging_key: str = "ivfpq_arr", residual: bool = False):
+              staging_key: str = "ivfpq_arr", residual: bool = False,
+              refine: int = 0):
     """Recall@k harness shared by the uniform-fixture entry
     (``llm_ann_recall``), the clustered-fixture pin
     (``llm_ann_recall_clustered``), and the residual-encoding
@@ -850,8 +902,8 @@ def recall_of(spark, sf_dir, *, source_fn=None,
     from .registry_ext19 import (IVX_CELLS, IVX_DIM, IVX_ITERS, IVX_K,
                                  IVX_STRIDE)
     pq = _ivfpq_topk(spark, sf_dir, source_fn=source_fn,
-                     staging_key=staging_key,
-                     residual=residual).select("qid", "nid")
+                     staging_key=staging_key, residual=residual,
+                     refine=refine).select("qid", "nid")
     # the helper staged the quantized table and fit the coarse cells;
     # refit deterministically (bit-identical centroids) for the
     # ground-truth corpus assignment
@@ -895,11 +947,12 @@ def recall_of(spark, sf_dir, *, source_fn=None,
 
 def _sql_ann_recall(src: str = "embeddings",
                     qs_scale: int | None = None,
-                    residual: bool = False) -> str:
+                    residual: bool = False,
+                    refine: int = 0) -> str:
     from .ml.intlloyd import sql_l2
     from .registry_ext19 import IVX_DIM, IVX_K
     gs64 = f"generate_series(1, {IVX_DIM})"
-    parts, final = _sql_ivfpq_parts(src, qs_scale, residual)
+    parts, final = _sql_ivfpq_parts(src, qs_scale, residual, refine)
     parts.append(f"pq AS MATERIALIZED (SELECT qid, nid FROM ({final}))")
     parts.append(
         f"exd AS MATERIALIZED (SELECT v.vec_id AS qid, n.vec_id AS "

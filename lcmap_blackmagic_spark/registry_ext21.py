@@ -18,6 +18,11 @@ story, measured instead of argued:
   same clustered fixture — the paired measurement showing residual
   encoding is never worse at the same probe budget (pinned by
   tests/test_ann_clustered.py).
+- ``llm_ann_recall_refine``: exact re-ranking of the ADC shortlist
+  (FAISS IndexRefine), completing the measured accuracy ladder —
+  quantization misses are recoverable by better codes OR exact
+  re-ranking (both 8666 → 9333 bp); what remains is the
+  coarse-coverage ceiling only more probes can move.
 
 The clustered fixture derives from the EXISTING embeddings table
 (row count scales with SF) using only md5 arithmetic both engines
@@ -38,7 +43,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .registry import _t
-from .registry_ext20 import _sql_ann_recall, _sql_ivfpq_exact, recall_of
+from .registry_ext20 import (PQ_REFINE, _sql_ann_recall,
+                             _sql_ivfpq_exact, recall_of)
 
 CLU_GROUP = 4      # vectors per near-dup group (vec_id div 4)
 CLU_SPAN = 2001    # center coordinates in [-1000, 1000]
@@ -119,6 +125,28 @@ def q_llm_ann_recall_resid(spark, sf_dir):
                      staging_key="ivfpq_clu_arr", residual=True)
 
 
+def q_llm_ann_recall_refine(spark, sf_dir):
+    """Recall@k of the PLAIN IVF-PQ index plus exact re-ranking of
+    the top PQ_REFINE ADC candidates (FAISS IndexRefine) on the
+    clustered fixture — the third standard accuracy knob, measured.
+    Refinement re-ranks a query's OWN candidate set by exact
+    distance, so per query it can only add hits (the inequality
+    tests/test_ann_clustered.py pins); on this fixture it recovers
+    every one of the plain index's ADC-ranking misses: 8666 bp →
+    9333 bp, the same ceiling residual encoding reaches.  9333 is
+    the COARSE-COVERAGE ceiling — the remaining misses are true
+    neighbors in unprobed cells (at noise ±450 a group can straddle
+    a cell boundary), which no encoding or re-ranking can recover at
+    IVX_PROBE=2; measured directly: residual+refine also lands on
+    9333 bp.  The complete measured ladder at one probe budget:
+    quantization misses (plain 8666) are recoverable by better codes
+    (residual 9333) OR by exact re-ranking (refine 9333); coverage
+    misses need more probes.  Per query the exact work is PQ_REFINE
+    distances, not |corpus|."""
+    return recall_of(spark, sf_dir, source_fn=clustered_embeddings,
+                     staging_key="ivfpq_clu_arr", refine=PQ_REFINE)
+
+
 def q_llm_ann_ivfpq_resid(spark, sf_dir):
     """Residual-encoding IVF-PQ top-k on the standard embeddings
     table — ``llm_ann_ivfpq_exact`` with by_residual=True; see
@@ -139,4 +167,8 @@ QUERIES_EXT21: dict[str, dict] = {
         "fn": q_llm_ann_recall_resid,
         "sql": _sql_ann_recall(src=SQL_CLU_SRC, qs_scale=None,
                                residual=True)},
+    "llm_ann_recall_refine": {
+        "fn": q_llm_ann_recall_refine,
+        "sql": _sql_ann_recall(src=SQL_CLU_SRC, qs_scale=None,
+                               refine=PQ_REFINE)},
 }

@@ -40,3 +40,19 @@ def test_residual_recall_at_least_plain(spark, sf_dir):
     assert resid >= plain, (
         f"residual encoding ranked WORSE than plain ({resid} vs "
         f"{plain} bp) at the same probe budget")
+
+
+def test_refine_recall_dominates_plain_per_query(spark, sf_dir):
+    """Exact re-ranking re-orders a query's OWN candidate set by true
+    distance, so its hits are a superset of the ADC ranking's hits —
+    a PER-QUERY guarantee, not a fixture accident.  On this fixture
+    it also strictly lifts the mean (plain's misses at noise ±450
+    are ADC-ranking misses; what remains at 9333 bp is the
+    coarse-coverage ceiling, measured in the query docstring)."""
+    plain = {r["qid"]: r["hits"] for r in QUERIES[
+        "llm_ann_recall_clustered"]["fn"](spark, sf_dir).collect()}
+    refined = {r["qid"]: r["hits"] for r in QUERIES[
+        "llm_ann_recall_refine"]["fn"](spark, sf_dir).collect()}
+    assert set(refined) == set(plain)
+    assert all(refined[q] >= plain[q] for q in plain)
+    assert sum(refined.values()) > sum(plain.values())
