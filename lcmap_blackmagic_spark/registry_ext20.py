@@ -423,7 +423,8 @@ PQ_REFINE = 12  # exact-rerank shortlist size (4 × IVX_K)
 
 def _ivfpq_topk(spark, sf_dir, *, source_fn=None,
                 staging_key: str = "ivfpq_arr",
-                residual: bool = False, refine: int = 0):
+                residual: bool = False, refine: int = 0,
+                probe: int | None = None):
     """IVF-PQ approximate nearest neighbors with a FULL oracle — the
     memory-bounded flagship of large-scale ANN (Jégou et al. 2011,
     "Product Quantization for Nearest Neighbor Search"; the FAISS
@@ -492,6 +493,8 @@ def _ivfpq_topk(spark, sf_dir, *, source_fn=None,
     from .registry import _staging
     from .registry_ext19 import (IVX_CELLS, IVX_DIM, IVX_ITERS, IVX_K,
                                  IVX_PROBE, IVX_QS, IVX_STRIDE)
+    if probe is None:
+        probe = IVX_PROBE
     staging = _staging(sf_dir, staging_key)
     if source_fn is None:
         src = quantize(_t(spark, sf_dir, "embeddings"), IVX_QS)
@@ -554,7 +557,7 @@ def _ivfpq_topk(spark, sf_dir, *, source_fn=None,
                      for m in range(PQ_M)])
     pc = F.slice(F.array_sort(F.array(*[
         F.struct(dist_to(c).alias("d"), F.lit(int(cid)).alias("cid"))
-        for cid, c in coarse])), 1, IVX_PROBE)
+        for cid, c in coarse])), 1, probe)
     # probe by the RAW query vector; under residual encoding the
     # distance table is per (query, probed cell) — the query residual
     # differs per cell — so dtab is evaluated AFTER the explode
@@ -602,7 +605,8 @@ def _ivfpq_topk(spark, sf_dir, *, source_fn=None,
 def _sql_ivfpq_parts(src: str = "embeddings",
                      qs_scale: int | None = None,
                      residual: bool = False,
-                     refine: int = 0) -> tuple[list[str], str]:
+                     refine: int = 0,
+                     probe: int | None = None) -> tuple[list[str], str]:
     """(CTE parts, final ranked-top-k SELECT) — shared by the
     standalone IVF-PQ oracles and the recall oracles.  ``src`` /
     ``qs_scale`` flow into the quantize CTE (``qs_scale=None`` means
@@ -614,6 +618,8 @@ def _sql_ivfpq_parts(src: str = "embeddings",
                                  IVX_PROBE, IVX_QS, IVX_STRIDE)
     if qs_scale is None and src == "embeddings":
         qs_scale = IVX_QS
+    if probe is None:
+        probe = IVX_PROBE
     gs64 = f"generate_series(1, {IVX_DIM})"
     gs8 = f"generate_series(1, {PQ_DS})"
     parts, coarse = sql_lloyd_ctes(IVX_CELLS, IVX_ITERS, IVX_DIM,
@@ -656,7 +662,7 @@ def _sql_ivfpq_parts(src: str = "embeddings",
         f"SELECT v.vec_id AS qid, c.cid, ROW_NUMBER() OVER ("
         f"PARTITION BY v.vec_id ORDER BY {sql_l2(gs64, 'v', 'c')}, "
         f"c.cid) AS rn FROM cq v JOIN qids ON v.vec_id = qids.qid, "
-        f"{coarse} c) WHERE rn <= {IVX_PROBE})")
+        f"{coarse} c) WHERE rn <= {probe})")
     if residual:
         # the query's residual differs per probed cell, so the
         # distance tables are per (qid, probed cell)
@@ -721,8 +727,10 @@ def _sql_ivfpq_parts(src: str = "embeddings",
 def _sql_ivfpq_exact(src: str = "embeddings",
                      qs_scale: int | None = None,
                      residual: bool = False,
-                     refine: int = 0) -> str:
-    parts, final = _sql_ivfpq_parts(src, qs_scale, residual, refine)
+                     refine: int = 0,
+                     probe: int | None = None) -> str:
+    parts, final = _sql_ivfpq_parts(src, qs_scale, residual, refine,
+                                    probe)
     return "WITH " + ",\n".join(parts) + "\n" + final
 
 
@@ -888,7 +896,7 @@ def q_llm_ann_recall(spark, sf_dir):
 
 def recall_of(spark, sf_dir, *, source_fn=None,
               staging_key: str = "ivfpq_arr", residual: bool = False,
-              refine: int = 0):
+              refine: int = 0, probe: int | None = None):
     """Recall@k harness shared by the uniform-fixture entry
     (``llm_ann_recall``), the clustered-fixture pin
     (``llm_ann_recall_clustered``), and the residual-encoding
@@ -903,7 +911,7 @@ def recall_of(spark, sf_dir, *, source_fn=None,
                                  IVX_STRIDE)
     pq = _ivfpq_topk(spark, sf_dir, source_fn=source_fn,
                      staging_key=staging_key, residual=residual,
-                     refine=refine).select("qid", "nid")
+                     refine=refine, probe=probe).select("qid", "nid")
     # the helper staged the quantized table and fit the coarse cells;
     # refit deterministically (bit-identical centroids) for the
     # ground-truth corpus assignment
@@ -948,11 +956,13 @@ def recall_of(spark, sf_dir, *, source_fn=None,
 def _sql_ann_recall(src: str = "embeddings",
                     qs_scale: int | None = None,
                     residual: bool = False,
-                    refine: int = 0) -> str:
+                    refine: int = 0,
+                    probe: int | None = None) -> str:
     from .ml.intlloyd import sql_l2
     from .registry_ext19 import IVX_DIM, IVX_K
     gs64 = f"generate_series(1, {IVX_DIM})"
-    parts, final = _sql_ivfpq_parts(src, qs_scale, residual, refine)
+    parts, final = _sql_ivfpq_parts(src, qs_scale, residual, refine,
+                                    probe)
     parts.append(f"pq AS MATERIALIZED (SELECT qid, nid FROM ({final}))")
     parts.append(
         f"exd AS MATERIALIZED (SELECT v.vec_id AS qid, n.vec_id AS "

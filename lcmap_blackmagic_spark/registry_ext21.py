@@ -147,6 +147,24 @@ def q_llm_ann_recall_refine(spark, sf_dir):
                      staging_key="ivfpq_clu_arr", refine=PQ_REFINE)
 
 
+def q_llm_ann_recall_probe4(spark, sf_dir):
+    """Recall@k at a DOUBLED probe budget (IVX_PROBE 2 → 4) with
+    exact re-ranking, on the clustered fixture — the measured proof
+    of the coverage-ceiling diagnosis: the misses that survive every
+    encoding/re-ranking improvement at probe=2 are true neighbors in
+    unprobed cells, and only probing more cells moves them.  The
+    full measured ladder (sf0.01, refine=12): probe 1 → 7000 bp,
+    2 → 9333, 4 → 9667, 8 (all cells) → 10000 — graceful, monotone
+    degradation toward exact search, the operating curve an ANN
+    deployment tunes against.  Work scales linearly with probe: the
+    candidate join fans out to probe/IVX_CELLS of the corpus per
+    query."""
+    from .registry_ext20 import PQ_REFINE
+    return recall_of(spark, sf_dir, source_fn=clustered_embeddings,
+                     staging_key="ivfpq_clu_arr", refine=PQ_REFINE,
+                     probe=4)
+
+
 def q_llm_ann_ivfpq_resid(spark, sf_dir):
     """Residual-encoding IVF-PQ top-k on the standard embeddings
     table — ``llm_ann_ivfpq_exact`` with by_residual=True; see
@@ -171,4 +189,8 @@ QUERIES_EXT21: dict[str, dict] = {
         "fn": q_llm_ann_recall_refine,
         "sql": _sql_ann_recall(src=SQL_CLU_SRC, qs_scale=None,
                                refine=PQ_REFINE)},
+    "llm_ann_recall_probe4": {
+        "fn": q_llm_ann_recall_probe4,
+        "sql": _sql_ann_recall(src=SQL_CLU_SRC, qs_scale=None,
+                               refine=PQ_REFINE, probe=4)},
 }

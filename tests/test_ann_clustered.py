@@ -56,3 +56,13 @@ def test_refine_recall_dominates_plain_per_query(spark, sf_dir):
     assert set(refined) == set(plain)
     assert all(refined[q] >= plain[q] for q in plain)
     assert sum(refined.values()) > sum(plain.values())
+
+
+def test_probe_budget_moves_the_coverage_ceiling(spark, sf_dir):
+    """Doubling the probe budget (2 -> 4 cells) at the same refine
+    setting must not lose recall, and the probe-4 point must sit at
+    or above the probe-2 refine ceiling — the measured form of
+    "coverage misses need more probes"."""
+    refine2 = _mean_bp(spark, sf_dir, "llm_ann_recall_refine")
+    probe4 = _mean_bp(spark, sf_dir, "llm_ann_recall_probe4")
+    assert probe4 >= refine2
