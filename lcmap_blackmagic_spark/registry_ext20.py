@@ -424,7 +424,8 @@ PQ_REFINE = 12  # exact-rerank shortlist size (4 × IVX_K)
 def _ivfpq_topk(spark, sf_dir, *, source_fn=None,
                 staging_key: str = "ivfpq_arr",
                 residual: bool = False, refine: int = 0,
-                probe: int | None = None):
+                probe: int | None = None,
+                _coarse_out: list | None = None):
     """IVF-PQ approximate nearest neighbors with a FULL oracle — the
     memory-bounded flagship of large-scale ANN (Jégou et al. 2011,
     "Product Quantization for Nearest Neighbor Search"; the FAISS
@@ -489,7 +490,8 @@ def _ivfpq_topk(spark, sf_dir, *, source_fn=None,
     the standard at billion-vector scale."""
     from pyspark.sql import Window
 
-    from .ml.intlloyd import cell_of, dist_to, integer_lloyd
+    from .ml.intlloyd import (cell_of, dist_to,
+                              grouped_integer_lloyd, integer_lloyd)
     from .registry import _staging
     from .registry_ext19 import (IVX_CELLS, IVX_DIM, IVX_ITERS, IVX_K,
                                  IVX_PROBE, IVX_QS, IVX_STRIDE)
@@ -512,21 +514,40 @@ def _ivfpq_topk(spark, sf_dir, *, source_fn=None,
     if [cid for cid, _ in coarse] != list(range(IVX_CELLS)):
         raise ValueError("IVF-PQ coarse cell ids are not dense "
                          "0..IVX_CELLS-1; refit with a dense id space")
+    if _coarse_out is not None:
+        # hand the fitted table to recall_of so the ground truth does
+        # not pay a bit-identical refit (2 more corpus scans)
+        _coarse_out.append(coarse)
     cent_arr = F.array(*[F.array(*[F.lit(int(v)) for v in c])
                          for _, c in coarse])
     enc = arrq.withColumn("cell", cell_of(coarse))
     if residual:
         # encode x − coarse_centroid(cell): the codebooks below are
-        # fit on — and the codes computed from — the residual frame
+        # fit on — and the codes computed from — the residual frame.
+        # STAGE it: the 8 subspace Lloyds below each collect twice
+        # over their input, and the residual expression (an 8-way
+        # argmin plus a 64-wide zip_with against an 8×64-literal
+        # centroid array) would otherwise be recompiled and
+        # recomputed in every one of those 16 scans — measured 5×
+        # the whole query's cost at sf0.1
         enc = enc.withColumn("qa", F.zip_with(
             F.col("qa"),
             F.element_at(cent_arr, (F.col("cell") + 1).cast("int")),
             lambda x, c: x - c))
-    subcents = []
+        res_staging = _staging(sf_dir, staging_key + "_res")
+        enc.write.mode("overwrite").parquet(res_staging)
+        enc = spark.read.parquet(res_staging)
+    # all 8 subspace codebooks in ONE grouped fit: 1 + PQ_ITERS
+    # corpus scans instead of 8 × (1 + PQ_ITERS) — bit-identical to
+    # the per-subspace loop (grouped_integer_lloyd's contract)
+    sub_all = enc.select(
+        "vec_id",
+        F.posexplode(F.array(*[
+            F.slice("qa", m * PQ_DS + 1, PQ_DS)
+            for m in range(PQ_M)])).alias("g", "qa"))
+    subcents = grouped_integer_lloyd(sub_all, PQ_M, PQ_CELLS,
+                                     PQ_ITERS, PQ_DS)
     for m in range(PQ_M):
-        sub = enc.select(
-            "vec_id", F.slice("qa", m * PQ_DS + 1, PQ_DS).alias("qa"))
-        subcents.append(integer_lloyd(sub, PQ_CELLS, PQ_ITERS, PQ_DS))
         if [cid for cid, _ in subcents[m]] != list(range(PQ_CELLS)):
             raise ValueError(
                 f"PQ subspace {m} codeword ids are not dense "
@@ -909,14 +930,21 @@ def recall_of(spark, sf_dir, *, source_fn=None,
     from .registry import _staging
     from .registry_ext19 import (IVX_CELLS, IVX_DIM, IVX_ITERS, IVX_K,
                                  IVX_STRIDE)
+    # localCheckpoint: the index result is |queries|·k rows, but its
+    # PLAN is the whole unrolled index (9+ Lloyd pyramids, encode,
+    # ADC); embedding that plan inside the recall join doubled the
+    # query's compile cost — cut it here and let the recall side
+    # start from the materialized shortlist
+    cout: list = []
     pq = _ivfpq_topk(spark, sf_dir, source_fn=source_fn,
                      staging_key=staging_key, residual=residual,
-                     refine=refine, probe=probe).select("qid", "nid")
+                     refine=refine, probe=probe, _coarse_out=cout) \
+        .select("qid", "nid").localCheckpoint()
     # the helper staged the quantized table and fit the coarse cells;
     # refit deterministically (bit-identical centroids) for the
     # ground-truth corpus assignment
     arrq = spark.read.parquet(_staging(sf_dir, staging_key))
-    coarse = integer_lloyd(arrq, IVX_CELLS, IVX_ITERS, IVX_DIM)
+    coarse = cout[0]   # the index's own fit — a refit is bit-identical
     # the probe-all-cells enumeration below explodes range(IVX_CELLS);
     # coverage is exact only when the fitted cell ids are exactly
     # that range — enforce, don't assume (mirrors _ivfpq_topk)

@@ -72,6 +72,20 @@ ALLOWED: dict[str, str] = {
     'ml/intlloyd.py:integer_lloyd:arrq.withColumn("cell", cell_of(cents)) .select("cell", F.posexplode("qa").alias("i", "v")) .groupBy("cell", "i") .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")) .select("cell", "i", F.expr("s div n").alias("m"))':
         "integer-Lloyd M-step — cells × dim rows, both caller"
         " constants",
+    'ml/intlloyd.py:grouped_integer_lloyd:seeds':
+        "grouped-Lloyd seeds — ≤ groups × cells rows (vec_id < cells"
+        " per group), both caller constants",
+    'ml/intlloyd.py:grouped_integer_lloyd:sub.withColumn("cell", assign()) .select("g", "cell", F.posexplode("qa").alias("i", "v")) .groupBy("g", "cell", "i") .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")) .select("g", "cell", "i", F.expr("s div n").alias("m"))':
+        "grouped-Lloyd M-step — groups × cells × dim rows, all"
+        " caller constants",
+    'streaming/jobs.py:store_delete:kept_upd .select("batch_id").distinct()':
+        "distinct batch ids among AFFECTED partitions — ≤ the number"
+        " of micro-batches containing deleted ids, bounded by the"
+        " delete request, never by corpus size",
+    'streaming/jobs.py:store_delete:upd.join(idsd, id_col, "semi") .select("batch_id").distinct()':
+        "distinct batch ids among AFFECTED partitions — ≤ the number"
+        " of micro-batches containing deleted ids, bounded by the"
+        " delete request, never by corpus size",
     'llm/text.py:bpe_encode:merges':
         "learned BPE merge table — ≤ the num_merges training budget,"
         " a call-site constant",
