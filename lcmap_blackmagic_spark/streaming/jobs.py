@@ -1885,3 +1885,83 @@ def bloom_store_rebuild(surviving_docs: DataFrame,
     the mtime-keyed _BLOOM_STORE_CACHE picks the new table up on the
     next batch without a process restart."""
     build_bloom_store(surviving_docs, store_dir)
+
+
+def dedup_store_delete_stream(spark: SparkSession, requests_dir: str,
+                              checkpoint_dir: str,
+                              stores: dict[str, str],
+                              available_now: bool = True,
+                              max_files_per_trigger: int = 1,
+                              out_dir: str | None = None):
+    """Streaming DELETION REQUESTS applied to the dedup signature
+    stores — the continuous form of the per-store delete jobs above,
+    and the signature-store counterpart of ``gdpr_delete_stream``
+    (which erases the DATA rows; this erases the derived signatures
+    that would otherwise keep flagging against the deleted docs).
+
+    ``stores`` maps store kind → directory; kinds: ``"minhash"``,
+    ``"winnow"`` (doc_id-keyed), ``"semantic"`` (vec_id-keyed).  The
+    request feed is a parquet directory of (doc_id) — and (vec_id)
+    when a semantic store is registered; either column may be absent
+    from a given request file.  Bloom is deliberately NOT in the map:
+    its delete is a rebuild from the surviving corpus
+    (``bloom_store_rebuild``), a batch job on its own cadence, not a
+    per-request operation.
+
+    Per micro-batch, each registered store gets one ``store_delete``
+    pass.  Crash-replay is idempotent WITHOUT tags because deletion
+    is: a replayed batch deletes ids that are already gone — a no-op
+    by ``store_delete``'s contract (pinned in
+    tests/test_store_delete.py).  ``out_dir`` (optional) records a
+    per-batch audit row per store under the family's batch_id
+    dynamic-overwrite protocol.
+
+    Run it while the owning INGEST streams are quiesced, or accept
+    the same read-uncommitted window any out-of-band store rewrite
+    has — the ingest protocol itself never requires cross-batch
+    coordination with deletes (flags are computed from whatever the
+    store holds at trigger time, exactly the semantics of deleting
+    between two batch jobs)."""
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("vec_id", T.LongType()),
+    ])
+    os.makedirs(requests_dir, exist_ok=True)
+    req = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", max_files_per_trigger)
+           .parquet(requests_dir))
+
+    kinds = {"minhash": "doc_id", "winnow": "doc_id",
+             "semantic": "vec_id"}
+    unknown = set(stores) - set(kinds)
+    if unknown:
+        raise ValueError(f"unknown dedup store kinds: {sorted(unknown)}"
+                         f" (bloom deletes by rebuild, not by stream)")
+
+    def fb(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        audit = []
+        for kind, store_dir in sorted(stores.items()):
+            id_col = kinds[kind]
+            ids = (batch_df.select(id_col)
+                   .filter(F.col(id_col).isNotNull()).distinct())
+            if ids.isEmpty():
+                continue
+            res = store_delete(spark, store_dir, ids, id_col)
+            audit.append((kind, res["base_removed"],
+                          res["updates_removed"]))
+        if out_dir and audit:
+            (spark.createDataFrame(
+                audit, "kind STRING, base_removed BIGINT, "
+                       "updates_removed BIGINT")
+             .withColumn("batch_id", F.lit(batch_id))
+             .coalesce(1).write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id").parquet(out_dir))
+
+    writer = (req.writeStream.foreachBatch(fb)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

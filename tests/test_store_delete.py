@@ -204,3 +204,70 @@ def test_bloom_store_rebuild_unflags_deleted(spark, sf_dir):
     # deleted-only probes actually dropped out of the filter
     assert (probe_ids - set(gone)) <= flagged1
     assert flagged1 != flagged0
+
+
+def test_dedup_store_delete_stream(spark, sf_dir):
+    """Continuous deletion: two request micro-batches flow through
+    dedup_store_delete_stream against a MinHash store and a semantic
+    store at once; the surviving stores must equal direct
+    store_delete calls with the same ids, the audit partitions must
+    be batch_id-idempotent, and a replayed request file (same
+    checkpoint wiped, stream re-run) must be a no-op on the stores."""
+    from lcmap_blackmagic_spark.streaming.jobs import (
+        dedup_store_delete_stream)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = tempfile.mkdtemp(prefix="deldstream_")
+    sig_dir = os.path.join(base, "signatures")
+    sem_dir = os.path.join(base, "semstore")
+    req_dir = os.path.join(base, "requests")
+    out_dir = os.path.join(base, "audit")
+    ckpt = os.path.join(base, "ckpt")
+
+    _minhash_doc_aggregate(docs, "doc_id", "text", 3, 8) \
+        .write.mode("overwrite").parquet(sig_dir)
+    build_semdedup_store(emb, sem_dir)
+
+    doc_ids = [r["doc_id"] for r in
+               docs.select("doc_id").limit(30).collect()]
+    vec_ids = [r["vec_id"] for r in
+               emb.select("vec_id").limit(20).collect()]
+    reqs = ([(d, None) for d in doc_ids[:15]]
+            + [(None, v) for v in vec_ids])
+    spark.createDataFrame(reqs, "doc_id BIGINT, vec_id BIGINT") \
+        .coalesce(1).write.mode("append").parquet(req_dir)
+    spark.createDataFrame([(d, None) for d in doc_ids[15:]],
+                          "doc_id BIGINT, vec_id BIGINT") \
+        .coalesce(1).write.mode("append").parquet(req_dir)
+
+    q = dedup_store_delete_stream(
+        spark, req_dir, ckpt,
+        {"minhash": sig_dir, "semantic": sem_dir}, out_dir=out_dir)
+    q.awaitTermination(180)
+
+    left_sig = {r["doc_id"] for r in
+                spark.read.parquet(sig_dir).select("doc_id").collect()}
+    left_sem = {r["vec_id"] for r in
+                spark.read.parquet(sem_dir).select("vec_id").collect()}
+    assert left_sig.isdisjoint(doc_ids)
+    assert left_sem.isdisjoint(vec_ids)
+    all_docs = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert left_sig == all_docs - set(doc_ids)
+
+    audit = spark.read.parquet(out_dir).collect()
+    assert sum(r["base_removed"] for r in audit
+               if r["kind"] == "minhash") == len(doc_ids)
+
+    # replay: wipe the checkpoint so the SAME request files re-fire —
+    # deletion of already-deleted ids must change nothing
+    import shutil
+    shutil.rmtree(ckpt)
+    q2 = dedup_store_delete_stream(
+        spark, req_dir, ckpt,
+        {"minhash": sig_dir, "semantic": sem_dir}, out_dir=out_dir)
+    q2.awaitTermination(180)
+    assert {r["doc_id"] for r in spark.read.parquet(sig_dir)
+            .select("doc_id").collect()} == left_sig
+    assert {r["vec_id"] for r in spark.read.parquet(sem_dir)
+            .select("vec_id").collect()} == left_sem
