@@ -1,0 +1,168 @@
+"""Twenty-third extension wave (round 14) — data-MIXING operators:
+the selection step that turns a deduplicated, quality-filtered corpus
+into a training mixture with controlled per-domain token shares.
+Curation (llm_curation / llm_curation_sem) decides WHICH documents
+are good; these decide HOW MUCH of each domain the training run
+actually consumes — the knob the mixture-design literature tunes
+(GPT-3's weighted sampling, The Pile's per-subset epochs, Xie et
+al.'s DoReMi reweighting, Muennighoff et al. 2023's data-constrained
+repeats).
+
+- ``llm_mix_balanced``: balanced-domain selection — every ``source``
+  contributes the SAME number of tokens (half the smallest domain's
+  total), taken greedily in ingest (doc_id) order.  The running
+  token count is a DISTRIBUTED TWO-PHASE PREFIX SUM, not one window
+  partition per domain: a window partitioned by source alone puts an
+  entire domain in ONE task (the classic 100 TB window failure —
+  a web-crawl domain can be most of the corpus); instead, documents
+  are bucketed by ``doc_id div MIX_BUCKET``, the within-bucket
+  running sum is a window over bounded-size (source, bucket) groups,
+  and each bucket's starting offset comes from a per-(source,bucket)
+  SUM aggregate — corpus/MIX_BUCKET rows — cumulated and joined
+  back on the same (source, bucket) keys the big side is already
+  shuffled on.  At production scale MIX_BUCKET is chosen ~2^20 so
+  the offset frame is millions of times smaller than the corpus and
+  AQE broadcasts it; the fixture value keeps several buckets alive
+  at sf0.001.
+
+- ``llm_mix_epochs``: the data-constrained mixture plan (Muennighoff
+  et al. 2023 shape): given a global token budget (80% of the
+  corpus) split UNIFORMLY across domains, emit per domain its total
+  tokens, its target share, and the EPOCH COUNT ceil(target/total)
+  — domains smaller than their share repeat (epochs > 1), larger
+  ones truncate (epochs = 1).  Pure integer arithmetic (ceil
+  division as (a + b - 1) div b), one aggregate over the corpus —
+  the plan an actual sampler (stratified_sample / priority_sample)
+  then executes.
+
+Reference anchor: nothing in lcmap-blackmagic — mixture design is an
+engine-first addition for the training-data pipeline (brief
+§LLM-ops).  Both entries carry full DuckDB oracles; token semantics
+are llm_token_count's ws_tokens (split on single space, lowered,
+trimmed) so the mixing and counting surfaces agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .registry import _t
+
+MIX_BUCKET = 64      # docs per prefix-sum bucket (2^20 at scale)
+MIX_SHARE_PCT = 80   # llm_mix_epochs: global budget, % of corpus
+
+
+def _doc_tokens(spark, sf_dir):
+    """(doc_id, source, tok): whitespace token counts — identical
+    semantics to llm_token_count's ws_tokens column."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "source",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), " "))
+        .cast("long").alias("tok"))
+
+
+def q_llm_mix_balanced(spark, sf_dir):
+    """Balanced-domain mixture selection via a distributed prefix
+    sum.  Selection rule: within each source, docs are taken in
+    doc_id order while the running total BEFORE the doc is under the
+    budget (so the crossing doc is included — every domain reaches
+    its budget exactly once); budget = min(domain totals) div 2, the
+    same for every domain.  Output: the selected docs with their
+    running totals — the exact frame a downstream packer consumes.
+
+    Plan shape (see module docstring): one shuffle to (source,
+    bucket) for the bounded within-bucket window, one small
+    aggregate + window over corpus/MIX_BUCKET rows for the offsets,
+    one equi-join back on the keys the big side is already
+    partitioned by, and a 1-row budget frame cross-joined (always
+    broadcast).  No window partition ever exceeds MIX_BUCKET docs,
+    no matter how skewed the domain sizes are."""
+    t = _doc_tokens(spark, sf_dir)
+    b = t.withColumn("bucket", F.expr(f"doc_id div {MIX_BUCKET}"))
+
+    w_in = Window.partitionBy("source", "bucket").orderBy("doc_id")
+    local = b.withColumn("local_cum", F.sum("tok").over(w_in))
+
+    sums = b.groupBy("source", "bucket").agg(F.sum("tok").alias("bs"))
+    w_off = Window.partitionBy("source").orderBy("bucket")
+    offs = (sums
+            .withColumn("off", F.sum("bs").over(w_off) - F.col("bs"))
+            .select("source", "bucket", "off"))
+
+    cum = (local.join(offs, ["source", "bucket"])
+           .withColumn("cum_tok", F.col("local_cum") + F.col("off")))
+
+    budget = (t.groupBy("source").agg(F.sum("tok").alias("total"))
+              .agg(F.expr("min(total) div 2").alias("budget")))
+    return (cum.crossJoin(F.broadcast(budget))
+            .filter(F.col("cum_tok") - F.col("tok") < F.col("budget"))
+            .select("doc_id", "source", "tok", "cum_tok"))
+
+
+SQL_MIX_BALANCED = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT)
+           AS tok
+  FROM documents
+), c AS (
+  SELECT doc_id, source, tok,
+         SUM(tok) OVER (PARTITION BY source ORDER BY doc_id)
+           AS cum_tok
+  FROM t
+), b AS (
+  SELECT MIN(total) // 2 AS budget
+  FROM (SELECT SUM(tok) AS total FROM t GROUP BY source)
+)
+SELECT doc_id, source, tok, cum_tok
+FROM c, b
+WHERE cum_tok - tok < budget
+"""
+
+
+def q_llm_mix_epochs(spark, sf_dir):
+    """Data-constrained mixture plan: uniform target share per
+    domain out of a global budget of MIX_SHARE_PCT% of corpus
+    tokens; epochs = ceil(target / total) in exact integer
+    arithmetic.  One corpus aggregate + a 1-row broadcast of the
+    (grand total, domain count) pair."""
+    t = _doc_tokens(spark, sf_dir)
+    per = t.groupBy("source").agg(F.sum("tok").alias("total_tok"))
+    g = per.agg(
+        F.sum("total_tok").alias("grand"),
+        F.count(F.lit(1)).alias("k"))
+    return (per.crossJoin(F.broadcast(g))
+            .withColumn("target_tok", F.expr(
+                f"(grand * {MIX_SHARE_PCT} div 100) div k"))
+            .withColumn("epochs", F.expr(
+                "(target_tok + total_tok - 1) div total_tok"))
+            .select("source", "total_tok", "target_tok", "epochs"))
+
+
+SQL_MIX_EPOCHS = f"""
+WITH t AS (
+  SELECT source,
+         CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT)
+           AS tok
+  FROM documents
+), per AS (
+  SELECT source, SUM(tok) AS total_tok FROM t GROUP BY source
+), g AS (
+  SELECT SUM(total_tok) AS grand, COUNT(*) AS k FROM per
+)
+SELECT source, total_tok,
+       ((grand * {MIX_SHARE_PCT} // 100) // k) AS target_tok,
+       ((((grand * {MIX_SHARE_PCT} // 100) // k) + total_tok - 1)
+        // total_tok) AS epochs
+FROM per, g
+"""
+
+
+QUERIES_EXT22: dict[str, dict] = {
+    "llm_mix_balanced": {"fn": q_llm_mix_balanced,
+                         "sql": SQL_MIX_BALANCED},
+    "llm_mix_epochs": {"fn": q_llm_mix_epochs,
+                       "sql": SQL_MIX_EPOCHS},
+}
