@@ -1836,6 +1836,81 @@ def store_delete(spark: SparkSession, store_dir: str, ids,
             "updates_removed": removed_upd}
 
 
+def store_compact(spark: SparkSession, store_dir: str,
+                  through_batch: int | None = None) -> dict:
+    """Fold committed ``<store_dir>_updates`` batch partitions into
+    the base store — the maintenance job every long-running ingest
+    stream needs: the exactly-once protocol writes ONE directory per
+    micro-batch, so after N triggers every batch job's "base ∪
+    updates" read lists and unions N partition directories of small
+    files.  Compaction rewrites that read set as one base store and
+    drops the folded partitions; read SEMANTICS are untouched
+    because every batch job reads base ∪ updates[batch_id < current]
+    — for any future batch the union is identical before and after.
+
+    Replay safety: Structured Streaming replays AT MOST the last
+    uncommitted micro-batch, so folding a batch that may still
+    replay would make the store compare that batch against itself.
+    The default ``through_batch`` therefore keeps the NEWEST present
+    partition in place (folds everything strictly below it); pass an
+    explicit checkpoint-derived watermark to fold further.  A replay
+    of the retained batch sees exactly the pre-compaction read set:
+    base (now holding batches ≤ through) ∪ updates[< its id].
+
+    Crash convergence: the fold writes base ∪ folded as
+    ``_pending`` first and swaps in with the same two-rename commit
+    as ``store_delete``; if the job dies AFTER the swap but BEFORE
+    the folded partitions are removed, those rows exist on both
+    sides — re-running the compaction converges because the fold is
+    a set UNION (``distinct`` over full rows), which is exact for
+    these stores: each is row-distinct by construction (MinHash: one
+    row per doc_id; winnowing: array_distinct fingerprints per doc;
+    semantic: one row per vec_id).  Returns {"folded_batches": n,
+    "folded_rows": m, "base_rows": total_after}."""
+    import os as _os
+    import shutil as _shutil
+
+    updates_dir = store_dir.rstrip("/") + "_updates"
+    if not _os.path.isdir(updates_dir):
+        return {"folded_batches": 0, "folded_rows": 0,
+                "base_rows": spark.read.parquet(store_dir).count()}
+    upd = spark.read.parquet(updates_dir)
+    bids = sorted(r["batch_id"] for r in
+                  upd.select("batch_id").distinct().collect())
+    if through_batch is None:
+        through_batch = bids[-1] - 1
+    fold = [b for b in bids if b <= through_batch]
+    if not fold:
+        return {"folded_batches": 0, "folded_rows": 0,
+                "base_rows": spark.read.parquet(store_dir).count()}
+
+    base = spark.read.parquet(store_dir)
+    folded = (upd.filter(F.col("batch_id").isin(fold))
+              .drop("batch_id"))
+    n_folded = folded.count()
+    new_base = base.unionByName(folded).distinct()
+
+    pending = store_dir.rstrip("/") + "_pending"
+    new_base.write.mode("overwrite").parquet(pending)
+    n_after = spark.read.parquet(pending).count()
+    trash = store_dir.rstrip("/") + "_trash"
+    _shutil.rmtree(trash, ignore_errors=True)
+    _os.rename(store_dir, trash)
+    _os.rename(pending, store_dir)
+    _shutil.rmtree(trash)
+
+    for bid in fold:
+        _shutil.rmtree(_os.path.join(updates_dir, f"batch_id={bid}"),
+                       ignore_errors=True)
+    # same unreadable-empty-dir rule as store_delete: no partitions
+    # left means the dir must go (the next batch's write recreates it)
+    if not any(e.name.startswith("batch_id=")
+               for e in _os.scandir(updates_dir)):
+        _shutil.rmtree(updates_dir)
+    return {"folded_batches": len(fold), "folded_rows": n_folded,
+            "base_rows": n_after}
+
+
 def minhash_store_delete(spark: SparkSession, signature_dir: str,
                          doc_ids) -> dict:
     """Delete documents from the MinHash SIGNATURE store

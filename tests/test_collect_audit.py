@@ -82,6 +82,12 @@ ALLOWED: dict[str, str] = {
         "distinct batch ids among AFFECTED partitions — ≤ the number"
         " of micro-batches containing deleted ids, bounded by the"
         " delete request, never by corpus size",
+    'streaming/jobs.py:store_compact:upd.select("batch_id").distinct()':
+        "distinct batch ids PRESENT in the updates dir — one per"
+        " micro-batch since the last compaction; running compaction"
+        " on a maintenance cadence is exactly what bounds it (and"
+        " the ids are already directory names, O(partitions)"
+        " metadata, never corpus rows)",
     'streaming/jobs.py:store_delete:upd.join(idsd, id_col, "semi") .select("batch_id").distinct()':
         "distinct batch ids among AFFECTED partitions — ≤ the number"
         " of micro-batches containing deleted ids, bounded by the"
