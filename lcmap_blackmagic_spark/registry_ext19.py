@@ -356,7 +356,7 @@ IVX_DIM = 64
 IVX_STRIDE = 50   # every 50th vec_id is a query
 
 
-def q_llm_ann_ivf_exact(spark, sf_dir):
+def q_llm_ann_ivf_exact(spark, sf_dir, label_mod: int | None = None):
     """IVF approximate nearest neighbors with a FULL oracle — the
     bit-exact sibling of ``llm_ann_ivf`` (whose float k-means is
     unreplayable by design, the registry's adjudicated rows-only
@@ -393,7 +393,19 @@ def q_llm_ann_ivf_exact(spark, sf_dir):
     ints, collected like the k-center model); per Lloyd iteration
     the only shuffle is the (cell, dim) rollup — IVX_CELLS·IVX_DIM
     rows out; candidate ranking shuffles per query id with fan-out
-    bounded by the probed cells' population."""
+    bounded by the probed cells' population.
+
+    ``label_mod`` turns this into FILTERED vector search (the
+    one-index-many-filters deployment): neighbors are restricted to
+    vectors whose metadata ``label % label_mod == 0`` via a PRE-
+    filter semi-join applied to the postings side BEFORE ranking —
+    the index (centroids, cell assignment, probe choice) is built on
+    and serves the FULL corpus, so one index answers every filter,
+    and pre-filtering (unlike post-filtering the top-k) cannot
+    return fewer than k results while eligible candidates exist in
+    the probed cells.  The filter frame is a (vec_id) projection of
+    the base table — column-pruned scan, co-keyed with the postings
+    join."""
     from pyspark.sql import Window
 
     from .ml.intlloyd import cell_of, dist_to, integer_lloyd, sumsq
@@ -414,6 +426,10 @@ def q_llm_ann_ivf_exact(spark, sf_dir):
               .withColumn("n2", sq).filter(F.col("n2") > 0)
               .select(F.col("vec_id").alias("nid"),
                       F.col("qa").alias("nqa"), "cell", "n2"))
+    if label_mod is not None:
+        ok = (e.filter(F.col("label") % label_mod == 0)
+              .select(F.col("vec_id").alias("nid")))
+        corpus = corpus.join(ok, "nid", "semi")
     pc = F.slice(F.array_sort(F.array(*[
         F.struct(dist_to(c).alias("d"), F.lit(int(cid)).alias("cid"))
         for cid, c in cents])), 1, IVX_PROBE)
@@ -439,9 +455,12 @@ def q_llm_ann_ivf_exact(spark, sf_dir):
             .select("qid", "rank", "nid", "dot", "q2", "n2"))
 
 
-def _sql_ivf_exact() -> str:
+def _sql_ivf_exact(label_mod: int | None = None) -> str:
     from .ml.intlloyd import sql_l2, sql_lloyd_ctes
     gs = f"generate_series(1, {IVX_DIM})"
+    flt = ("" if label_mod is None else
+           f" AND vec_id IN (SELECT vec_id FROM embeddings "
+           f"WHERE label % {label_mod} = 0)")
 
     def l2(a, b):
         return sql_l2(gs, a, b)
@@ -456,7 +475,7 @@ def _sql_ivf_exact() -> str:
         f"FROM (SELECT v.vec_id, v.qa, c.cid, {nrm('v')} AS n2, "
         f"ROW_NUMBER() OVER (PARTITION BY v.vec_id "
         f"ORDER BY {l2('v', 'c')}, c.cid) AS rn "
-        f"FROM q v, {prev} c) WHERE rn = 1 AND n2 > 0)")
+        f"FROM q v, {prev} c) WHERE rn = 1 AND n2 > 0{flt})")
     parts.append(
         f"qs AS MATERIALIZED (SELECT vec_id AS qid, q.qa AS qa, "
         f"{nrm('q')} AS q2 "

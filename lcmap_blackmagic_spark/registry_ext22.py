@@ -160,9 +160,141 @@ FROM per, g
 """
 
 
+# ----------------------------------------------- retrieval surface --
+
+ANN_FILTER_MOD = 2   # llm_ann_filtered: neighbors with label % 2 = 0
+RRF_K = 60           # the standard reciprocal-rank-fusion constant
+RRF_SCALE = 10 ** 9  # integer-exact 1/(k+rank) as SCALE div (k+rank)
+RRF_TOPK = 15
+
+
+def q_llm_ann_filtered(spark, sf_dir):
+    """FILTERED vector search — the one-index-many-filters
+    deployment every retrieval stack needs (FAISS IDSelector /
+    vector-DB metadata filters): the SAME IVF index as
+    ``llm_ann_ivf_exact`` (identical centroids, probes, ranking)
+    with candidates PRE-filtered to vectors whose ``label %
+    ANN_FILTER_MOD == 0`` before ranking.  Pre-filtering keeps
+    recall (post-filtering a top-k can starve); the filter is a
+    column-pruned (vec_id, label) scan semi-joined into the
+    postings, so the index itself is shared across every predicate.
+    See q_llm_ann_ivf_exact's docstring for the exact-integer
+    ranking contract."""
+    from .registry_ext19 import q_llm_ann_ivf_exact
+    return q_llm_ann_ivf_exact(spark, sf_dir,
+                               label_mod=ANN_FILTER_MOD)
+
+
+def q_llm_rrf_fusion(spark, sf_dir):
+    """HYBRID retrieval: reciprocal-rank fusion (Cormack et al.
+    2009) of the lexical BM25 ranking (``bm25_topk``'s fixed query
+    over documents) and a vector cosine ranking (the lowest-id
+    nonzero embedding as the query vector, exact-integer comparator
+    — the registry's dot/q2/n2 contract), ids aligned doc_id ≡
+    vec_id as in llm_curation_sem.  RRF is rank-arithmetic only, so
+    it fuses float-scored BM25 with integer-scored cosine without a
+    score-calibration step — exactly why production stacks use it —
+    and here it is INTEGER-exact: each list contributes RRF_SCALE
+    div (RRF_K + rank), missing membership contributes 0.  Scale
+    shape: both first stages are scan → project → TakeOrdered (the
+    vector side swaps in the IVF probe at index scale); fusion
+    joins two ≤20-row frames."""
+    from pyspark.sql import Window
+
+    from .registry_ext6 import BM25_TOPK, q_bm25_topk
+    from .registry_ext19 import IVX_QS
+
+    lex = q_bm25_topk(spark, sf_dir)
+    wl = Window.orderBy(F.desc("bm25"), "doc_id")
+    lexr = (lex.withColumn("lex_rank", F.row_number().over(wl))
+            .select(F.col("doc_id").alias("id"), "lex_rank"))
+
+    e = _t(spark, sf_dir, "embeddings")
+    arr = e.select(
+        "vec_id",
+        F.transform("embedding",
+                    lambda x: F.floor(x.cast("double") * IVX_QS)
+                    .cast("bigint")).alias("qa"))
+    sq = F.aggregate(F.col("qa"), F.lit(0).cast("bigint"),
+                     lambda a, v: a + v * v)
+    n = arr.withColumn("n2", sq)
+    qv = (n.filter(F.col("n2") > 0).orderBy("vec_id").limit(1)
+          .select(F.col("vec_id").alias("qid"),
+                  F.col("qa").alias("qqa"), F.col("n2").alias("q2")))
+    dot = F.aggregate(
+        F.zip_with(F.col("qqa"), F.col("qa"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"), lambda a, v: a + v)
+    score = (F.when(F.col("dot") >= 0, F.col("dot") * F.col("dot"))
+             .otherwise(-(F.col("dot") * F.col("dot")))
+             .cast("double")
+             / (F.col("q2") * F.col("n2")).cast("double"))
+    wv = Window.orderBy(score.desc(), "vec_id")
+    vecr = (n.filter(F.col("n2") > 0).crossJoin(F.broadcast(qv))
+            .filter(F.col("vec_id") != F.col("qid"))
+            .withColumn("dot", dot)
+            .withColumn("vec_rank", F.row_number().over(wv))
+            .filter(F.col("vec_rank") <= BM25_TOPK)
+            .select(F.col("vec_id").alias("id"), "vec_rank"))
+
+    part_l = F.expr(f"CAST({RRF_SCALE} AS BIGINT)"
+                    f" div ({RRF_K} + lex_rank)")
+    part_v = F.expr(f"CAST({RRF_SCALE} AS BIGINT)"
+                    f" div ({RRF_K} + vec_rank)")
+    return (lexr.join(vecr, "id", "full")
+            .withColumn("rrf", F.coalesce(part_l, F.lit(0))
+                        + F.coalesce(part_v, F.lit(0)))
+            .orderBy(F.desc("rrf"), "id").limit(RRF_TOPK)
+            .select("id", "lex_rank", "vec_rank", "rrf"))
+
+
+def _sql_rrf_fusion() -> str:
+    from .registry_ext6 import BM25_TOPK, _sql_bm25_topk
+    from .registry_ext19 import IVX_DIM, IVX_QS
+    gs = f"generate_series(1, {IVX_DIM})"
+    quant = (f"list_transform(embedding, x -> CAST(floor("
+             f"CAST(x AS DOUBLE) * {IVX_QS}) AS BIGINT))")
+    return f"""
+WITH bm AS MATERIALIZED ({_sql_bm25_topk()}),
+lexr AS (SELECT doc_id AS id,
+                ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                  AS lex_rank
+         FROM bm),
+arr AS MATERIALIZED (SELECT vec_id, {quant} AS qa,
+         list_sum(list_transform({quant}, x -> x * x)) AS n2
+       FROM embeddings),
+qv AS (SELECT vec_id AS qid, qa AS qqa, n2 AS q2 FROM arr
+       WHERE n2 > 0 ORDER BY vec_id LIMIT 1),
+sc AS (SELECT a.vec_id AS id,
+              list_sum(list_transform({gs},
+                i -> qv.qqa[i] * a.qa[i])) AS dot,
+              qv.q2 AS q2, a.n2 AS n2
+       FROM arr a, qv WHERE a.n2 > 0 AND a.vec_id <> qv.qid),
+vecr AS (SELECT id, vec_rank FROM (
+           SELECT id, ROW_NUMBER() OVER (ORDER BY
+             CAST(CASE WHEN dot >= 0 THEN dot * dot
+                  ELSE -(dot * dot) END AS DOUBLE)
+             / CAST(q2 * n2 AS DOUBLE) DESC, id) AS vec_rank
+           FROM sc) WHERE vec_rank <= {BM25_TOPK})
+SELECT COALESCE(l.id, v.id) AS id, l.lex_rank, v.vec_rank,
+       (COALESCE({RRF_SCALE} // ({RRF_K} + l.lex_rank), 0)
+        + COALESCE({RRF_SCALE} // ({RRF_K} + v.vec_rank), 0)) AS rrf
+FROM lexr l FULL JOIN vecr v ON l.id = v.id
+ORDER BY rrf DESC, id LIMIT {RRF_TOPK}
+"""
+
+
+def _sql_ann_filtered() -> str:
+    from .registry_ext19 import _sql_ivf_exact
+    return _sql_ivf_exact(label_mod=ANN_FILTER_MOD)
+
+
 QUERIES_EXT22: dict[str, dict] = {
     "llm_mix_balanced": {"fn": q_llm_mix_balanced,
                          "sql": SQL_MIX_BALANCED},
     "llm_mix_epochs": {"fn": q_llm_mix_epochs,
                        "sql": SQL_MIX_EPOCHS},
+    "llm_ann_filtered": {"fn": q_llm_ann_filtered,
+                         "sql": _sql_ann_filtered()},
+    "llm_rrf_fusion": {"fn": q_llm_rrf_fusion,
+                       "sql": _sql_rrf_fusion()},
 }
