@@ -350,3 +350,47 @@ def lsh_ann_topk(emb: DataFrame, query_filter: Column, k: int = 5,
     return (cand.select("qid", "nid", F.round(cos, 6).alias("cosine"))
                 .withColumn("rn", F.row_number().over(w))
                 .filter(F.col("rn") <= k).drop("rn"))
+
+
+def ann_store_topk(inc, store, cents, k: int = 3, probe: int = 2):
+    """Top-k cosine neighbors of each incoming vector among STORE
+    vectors filed in its ``probe`` nearest frozen cells — the
+    serve-side of an incremental IVF index (the batch
+    ``llm_ann_ivf_exact`` ranking against a persisted store instead
+    of a self-join).  ``inc`` is an assign_cells-shaped frame
+    (vec_id, qa, cell, n2); ``store`` likewise; ``cents`` the frozen
+    centroid constant.  Exact-integer comparator: sign(dot)·dot² /
+    (q2·n2) — one IEEE double division over int64s < 2^53, the
+    registry's cross-engine ranking contract (registry_ext19
+    docstring carries the magnitude-budget derivation).  Per query
+    the candidate fan-out is the probed cells' store population;
+    the centroid table is a collected model constant."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..ml.intlloyd import dist_to
+
+    pc = F.slice(F.array_sort(F.array(*[
+        F.struct(dist_to(c).alias("d"), F.lit(int(cid)).alias("cid"))
+        for cid, c in cents])), 1, probe)
+    qs = inc.select(
+        F.col("vec_id").alias("qid"), F.col("qa").alias("qqa"),
+        F.col("n2").alias("q2"),
+        F.explode(F.transform(pc, lambda s: s["cid"])).alias("cell"))
+    corpus = store.select(
+        F.col("vec_id").alias("nid"), F.col("qa").alias("nqa"),
+        "cell", "n2")
+    dot = F.aggregate(
+        F.zip_with(F.col("qqa"), F.col("nqa"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"), lambda a, v: a + v)
+    cand = (qs.join(corpus, "cell")
+            .filter(F.col("qid") != F.col("nid"))
+            .select("qid", "nid", "q2", "n2", dot.alias("dot")))
+    score = (F.when(F.col("dot") >= 0, F.col("dot") * F.col("dot"))
+             .otherwise(-(F.col("dot") * F.col("dot")))
+             .cast("double")
+             / (F.col("q2") * F.col("n2")).cast("double"))
+    w = Window.partitionBy("qid").orderBy(score.desc(), "nid")
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", "nid", "dot", "q2", "n2"))

@@ -1614,6 +1614,83 @@ def semdedup_stream(emb: DataFrame, store_dir: str, out_dir: str,
     return emb.writeStream.foreachBatch(fb)
 
 
+ANN_SERVE_K = 3      # neighbors returned per incoming vector
+ANN_SERVE_PROBE = 2  # frozen cells probed per incoming vector
+
+
+def ann_serve_batch(batch_df: DataFrame, batch_id: int,
+                    store_dir: str, out_dir: str,
+                    k: int = ANN_SERVE_K,
+                    probe: int = ANN_SERVE_PROBE,
+                    update_store: bool = True) -> None:
+    """One micro-batch of SEARCH-AT-INGEST: each arriving vector
+    retrieves its top-k cosine neighbors from the persisted IVF
+    store (base ∪ STRICTLY EARLIER batches), then joins the store
+    itself — the continuous form of ``llm_ann_ivf_exact`` and the
+    ingest pattern of a retrieval/recommendation pipeline (every new
+    document immediately queries the index it is about to enter).
+
+    The store is ``build_semdedup_store``'s (same schema, same
+    frozen integer-Lloyd cells — ONE vector store serves both the
+    dedup flags and the ANN results), and the batch protocol is the
+    dedup family's exactly-once contract: incoming cell-assigned
+    vectors land FIRST under their own ``batch_id=`` partition of
+    ``<store_dir>_updates`` (dynamic overwrite — replays rewrite
+    their own partition), results are ranked against base ∪ strictly
+    earlier only (a replay never retrieves from itself), and land in
+    ``out_dir`` under the same idempotent partitioning.
+    ``store_compact`` and ``semdedup_store_delete`` apply unchanged.
+    O(batch · probed-cell population) ranking work per trigger; the
+    store is never re-ranked."""
+    from ..llm.semdedup import assign_cells, quantize
+    from ..llm.similarity import ann_store_topk
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    cents = _load_centroids(spark, store_dir)
+    base = spark.read.parquet(store_dir)
+    updates_dir = store_dir.rstrip("/") + "_updates"
+    inc = assign_cells(quantize(batch_df), cents)
+    if inc.isEmpty():
+        # assign_cells drops zero-norm vectors (semdedup_batch's
+        # never-created-updates-dir hardening); replays converge
+        return
+    store = base
+    if update_store:
+        (inc.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(updates_dir))
+        updates = spark.read.parquet(updates_dir)
+        inc = (updates.filter(F.col("batch_id") == batch_id)
+               .drop("batch_id"))
+        store = base.unionByName(
+            updates.filter(F.col("batch_id") < batch_id)
+            .drop("batch_id"))
+    hits = ann_store_topk(inc, store, cents, k=k, probe=probe)
+    (hits.withColumn("batch_id", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id").parquet(out_dir))
+
+
+def ann_serve_stream(emb: DataFrame, store_dir: str, out_dir: str,
+                     k: int = ANN_SERVE_K,
+                     probe: int = ANN_SERVE_PROBE,
+                     update_store: bool = True):
+    """STREAMING ANN serve over the shared semantic vector store:
+    per micro-batch, each incoming embedding is quantized, assigned
+    to the frozen cells, and answered with its top-k neighbors from
+    the store before joining it.  ``update_store=False`` pins the
+    static-index twin (pure query traffic against a fixed store).
+    Returns the DataStreamWriter (caller starts it)."""
+    def fb(batch_df: DataFrame, batch_id: int) -> None:
+        ann_serve_batch(batch_df, batch_id, store_dir, out_dir,
+                        k=k, probe=probe, update_store=update_store)
+
+    return emb.writeStream.foreachBatch(fb)
+
+
 # ------------------------------------ streaming curation pipeline ---
 
 def curation_batch(batch_df: DataFrame, batch_id: int,
