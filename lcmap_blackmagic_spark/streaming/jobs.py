@@ -1614,6 +1614,74 @@ def semdedup_stream(emb: DataFrame, store_dir: str, out_dir: str,
     return emb.writeStream.foreachBatch(fb)
 
 
+def mix_budget_batch(batch_df: DataFrame, batch_id: int,
+                     out_dir: str, budget_tok: int) -> None:
+    """One micro-batch of TOKEN-BUDGET enforcement at ingest — the
+    streaming twin of the batch ``llm_mix_balanced`` selection: a
+    document is accepted while its source's cumulative accepted
+    token count (across ALL strictly earlier batches plus the docs
+    before it in this batch, doc_id order) is still under
+    ``budget_tok``; the crossing doc is included, matching the batch
+    operator's greedy rule, so a stream delivered in doc_id order
+    folds to exactly the batch selection.
+
+    State needs no separate store: the per-source offsets are an
+    aggregate OVER THE ACCEPTED OUTPUT itself (batch_id < current),
+    so a crash-replay recomputes the identical selection and
+    rewrites only its own partition (the family's dynamic-overwrite
+    idempotency) — there is no counter to double-apply.  The
+    within-batch running sum windows over (source) of ONE
+    micro-batch only — bounded by the trigger size; a pipeline with
+    giant triggers swaps in llm_mix_balanced's two-phase bucketed
+    prefix sum, same selection rule."""
+    import os as _os
+
+    from ..llm.text import token_count
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    b = batch_df.select("doc_id", "source",
+                        token_count("text").cast("long").alias("tok"))
+    if _os.path.isdir(out_dir):
+        off = (spark.read.parquet(out_dir)
+               .filter(F.col("batch_id") < batch_id)
+               .groupBy("source").agg(F.sum("tok").alias("off")))
+    else:
+        off = None
+    from pyspark.sql import Window
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cum = b.withColumn("bcum", F.sum("tok").over(w))
+    if off is not None:
+        cum = (cum.join(off, "source", "left")
+               .withColumn("off", F.coalesce(F.col("off"), F.lit(0))))
+    else:
+        cum = cum.withColumn("off", F.lit(0).cast("bigint"))
+    accepted = (cum
+                .filter(F.col("off") + F.col("bcum") - F.col("tok")
+                        < F.lit(int(budget_tok)))
+                .select("doc_id", "source", "tok",
+                        (F.col("off") + F.col("bcum"))
+                        .alias("cum_tok")))
+    (accepted.withColumn("batch_id", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id").parquet(out_dir))
+
+
+def mix_budget_stream(docs: DataFrame, out_dir: str,
+                      budget_tok: int):
+    """STREAMING per-domain token-budget enforcement: accept
+    arriving documents until their source's token budget is spent,
+    then drop the rest — the ingest-side form of balanced mixture
+    selection (a crawl frontier that stops pulling a domain once its
+    share is filled).  Returns the DataStreamWriter (caller starts
+    it)."""
+    def fb(batch_df: DataFrame, batch_id: int) -> None:
+        mix_budget_batch(batch_df, batch_id, out_dir, budget_tok)
+
+    return docs.writeStream.foreachBatch(fb)
+
+
 ANN_SERVE_K = 3      # neighbors returned per incoming vector
 ANN_SERVE_PROBE = 2  # frozen cells probed per incoming vector
 
