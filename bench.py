@@ -183,6 +183,12 @@ HEADLINE = [
     # join-heavy ANN shape in the registry)
     "llm_ann_ivfpq_resid",
     "llm_ann_recall_clustered",
+    # round 14 (session 2): filtered vector search — the metadata
+    # semi-join into the IVF postings (llm_rrf_fusion stays out of
+    # the headline: its cost is bm25_topk + a brute cosine TakeOrdered,
+    # both shapes already measured, and the stdout envelope's fold
+    # cap binds at 90 entries)
+    "llm_ann_filtered",
 ]
 
 

@@ -228,12 +228,16 @@ def q_llm_rrf_fusion(spark, sf_dir):
              .otherwise(-(F.col("dot") * F.col("dot")))
              .cast("double")
              / (F.col("q2") * F.col("n2")).cast("double"))
-    wv = Window.orderBy(score.desc(), "vec_id")
-    vecr = (n.filter(F.col("n2") > 0).crossJoin(F.broadcast(qv))
-            .filter(F.col("vec_id") != F.col("qid"))
-            .withColumn("dot", dot)
-            .withColumn("vec_rank", F.row_number().over(wv))
-            .filter(F.col("vec_rank") <= BM25_TOPK)
+    # top-20 via orderBy+limit (TakeOrderedAndProject — per-partition
+    # heaps, no global sort), THEN rank the ≤20-row cut; a row_number
+    # window over the corpus would serialize the scan into one task
+    vec_top = (n.filter(F.col("n2") > 0).crossJoin(F.broadcast(qv))
+               .filter(F.col("vec_id") != F.col("qid"))
+               .withColumn("dot", dot)
+               .withColumn("score", score)
+               .orderBy(F.desc("score"), "vec_id").limit(BM25_TOPK))
+    wv = Window.orderBy(F.desc("score"), "vec_id")
+    vecr = (vec_top.withColumn("vec_rank", F.row_number().over(wv))
             .select(F.col("vec_id").alias("id"), "vec_rank"))
 
     part_l = F.expr(f"CAST({RRF_SCALE} AS BIGINT)"

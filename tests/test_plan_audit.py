@@ -45,6 +45,10 @@ GLOBAL_WINDOW_OK: set[str] = {
     # breakpoint queries (registry_ext10), which pass unallowlisted
     "quality_deciles",
     "rfm_scores",
+    # rank windows over the two TakeOrdered top-k cuts (lexical +
+    # vector first stages) — ≤ BM25_TOPK = 20 rows each; the corpus
+    # passes themselves are TakeOrderedAndProject, never a global sort
+    "llm_rrf_fusion",
 }
 
 
