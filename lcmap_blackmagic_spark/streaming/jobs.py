@@ -1766,7 +1766,8 @@ def curation_batch(batch_df: DataFrame, batch_id: int,
                    dsir_store_dir: str, docs_dir: str,
                    metrics_dir: str, tok_min: int = 30,
                    tok_max: int = 100, threshold: float = 0.2,
-                   update_store: bool = True) -> None:
+                   update_store: bool = True,
+                   sem_store_dir: str | None = None) -> None:
     """One micro-batch of the COMPOSED streaming curation pipeline —
     the streaming twin of the batch ``llm_curation`` funnel, built
     from the family's existing per-stage members:
@@ -1782,6 +1783,16 @@ def curation_batch(batch_df: DataFrame, batch_id: int,
          query by sharing doc_hit_flags),
       4. DSIR importance scoring of the survivors against the frozen
          weight store (score at ingest; sample downstream).
+
+    ``sem_store_dir`` inserts the SEMANTIC stage between dedup and
+    decontamination — the streaming twin of the batch
+    ``llm_curation_sem`` funnel: lexical survivors carrying an
+    ``embedding`` column are quantized, assigned to the store's
+    FROZEN cells, staged under the semantic store's own batch
+    partition (semdedup_batch's protocol), and dropped when a
+    same-cell cosine dup exists in store ∪ strictly earlier batches;
+    docs with no (or zero-norm) embedding PASS the stage — no
+    vector, no evidence — exactly the batch rule.
 
     Curated+scored docs land under ``docs_dir``'s batch partition;
     the per-stage funnel (stage_id, stage, n_docs — the batch
@@ -1808,11 +1819,16 @@ def curation_batch(batch_df: DataFrame, batch_id: int,
                       F.lit(name).alias("stage"),
                       F.count(F.lit(1)).alias("n_docs"))
 
-    def write_metrics(deduped_df, clean_df):
-        metrics = (stage(1, "start", batch_df)
-                   .unionByName(stage(2, "quality", q))
-                   .unionByName(stage(3, "dedup", deduped_df))
-                   .unionByName(stage(4, "decontam", clean_df)))
+    def write_metrics(deduped_df, clean_df, sem_df=None):
+        names = [("start", batch_df), ("quality", q),
+                 ("dedup", deduped_df)]
+        if sem_store_dir is not None:
+            names.append(("semdedup",
+                          deduped_df if sem_df is None else sem_df))
+        names.append(("decontam", clean_df))
+        metrics = stage(1, names[0][0], names[0][1])
+        for i, (nm, df) in enumerate(names[1:], start=2):
+            metrics = metrics.unionByName(stage(i, nm, df))
         (metrics.withColumn("batch_id", F.lit(batch_id))
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
@@ -1824,7 +1840,7 @@ def curation_batch(batch_df: DataFrame, batch_id: int,
         # never-created _updates dir would raise on the next batch),
         # no docs to sink — but the funnel row set still lands, all
         # downstream stages at zero
-        write_metrics(q, q)
+        write_metrics(q, q, q)
         return
 
     base = spark.read.parquet(signature_dir)
@@ -1846,9 +1862,38 @@ def curation_batch(batch_df: DataFrame, batch_id: int,
         .select(F.col("inc_id").alias("doc_id"))
     deduped = q.join(flagged, "doc_id", "left_anti").localCheckpoint()
 
+    sem_kept = deduped
+    if sem_store_dir is not None:
+        from ..llm.semdedup import (assign_cells, quantize,
+                                    semdedup_cross_flags)
+        cents = _load_centroids(spark, sem_store_dir)
+        emb_in = (deduped.filter(F.col("embedding").isNotNull())
+                  .select(F.col("doc_id").alias("vec_id"),
+                          "embedding"))
+        inc_vec = assign_cells(quantize(emb_in), cents)
+        if not inc_vec.isEmpty():
+            sem_store = spark.read.parquet(sem_store_dir)
+            sem_updates = sem_store_dir.rstrip("/") + "_updates"
+            if update_store:
+                (inc_vec.withColumn("batch_id", F.lit(batch_id))
+                 .write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("batch_id").parquet(sem_updates))
+                sem_upd = spark.read.parquet(sem_updates)
+                inc_vec = (sem_upd
+                           .filter(F.col("batch_id") == batch_id)
+                           .drop("batch_id"))
+                sem_store = sem_store.unionByName(
+                    sem_upd.filter(F.col("batch_id") < batch_id)
+                    .drop("batch_id"))
+            sem_flag = semdedup_cross_flags(inc_vec, sem_store) \
+                .select(F.col("incoming_id").alias("doc_id"))
+            sem_kept = deduped.join(sem_flag, "doc_id", "left_anti") \
+                .localCheckpoint()
+
     bits = _load_bloom_bits(spark, bloom_store_dir)
-    hit = doc_hit_flags(deduped, bits)
-    clean = (deduped.join(hit, "doc_id", "left")
+    hit = doc_hit_flags(sem_kept, bits)
+    clean = (sem_kept.join(hit, "doc_id", "left")
              .filter(~F.coalesce(F.col("__hit"), F.lit(False)))
              .drop("__hit").localCheckpoint())
 
@@ -1859,7 +1904,7 @@ def curation_batch(batch_df: DataFrame, batch_id: int,
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("batch_id").parquet(docs_dir))
 
-    write_metrics(deduped, clean)
+    write_metrics(deduped, clean, sem_kept)
 
 
 def curation_stream(docs: DataFrame, signature_dir: str,
@@ -1867,7 +1912,8 @@ def curation_stream(docs: DataFrame, signature_dir: str,
                     docs_dir: str, metrics_dir: str,
                     tok_min: int = 30, tok_max: int = 100,
                     threshold: float = 0.2,
-                    update_store: bool = True):
+                    update_store: bool = True,
+                    sem_store_dir: str | None = None):
     """STREAMING corpus curation END-TO-END — quality cut → MinHash
     ingest dedup → Bloom decontamination → DSIR scoring, composed
     from the streaming family's per-stage members into ONE
@@ -1876,15 +1922,34 @@ def curation_stream(docs: DataFrame, signature_dir: str,
     batch ``llm_curation`` query: a corpus ingested through this
     stream converges to the same quality/dedup/decontam decisions
     the batch funnel makes, with each decision O(batch) per trigger
-    against persisted stores.  Returns the DataStreamWriter (caller
+    against persisted stores.  With ``sem_store_dir`` set (docs
+    carrying an ``embedding`` column — documents_emb_stream), the
+    SEMANTIC stage runs between dedup and decontamination and this
+    becomes the continuous form of ``llm_curation_sem`` instead.
+    Returns the DataStreamWriter (caller
     starts it)."""
     def fb(batch_df: DataFrame, batch_id: int) -> None:
         curation_batch(batch_df, batch_id, signature_dir,
                        bloom_store_dir, dsir_store_dir, docs_dir,
                        metrics_dir, tok_min=tok_min, tok_max=tok_max,
-                       threshold=threshold, update_store=update_store)
+                       threshold=threshold, update_store=update_store,
+                       sem_store_dir=sem_store_dir)
 
     return docs.writeStream.foreachBatch(fb)
+
+
+def documents_emb_stream(spark: SparkSession, docs_dir: str,
+                         max_files_per_trigger: int = 1) -> DataFrame:
+    """Document stream whose rows also carry their ``embedding``
+    (array<float>, nullable) — the feed of a curation pipeline with
+    the semantic stage enabled (in production the embedding arrives
+    with the document from the upstream encoder)."""
+    schema = T.StructType(
+        DOCUMENT.fields
+        + [T.StructField("embedding", T.ArrayType(T.FloatType()))])
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(docs_dir))
 
 
 # ------------------- deletion through the dedup signature stores ----
@@ -2016,7 +2081,12 @@ def store_compact(spark: SparkSession, store_dir: str,
     import shutil as _shutil
 
     updates_dir = store_dir.rstrip("/") + "_updates"
-    if not _os.path.isdir(updates_dir):
+    if not _os.path.isdir(updates_dir) or not any(
+            e.name.startswith("batch_id=")
+            for e in _os.scandir(updates_dir)):
+        # absent OR present-but-partitionless (externally emptied):
+        # a partitionless parquet dir is unreadable, and there is
+        # nothing to fold either way
         return {"folded_batches": 0, "folded_rows": 0,
                 "base_rows": spark.read.parquet(store_dir).count()}
     upd = spark.read.parquet(updates_dir)
