@@ -2075,8 +2075,16 @@ def store_compact(spark: SparkSession, store_dir: str,
     a set UNION (``distinct`` over full rows), which is exact for
     these stores: each is row-distinct by construction (MinHash: one
     row per doc_id; winnowing: array_distinct fingerprints per doc;
-    semantic: one row per vec_id).  Returns {"folded_batches": n,
-    "folded_rows": m, "base_rows": total_after}."""
+    semantic: one row per vec_id).
+
+    Run BETWEEN triggers (foreachBatch is serial per query, so any
+    gap is one): a batch whose base read races the swap could see
+    new-base ∪ not-yet-removed folded partitions — duplicated store
+    rows for that one read.  The delete jobs share this contract
+    (their swap is the same two renames); on an object store both
+    become the snapshot store's MERGE commit and the caveat
+    disappears.  Returns {"folded_batches": n, "folded_rows": m,
+    "base_rows": total_after}."""
     import os as _os
     import shutil as _shutil
 
