@@ -109,11 +109,11 @@ WITH t AS (
   FROM documents
 ), c AS (
   SELECT doc_id, source, tok,
-         SUM(tok) OVER (PARTITION BY source ORDER BY doc_id)
-           AS cum_tok
+         CAST(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id)
+              AS BIGINT) AS cum_tok
   FROM t
 ), b AS (
-  SELECT MIN(total) // 2 AS budget
+  SELECT CAST(MIN(total) // 2 AS BIGINT) AS budget
   FROM (SELECT SUM(tok) AS total FROM t GROUP BY source)
 )
 SELECT doc_id, source, tok, cum_tok
@@ -152,10 +152,11 @@ WITH t AS (
 ), g AS (
   SELECT SUM(total_tok) AS grand, COUNT(*) AS k FROM per
 )
-SELECT source, total_tok,
-       ((grand * {MIX_SHARE_PCT} // 100) // k) AS target_tok,
-       ((((grand * {MIX_SHARE_PCT} // 100) // k) + total_tok - 1)
-        // total_tok) AS epochs
+SELECT source, CAST(total_tok AS BIGINT) AS total_tok,
+       CAST((grand * {MIX_SHARE_PCT} // 100) // k AS BIGINT)
+         AS target_tok,
+       CAST((((grand * {MIX_SHARE_PCT} // 100) // k) + total_tok - 1)
+            // total_tok AS BIGINT) AS epochs
 FROM per, g
 """
 

@@ -47,6 +47,10 @@ ALLOWED: dict[str, str] = {
     # ---- one-row (or constant-row) global aggregates ----
     "registry_ext12.py:q_rank_ratios_bp:n":
         "one-row global count",
+    "registry_ext22.py:q_llm_mix_balanced:budget":
+        "one-row global min-of-domain-totals",
+    "registry_ext22.py:q_llm_mix_epochs:g":
+        "one-row global (grand total, domain count) pair",
     "registry_pipelines.py:q_kmv_sketch:n_g":
         "per-returnflag counts — ≤3 flag values",
     "registry_ext11.py:_mix_plan:tot":
