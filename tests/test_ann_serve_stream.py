@@ -114,3 +114,42 @@ def test_ann_serve_static_index_never_writes_updates(spark, sf_dir):
         spark.read.parquet(store_dir), cents).collect()}
     got = _hits(spark, out_dir, with_batch=False)
     assert got == want and got
+
+
+def test_serve_delete_compact_lifecycle(spark, sf_dir):
+    """The full store lifecycle against ONE vector store: serve →
+    GDPR-delete a retrieved neighbor → the next batch can no longer
+    retrieve it → compact → results still exactly match a recompute
+    from the surviving store."""
+    from lcmap_blackmagic_spark.streaming.jobs import (
+        semdedup_store_delete, store_compact)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base_dir = tempfile.mkdtemp(prefix="ann_lifecycle_")
+    store_dir = os.path.join(base_dir, "store")
+    out_dir = os.path.join(base_dir, "hits")
+    existing = emb.filter(F.col("vec_id") % 5 != 0)
+    build_semdedup_store(existing, store_dir)
+    incoming = emb.filter(F.col("vec_id") % 5 == 0)
+    b0 = incoming.filter(F.col("vec_id") % 2 == 0)
+    b1 = incoming.filter(F.col("vec_id") % 2 == 1)
+
+    ann_serve_batch(b0, 0, store_dir, out_dir)
+    retrieved = sorted({t[2] for t in _hits(spark, out_dir)})
+    victim = retrieved[0]
+    semdedup_store_delete(spark, store_dir, [victim])
+
+    ann_serve_batch(b1, 1, store_dir, out_dir)
+    hits_b1 = {t for t in _hits(spark, out_dir) if t[6] == 1}
+    assert hits_b1
+    assert victim not in {t[2] for t in hits_b1}
+
+    # compact (folds batch 0; batch 1 stays replayable), then pin
+    # batch 1's results against a recompute from the surviving store
+    res = store_compact(spark, store_dir)
+    assert res["folded_batches"] == 1
+    cents = _load_centroids(spark, store_dir)
+    store = spark.read.parquet(store_dir)
+    want = {tuple(r) + (1,) for r in ann_store_topk(
+        assign_cells(quantize(b1), cents), store, cents).collect()}
+    ann_serve_batch(b1, 1, store_dir, out_dir)   # replay post-compact
+    assert {t for t in _hits(spark, out_dir) if t[6] == 1} == want
