@@ -161,6 +161,76 @@ FROM per, g
 """
 
 
+MIX_SQ_SCALE = 10 ** 8   # isqrt(n·10^8) ≈ √n·10^4 — α=0.5 weights
+
+
+def q_llm_mix_temperature(spark, sf_dir):
+    """Temperature-scaled domain sampling weights — w_s ∝ n_s^α with
+    α = 0.5, the multilingual mixing rule (mBERT / XLM-R / mT5
+    exponential smoothing): upsample small domains, damp the giant
+    ones.  Emitted per source: total tokens, the α=1 proportional
+    share (basis points), and the α=0.5 temperature weight (basis
+    points) — the flattening is the delta between the two columns.
+
+    The sqrt is EXACT-integer despite both engines computing it in
+    doubles: s0 = floor(sqrt(double(n·10^8))) can be off by at most
+    ±1 (the conversion error is ≤ 1 ulp relative, so the absolute
+    error in s stays ≪ 1 for s < 2^52), and two integer correction
+    steps — subtract 1 while s² > x, add 1 while (s+1)² ≤ x — land
+    both engines on THE integer sqrt regardless of how their libm
+    rounded.  All downstream arithmetic is bigint div.  (n·10^8
+    must stay under 2^63: fine to ~9·10^10 tokens per domain; past
+    that, widen to DECIMAL(38,0) — the snapshot-store pattern.)
+    One corpus aggregate; the per-source frame is domain-count
+    sized; the 1-row denominators broadcast."""
+    t = _doc_tokens(spark, sf_dir)
+    per = t.groupBy("source").agg(F.sum("tok").alias("total_tok"))
+    x = F.col("total_tok") * F.lit(MIX_SQ_SCALE)
+    s0 = F.floor(F.sqrt(x.cast("double"))).cast("bigint")
+    s1 = s0 - F.when(s0 * s0 > x, F.lit(1)).otherwise(F.lit(0))
+    s = s1 + F.when((s1 + 1) * (s1 + 1) <= x,
+                    F.lit(1)).otherwise(F.lit(0))
+    withs = per.withColumn("sq", s)
+    g = withs.agg(F.sum("total_tok").alias("grand"),
+                  F.sum("sq").alias("sq_sum"))
+    return (withs.crossJoin(F.broadcast(g))
+            .withColumn("share_bp",
+                        F.expr("total_tok * 10000 div grand"))
+            .withColumn("w_half_bp",
+                        F.expr("sq * 10000 div sq_sum"))
+            .select("source", "total_tok", "share_bp", "w_half_bp"))
+
+
+SQL_MIX_TEMPERATURE = f"""
+WITH t AS (
+  SELECT source,
+         CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT)
+           AS tok
+  FROM documents
+), per AS (
+  SELECT source, CAST(SUM(tok) AS BIGINT) AS total_tok
+  FROM t GROUP BY source
+), sq AS (
+  SELECT source, total_tok,
+         (SELECT s1 + (CASE WHEN (s1 + 1) * (s1 + 1) <= x
+                            THEN 1 ELSE 0 END)
+          FROM (SELECT s0 - (CASE WHEN s0 * s0 > x
+                                  THEN 1 ELSE 0 END) AS s1, x
+                FROM (SELECT CAST(floor(sqrt(CAST(
+                        total_tok * {MIX_SQ_SCALE} AS DOUBLE)))
+                        AS BIGINT) AS s0,
+                        total_tok * {MIX_SQ_SCALE} AS x))) AS sq
+  FROM per
+), g AS (
+  SELECT SUM(total_tok) AS grand, SUM(sq) AS sq_sum FROM sq
+)
+SELECT source, total_tok,
+       CAST(total_tok * 10000 // grand AS BIGINT) AS share_bp,
+       CAST(sq * 10000 // sq_sum AS BIGINT) AS w_half_bp
+FROM sq, g
+"""
+
+
 # ----------------------------------------------- retrieval surface --
 
 ANN_FILTER_MOD = 2   # llm_ann_filtered: neighbors with label % 2 = 0
@@ -298,6 +368,8 @@ QUERIES_EXT22: dict[str, dict] = {
                          "sql": SQL_MIX_BALANCED},
     "llm_mix_epochs": {"fn": q_llm_mix_epochs,
                        "sql": SQL_MIX_EPOCHS},
+    "llm_mix_temperature": {"fn": q_llm_mix_temperature,
+                            "sql": SQL_MIX_TEMPERATURE},
     "llm_ann_filtered": {"fn": q_llm_ann_filtered,
                          "sql": _sql_ann_filtered()},
     "llm_rrf_fusion": {"fn": q_llm_rrf_fusion,

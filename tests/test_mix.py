@@ -86,3 +86,24 @@ def test_epochs_exact_ceil_division(spark, sf_dir):
         assert r["epochs"] == -(-target // r["total_tok"])
     # the plan is meaningful: at least one domain repeats or truncates
     assert any(r["epochs"] >= 1 for r in rows) and k > 1
+
+
+def test_temperature_sqrt_is_exact_and_flattens(spark, sf_dir):
+    """The two-step integer correction must land on THE integer
+    sqrt (s² ≤ x < (s+1)²) for every domain, and α=0.5 must flatten
+    the mixture: the smallest domain gains weight vs its
+    proportional share, the largest loses."""
+    from lcmap_blackmagic_spark.registry_ext22 import (
+        MIX_SQ_SCALE, q_llm_mix_temperature)
+    import math
+    rows = q_llm_mix_temperature(spark, sf_dir).collect()
+    assert len(rows) > 1
+    for r in rows:
+        x = r["total_tok"] * MIX_SQ_SCALE
+        s = math.isqrt(x)
+        assert r["w_half_bp"] == s * 10000 // sum(
+            math.isqrt(q["total_tok"] * MIX_SQ_SCALE) for q in rows)
+    small = min(rows, key=lambda r: r["total_tok"])
+    big = max(rows, key=lambda r: r["total_tok"])
+    assert small["w_half_bp"] > small["share_bp"]
+    assert big["w_half_bp"] < big["share_bp"]
