@@ -505,6 +505,84 @@ def substring_dup_stats(df: DataFrame, id_col: str = "doc_id",
                     .alias("dup_ratio")))
 
 
+LINE_W = 4        # tokens per segment ("line") — fixture stand-in
+LINE_MAXOCC = 3   # corpus occurrences at which a segment is boilerplate
+
+
+def line_segments(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", w: int = LINE_W) -> DataFrame:
+    """(id, n_segs, i, seg): consecutive ``w``-token segments of each
+    document — the segmentation under the C4-style line-level dedup
+    (registry_ext23.q_llm_line_dedup and the streaming line store
+    share this one definition; on a corpus with real newlines the
+    split expression swaps for ``split(text, '\\n')`` and nothing
+    else changes).  One projection + one Generate — no shuffle."""
+    base = df.select(
+        F.col(id_col),
+        F.split(F.lower(F.trim(F.col(text_col))), " ").alias("toks"))
+    base = base.withColumn(
+        "n_segs",
+        F.expr(f"(size(toks) + {w - 1}) div {w}").cast("long"))
+    return (base
+            .withColumn("i", F.explode(
+                F.sequence(F.lit(0), F.col("n_segs") - 1)))
+            .select(id_col, "n_segs", "i", F.expr(
+                f"array_join(slice(toks, i * {w} + 1, {w}), ' ')")
+                .alias("seg")))
+
+
+def line_rewrite_segments(segs: DataFrame,
+                          extra_seg_counts: DataFrame | None = None,
+                          id_col: str = "doc_id",
+                          maxocc: int = LINE_MAXOCC) -> DataFrame:
+    """Reassemble documents from the segments that are NOT
+    boilerplate: a segment is excised when its occurrence count —
+    within ``segs`` plus, if given, ``extra_seg_counts`` (a
+    (seg, occ) frame, e.g. the streaming store's counts) — reaches
+    ``maxocc``.  Output (id, n_segs, n_kept, cleaned) is a total
+    function of the input: fully-boilerplate docs survive with
+    n_kept = 0 and an empty string.
+
+    Scale shape: the occurrence table is a groupBy on the segment
+    (map-side combined; 16-byte md5 key at 100 TB), the join back
+    reuses that exchange with AQE skew-join on hot segments, and
+    reassembly groups by doc — bounded by document length."""
+    occ = segs.groupBy("seg").agg(F.count(F.lit(1)).alias("occ"))
+    if extra_seg_counts is not None:
+        occ = (occ.join(extra_seg_counts
+                        .withColumnRenamed("occ", "occ_x"),
+                        "seg", "left")
+               .select("seg",
+                       (F.col("occ")
+                        + F.coalesce("occ_x", F.lit(0).cast("long")))
+                       .alias("occ")))
+    kept = segs.join(occ, "seg").filter(F.col("occ") < maxocc)
+    re = (kept.groupBy(id_col)
+          .agg(F.count(F.lit(1)).alias("n_kept"),
+               F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct(F.col("i"), F.col("seg")))),
+                       lambda x: x["seg"]),
+                   " ").alias("cleaned")))
+    heads = segs.select(id_col, "n_segs").dropDuplicates([id_col])
+    return (heads.join(re, id_col, "left")
+            .select(id_col, "n_segs",
+                    F.coalesce("n_kept", F.lit(0).cast("long"))
+                    .alias("n_kept"),
+                    F.coalesce("cleaned", F.lit("")).alias("cleaned")))
+
+
+def line_dedup_rewrite(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", w: int = LINE_W,
+                       maxocc: int = LINE_MAXOCC) -> DataFrame:
+    """The batch line-level dedup rewrite over one corpus frame —
+    segmentation + self-counts + reassembly (llm_line_dedup)."""
+    return line_rewrite_segments(
+        line_segments(df, id_col, text_col, w),
+        id_col=id_col, maxocc=maxocc)
+
+
 def prefix_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", n: int = 2,
                          t_num: int = 1, t_den: int = 2) -> DataFrame:

@@ -595,6 +595,7 @@ from .registry_ext19 import QUERIES_EXT19  # noqa: E402
 from .registry_ext20 import QUERIES_EXT20  # noqa: E402
 from .registry_ext21 import QUERIES_EXT21  # noqa: E402
 from .registry_ext22 import QUERIES_EXT22  # noqa: E402
+from .registry_ext23 import QUERIES_EXT23  # noqa: E402
 from .sql_catalog import QUERIES_SQL  # noqa: E402
 
 QUERIES.update(QUERIES_LLM)
@@ -623,6 +624,7 @@ QUERIES.update(QUERIES_EXT19)
 QUERIES.update(QUERIES_EXT20)
 QUERIES.update(QUERIES_EXT21)
 QUERIES.update(QUERIES_EXT22)
+QUERIES.update(QUERIES_EXT23)
 QUERIES.update(QUERIES_SQL)
 
 

@@ -786,6 +786,98 @@ def winnow_dedup_batch(batch_df: DataFrame, batch_id: int,
      .partitionBy("batch_id").parquet(out_dir))
 
 
+def build_line_store(docs: DataFrame, store_dir: str) -> None:
+    """Freeze the line-segment store from an existing corpus: one
+    (doc_id, n_segs, i, seg) row per segment slot
+    (llm/dedup.py:line_segments — the SAME segmentation as the batch
+    llm_line_dedup query).  Doc-keyed granular rows, not aggregated
+    counts, so the GDPR delete path is the family's plain id filter
+    (store_delete) and within-doc segment multiplicity stays exact."""
+    from ..llm.dedup import line_segments
+    line_segments(docs).write.mode("overwrite").parquet(store_dir)
+
+
+def line_dedup_stream(docs: DataFrame, store_dir: str,
+                      out_dir: str, update_store: bool = True):
+    """STREAMING line-level (boilerplate) dedup: per micro-batch,
+    segment the incoming documents ONCE and emit each document's
+    REWRITE — boilerplate segments excised, survivors reassembled —
+    against occurrence counts over the persisted LINE STORE plus the
+    batch itself.  Fifth member of the streaming dedup family
+    (MinHash / Bloom / winnowing / semantic), and the continuous
+    form of the batch ``llm_line_dedup`` query: a segment becomes
+    boilerplate the moment its count across (base corpus ∪ batches
+    so far ∪ this batch) reaches LINE_MAXOCC, so the stream's batch-k
+    emissions exactly equal the batch rewrite over the corpus as of
+    batch k, restricted to batch k's documents (pinned in
+    tests/test_line_dedup_stream.py).  Documents already emitted are
+    not retroactively rewritten — the ingest-dedup contract shared
+    by the whole family (flags/rewrites reflect the store at
+    trigger time).
+
+    Same exactly-once protocol as ingest_dedup_stream: incoming
+    segments land FIRST under the batch's own ``batch_id=``
+    partition of ``<store_dir>_updates`` (dynamic partition
+    overwrite — a replayed batch rewrites its own partition), the
+    rewrite is computed from that staged parquet against base ∪
+    STRICTLY EARLIER batches, and output lands in ``out_dir`` under
+    the same idempotent partitioning.
+
+    Per-trigger cost: segmentation is O(batch); the store-side count
+    reads only store rows whose segment OCCURS IN THE BATCH (a
+    left-semi equi-join on the batch's distinct segments, map-side
+    combined into per-segment counts before the exchange).
+    Boilerplate-hot segments are the heavy keys by definition — AQE
+    skew-join splits them, and at production scale the aggregated
+    count table is maintained incrementally instead of re-derived
+    (the mv.py count-MV over a snapshot-store corpus — kilobytes per
+    refresh), with this granular store remaining the delete-exact
+    source of truth.  ``update_store=False`` pins the static-store
+    twin.  Returns the DataStreamWriter (caller starts it)."""
+    def fb(batch_df: DataFrame, batch_id: int) -> None:
+        line_dedup_batch(batch_df, batch_id, store_dir, out_dir,
+                         update_store=update_store)
+
+    return docs.writeStream.foreachBatch(fb)
+
+
+def line_dedup_batch(batch_df: DataFrame, batch_id: int,
+                     store_dir: str, out_dir: str,
+                     update_store: bool = True) -> None:
+    """One micro-batch of the streaming line-dedup protocol,
+    module-level so crash-replay idempotency is directly testable
+    (re-running the same (batch_df, batch_id) must leave the store
+    and rewrites byte-identical)."""
+    from ..llm.dedup import line_rewrite_segments, line_segments
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    base = spark.read.parquet(store_dir)
+    updates_dir = store_dir.rstrip("/") + "_updates"
+    inc = line_segments(batch_df)
+    store = base
+    if update_store:
+        (inc.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(updates_dir))
+        updates = spark.read.parquet(updates_dir)
+        inc = (updates.filter(F.col("batch_id") == batch_id)
+               .drop("batch_id"))
+        store = base.unionByName(
+            updates.filter(F.col("batch_id") < batch_id)
+            .drop("batch_id"))
+    store_cnt = (store
+                 .join(inc.select("seg").distinct(), "seg",
+                       "left_semi")
+                 .groupBy("seg").agg(F.count(F.lit(1)).alias("occ")))
+    rewrite = line_rewrite_segments(inc, extra_seg_counts=store_cnt)
+    (rewrite.withColumn("batch_id", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id").parquet(out_dir))
+
+
 def build_dsir_store(target_docs: DataFrame, raw_docs: DataFrame,
                      store_dir: str) -> None:
     """Freeze the DSIR weight table (llm/text.dsir_weights — ≤
@@ -2154,6 +2246,21 @@ def winnow_store_delete(spark: SparkSession, store_dir: str,
     return store_delete(spark, store_dir, doc_ids, "doc_id")
 
 
+def line_store_delete(spark: SparkSession, store_dir: str,
+                      doc_ids) -> dict:
+    """Delete documents from the LINE-SEGMENT store
+    (line_dedup_stream's state): the granular (doc_id, n_segs, i,
+    seg) layout makes this the family's plain id filter — removing a
+    doc's rows lowers every affected segment's occurrence count by
+    exactly that doc's multiplicity, so a segment that was
+    boilerplate only because of deleted documents stops being
+    excised from future batches (exact-as-recount, pinned in
+    tests/test_line_dedup_stream.py).  An aggregated (seg, count)
+    store could not delete without the doc's text; this one needs
+    only the id."""
+    return store_delete(spark, store_dir, doc_ids, "doc_id")
+
+
 def semdedup_store_delete(spark: SparkSession, store_dir: str,
                           vec_ids) -> dict:
     """Delete vectors from the SEMANTIC store (semdedup_stream's
@@ -2198,7 +2305,8 @@ def dedup_store_delete_stream(spark: SparkSession, requests_dir: str,
     that would otherwise keep flagging against the deleted docs).
 
     ``stores`` maps store kind → directory; kinds: ``"minhash"``,
-    ``"winnow"`` (doc_id-keyed), ``"semantic"`` (vec_id-keyed).  The
+    ``"winnow"``, ``"line"`` (doc_id-keyed), ``"semantic"``
+    (vec_id-keyed).  The
     request feed is a parquet directory of (doc_id) — and (vec_id)
     when a semantic store is registered; either column may be absent
     from a given request file.  Bloom is deliberately NOT in the map:
@@ -2230,7 +2338,7 @@ def dedup_store_delete_stream(spark: SparkSession, requests_dir: str,
            .parquet(requests_dir))
 
     kinds = {"minhash": "doc_id", "winnow": "doc_id",
-             "semantic": "vec_id"}
+             "line": "doc_id", "semantic": "vec_id"}
     unknown = set(stores) - set(kinds)
     if unknown:
         raise ValueError(f"unknown dedup store kinds: {sorted(unknown)}"

@@ -53,6 +53,8 @@ ALLOWED: dict[str, str] = {
         "one-row global (grand total, domain count) pair",
     "registry_ext22.py:q_llm_mix_temperature:g":
         "one-row global (grand total, sqrt-sum) pair",
+    "registry_ext23.py:q_llm_curriculum:n":
+        "one-row global document count",
     "registry_pipelines.py:q_kmv_sketch:n_g":
         "per-returnflag counts — ≤3 flag values",
     "registry_ext11.py:_mix_plan:tot":
