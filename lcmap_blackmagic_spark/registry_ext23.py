@@ -41,10 +41,17 @@ actually reads, in what order, with which boilerplate excised.
   ``llm_epoch_shuffle``, so the loader streams tiers easy→hard with
   deterministic intra-tier randomness.
 
+Two more round out the wave's tail: ``llm_seq_pack_bestfit`` (the
+quality tier of the packing family — best-fit-decreasing with the
+free-list recursive-CTE oracle's LATERAL swapped for an argmin) and
+``eval_mrr_map`` (grouped MRR + MAP, the two classic ranked-retrieval
+metrics the eval family lacked, tie-collapsed competition ranks from
+the cum_below pyramid — never a per-group corpus sort window).
+
 Reference anchor: nothing in lcmap-blackmagic — scheduling is an
 engine-first addition for the training-data pipeline (brief §LLM-ops),
 composing with llm_mix_epochs (how many epochs) and llm_seq_pack
-(what fills each sequence).  All three carry full DuckDB oracles;
+(what fills each sequence).  All entries carry full DuckDB oracles;
 token semantics are llm_token_count's ws_tokens.
 """
 
@@ -209,6 +216,196 @@ FROM r
 """
 
 
+def q_llm_seq_pack_bestfit(spark, sf_dir):
+    """BEST-fit-decreasing sequence packing — the quality tier of
+    the packing family (llm_seq_pack = first-fit-decreasing,
+    llm_seq_pack_nextfit = next-fit): each document goes to the open
+    bin with the SMALLEST remaining capacity that still fits (ties →
+    lowest bin index), minimizing the slack each placement strands.
+    Same distribution contract as the siblings: md5-hash-sharded,
+    one sequential ``applyInPandas`` pass per shard (packing is
+    inherently sequential within a bin; the shard is the parallel
+    unit and bins never span shards), identical output schema.  The
+    oracle replays the SAME free-list recursive walk as
+    llm_seq_pack's, with the first-fit LATERAL swapped for the
+    argmin: ``list_position(rems, list_min(list_filter(rems,
+    r -> r >= n)))`` — first position of the minimal fitting
+    remainder, NULL (→ new bin) when nothing fits."""
+    import pandas as pd
+
+    from .registry_llm2 import PACK_CAPACITY
+
+    d = _t(spark, sf_dir, "documents")
+    n_shards = 16
+    toks = F.size(F.split(F.lower(F.trim("text")), " "))
+    base = d.select(
+        "doc_id",
+        F.least(toks, F.lit(PACK_CAPACITY)).cast("int").alias("n_tok"),
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                            1, 12), 16, 10).cast("bigint")
+         % n_shards).cast("int").alias("shard"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["n_tok", "doc_id"],
+                              ascending=[False, True]).reset_index(drop=True)
+        bins: list[int] = []   # remaining capacity per bin
+        out_bin, out_off = [], []
+        for n in pdf["n_tok"]:
+            n = int(n)
+            best = -1
+            for i, rem in enumerate(bins):   # best fit, first-on-tie
+                if rem >= n and (best < 0 or rem < bins[best]):
+                    best = i
+            if best >= 0:
+                out_bin.append(best)
+                out_off.append(PACK_CAPACITY - bins[best])
+                bins[best] -= n
+            else:
+                out_bin.append(len(bins))
+                out_off.append(0)
+                bins.append(PACK_CAPACITY - n)
+        pdf["bin"] = out_bin
+        pdf["off"] = out_off
+        return pdf[["shard", "doc_id", "n_tok", "bin", "off"]]
+
+    return (base.groupBy("shard").applyInPandas(
+        pack, schema="shard int, doc_id long, n_tok int, bin int, off int"))
+
+
+def _sql_seq_pack_bestfit() -> str:
+    from .registry_llm2 import PACK_CAPACITY
+    return f"""
+WITH RECURSIVE ordered AS (
+  SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+              AS BIGINT) % 16 AS INT) AS shard,
+         doc_id,
+         CAST(least(len(string_split(lower(trim(text)), ' ')),
+                    {PACK_CAPACITY}) AS INT) AS n_tok,
+         ROW_NUMBER() OVER (
+           PARTITION BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 12) AS BIGINT) % 16
+           ORDER BY least(len(string_split(lower(trim(text)), ' ')),
+                          {PACK_CAPACITY}) DESC, doc_id) AS rn
+  FROM documents),
+walk AS (
+  -- best-fit replayed exactly: same free-list state as the
+  -- first-fit oracle, argmin placement instead of first-fit
+  SELECT shard, doc_id, n_tok, rn,
+         0 AS bin, 0 AS off, [{PACK_CAPACITY} - n_tok] AS rems
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.doc_id, o.n_tok, o.rn,
+         CASE WHEN fit.idx IS NOT NULL THEN fit.idx - 1
+              ELSE len(w.rems) END,
+         CASE WHEN fit.idx IS NOT NULL
+              THEN {PACK_CAPACITY} - w.rems[fit.idx] ELSE 0 END,
+         CASE WHEN fit.idx IS NOT NULL
+              THEN w.rems[:fit.idx-1] || [w.rems[fit.idx] - o.n_tok]
+                   || w.rems[fit.idx+1:]
+              ELSE w.rems || [{PACK_CAPACITY} - o.n_tok] END
+  FROM walk w
+  JOIN ordered o ON o.shard = w.shard AND o.rn = w.rn + 1
+  CROSS JOIN LATERAL (
+    SELECT list_position(w.rems,
+             list_min(list_filter(w.rems, r -> r >= o.n_tok)))
+           AS idx) fit)
+SELECT shard, doc_id, n_tok, CAST(bin AS INT) AS bin,
+       CAST(off AS INT) AS off
+FROM walk
+"""
+
+
+MRR_SCORE_DOM = 1 << 20   # score domain — keeps cum_below's
+#                           level-2 prefix constant-bounded
+MRR_PPM = 1_000_000
+
+
+def q_eval_mrr_map(spark, sf_dir):
+    """Grouped MRR + MAP — the two classic ranked-retrieval metrics
+    missing from the eval family (beside eval_auc / eval_ndcg /
+    eval_confusion): per order-priority "query", candidates carry a
+    deterministic md5 score and a 10% md5 relevance coin, and the
+    group reports the first-relevant rank, the reciprocal rank, and
+    mean average precision.
+
+    Exactness + scale contract: ranks are TIE-COLLAPSED competition
+    ranks — rank(d) = 1 + #candidates with strictly greater score,
+    rel_le(d) = #relevant with score ≥ — both derived from
+    cum_below's per-value count pyramid (never a per-priority
+    corpus-sized sort window: 5 partitions at 10^12 rows is the
+    plan-audit trap).  Every AP term is the integer division
+    (PPM·rel_le) div rank, summed as bigints and divided once per
+    group, so both engines land on identical integers with no float
+    accumulation order anywhere.  The per-group count frames are
+    ≤5-row broadcasts (audited)."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_orderkey").alias("k"),
+        (_md48(F.concat(F.lit("r:"), F.col("o_orderkey")))
+         % MRR_SCORE_DOM).alias("score"),
+        (_md48(F.concat(F.lit("y:"), F.col("o_orderkey"))) % 10 == 0)
+        .alias("rel"))
+    cb = cum_below(o, "score", by=("grp",)).select(
+        "grp", F.col("v").alias("score"), "c", "cum_lt")
+    n = o.groupBy("grp").agg(F.count(F.lit(1)).alias("n_cands"))
+    rel = o.filter("rel")
+    rcb = cum_below(rel, "score", by=("grp",)).select(
+        "grp", F.col("v").alias("score"),
+        F.col("cum_lt").alias("rel_lt"))
+    rtot = rel.groupBy("grp").agg(F.count(F.lit(1)).alias("n_rel"))
+    j = (rel.join(cb, ["grp", "score"])
+         .join(rcb, ["grp", "score"])
+         .join(F.broadcast(n), "grp")
+         .join(F.broadcast(rtot), "grp")
+         .withColumn("rnk", F.col("n_cands") - F.col("cum_lt")
+                     - F.col("c") + 1)
+         .withColumn("rel_le", F.col("n_rel") - F.col("rel_lt"))
+         .withColumn("term", F.expr(
+             f"(CAST({MRR_PPM} AS BIGINT) * rel_le) div rnk")))
+    agg = j.groupBy("grp").agg(
+        F.first("n_cands").alias("n_cands"),
+        F.first("n_rel").alias("n_rel"),
+        F.min("rnk").alias("first_rel_rank"),
+        F.sum("term").alias("ap_sum"))
+    return agg.select(
+        "grp", "n_cands", "n_rel", "first_rel_rank",
+        F.expr(f"CAST({MRR_PPM} AS BIGINT) div first_rel_rank")
+        .alias("rr_ppm"),
+        F.expr("ap_sum div n_rel").alias("map_ppm"))
+
+
+SQL_EVAL_MRR_MAP = f"""
+WITH c AS (
+  SELECT o_orderpriority AS grp, o_orderkey AS k,
+         CAST('0x' || substr(md5('r:' || o_orderkey), 1, 12)
+              AS BIGINT) % {MRR_SCORE_DOM} AS score,
+         (CAST('0x' || substr(md5('y:' || o_orderkey), 1, 12)
+               AS BIGINT) % 10 = 0) AS rel
+  FROM orders),
+ranked AS (
+  SELECT grp, k, score, rel,
+         RANK() OVER (PARTITION BY grp ORDER BY score DESC) AS rnk
+  FROM c),
+relranked AS (
+  SELECT grp, k, score, rnk,
+         COUNT(*) OVER (PARTITION BY grp ORDER BY score DESC
+                        RANGE BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS rel_le
+  FROM ranked WHERE rel),
+agg AS (
+  SELECT grp, COUNT(*) AS n_rel,
+         MIN(rnk) AS first_rel_rank,
+         SUM((CAST({MRR_PPM} AS BIGINT) * rel_le) // rnk) AS ap_sum
+  FROM relranked GROUP BY grp),
+n AS (SELECT grp, COUNT(*) AS n_cands FROM c GROUP BY grp)
+SELECT n.grp, n.n_cands, a.n_rel,
+       CAST(a.first_rel_rank AS BIGINT) AS first_rel_rank,
+       CAST({MRR_PPM} // a.first_rel_rank AS BIGINT) AS rr_ppm,
+       CAST(a.ap_sum // a.n_rel AS BIGINT) AS map_ppm
+FROM n JOIN agg a USING (grp)
+"""
+
+
 QUERIES_EXT23: dict[str, dict] = {
     "llm_line_dedup": {"fn": q_llm_line_dedup,
                        "sql": SQL_LINE_DEDUP},
@@ -216,4 +413,8 @@ QUERIES_EXT23: dict[str, dict] = {
                           "sql": SQL_EPOCH_SHUFFLE},
     "llm_curriculum": {"fn": q_llm_curriculum,
                        "sql": SQL_CURRICULUM},
+    "llm_seq_pack_bestfit": {"fn": q_llm_seq_pack_bestfit,
+                             "sql": _sql_seq_pack_bestfit()},
+    "eval_mrr_map": {"fn": q_eval_mrr_map,
+                     "sql": SQL_EVAL_MRR_MAP},
 }

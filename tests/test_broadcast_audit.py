@@ -55,6 +55,10 @@ ALLOWED: dict[str, str] = {
         "one-row global (grand total, sqrt-sum) pair",
     "registry_ext23.py:q_llm_curriculum:n":
         "one-row global document count",
+    "registry_ext23.py:q_eval_mrr_map:n":
+        "per-priority candidate counts — ≤5 groups",
+    "registry_ext23.py:q_eval_mrr_map:rtot":
+        "per-priority relevant counts — ≤5 groups",
     "registry_pipelines.py:q_kmv_sketch:n_g":
         "per-returnflag counts — ≤3 flag values",
     "registry_ext11.py:_mix_plan:tot":

@@ -14,7 +14,8 @@ from pyspark.sql import functions as F
 import lcmap_blackmagic_spark.registry  # noqa: F401  (import order)
 from lcmap_blackmagic_spark.registry_ext23 import (
     CURR_TIERS, EPOCHS, LINE_MAXOCC, LINE_W, SHUFFLE_SHARDS,
-    q_llm_curriculum, q_llm_epoch_shuffle, q_llm_line_dedup)
+    q_llm_curriculum, q_llm_epoch_shuffle, q_llm_line_dedup,
+    q_llm_seq_pack_bestfit)
 
 
 @pytest.fixture(scope="module")
@@ -103,3 +104,66 @@ def test_curriculum_tiers_are_monotone_in_length(spark, sf_dir):
         r["tok"] for r in rows).values())
     for t in range(CURR_TIERS):
         assert abs(sizes[t] - n / CURR_TIERS) <= max_tie
+
+
+def test_eval_mrr_map_matches_python_reference(spark, sf_dir):
+    """Second oracle: recompute MRR/MAP in pure Python from the same
+    md5 streams — competition ranks, tie-inclusive rel_le, the same
+    integer-division term shape."""
+    import hashlib
+
+    from lcmap_blackmagic_spark.registry_ext23 import (
+        MRR_PPM, MRR_SCORE_DOM, q_eval_mrr_map)
+
+    def md48(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select("o_orderkey", "o_orderpriority").collect())
+    groups = collections.defaultdict(list)
+    for r in orders:
+        k = r["o_orderkey"]
+        groups[r["o_orderpriority"]].append(
+            (md48(f"r:{k}") % MRR_SCORE_DOM, md48(f"y:{k}") % 10 == 0))
+    want = {}
+    for grp, cands in groups.items():
+        scores = [s for s, _ in cands]
+        rel = sorted((s for s, r in cands if r), reverse=True)
+        n_cands, n_rel = len(cands), len(rel)
+        ap_sum, best_rank = 0, None
+        for s in rel:
+            rnk = 1 + sum(1 for x in scores if x > s)
+            rel_le = sum(1 for x in rel if x >= s)
+            ap_sum += (MRR_PPM * rel_le) // rnk
+            best_rank = rnk if best_rank is None else min(best_rank, rnk)
+        want[grp] = (n_cands, n_rel, best_rank,
+                     MRR_PPM // best_rank, ap_sum // n_rel)
+    got = {r["grp"]: (r["n_cands"], r["n_rel"], r["first_rel_rank"],
+                      r["rr_ppm"], r["map_ppm"])
+           for r in q_eval_mrr_map(spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_bestfit_packing_invariants(spark, sf_dir):
+    """No bin overflows, offsets are the exact running fill in
+    placement (length-desc, doc_id-asc) order, bins are numbered by
+    opening order — and on this fixture best-fit-decreasing uses no
+    more bins than next-fit over the same order."""
+    from lcmap_blackmagic_spark.registry_llm2 import (
+        PACK_CAPACITY, q_seq_pack_nextfit)
+
+    rows = q_llm_seq_pack_bestfit(spark, sf_dir).collect()
+    by_bin = collections.defaultdict(list)
+    for r in rows:
+        by_bin[(r["shard"], r["bin"])].append(r)
+    for rs in by_bin.values():
+        rs.sort(key=lambda r: (-r["n_tok"], r["doc_id"]))
+        fill = 0
+        for r in rs:
+            assert r["off"] == fill
+            fill += r["n_tok"]
+        assert fill <= PACK_CAPACITY
+    bfd_bins = len(by_bin)
+    nf = q_seq_pack_nextfit(spark, sf_dir).collect()
+    nf_bins = len({(r["shard"], r["bin"]) for r in nf})
+    assert bfd_bins <= nf_bins
