@@ -855,6 +855,12 @@ def line_dedup_batch(batch_df: DataFrame, batch_id: int,
     base = spark.read.parquet(store_dir)
     updates_dir = store_dir.rstrip("/") + "_updates"
     inc = line_segments(batch_df)
+    # a nonempty batch can still yield an EMPTY increment (NULL-text
+    # docs produce no segment rows); an empty dynamic overwrite
+    # creates no partition, and the unconditional updates read below
+    # would raise on the first such batch — the semdedup_batch lesson
+    if inc.isEmpty():
+        return
     store = base
     if update_store:
         (inc.withColumn("batch_id", F.lit(batch_id))

@@ -100,6 +100,28 @@ def test_line_batch_replay_is_idempotent(spark, sf_dir):
     assert snapshot() == first
 
 
+def test_line_batch_with_null_text_only_is_a_guarded_noop(spark):
+    """NULL-text docs yield no segment rows; a batch of only those
+    must not crash on a never-created updates dir, and the store
+    must stay untouched."""
+    base = spark.createDataFrame([(1, "some real text here")],
+                                 "doc_id LONG, text STRING")
+    d = tempfile.mkdtemp(prefix="line_nulltext_")
+    store_dir = os.path.join(d, "store")
+    out_dir = os.path.join(d, "rewrites")
+    build_line_store(base, store_dir)
+    nulls = spark.createDataFrame([(9, None)],
+                                  "doc_id LONG, text STRING")
+    line_dedup_batch(nulls, 0, store_dir, out_dir)
+    assert not os.path.isdir(store_dir + "_updates")
+    assert not os.path.isdir(out_dir)
+    # a later real batch proceeds normally
+    real = spark.createDataFrame([(10, "fresh words arriving now")],
+                                 "doc_id LONG, text STRING")
+    line_dedup_batch(real, 1, store_dir, out_dir)
+    assert len(_rewrites(spark, out_dir)) == 1
+
+
 def test_line_store_delete_is_exact_as_recount(spark):
     """Deleting docs lowers segment counts by exactly their
     multiplicity: a segment that was boilerplate only because of
