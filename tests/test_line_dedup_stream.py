@@ -100,6 +100,37 @@ def test_line_batch_replay_is_idempotent(spark, sf_dir):
     assert snapshot() == first
 
 
+def test_line_static_store_never_writes_updates(spark, sf_dir):
+    """update_store=False pins the static-store twin: every batch is
+    rewritten against base ∪ itself only (no cross-batch counts), and
+    the store directory tree is never touched."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base_dir = tempfile.mkdtemp(prefix="line_static_")
+    store_dir = os.path.join(base_dir, "store")
+    out_dir = os.path.join(base_dir, "rewrites")
+    existing = docs.filter(F.expr("(doc_id div 20) % 5 != 0"))
+    build_line_store(existing, store_dir)
+    incoming = docs.filter(F.expr("(doc_id div 20) % 5 = 0"))
+    batches = [incoming.filter(F.expr(f"(doc_id div 20) % 3 = {i}"))
+               for i in range(3)]
+    for bid, b in enumerate(batches):
+        line_dedup_batch(b, bid, store_dir, out_dir,
+                         update_store=False)
+    assert not os.path.isdir(store_dir + "_updates")
+    got = _rewrites(spark, out_dir)
+    base_corpus = _docs_dict(existing)
+    want = set()
+    for b in batches:
+        corpus = dict(base_corpus)
+        bd = _docs_dict(b)
+        corpus.update(bd)
+        ref = _python_line_dedup(corpus)
+        for did in bd:
+            n_segs, n_kept, cleaned = ref[did]
+            want.add((did, n_segs, n_kept, cleaned))
+    assert got == want and got
+
+
 def test_line_batch_with_null_text_only_is_a_guarded_noop(spark):
     """NULL-text docs yield no segment rows; a batch of only those
     must not crash on a never-created updates dir, and the store
