@@ -841,26 +841,25 @@ def line_dedup_stream(docs: DataFrame, store_dir: str,
     return docs.writeStream.foreachBatch(fb)
 
 
-def line_dedup_batch(batch_df: DataFrame, batch_id: int,
-                     store_dir: str, out_dir: str,
-                     update_store: bool = True) -> None:
-    """One micro-batch of the streaming line-dedup protocol,
-    module-level so crash-replay idempotency is directly testable
-    (re-running the same (batch_df, batch_id) must leave the store
-    and rewrites byte-identical)."""
+def _line_rewrite_stage(batch_df: DataFrame, batch_id: int,
+                        store_dir: str,
+                        update_store: bool = True) -> DataFrame | None:
+    """Shared core of the line-store protocol (line_dedup_stream and
+    curation_batch's optional line stage): stage the batch's
+    segments under the store's own batch partition, then return the
+    (doc_id, n_segs, n_kept, cleaned) rewrite computed against base
+    ∪ strictly-earlier batches ∪ the batch itself.  Returns None
+    when the batch yields no segment rows (all NULL text) — an empty
+    dynamic overwrite creates no partition, and the unconditional
+    updates read would raise on the first such batch (the
+    semdedup_batch lesson)."""
     from ..llm.dedup import line_rewrite_segments, line_segments
-    if batch_df.isEmpty():
-        return
     spark = batch_df.sparkSession
     base = spark.read.parquet(store_dir)
     updates_dir = store_dir.rstrip("/") + "_updates"
     inc = line_segments(batch_df)
-    # a nonempty batch can still yield an EMPTY increment (NULL-text
-    # docs produce no segment rows); an empty dynamic overwrite
-    # creates no partition, and the unconditional updates read below
-    # would raise on the first such batch — the semdedup_batch lesson
     if inc.isEmpty():
-        return
+        return None
     store = base
     if update_store:
         (inc.withColumn("batch_id", F.lit(batch_id))
@@ -877,7 +876,22 @@ def line_dedup_batch(batch_df: DataFrame, batch_id: int,
                  .join(inc.select("seg").distinct(), "seg",
                        "left_semi")
                  .groupBy("seg").agg(F.count(F.lit(1)).alias("occ")))
-    rewrite = line_rewrite_segments(inc, extra_seg_counts=store_cnt)
+    return line_rewrite_segments(inc, extra_seg_counts=store_cnt)
+
+
+def line_dedup_batch(batch_df: DataFrame, batch_id: int,
+                     store_dir: str, out_dir: str,
+                     update_store: bool = True) -> None:
+    """One micro-batch of the streaming line-dedup protocol,
+    module-level so crash-replay idempotency is directly testable
+    (re-running the same (batch_df, batch_id) must leave the store
+    and rewrites byte-identical)."""
+    if batch_df.isEmpty():
+        return
+    rewrite = _line_rewrite_stage(batch_df, batch_id, store_dir,
+                                  update_store=update_store)
+    if rewrite is None:
+        return
     (rewrite.withColumn("batch_id", F.lit(batch_id))
      .write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
@@ -1865,7 +1879,8 @@ def curation_batch(batch_df: DataFrame, batch_id: int,
                    metrics_dir: str, tok_min: int = 30,
                    tok_max: int = 100, threshold: float = 0.2,
                    update_store: bool = True,
-                   sem_store_dir: str | None = None) -> None:
+                   sem_store_dir: str | None = None,
+                   line_store_dir: str | None = None) -> None:
     """One micro-batch of the COMPOSED streaming curation pipeline —
     the streaming twin of the batch ``llm_curation`` funnel, built
     from the family's existing per-stage members:
@@ -1892,6 +1907,20 @@ def curation_batch(batch_df: DataFrame, batch_id: int,
     docs with no (or zero-norm) embedding PASS the stage — no
     vector, no evidence — exactly the batch rule.
 
+    ``line_store_dir`` inserts the LINE-LEVEL boilerplate stage
+    BEFORE the quality cut (the C4 ordering — cleaning precedes
+    filtering, so every downstream stage judges the CLEANED text):
+    each batch is rewritten through ``_line_rewrite_stage`` (the
+    line store's own staged-updates protocol, counts over base ∪
+    strictly earlier ∪ the batch), documents whose every segment is
+    boilerplate drop (n_kept = 0 — the empty-doc removal every line
+    pipeline ends with), and the funnel gains a ``linededup`` row.
+    FACTORIZATION CONTRACT (pinned in tests/test_curation_line_
+    stream.py): this batch with the stage ON is byte-equal to
+    rewriting the batch through ``line_dedup_batch`` first and then
+    running THIS batch with the stage OFF against identically-seeded
+    downstream stores.
+
     Curated+scored docs land under ``docs_dir``'s batch partition;
     the per-stage funnel (stage_id, stage, n_docs — the batch
     funnel's verifiable summary, one row set per batch) lands under
@@ -1906,11 +1935,25 @@ def curation_batch(batch_df: DataFrame, batch_id: int,
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
+
+    src = batch_df
+    if line_store_dir is not None:
+        rew = _line_rewrite_stage(batch_df, batch_id, line_store_dir,
+                                  update_store=update_store)
+        if rew is not None:
+            # replace text with the cleaned reassembly; drop docs
+            # left with nothing (fully-boilerplate)
+            src = (batch_df.drop("text")
+                   .join(rew.filter(F.col("n_kept") > 0)
+                         .select("doc_id",
+                                 F.col("cleaned").alias("text")),
+                         "doc_id").localCheckpoint())
+
     ntok = F.size(F.split(F.lower(F.trim("text")), " "))
     # FIVE downstream consumers (signature hash, dedup anti-join,
     # decontam probe, metrics, sink) — checkpoint the micro-batch's
     # quality survivors once; batch-sized, not corpus-sized
-    q = batch_df.filter(ntok.between(tok_min, tok_max)).localCheckpoint()
+    q = src.filter(ntok.between(tok_min, tok_max)).localCheckpoint()
 
     def stage(i, name, df):
         return df.agg(F.lit(i).alias("stage_id"),
@@ -1918,8 +1961,10 @@ def curation_batch(batch_df: DataFrame, batch_id: int,
                       F.count(F.lit(1)).alias("n_docs"))
 
     def write_metrics(deduped_df, clean_df, sem_df=None):
-        names = [("start", batch_df), ("quality", q),
-                 ("dedup", deduped_df)]
+        names = [("start", batch_df)]
+        if line_store_dir is not None:
+            names.append(("linededup", src))
+        names += [("quality", q), ("dedup", deduped_df)]
         if sem_store_dir is not None:
             names.append(("semdedup",
                           deduped_df if sem_df is None else sem_df))
@@ -2011,7 +2056,8 @@ def curation_stream(docs: DataFrame, signature_dir: str,
                     tok_min: int = 30, tok_max: int = 100,
                     threshold: float = 0.2,
                     update_store: bool = True,
-                    sem_store_dir: str | None = None):
+                    sem_store_dir: str | None = None,
+                    line_store_dir: str | None = None):
     """STREAMING corpus curation END-TO-END — quality cut → MinHash
     ingest dedup → Bloom decontamination → DSIR scoring, composed
     from the streaming family's per-stage members into ONE
@@ -2024,6 +2070,9 @@ def curation_stream(docs: DataFrame, signature_dir: str,
     carrying an ``embedding`` column — documents_emb_stream), the
     SEMANTIC stage runs between dedup and decontamination and this
     becomes the continuous form of ``llm_curation_sem`` instead.
+    With ``line_store_dir`` set, the LINE-LEVEL boilerplate rewrite
+    runs first (C4 ordering — see curation_batch), so every
+    downstream stage judges the cleaned text.
     Returns the DataStreamWriter (caller
     starts it)."""
     def fb(batch_df: DataFrame, batch_id: int) -> None:
@@ -2031,7 +2080,8 @@ def curation_stream(docs: DataFrame, signature_dir: str,
                        bloom_store_dir, dsir_store_dir, docs_dir,
                        metrics_dir, tok_min=tok_min, tok_max=tok_max,
                        threshold=threshold, update_store=update_store,
-                       sem_store_dir=sem_store_dir)
+                       sem_store_dir=sem_store_dir,
+                       line_store_dir=line_store_dir)
 
     return docs.writeStream.foreachBatch(fb)
 
