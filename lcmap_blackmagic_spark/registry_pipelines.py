@@ -786,35 +786,16 @@ CURATE_TOK_MIN = 30
 CURATE_TOK_MAX = 100
 
 
-def q_llm_curation(spark, sf_dir):
-    """END-TO-END corpus curation — the pipeline a pre-training data
-    job actually runs, composed from this repo's own operators:
-
-      1. quality cut: token count in [30, 100] (integer rule —
-         the oracle-safe core of llm/text.quality_scores),
-      2. near-dup dedup: MinHash LSH pairs (STAGED single-pass form,
-         llm/dedup.minhash_pairs_staged, threshold 0.2) → pointer-
-         jumping connected components → one representative per
-         cluster (largest n_chars, then smallest id),
-      3. decontamination: drop survivors sharing any word 5-gram
-         with the 'src0' benchmark split (broadcast gram semi-join),
-         benchmark docs themselves leave the corpus here.
-
-    Emits the per-stage funnel (docs + tokens surviving) — the
-    verifiable summary a curation run reports.  Every stage is
-    integer-exact, so the WHOLE pipeline carries a composed DuckDB
-    oracle (the dedup stage embeds the recursive-CTE components
-    oracle re-pointed at the quality-filtered CTE)."""
+def _curation_stages(spark, sf_dir, q, staging_key):
+    """Quality frame → (repd, clean): the MinHash-dedup and
+    5-gram-decontam stages shared by llm_curation and
+    llm_curation_lines (the latter feeds the line-rewritten corpus
+    through the identical machinery)."""
     from pyspark.sql import Window
 
     from .llm.dedup import dedup_components, minhash_pairs_staged, shingles
     from .registry import _staging
-    d = _t(spark, sf_dir, "documents")
-    ntok = F.size(F.split(F.lower(F.trim("text")), " "))
-    q = (d.withColumn("n_tok", ntok.cast("bigint"))
-         .filter(ntok.between(CURATE_TOK_MIN, CURATE_TOK_MAX)))
-
-    pairs = minhash_pairs_staged(q, _staging(sf_dir, "curation_minhash"),
+    pairs = minhash_pairs_staged(q, _staging(sf_dir, staging_key),
                                  threshold=0.2)
     comp = dedup_components(pairs, q.select("doc_id"))
     sized = comp.join(q.select("doc_id", "n_chars"), "doc_id")
@@ -838,6 +819,34 @@ def q_llm_curation(spark, sf_dir):
     cont = (corpus.select("doc_id", F.explode(shingles("text", 5)).alias("g"))
             .join(F.broadcast(bench), "g").select("doc_id").distinct())
     clean = corpus.join(cont, "doc_id", "left_anti")
+    return repd, clean
+
+
+def q_llm_curation(spark, sf_dir):
+    """END-TO-END corpus curation — the pipeline a pre-training data
+    job actually runs, composed from this repo's own operators:
+
+      1. quality cut: token count in [30, 100] (integer rule —
+         the oracle-safe core of llm/text.quality_scores),
+      2. near-dup dedup: MinHash LSH pairs (STAGED single-pass form,
+         llm/dedup.minhash_pairs_staged, threshold 0.2) → pointer-
+         jumping connected components → one representative per
+         cluster (largest n_chars, then smallest id),
+      3. decontamination: drop survivors sharing any word 5-gram
+         with the 'src0' benchmark split (broadcast gram semi-join),
+         benchmark docs themselves leave the corpus here.
+
+    Emits the per-stage funnel (docs + tokens surviving) — the
+    verifiable summary a curation run reports.  Every stage is
+    integer-exact, so the WHOLE pipeline carries a composed DuckDB
+    oracle (the dedup stage embeds the recursive-CTE components
+    oracle re-pointed at the quality-filtered CTE)."""
+    d = _t(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.lower(F.trim("text")), " "))
+    q = (d.withColumn("n_tok", ntok.cast("bigint"))
+         .filter(ntok.between(CURATE_TOK_MIN, CURATE_TOK_MAX)))
+
+    repd, clean = _curation_stages(spark, sf_dir, q, "curation_minhash")
 
     def stage(i, name, df):
         return df.agg(F.lit(i).alias("stage_id"),
@@ -897,9 +906,127 @@ ORDER BY stage_id
 """
 
 
+def q_llm_curation_lines(spark, sf_dir):
+    """END-TO-END curation with the LINE-LEVEL boilerplate rewrite
+    as the funnel's FIRST stage — the batch twin of
+    ``curation_stream(line_store_dir=…)`` and the C4 ordering
+    (cleaning precedes filtering, so quality/dedup/decontam all
+    judge the CLEANED text): documents are rewritten through
+    llm/dedup.line_dedup_rewrite (segments occurring ≥ LINE_MAXOCC
+    times excised, survivors reassembled), fully-boilerplate docs
+    drop, and the surviving corpus runs through the IDENTICAL
+    quality → MinHash-dedup → decontam machinery as llm_curation
+    (_curation_stages — shared code, separate staging key).
+    Representative choice still orders by the ORIGINAL n_chars
+    column (document identity, not post-rewrite size).  Every stage
+    stays integer/string-exact, so the whole five-stage funnel
+    carries one composed DuckDB oracle."""
+    from .llm.dedup import line_dedup_rewrite
+
+    d = _t(spark, sf_dir, "documents")
+    rew = line_dedup_rewrite(d)
+    cdocs = (d.drop("text")
+             .join(rew.filter(F.col("n_kept") > 0)
+                   .select("doc_id", F.col("cleaned").alias("text")),
+                   "doc_id"))
+    ntok = F.size(F.split(F.lower(F.trim("text")), " "))
+    q = cdocs.filter(ntok.between(CURATE_TOK_MIN, CURATE_TOK_MAX))
+
+    repd, clean = _curation_stages(spark, sf_dir, q,
+                                   "curation_lines_minhash")
+
+    def stage(i, name, df):
+        return df.agg(F.lit(i).alias("stage_id"),
+                      F.lit(name).alias("stage"),
+                      F.count(F.lit(1)).alias("n_docs"),
+                      F.sum(F.size(F.split(F.lower(F.trim("text")), " "))
+                            .cast("bigint")).alias("n_tokens"))
+
+    return (stage(1, "start", d)
+            .unionByName(stage(2, "linededup", cdocs))
+            .unionByName(stage(3, "quality", q))
+            .unionByName(stage(4, "dedup", repd))
+            .unionByName(stage(5, "decontam", clean))
+            .orderBy("stage_id"))
+
+
+def _sql_llm_curation_lines() -> str:
+    from .llm.dedup import LINE_MAXOCC, LINE_W
+    from .registry_llm2 import sql_dedup_groups
+    groups = sql_dedup_groups().replace("FROM documents", "FROM qdocs")
+    gram5 = ("UNNEST(list_transform(generate_series(1, len(ws) - 4), "
+             "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' "
+             "|| ws[i+3] || ' ' || ws[i+4]))")
+    tok = "len(string_split(lower(trim(text)), ' '))"
+    return f"""
+WITH toks0 AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+  FROM documents),
+segb AS (
+  SELECT doc_id, toks,
+         CAST((len(toks) + {LINE_W - 1}) // {LINE_W} AS BIGINT)
+           AS n_segs
+  FROM toks0),
+segs AS (
+  SELECT doc_id, n_segs, i,
+         array_to_string(
+           toks[(i * {LINE_W} + 1):(i * {LINE_W} + {LINE_W})],
+           ' ') AS seg
+  FROM segb, LATERAL (SELECT unnest(range(n_segs)) AS i) u),
+segc AS (SELECT seg, COUNT(*) AS occ FROM segs GROUP BY seg),
+segk AS (
+  SELECT s.doc_id, s.i, s.seg
+  FROM segs s JOIN segc USING (seg) WHERE segc.occ < {LINE_MAXOCC}),
+segr AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY i) AS cleaned
+  FROM segk GROUP BY doc_id),
+cdocs AS (
+  -- inner join = docs with ≥1 surviving segment (n_kept > 0)
+  SELECT d.doc_id, r.cleaned AS text, d.lang, d.source, d.n_chars
+  FROM documents d JOIN segr r USING (doc_id)),
+qdocs AS (
+  SELECT * FROM cdocs
+  WHERE {tok} BETWEEN {CURATE_TOK_MIN} AND {CURATE_TOK_MAX}),
+comp AS (SELECT * FROM ({groups}) g),
+reps AS (
+  SELECT c.doc_id,
+         ROW_NUMBER() OVER (PARTITION BY c.component
+                            ORDER BY d.n_chars DESC, c.doc_id) AS rn
+  FROM comp c JOIN qdocs d USING (doc_id)),
+repd AS (SELECT d.* FROM qdocs d
+         JOIN reps r ON r.doc_id = d.doc_id AND r.rn = 1),
+corpus AS (SELECT * FROM repd WHERE source <> 'src0'),
+bench AS (
+  SELECT DISTINCT {gram5} AS g
+  FROM (SELECT string_split(lower(trim(text)), ' ') AS ws
+        FROM qdocs WHERE source = 'src0')),
+cont AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, {gram5} AS g
+        FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws
+              FROM corpus)) cg
+  JOIN bench USING (g)),
+clean AS (SELECT * FROM corpus
+          WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+SELECT 1 AS stage_id, 'start' AS stage, COUNT(*) AS n_docs,
+       CAST(SUM({tok}) AS BIGINT) AS n_tokens FROM documents
+UNION ALL SELECT 2, 'linededup', COUNT(*), CAST(SUM({tok}) AS BIGINT)
+FROM cdocs
+UNION ALL SELECT 3, 'quality', COUNT(*), CAST(SUM({tok}) AS BIGINT)
+FROM qdocs
+UNION ALL SELECT 4, 'dedup', COUNT(*), CAST(SUM({tok}) AS BIGINT)
+FROM repd
+UNION ALL SELECT 5, 'decontam', COUNT(*), CAST(SUM({tok}) AS BIGINT)
+FROM clean
+ORDER BY stage_id
+"""
+
+
 QUERIES_PIPELINES: dict[str, dict] = {
     "llm_curation":         {"fn": q_llm_curation,
                              "sql": _sql_llm_curation()},
+    "llm_curation_lines":   {"fn": q_llm_curation_lines,
+                             "sql": _sql_llm_curation_lines()},
     "lcmap_segment_detect": {"fn": q_lcmap_segment_detect,
                              "sql": _sql_segment_detect()},
     "lcmap_detect_chip":    {"fn": q_lcmap_detect_chip,

@@ -110,9 +110,10 @@ ALLOWED: dict[str, str] = {
     "registry_ext5.py:q_mad_outliers:mad":
         "per-event_type MADs — ≤ num types rows",
     # ---- bounded-by-contract sides ----
-    "registry_pipelines.py:q_llm_curation:bench":
+    "registry_pipelines.py:_curation_stages:bench":
         "benchmark-split 5-grams — bounded by the held-out benchmark"
-        " size, the 5-gram-broadcast decontam design",
+        " size, the 5-gram-broadcast decontam design (shared by"
+        " llm_curation and llm_curation_lines)",
     "registry_ext3.py:q_decontaminate:bench":
         "benchmark-split 5-grams — bounded by the held-out benchmark"
         " size (same contract as llm_curation)",

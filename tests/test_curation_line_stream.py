@@ -9,6 +9,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+import lcmap_blackmagic_spark.registry  # noqa: F401  (import order)
 from lcmap_blackmagic_spark.llm.dedup import _minhash_doc_aggregate
 from lcmap_blackmagic_spark.llm.text import dsir_weights
 from lcmap_blackmagic_spark.streaming.jobs import (build_bloom_store,
@@ -77,6 +78,23 @@ def test_curation_line_stage_factorizes(spark, sf_dir):
     # the stage must actually bite somewhere across the 3 batches
     rews = spark.read.parquet(db["rewrites"])
     assert rews.filter(F.col("n_kept") < F.col("n_segs")).count() > 0
+
+
+def test_batch_curation_lines_funnel_shape(spark, sf_dir):
+    """The batch twin (llm_curation_lines): docs monotone down the
+    funnel, the line stage trims tokens without inventing docs, and
+    stage names/order are the stream's."""
+    from lcmap_blackmagic_spark.registry_pipelines import (
+        q_llm_curation_lines)
+    rows = q_llm_curation_lines(spark, sf_dir).collect()
+    assert [r["stage"] for r in rows] == [
+        "start", "linededup", "quality", "dedup", "decontam"]
+    docs = [r["n_docs"] for r in rows]
+    toks = [r["n_tokens"] for r in rows]
+    assert docs == sorted(docs, reverse=True)
+    assert toks == sorted(toks, reverse=True)
+    assert toks[1] < toks[0]   # the rewrite bites
+    assert docs[1] <= docs[0]
 
 
 def test_curation_line_replay_is_idempotent(spark, sf_dir):
