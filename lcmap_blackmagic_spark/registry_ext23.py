@@ -406,6 +406,53 @@ FROM n JOIN agg a USING (grp)
 """
 
 
+def q_llm_pack_efficiency(spark, sf_dir):
+    """The packing-quality LADDER, measured: one report row per
+    strategy (best-fit / first-fit / next-fit over the identical
+    md5-sharded decreasing order) with its bin count, packed tokens,
+    and utilization in basis points — the comparison a batch-shape
+    tuner actually reads (packed_tok is identical across strategies
+    by construction; n_bins and util_bp are where they differ).
+    Integer-exact: utilization = packed·10^4 div (bins·capacity).
+    The oracle nests all three recursive free-list/state walks as
+    derived tables under one WITH — the sql_dedup_groups nesting
+    trick, three replays in one statement."""
+    from .registry_llm2 import (PACK_CAPACITY, q_seq_pack,
+                                q_seq_pack_nextfit)
+    parts = [fn(spark, sf_dir).withColumn("strategy", F.lit(nm))
+             for nm, fn in (("best_fit", q_llm_seq_pack_bestfit),
+                            ("first_fit", q_seq_pack),
+                            ("next_fit", q_seq_pack_nextfit))]
+    u = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return (u.groupBy("strategy")
+            .agg(F.countDistinct("shard", "bin").alias("n_bins"),
+                 F.sum("n_tok").cast("bigint").alias("packed_tok"))
+            .withColumn("util_bp", F.expr(
+                f"packed_tok * 10000 div (n_bins * {PACK_CAPACITY})"))
+            .orderBy("strategy"))
+
+
+def _sql_pack_efficiency() -> str:
+    from .registry_llm2 import (PACK_CAPACITY, SQL_SEQ_PACK,
+                                SQL_SEQ_PACK_NEXTFIT)
+    return f"""
+WITH bf AS (SELECT * FROM ({_sql_seq_pack_bestfit()}) x),
+ff AS (SELECT * FROM ({SQL_SEQ_PACK}) x),
+nf AS (SELECT * FROM ({SQL_SEQ_PACK_NEXTFIT}) x),
+u AS (
+  SELECT 'best_fit' AS strategy, shard, bin, n_tok FROM bf
+  UNION ALL SELECT 'first_fit', shard, bin, n_tok FROM ff
+  UNION ALL SELECT 'next_fit', shard, bin, n_tok FROM nf)
+SELECT strategy,
+       CAST(COUNT(DISTINCT (shard, bin)) AS BIGINT) AS n_bins,
+       CAST(SUM(n_tok) AS BIGINT) AS packed_tok,
+       CAST(SUM(n_tok) * 10000
+            // (COUNT(DISTINCT (shard, bin)) * {PACK_CAPACITY})
+            AS BIGINT) AS util_bp
+FROM u GROUP BY strategy ORDER BY strategy
+"""
+
+
 QUERIES_EXT23: dict[str, dict] = {
     "llm_line_dedup": {"fn": q_llm_line_dedup,
                        "sql": SQL_LINE_DEDUP},
@@ -417,4 +464,6 @@ QUERIES_EXT23: dict[str, dict] = {
                              "sql": _sql_seq_pack_bestfit()},
     "eval_mrr_map": {"fn": q_eval_mrr_map,
                      "sql": SQL_EVAL_MRR_MAP},
+    "llm_pack_efficiency": {"fn": q_llm_pack_efficiency,
+                            "sql": _sql_pack_efficiency()},
 }
