@@ -635,9 +635,14 @@ def q_label_propagation(spark, sf_dir):
                       F.greatest(node("src"), node("dst"))
                       .alias("b"))
            .distinct())
+    # localCheckpoint: the undirected edge table feeds every LPA
+    # round's neighbor join PLUS the label init — without it the
+    # lead-window edge derivation re-executes once per consumer
+    # inside the single final plan (4× at LPA_ROUNDS=3)
     und = (und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
            .unionByName(und.select(F.col("b").alias("src"),
-                                   F.col("a").alias("dst"))))
+                                   F.col("a").alias("dst")))
+           .localCheckpoint())
     labels = und.select(F.col("src").alias("u")).distinct() \
         .withColumn("lbl", F.col("u"))
     wmode = None
@@ -788,11 +793,8 @@ def kcenter_step(df, center, have_best) -> "F.DataFrame":
     the next round), which makes the registry-level plan audit see
     only the final 8-row literal: tests/test_plan_shapes.py audits
     THIS plan instead (no exchange/cartesian/row-UDF)."""
-    carr = F.array(*[F.lit(int(v)) for v in center])
-    sq = F.zip_with(F.col("qa"), carr,
-                    lambda x, cv: (x - cv) * (x - cv))
-    dnew = F.aggregate(sq, F.lit(0).cast("bigint"),
-                       lambda acc, v: acc + v)
+    from .ml.intlloyd import dist_to_sql
+    dnew = F.expr(dist_to_sql(center))  # one parsed SQL string
     best = F.least(F.col("best"), dnew) if have_best else dnew
     return df.select("vec_id", "qa", best.alias("best"))
 

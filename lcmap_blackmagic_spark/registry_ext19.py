@@ -408,7 +408,7 @@ def q_llm_ann_ivf_exact(spark, sf_dir, label_mod: int | None = None):
     join."""
     from pyspark.sql import Window
 
-    from .ml.intlloyd import cell_of, dist_to, integer_lloyd, sumsq
+    from .ml.intlloyd import cell_of, dist_to_sql, integer_lloyd, sumsq
     from .registry import _staging
     e = _t(spark, sf_dir, "embeddings")
     arr = e.select(
@@ -430,9 +430,10 @@ def q_llm_ann_ivf_exact(spark, sf_dir, label_mod: int | None = None):
         ok = (e.filter(F.col("label") % label_mod == 0)
               .select(F.col("vec_id").alias("nid")))
         corpus = corpus.join(ok, "nid", "semi")
-    pc = F.slice(F.array_sort(F.array(*[
-        F.struct(dist_to(c).alias("d"), F.lit(int(cid)).alias("cid"))
-        for cid, c in cents])), 1, IVX_PROBE)
+    # one parsed SQL string (ml/intlloyd.dist_to_sql rationale)
+    pc = F.expr("slice(array_sort(array(" + ",".join(
+        f"named_struct('d', {dist_to_sql(c)}, 'cid', {int(cid)})"
+        for cid, c in cents) + f")), 1, {IVX_PROBE})")
     qs = (arrq.filter(F.col("vec_id") % IVX_STRIDE == 0)
           .withColumn("q2", sq).filter(F.col("q2") > 0)
           .select(F.col("vec_id").alias("qid"),

@@ -490,7 +490,7 @@ def _ivfpq_topk(spark, sf_dir, *, source_fn=None,
     the standard at billion-vector scale."""
     from pyspark.sql import Window
 
-    from .ml.intlloyd import (cell_of, dist_to,
+    from .ml.intlloyd import (arr_sql, cell_of, dist_to_sql,
                               grouped_integer_lloyd, integer_lloyd)
     from .registry import _staging
     from .registry_ext19 import (IVX_CELLS, IVX_DIM, IVX_ITERS, IVX_K,
@@ -518,8 +518,12 @@ def _ivfpq_topk(spark, sf_dir, *, source_fn=None,
         # hand the fitted table to recall_of so the ground truth does
         # not pay a bit-identical refit (2 more corpus scans)
         _coarse_out.append(coarse)
-    cent_arr = F.array(*[F.array(*[F.lit(int(v)) for v in c])
-                         for _, c in coarse])
+    # all literal-heavy expressions below are ONE parsed SQL string
+    # each (ml/intlloyd.dist_to_sql rationale: Column-algebra
+    # construction was ~half this query's wall time)
+    cent_arr_sql = ("array(" + ",".join(arr_sql(c) for _, c in coarse)
+                    + ")")
+    cent_arr = F.expr(cent_arr_sql)
     enc = arrq.withColumn("cell", cell_of(coarse))
     if residual:
         # encode x − coarse_centroid(cell): the codebooks below are
@@ -554,31 +558,29 @@ def _ivfpq_topk(spark, sf_dir, *, source_fn=None,
                 "0..PQ_CELLS-1; the ADC element_at lookup would "
                 "silently mis-map codes to distances")
 
-    def sub_col(m):
-        return F.slice(F.col("qa"), m * PQ_DS + 1, PQ_DS)
+    def dist_sub_sql(c, m):
+        sub = f"slice(qa, {m * PQ_DS + 1}, {PQ_DS})"
+        return dist_to_sql(c, qa=sub)
 
-    def dist_sub(c, m):
-        carr = F.array(*[F.lit(int(v)) for v in c])
-        return F.aggregate(
-            F.zip_with(sub_col(m), carr,
-                       lambda x, cv: (x - cv) * (x - cv)),
-            F.lit(0).cast("bigint"), lambda a, v: a + v)
-
-    def code_col(m):
-        return F.array_min(F.array(*[
-            F.struct(dist_sub(c, m).alias("d"),
-                     F.lit(int(cid)).alias("cid"))
-            for cid, c in subcents[m]]))["cid"]
+    def code_col_sql(m):
+        structs = ",".join(
+            f"named_struct('d', {dist_sub_sql(c, m)}, 'cid', {int(cid)})"
+            for cid, c in subcents[m])
+        return f"array_min(array({structs})).cid"
 
     corpus = enc.select(
         F.col("vec_id").alias("nid"), "cell",
-        F.array(*[code_col(m) for m in range(PQ_M)]).alias("codes"))
+        F.expr("array(" + ",".join(code_col_sql(m)
+                                   for m in range(PQ_M)) + ")")
+        .alias("codes"))
 
-    dtab = F.array(*[F.array(*[dist_sub(c, m) for _, c in subcents[m]])
-                     for m in range(PQ_M)])
-    pc = F.slice(F.array_sort(F.array(*[
-        F.struct(dist_to(c).alias("d"), F.lit(int(cid)).alias("cid"))
-        for cid, c in coarse])), 1, probe)
+    dtab = F.expr("array(" + ",".join(
+        "array(" + ",".join(dist_sub_sql(c, m)
+                            for _, c in subcents[m]) + ")"
+        for m in range(PQ_M)) + ")")
+    pc = F.expr("slice(array_sort(array(" + ",".join(
+        f"named_struct('d', {dist_to_sql(c)}, 'cid', {int(cid)})"
+        for cid, c in coarse) + f")), 1, {probe})")
     # probe by the RAW query vector; under residual encoding the
     # distance table is per (query, probed cell) — the query residual
     # differs per cell — so dtab is evaluated AFTER the explode

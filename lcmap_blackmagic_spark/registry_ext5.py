@@ -374,7 +374,11 @@ def q_item_cooccurrence(spark, sf_dir):
     aggregate. Lift divides exact bigint counts cast to double — one
     deterministic IEEE op per side, no rounding."""
     l = _t(spark, sf_dir, "lineitem")
-    items = l.select("l_orderkey", "l_partkey").distinct()
+    # localCheckpoint: the distinct basket table feeds FOUR consumers
+    # (both self-join sides, the marginals, the order count) — one
+    # distinct shuffle instead of per-consumer re-execution
+    items = (l.select("l_orderkey", "l_partkey").distinct()
+             .localCheckpoint())
     n_orders = items.select("l_orderkey").distinct() \
         .agg(F.count(F.lit(1)).alias("n"))
     a = items.select("l_orderkey", F.col("l_partkey").alias("pk_a"))

@@ -438,10 +438,19 @@ def q_dedup_groups(spark, sf_dir):
     propagation (llm/dedup.dedup_components). Every document gets a
     component id = the smallest doc_id in its duplicate cluster (the
     canonical survivor); singletons label themselves. The oracle
-    computes the same fixpoint with a recursive CTE."""
-    from .llm.dedup import dedup_components, minhash_pairs
+    computes the same fixpoint with a recursive CTE.
+
+    Uses the STAGED pair form (llm/dedup.minhash_pairs_staged, the
+    llm_curation precedent): the pure form's md5-heavy per-doc
+    aggregate executes twice end to end (Catalyst specializes the
+    shared subtree per consumer — see minhash_pairs' NOTE), and this
+    query materializes the pair table anyway inside
+    dedup_components' localCheckpoint.  Identical output/oracle."""
+    from .llm.dedup import dedup_components, minhash_pairs_staged
+    from .registry import _staging
     d = _t(spark, sf_dir, "documents")
-    pairs = minhash_pairs(d, threshold=0.2)
+    pairs = minhash_pairs_staged(d, _staging(sf_dir, "dedup_groups_minhash"),
+                                 threshold=0.2)
     return (dedup_components(pairs, d.select("doc_id"))
             .select("doc_id",
                     F.col("component").cast("bigint").alias("component")))
