@@ -734,11 +734,20 @@ def _prefix_pairs_from_ranked(ranked: DataFrame, id_col: str,
     sets_b = ranked.select(F.col(id_col).alias("id_b"),
                            F.col("st.tok").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    ssum = F.size("sh_a") + F.size("sh_b")
+    # verify inequality in the i*(den+num) >= (|a|+|b|)*num form:
+    # algebraically identical to i*den >= union*num (union = s − i,
+    # all integers), but the predicate carries ONE array_intersect
+    # where the union form carried two — and Catalyst pushes this
+    # predicate into the verify join's condition, so it runs once
+    # per CANDIDATE pair (3.5M at sf0.1, where survivors are ~256);
+    # thread dumps showed the whole slow stage inside the doubled
+    # intersect.  The output expression still computes the exact
+    # round(i/union) on survivors only.
     return (cand.join(sets_a, "id_a").join(sets_b, "id_b")
-            .filter(inter * F.lit(t_den) >= union * F.lit(t_num))
+            .filter(inter * F.lit(t_den + t_num) >= ssum * F.lit(t_num))
             .select("id_a", "id_b",
-                    F.round(inter / union, 6).alias("jaccard")))
+                    F.round(inter / (ssum - inter), 6).alias("jaccard")))
 
 
 def prefix_jaccard_pairs_staged(df: DataFrame, staging_dir: str,

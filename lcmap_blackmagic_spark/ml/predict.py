@@ -15,7 +15,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import types as T
+from pyspark.sql import functions as F
 
 from ..schemas import NUM_CLASSES
 from .train import HAVE_XGBOOST
@@ -69,26 +69,32 @@ def _predict_matrix(model, X: np.ndarray) -> np.ndarray:
 def predict_probabilities(df: DataFrame, model_bytes: bytes,
                           features_col: str = "independent") -> DataFrame:
     """Append ``prob array<float>`` (NUM_CLASSES entries) to every row.
-    Input rows must carry a fixed-length feature array."""
+    Input rows must carry a fixed-length feature array.
+
+    Boundary shape (guide §4): an iterator pandas UDF on the feature
+    column, not ``mapInPandas`` over whole rows — ONLY the feature
+    arrays cross the JVM↔Python boundary; the key/date columns never
+    leave the JVM.  The old mapInPandas form shipped every column
+    both ways per batch (keys, 3 date strings) — pure serialization
+    overhead for columns the model never reads.  The model is still
+    decoded once per task (iterator form), batching still Arrow;
+    probabilities are identical (``_predict_matrix`` is row-wise)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
     from ..session import ensure_worker_imports
     spark = df.sparkSession
     ensure_worker_imports(spark)
     bc = spark.sparkContext.broadcast(model_bytes)
-    out_schema = T.StructType(
-        df.schema.fields
-        + [T.StructField("prob", T.ArrayType(T.FloatType()))])
-    in_cols = [f.name for f in df.schema.fields]
 
-    def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    @pandas_udf("array<float>")
+    def infer(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         model = _load(bc.value)
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pdf.assign(prob=pd.Series(dtype=object))
+        for feats in batches:
+            if len(feats) == 0:
+                yield pd.Series([], dtype=object)
                 continue
-            X = np.vstack(pdf[features_col].to_numpy()).astype(np.float32)
+            X = np.vstack(feats.to_numpy()).astype(np.float32)
             probs = _predict_matrix(model, X).astype(np.float32)
-            pdf = pdf[in_cols].copy()
-            pdf["prob"] = list(probs)
-            yield pdf
+            yield pd.Series(list(probs))
 
-    return df.mapInPandas(infer, schema=out_schema)
+    return df.withColumn("prob", infer(F.col(features_col)))

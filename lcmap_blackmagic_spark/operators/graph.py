@@ -57,13 +57,21 @@ def pagerank(edges: DataFrame, rounds: int = 5,
         # base is inlined as a literal: CAST to BIGINT explicitly —
         # when base fits in int32 (large n), `15 * base` would parse
         # as int32×int32 and overflow under ANSI mode (hit at sf0.1)
+        # LAZY checkpoint (r14): still truncates the per-round plan
+        # (the round chain would otherwise grow 5×), but defers
+        # materialization to the caller's single action — the eager
+        # form ran one blocking job PER ROUND (5 extra job round
+        # trips whose only purpose was persisting a table the next
+        # round reads anyway).  Values identical; there is no
+        # per-round driver decision here (unlike dedup_components'
+        # convergence count), so nothing needs the eager barrier.
         ranks = (nodes.join(contrib, "node", "left")
                  .select("node",
                          F.expr(f"({DAMP_NUM} * coalesce(insum, 0) "
                                 f"+ {100 - DAMP_NUM} "
                                 f"* CAST({base} AS BIGINT)) "
                                 f"div {DAMP_DEN}").alias("rank_scaled"))
-                 .localCheckpoint())
+                 .localCheckpoint(eager=False))
     return ranks
 
 
@@ -82,10 +90,13 @@ def triangle_counts(edges: DataFrame, src: str = "src",
     appearing as b or c never fans out quadratically from both ends
     (production engines refine this to degree-ordering; id-ordering
     keeps the oracle bit-exact). Output: (node, triangles)."""
+    # localCheckpoint: the canonical edge table feeds all THREE legs
+    # of the enumeration join — without the barrier the upstream
+    # edge derivation (lead windows + distinct) re-executes per leg
     e = (edges.select(F.least(src, dst).alias("a"),
                       F.greatest(src, dst).alias("b"))
          .filter(F.col("a") != F.col("b"))
-         .distinct())
+         .distinct().localCheckpoint())
     ab = e.select(F.col("a").alias("t_a"), F.col("b").alias("t_b"))
     bc = e.select(F.col("a").alias("t_b"), F.col("b").alias("t_c"))
     ac = e.select(F.col("a").alias("t_a"), F.col("b").alias("t_c"))

@@ -263,24 +263,24 @@ def _iso(ordinal):
     return datetime.date.fromordinal(int(ordinal or 1)).isoformat()
 
 
-DETECT_GROUPS_PER_CHIP = 64
-
-
 def detect(timeseries: DataFrame,
            detector: Callable = stub_detector) -> DataFrame:
-    """UD1: run the detector per pixel via applyInPandas. A pixel
+    """UD1: run the detector per pixel via mapInPandas. A pixel
     whose detector returns no models yields one default segment
     (segment.py:52-53 defaults()).
 
-    Grouping is SALTED to ~DETECT_GROUPS_PER_CHIP pixel buckets per
-    chip rather than one group per pixel: pixels are independent, so
-    any grouping is correct, and 64 Arrow batches of ~156 pixels cost
-    four orders of magnitude fewer group-function invocations than
-    10,000 singletons while still parallelizing a SINGLE chip across
-    executors (the reference's Pool-per-chip shape, segment.py:
-    188-195, without its one-machine cap).  The default stub detector
-    runs a vectorized whole-group fast path (``_stub_batch_group``,
-    bit-equal by oracle); pluggable detectors run the row loop."""
+    No grouping at all (r14): pixels are independent and both
+    runners are row-wise, so the detector rides the assembly
+    aggregate's existing partitioning — the earlier salted
+    64-bucket applyInPandas (itself the fix for 10,000 singleton
+    groups) still paid one full shuffle of the assembled per-pixel
+    arrays, the fattest rows in the pipeline, purely to batch
+    pixels, which Arrow batching provides for free.  Parallelism is
+    the assembly's post-AQE partition count (the reference's
+    Pool-per-chip shape, segment.py:188-195, without its one-machine
+    cap).  The default stub detector runs a vectorized whole-batch
+    fast path (``_stub_batch_group``, bit-equal by oracle);
+    pluggable detectors run the row loop."""
     if detector is stub_detector:
         run_group = _stub_batch_group
     else:
@@ -289,12 +289,21 @@ def detect(timeseries: DataFrame,
 
     from ..session import ensure_worker_imports
     ensure_worker_imports(timeseries.sparkSession)
-    salted = timeseries.withColumn(
-        "__pg", F.pmod(F.xxhash64("px", "py"),
-                       F.lit(DETECT_GROUPS_PER_CHIP)))
-    return (salted
-            .groupBy("cx", "cy", "__pg")
-            .applyInPandas(run_group, schema=SEGMENTS))
+
+    # mapInPandas over the assembly's EXISTING partitioning (r14):
+    # pixels are independent and both runners are row-wise, so the
+    # detector needs no grouping at all — the former salted
+    # groupBy(cx, cy, __pg).applyInPandas paid one full extra shuffle
+    # of the assembled per-pixel arrays (the fattest rows in the
+    # pipeline) purely to batch pixels, which Arrow batching already
+    # does.  Output rows are identical (pinned A/B at side=100); the
+    # detect stage now starts where the assembly aggregate ended.
+    def run_batches(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield run_group(pdf)
+
+    return timeseries.mapInPandas(run_batches, schema=SEGMENTS)
 
 
 def chip_record(detections: DataFrame) -> DataFrame:

@@ -32,7 +32,12 @@ def tile_pipeline(segments: DataFrame, aux: DataFrame, date: str,
     """Returns (model_bytes, label_statistics DataFrame).
     ``trainer='spark_ml'`` selects the fully distributed
     pyspark.ml fit (no driver-side matrix)."""
-    data = training_data(segments, aux, date, chips)
+    # localCheckpoint: FOUR downstream consumers (stats, the sample's
+    # per-class count collect, the split, the fit's matrix collect)
+    # each re-ran the segments⨝aux assembly without it — the same
+    # barrier the bench-scale twin (registry_pipelines.q_lcmap_tile_
+    # train) applies; the matrix is labeled-pixel-sized
+    data = training_data(segments, aux, date, chips).localCheckpoint()
     stats = label_statistics(data, "label")
     sample = stratified_sample(data, "label", target_samples,
                                class_min, class_max, seed=seed)

@@ -207,8 +207,11 @@ def q_lcmap_predict_chip(spark, sf_dir):
     from .plans.prediction import prediction_pipeline
     from .plans.training import training_data
     from .sources.fixtures import synth_aux_hash, synth_segments_hash
-    segs = synth_segments_hash(spark, side=100)
-    aux = synth_aux_hash(spark, side=100)
+    # localCheckpoint the fixture frames: BOTH the training assembly
+    # and prediction_inputs below consume segs+aux, and each
+    # checkpoint materialization re-ran the md5 fixture generation
+    segs = synth_segments_hash(spark, side=100).localCheckpoint()
+    aux = synth_aux_hash(spark, side=100).localCheckpoint()
     # tile_pipeline's fit stages with the training matrix checkpointed
     # once (sample + the fit's two collects re-ran the assembly)
     ordc = F.conv(F.substring(F.md5(F.concat_ws(
@@ -543,7 +546,11 @@ def q_kmv_sketch(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem")
     h = F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string")),
                            1, 12), 16, 10).cast("bigint")
-    dist = l.select("l_returnflag", h.alias("h")).distinct()
+    # localCheckpoint: k_smallest consumes its input twice (bucket
+    # counts + the rank join) — without the barrier the md5 scan +
+    # distinct shuffle execute per consumer
+    dist = (l.select("l_returnflag", h.alias("h")).distinct()
+            .localCheckpoint())
     topk = k_smallest(dist, ["l_returnflag"], "h", KMV_K)
     kmv = (topk.groupBy("l_returnflag")
            .agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("k"))
@@ -556,10 +563,14 @@ def q_kmv_sketch(spark, sf_dir):
         "-", F.col("l_orderkey").cast("string"),
         F.col("l_linenumber").cast("string"))), 1, 12), 16, 10) \
         .cast("bigint")
-    samp = l.filter(hs < KMV_SAMPLE_THRESH).select(
+    # localCheckpoint: the sample feeds the per-flag count AND the
+    # cum_below pyramid (which derives three tables from it) — the
+    # md5 sample filter re-ran per consumer
+    samp = (l.filter(hs < KMV_SAMPLE_THRESH).select(
         "l_returnflag",
         (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
         .cast("bigint").alias("cents"))
+        .localCheckpoint())
     # median VALUE at rank ceil(n/2) is tie-break-free: the smallest
     # cents value whose cumulative count reaches the rank — read off
     # the prefix pyramid (every window partition ≤1024 rows) instead
