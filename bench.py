@@ -345,6 +345,9 @@ def main() -> None:
     for name in HEADLINE:
         fn = QUERIES[name]["fn"]
         runs = []
+        # label the jobs (guide §1.5) so UI/event-log forensics can
+        # attribute stages to queries; set OUTSIDE the timed window
+        spark.sparkContext.setJobDescription(f"bench:{name}")
         try:
             for _ in range(3):
                 t0 = time.perf_counter()
@@ -363,6 +366,7 @@ def main() -> None:
         per_query[name] = dt
         spread[name] = [round(runs[0], 3), dt, round(runs[-1], 3)]
         total += dt
+    spark.sparkContext.setJobDescription(None)
 
     detail = {
         "metric": "headline_queries_total",
