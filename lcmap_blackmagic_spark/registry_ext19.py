@@ -409,16 +409,19 @@ def q_llm_ann_ivf_exact(spark, sf_dir, label_mod: int | None = None):
     from pyspark.sql import Window
 
     from .ml.intlloyd import cell_of, dist_to_sql, integer_lloyd, sumsq
-    from .registry import _staging
     e = _t(spark, sf_dir, "embeddings")
     arr = e.select(
         "vec_id",
         F.transform("embedding",
                     lambda x: F.floor(x.cast("double") * IVX_QS)
                     .cast("bigint")).alias("qa"))
-    staging = _staging(sf_dir, "ivfx_arr")
-    arr.write.mode("overwrite").parquet(staging)
-    arrq = spark.read.parquet(staging)
+    # lazy localCheckpoint replaces the r14 parquet staging: the same
+    # materialize-once multi-consumer barrier (Lloyd scans, corpus
+    # side, query side), but its materialization rides the Lloyd
+    # SEED collect — the first job that touches it — instead of
+    # paying a blocking parquet write + read-back round trip (r15
+    # driver-bound fix: 2 fewer sequential jobs, no disk detour)
+    arrq = arr.localCheckpoint(eager=False)
 
     cents = integer_lloyd(arrq, IVX_CELLS, IVX_ITERS, IVX_DIM)
     sq = sumsq()
@@ -430,16 +433,19 @@ def q_llm_ann_ivf_exact(spark, sf_dir, label_mod: int | None = None):
         ok = (e.filter(F.col("label") % label_mod == 0)
               .select(F.col("vec_id").alias("nid")))
         corpus = corpus.join(ok, "nid", "semi")
-    # one parsed SQL string (ml/intlloyd.dist_to_sql rationale)
+    # one parsed SQL string (ml/intlloyd.dist_to_sql rationale),
+    # projected BELOW the explode: a generator re-evaluates its
+    # select-list per OUTPUT row, so inlining the probe sort in the
+    # explode select would pay the 8-cell argmin sort ×IVX_PROBE
     pc = F.expr("slice(array_sort(array(" + ",".join(
         f"named_struct('d', {dist_to_sql(c)}, 'cid', {int(cid)})"
         for cid, c in cents) + f")), 1, {IVX_PROBE})")
     qs = (arrq.filter(F.col("vec_id") % IVX_STRIDE == 0)
           .withColumn("q2", sq).filter(F.col("q2") > 0)
+          .withColumn("__pc", F.transform(pc, lambda s: s["cid"]))
           .select(F.col("vec_id").alias("qid"),
                   F.col("qa").alias("qqa"), "q2",
-                  F.explode(F.transform(pc, lambda s: s["cid"]))
-                  .alias("cell")))
+                  F.explode("__pc").alias("cell")))
     dot = F.aggregate(
         F.zip_with(F.col("qqa"), F.col("nqa"), lambda x, y: x * y),
         F.lit(0).cast("bigint"), lambda a, v: a + v)

@@ -61,21 +61,24 @@ def q_llm_semdedup(spark, sf_dir):
     The Lloyd fit itself never shuffles the corpus: per iteration
     one (cell, dim) rollup of SEM_CELLS·SEM_DIM rows; the centroid
     table is a model constant (collect-audit-allowlisted).  The
-    within-cell self-join re-reads the STAGED quantized table (one
-    parquet materialization, same as the exact IVF), so the funnel
-    is one hash-checked query, not four."""
+    within-cell self-join re-reads the CHECKPOINTED quantized table
+    (one lazy materialization inside the single final action — the
+    r15 collect-free form; the r14 parquet staging paid a blocking
+    write+read job for the same reuse), so the funnel is one
+    hash-checked query, not four."""
     from .llm.semdedup import assign_cells, dot_over
     from .ml.intlloyd import integer_lloyd
-    from .registry import _staging
 
     e = _t(spark, sf_dir, "embeddings")
-    staging = _staging(sf_dir, "semdedup_arr")
-    quantize(e).write.mode("overwrite").parquet(staging)
-    arrq = spark.read.parquet(staging)
+    # lazy checkpoint instead of the r14 parquet staging — the
+    # quantized table materializes under the Lloyd seed collect and
+    # every later consumer reads its blocks (no write+read jobs)
+    arrq = quantize(e).localCheckpoint(eager=False)
 
     cents = integer_lloyd(arrq, SEM_CELLS, SEM_ITERS, SEM_DIM)
-    vecs = (assign_cells(arrq, cents)
-            .localCheckpoint())  # 3 consumers: both pair sides + funnel
+    # 3 consumers (both pair sides + funnel) — lazy: materialized by
+    # the caller's one action, reused from blocks thereafter
+    vecs = assign_cells(arrq, cents).localCheckpoint(eager=False)
 
     a = vecs.select(F.col("vec_id").alias("ai"), F.col("qa").alias("aq"),
                     "cell", F.col("n2").alias("a2"))
@@ -86,7 +89,8 @@ def q_llm_semdedup(spark, sf_dir):
                     dot_over("aq", "bq").alias("dot")))
     pairs = (cand.filter(sem_cond(F.col("dot"), F.col("a2"),
                                   F.col("b2"), SEM_TAU2_BP))
-             .localCheckpoint())  # 2 consumers: funnel + drop set
+             # 2 consumers: funnel + drop set — lazy (same rationale)
+             .localCheckpoint(eager=False))
     dropped = pairs.select(F.col("bi").alias("vec_id")).distinct()
     survivors = vecs.join(dropped, "vec_id", "left_anti")
 
@@ -202,18 +206,23 @@ def q_llm_curation_sem(spark, sf_dir):
     # llm_curation checkpoint argument verbatim
     rep_ids = (sized.select("doc_id", F.row_number().over(w).alias("rn"))
                .filter(F.col("rn") == 1).select("doc_id")
-               .localCheckpoint())
+               # lazy (r15): all three consumers sit inside the one
+               # final action — blocks persist at first touch there
+               .localCheckpoint(eager=False))
     repd = q.join(rep_ids, "doc_id")
 
     emb = (_t(spark, sf_dir, "embeddings")
            .join(rep_ids.select(F.col("doc_id").alias("vec_id")),
                  "vec_id"))
-    staging = _staging(sf_dir, "curation_sem_arr")
-    quantize(emb).write.mode("overwrite").parquet(staging)
-    arrq = spark.read.parquet(staging)
+    # lazy checkpoint replaces the r14 parquet staging (see
+    # q_llm_semdedup) — the survivor-subset quantized table
+    # materializes under the Lloyd seed collect (which also pulls
+    # rep_ids' blocks into existence) and is reused by both pair
+    # sides from blocks
+    arrq = quantize(emb).localCheckpoint(eager=False)
     cents = integer_lloyd(arrq, SEM_CELLS, SEM_ITERS, SEM_DIM,
                           seed_smallest=True)
-    vecs = assign_cells(arrq, cents).localCheckpoint()
+    vecs = assign_cells(arrq, cents).localCheckpoint(eager=False)
     a = vecs.select(F.col("vec_id").alias("ai"),
                     F.col("qa").alias("aq"), "cell",
                     F.col("n2").alias("a2"))
@@ -425,7 +434,7 @@ def _ivfpq_topk(spark, sf_dir, *, source_fn=None,
                 staging_key: str = "ivfpq_arr",
                 residual: bool = False, refine: int = 0,
                 probe: int | None = None,
-                _coarse_out: list | None = None):
+                _share_out: dict | None = None):
     """IVF-PQ approximate nearest neighbors with a FULL oracle — the
     memory-bounded flagship of large-scale ANN (Jégou et al. 2011,
     "Product Quantization for Nearest Neighbor Search"; the FAISS
@@ -467,8 +476,9 @@ def _ivfpq_topk(spark, sf_dir, *, source_fn=None,
 
     ``source_fn(spark, sf_dir) -> DataFrame[(vec_id, qa)]`` swaps the
     corpus (already integer-quantized) — used by the clustered-
-    fixture recall entries; ``staging_key`` keeps distinct sources in
-    distinct staging tables.
+    fixture recall entries; ``staging_key`` is retained for call-site
+    stability (the r14 parquet staging became a lazy localCheckpoint
+    in r15 — same materialize-once reuse, zero blocking jobs).
 
     ``refine=R`` adds the third standard accuracy knob (FAISS
     IndexRefine): keep the top R candidates per query by ADC, then
@@ -492,20 +502,48 @@ def _ivfpq_topk(spark, sf_dir, *, source_fn=None,
 
     from .ml.intlloyd import (arr_sql, cell_of, dist_to_sql,
                               grouped_integer_lloyd, integer_lloyd)
-    from .registry import _staging
     from .registry_ext19 import (IVX_CELLS, IVX_DIM, IVX_ITERS, IVX_K,
                                  IVX_PROBE, IVX_QS, IVX_STRIDE)
     if probe is None:
         probe = IVX_PROBE
-    staging = _staging(sf_dir, staging_key)
     if source_fn is None:
         src = quantize(_t(spark, sf_dir, "embeddings"), IVX_QS)
     else:
         src = source_fn(spark, sf_dir)
-    src.write.mode("overwrite").parquet(staging)
-    arrq = spark.read.parquet(staging)
+    # localCheckpoint replaces the r14 parquet staging: the quantized
+    # corpus is still materialized ONCE and reused by every consumer
+    # (Lloyd seeds/iterations, encode, queries, refine) without the
+    # blocking parquet write + read-back round trip (r15 driver-bound
+    # fix).  Residual path: LAZY — materializes under the coarse
+    # seed collect.  Non-residual path: EAGER, because the coarse
+    # fit and the 8 PQ subspace fits are then INDEPENDENT consumers
+    # run from two driver threads below (guide §2.6) — a lazy block
+    # would be computed twice by their concurrent first jobs.
+    arrq = src.localCheckpoint(eager=False if residual else True)
 
-    coarse = integer_lloyd(arrq, IVX_CELLS, IVX_ITERS, IVX_DIM)
+    if residual:
+        coarse = integer_lloyd(arrq, IVX_CELLS, IVX_ITERS, IVX_DIM)
+        subcents = None
+    else:
+        # the subspace codebooks are fit on the RAW vectors, so the
+        # coarse fit (3 sequential jobs) and the grouped subspace fit
+        # (3 sequential jobs) share no dependency — overlap them from
+        # a 2-thread pool so the second fit back-fills the idle
+        # executors of the first's small rollup jobs (§2.6); results
+        # are collected constants, so scheduling cannot affect them
+        from concurrent.futures import ThreadPoolExecutor
+        sub_raw = arrq.select(
+            "vec_id",
+            F.posexplode(F.array(*[
+                F.slice("qa", m * PQ_DS + 1, PQ_DS)
+                for m in range(PQ_M)])).alias("g", "qa"))
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            cf = pool.submit(integer_lloyd, arrq, IVX_CELLS,
+                             IVX_ITERS, IVX_DIM)
+            sf = pool.submit(grouped_integer_lloyd, sub_raw, PQ_M,
+                             PQ_CELLS, PQ_ITERS, PQ_DS)
+            coarse = cf.result()
+            subcents = sf.result()
     # the ADC lookup below maps code m -> dtab[m][code + 1]; that is
     # only correct when codeword (and coarse-cell) ids are EXACTLY
     # 0..CELLS-1.  The dense-id seeding guarantees it on the test
@@ -514,10 +552,12 @@ def _ivfpq_topk(spark, sf_dir, *, source_fn=None,
     if [cid for cid, _ in coarse] != list(range(IVX_CELLS)):
         raise ValueError("IVF-PQ coarse cell ids are not dense "
                          "0..IVX_CELLS-1; refit with a dense id space")
-    if _coarse_out is not None:
-        # hand the fitted table to recall_of so the ground truth does
-        # not pay a bit-identical refit (2 more corpus scans)
-        _coarse_out.append(coarse)
+    if _share_out is not None:
+        # hand the fitted table + checkpointed corpus to recall_of so
+        # the ground truth pays neither a bit-identical refit (2 more
+        # corpus passes) nor the r14 staging re-read
+        _share_out["coarse"] = coarse
+        _share_out["arrq"] = arrq
     # all literal-heavy expressions below are ONE parsed SQL string
     # each (ml/intlloyd.dist_to_sql rationale: Column-algebra
     # construction was ~half this query's wall time)
@@ -528,29 +568,32 @@ def _ivfpq_topk(spark, sf_dir, *, source_fn=None,
     if residual:
         # encode x − coarse_centroid(cell): the codebooks below are
         # fit on — and the codes computed from — the residual frame.
-        # STAGE it: the 8 subspace Lloyds below each collect twice
-        # over their input, and the residual expression (an 8-way
-        # argmin plus a 64-wide zip_with against an 8×64-literal
-        # centroid array) would otherwise be recompiled and
-        # recomputed in every one of those 16 scans — measured 5×
-        # the whole query's cost at sf0.1
-        enc = enc.withColumn("qa", F.zip_with(
+        # Checkpoint it: the 8 subspace Lloyds below collect 3× over
+        # their input, and the residual expression (an 8-way argmin
+        # plus a 64-wide zip_with against an 8×64-literal centroid
+        # array) would otherwise be recompiled and recomputed in
+        # every one of those scans — measured 5× the whole query's
+        # cost at sf0.1.  LAZY since r15: the grouped fit's seed
+        # collect materializes it (the r14 parquet staging paid a
+        # blocking write + read-back for the same reuse).
+        enc = (enc.withColumn("qa", F.zip_with(
             F.col("qa"),
             F.element_at(cent_arr, (F.col("cell") + 1).cast("int")),
             lambda x, c: x - c))
-        res_staging = _staging(sf_dir, staging_key + "_res")
-        enc.write.mode("overwrite").parquet(res_staging)
-        enc = spark.read.parquet(res_staging)
+            .localCheckpoint(eager=False))
     # all 8 subspace codebooks in ONE grouped fit: 1 + PQ_ITERS
     # corpus scans instead of 8 × (1 + PQ_ITERS) — bit-identical to
-    # the per-subspace loop (grouped_integer_lloyd's contract)
-    sub_all = enc.select(
-        "vec_id",
-        F.posexplode(F.array(*[
-            F.slice("qa", m * PQ_DS + 1, PQ_DS)
-            for m in range(PQ_M)])).alias("g", "qa"))
-    subcents = grouped_integer_lloyd(sub_all, PQ_M, PQ_CELLS,
-                                     PQ_ITERS, PQ_DS)
+    # the per-subspace loop (grouped_integer_lloyd's contract).
+    # Non-residual codebooks were already fit above (overlapped with
+    # the coarse fit); the residual ones need the residual frame.
+    if subcents is None:
+        sub_all = enc.select(
+            "vec_id",
+            F.posexplode(F.array(*[
+                F.slice("qa", m * PQ_DS + 1, PQ_DS)
+                for m in range(PQ_M)])).alias("g", "qa"))
+        subcents = grouped_integer_lloyd(sub_all, PQ_M, PQ_CELLS,
+                                         PQ_ITERS, PQ_DS)
     for m in range(PQ_M):
         if [cid for cid, _ in subcents[m]] != list(range(PQ_CELLS)):
             raise ValueError(
@@ -583,11 +626,14 @@ def _ivfpq_topk(spark, sf_dir, *, source_fn=None,
         for cid, c in coarse) + f")), 1, {probe})")
     # probe by the RAW query vector; under residual encoding the
     # distance table is per (query, probed cell) — the query residual
-    # differs per cell — so dtab is evaluated AFTER the explode
+    # differs per cell — so dtab is evaluated AFTER the explode.
+    # The probe list is projected BELOW the explode (a generator
+    # re-evaluates its select-list per OUTPUT row, so inlining the
+    # probe sort would pay the argmin sort ×probe).
     qs = (arrq.filter(F.col("vec_id") % IVX_STRIDE == 0)
+          .withColumn("__pc", F.transform(pc, lambda s: s["cid"]))
           .select(F.col("vec_id").alias("qid"), F.col("qa"),
-                  F.explode(F.transform(pc, lambda s: s["cid"]))
-                  .alias("cell")))
+                  F.explode("__pc").alias("cell")))
     if residual:
         qs = qs.withColumn("qa", F.zip_with(
             F.col("qa"),
@@ -928,28 +974,29 @@ def recall_of(spark, sf_dir, *, source_fn=None,
     the raw quantized vectors; only the index under test changes."""
     from pyspark.sql import Window
 
-    from .ml.intlloyd import cell_of, integer_lloyd
-    from .registry import _staging
-    from .registry_ext19 import (IVX_CELLS, IVX_DIM, IVX_ITERS, IVX_K,
-                                 IVX_STRIDE)
+    from .ml.intlloyd import cell_of
+    from .registry_ext19 import IVX_CELLS, IVX_K, IVX_STRIDE
     # localCheckpoint: the index result is |queries|·k rows, but its
     # PLAN is the whole unrolled index (9+ Lloyd pyramids, encode,
     # ADC); embedding that plan inside the recall join doubled the
     # query's compile cost — cut it here and let the recall side
-    # start from the materialized shortlist
-    cout: list = []
+    # start from the materialized shortlist.  This stays the round's
+    # ONE eager barrier: everything upstream (staging, 9 Lloyd fits,
+    # their seeds) rides this single materialization since r15.
+    share: dict = {}
     pq = _ivfpq_topk(spark, sf_dir, source_fn=source_fn,
                      staging_key=staging_key, residual=residual,
-                     refine=refine, probe=probe, _coarse_out=cout) \
+                     refine=refine, probe=probe, _share_out=share) \
         .select("qid", "nid").localCheckpoint()
-    # the helper staged the quantized table and fit the coarse cells;
-    # refit deterministically (bit-identical centroids) for the
-    # ground-truth corpus assignment
-    arrq = spark.read.parquet(_staging(sf_dir, staging_key))
-    coarse = cout[0]   # the index's own fit — a refit is bit-identical
-    # the probe-all-cells enumeration below explodes range(IVX_CELLS);
+    # the helper checkpointed the quantized table and fit the coarse
+    # cells; reuse BOTH for the ground-truth corpus assignment (the
+    # r14 form re-read the staging parquet and refit bit-identically
+    # — two more corpus passes for tables this query already has).
+    # The probe-all-cells enumeration below explodes range(IVX_CELLS);
     # coverage is exact only when the fitted cell ids are exactly
-    # that range — enforce, don't assume (mirrors _ivfpq_topk)
+    # that range — enforce, don't assume (mirrors _ivfpq_topk).
+    arrq = share["arrq"]
+    coarse = share["coarse"]
     if [cid for cid, _ in coarse] != list(range(IVX_CELLS)):
         raise ValueError("recall ground-truth coarse cell ids are "
                          "not dense 0..IVX_CELLS-1; corpus coverage "
