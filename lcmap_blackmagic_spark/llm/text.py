@@ -188,10 +188,14 @@ def bpe_merges(df: DataFrame, n_merges: int = 8,
     # the materialized vocab instead of re-running the corpus explode
     # through r rounds of lineage (measured 9.0 -> ~1.5 s at sf0.1;
     # without the checkpoint round r recomputes rounds 1..r-1)
+    # lazy (r15): the whole merge pyramid executes under the caller's
+    # single action — each round's truncated table materializes there
+    # on first touch; the r14 eager form ran one blocking job per
+    # round (n_merges + 1 sequential jobs before the action)
     state = vocab.select(
         F.concat(F.lit(" "),
                  F.regexp_replace("w", "(.)", "$1 ")).alias("sym"),
-        "cnt").localCheckpoint()
+        "cnt").localCheckpoint(eager=False)
     t = F.split(F.trim(F.col("sym")), " ")
     pair_arr = F.when(
         F.size(t) >= 2,
@@ -214,7 +218,7 @@ def bpe_merges(df: DataFrame, n_merges: int = 8,
         once = F.replace(F.col("sym"), pat, rep)
         state = (state.crossJoin(F.broadcast(best))
                  .select(F.replace(once, pat, rep).alias("sym"), "cnt")
-                 .localCheckpoint())
+                 .localCheckpoint(eager=False))
     out = best_rows[0]
     for b in best_rows[1:]:
         out = out.unionByName(b)

@@ -38,13 +38,17 @@ def pagerank(edges: DataFrame, rounds: int = 5,
     """Integer-scaled PageRank over a directed edge list (duplicate
     edges count as parallel edges). Returns (node, rank_scaled) for
     every node appearing as src or dst."""
+    # lazy checkpoints (r15): the count() below is the first action
+    # and materializes `nodes` in the same job (one blocking job
+    # instead of two); `ed` materializes under the caller's action
+    # at its first per-round consumption and is reused from blocks
     nodes = (edges.select(F.col(src).alias("node"))
              .unionByName(edges.select(F.col(dst).alias("node")))
-             .distinct().localCheckpoint())
+             .distinct().localCheckpoint(eager=False))
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
     ed = (edges.join(deg, src)
           .select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"),
-                  "deg").localCheckpoint())
+                  "deg").localCheckpoint(eager=False))
     n = nodes.count()
     base = PR_SCALE // n
     ranks = nodes.select("node", F.lit(base).alias("rank_scaled"))
@@ -92,11 +96,16 @@ def triangle_counts(edges: DataFrame, src: str = "src",
     keeps the oracle bit-exact). Output: (node, triangles)."""
     # localCheckpoint: the canonical edge table feeds all THREE legs
     # of the enumeration join — without the barrier the upstream
-    # edge derivation (lead windows + distinct) re-executes per leg
+    # edge derivation (lead windows + distinct) re-executes per leg.
+    # LAZY (r15, VERDICT item 4): all three legs sit inside the one
+    # final action, so the blocks persist at its first touch; the
+    # r14 eager form's blocking job regressed the driver bench
+    # (1.9 → 2.2 s) while saving nothing it could not save lazily.
+    # The plan evidence (Exchange+Window 42 → 6) is unchanged.
     e = (edges.select(F.least(src, dst).alias("a"),
                       F.greatest(src, dst).alias("b"))
          .filter(F.col("a") != F.col("b"))
-         .distinct().localCheckpoint())
+         .distinct().localCheckpoint(eager=False))
     ab = e.select(F.col("a").alias("t_a"), F.col("b").alias("t_b"))
     bc = e.select(F.col("a").alias("t_b"), F.col("b").alias("t_c"))
     ac = e.select(F.col("a").alias("t_a"), F.col("b").alias("t_c"))

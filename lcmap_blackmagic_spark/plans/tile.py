@@ -36,8 +36,11 @@ def tile_pipeline(segments: DataFrame, aux: DataFrame, date: str,
     # per-class count collect, the split, the fit's matrix collect)
     # each re-ran the segments⨝aux assembly without it — the same
     # barrier the bench-scale twin (registry_pipelines.q_lcmap_tile_
-    # train) applies; the matrix is labeled-pixel-sized
-    data = training_data(segments, aux, date, chips).localCheckpoint()
+    # train) applies; the matrix is labeled-pixel-sized.  Lazy (r15):
+    # the first consuming action materializes it in its own job, the
+    # rest read blocks — one fewer blocking job, same reuse.
+    data = (training_data(segments, aux, date, chips)
+            .localCheckpoint(eager=False))
     stats = label_statistics(data, "label")
     sample = stratified_sample(data, "label", target_samples,
                                class_min, class_max, seed=seed)

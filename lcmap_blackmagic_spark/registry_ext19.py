@@ -291,8 +291,10 @@ def q_pareto_skyline(spark, sf_dir):
            # the bucket-maxima collect) — checkpoint the distinct
            # points once instead of re-scanning + re-tokenizing the
            # corpus per consumer (the tile_train precedent); the
-           # table is distinct (x, y) pairs, tiny at any corpus size
-           .localCheckpoint())
+           # table is distinct (x, y) pairs, tiny at any corpus size.
+           # Lazy (r15): the min/max collect right below is the
+           # first action and materializes it in the same job
+           .localCheckpoint(eager=False))
     lo, hi = pts.agg(F.min("x"), F.max("x")).collect()[0]
     if lo is None:
         # empty documents table: the frontier is empty, not a crash

@@ -356,8 +356,13 @@ def q_llm_dup_kcore(spark, sf_dir):
     mh = q_minhash_pairs(spark, sf_dir).select("id_a", "id_b")
     sh = q_simhash_pairs(spark, sf_dir).select("id_a", "id_b")
     ng = q_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    # ALL checkpoints in this query are lazy (r15): the peel rounds
+    # are a FIXED count with no per-round driver decision (the
+    # pagerank precedent), so every frontier/edge table materializes
+    # under the caller's single action and is reused from blocks —
+    # the r14 eager forms ran 7 blocking jobs before the action
     ep = (mh.unionByName(sh).unionByName(ng).distinct()
-          .localCheckpoint())
+          .localCheckpoint(eager=False))
     und = ep.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")) \
         .unionByName(
             ep.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
@@ -372,14 +377,14 @@ def q_llm_dup_kcore(spark, sf_dir):
                         F.count(F.lit(1)).alias("n_edges")))
         return n_core.join(n_edges, "round")
 
-    alive = und.select("u").distinct().localCheckpoint()
+    alive = und.select("u").distinct().localCheckpoint(eager=False)
     out = stage(0, alive)
     for t in range(1, KCORE_ROUNDS + 1):
         deg = (und.join(alive, "u")
                .join(alive.select(F.col("u").alias("v")), "v")
                .groupBy("u").agg(F.count(F.lit(1)).alias("d")))
         alive = (deg.filter(F.col("d") >= KCORE_K).select("u")
-                 .localCheckpoint())
+                 .localCheckpoint(eager=False))
         out = out.unionByName(stage(t, alive))
     return out.orderBy("round")
 

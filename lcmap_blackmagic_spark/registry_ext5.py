@@ -376,9 +376,10 @@ def q_item_cooccurrence(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem")
     # localCheckpoint: the distinct basket table feeds FOUR consumers
     # (both self-join sides, the marginals, the order count) — one
-    # distinct shuffle instead of per-consumer re-execution
+    # distinct shuffle instead of per-consumer re-execution.  Lazy
+    # (r15): all four sit inside the single final action
     items = (l.select("l_orderkey", "l_partkey").distinct()
-             .localCheckpoint())
+             .localCheckpoint(eager=False))
     n_orders = items.select("l_orderkey").distinct() \
         .agg(F.count(F.lit(1)).alias("n"))
     a = items.select("l_orderkey", F.col("l_partkey").alias("pk_a"))

@@ -159,15 +159,18 @@ def q_lcmap_tile_train(spark, sf_dir):
     # tile_pipeline's stages, shared instead of recomputed: assembly →
     # stats → sample → split → fit (plans/tile.py:tile_pipeline
     # verbatim; inlined so the summary below reuses the same frames)
-    # localCheckpoint: FOUR downstream actions consume the assembled
+    # localCheckpoint: FOUR downstream consumers share the assembled
     # matrix (stats, the sample, the fit's collect, the split counts) —
     # without it Catalyst re-runs the segments⨝aux assembly per
     # consumer.  ~20k rows × 69 features: sample-sized, not tile-sized.
+    # Lazy (r15): the fit's matrix collect is the first action and
+    # materializes it in the same job; the returned stats/split
+    # aggregates then read blocks under the caller's action.
     ordc = F.conv(F.substring(F.md5(F.concat_ws(
         ":", F.lit("ord"), F.col("px").cast("string"),
         F.col("py").cast("string"))), 1, 12), 16, 10).cast("bigint")
     data = (training_data(segs, aux, "2001-07-01", keep_keys=True)
-            .withColumn("__ord", ordc).localCheckpoint())
+            .withColumn("__ord", ordc).localCheckpoint(eager=False))
     stats = label_statistics(data, "label")
     sample = stratified_sample(data, "label", 20_000, 50, 4_000,
                                order_col="__ord")
@@ -209,16 +212,24 @@ def q_lcmap_predict_chip(spark, sf_dir):
     from .sources.fixtures import synth_aux_hash, synth_segments_hash
     # localCheckpoint the fixture frames: BOTH the training assembly
     # and prediction_inputs below consume segs+aux, and each
-    # checkpoint materialization re-ran the md5 fixture generation
-    segs = synth_segments_hash(spark, side=100).localCheckpoint()
-    aux = synth_aux_hash(spark, side=100).localCheckpoint()
+    # checkpoint materialization re-ran the md5 fixture generation.
+    # ALL FOUR checkpoints here are LAZY since r15: this query's only
+    # unavoidable driver actions are the fit's matrix collect and the
+    # final inference job, and every checkpoint's first consumer sits
+    # under one of them — the fit's collect materializes segs, aux
+    # and data in ONE job; the final job materializes inputs.  The
+    # r14 eager forms ran four extra blocking jobs for the same reuse
+    # (driver bench 13.3 s, scaling ratio 0.74 — action-bound).
+    segs = synth_segments_hash(spark, side=100) \
+        .localCheckpoint(eager=False)
+    aux = synth_aux_hash(spark, side=100).localCheckpoint(eager=False)
     # tile_pipeline's fit stages with the training matrix checkpointed
-    # once (sample + the fit's two collects re-ran the assembly)
+    # once (sample + the fit's collect re-ran the assembly)
     ordc = F.conv(F.substring(F.md5(F.concat_ws(
         ":", F.lit("ord"), F.col("px").cast("string"),
         F.col("py").cast("string"))), 1, 12), 16, 10).cast("bigint")
     data = (training_data(segs, aux, "2001-07-01", keep_keys=True)
-            .withColumn("__ord", ordc).localCheckpoint())
+            .withColumn("__ord", ordc).localCheckpoint(eager=False))
     sample = stratified_sample(data, "label", 20_000, 50, 4_000,
                                order_col="__ord")
     train, test = train_test_split_hash(sample, ["px", "py"], 0.2)
@@ -238,7 +249,8 @@ def q_lcmap_predict_chip(spark, sf_dir):
     from .ml.predict import predict_probabilities
     from .operators.unions import default_predictions, group_data
     from .plans.prediction import prediction_inputs
-    inputs = prediction_inputs(segs, aux, 7, 1).localCheckpoint()
+    inputs = prediction_inputs(segs, aux, 7, 1) \
+        .localCheckpoint(eager=False)
     defaults, data = group_data(inputs)
     predicted = (predict_probabilities(data.coalesce(8), model,
                                        "independent")
@@ -548,9 +560,14 @@ def q_kmv_sketch(spark, sf_dir):
                            1, 12), 16, 10).cast("bigint")
     # localCheckpoint: k_smallest consumes its input twice (bucket
     # counts + the rank join) — without the barrier the md5 scan +
-    # distinct shuffle execute per consumer
+    # distinct shuffle execute per consumer.  LAZY (r15, VERDICT
+    # item 4): both consumers sit inside the single final action, so
+    # blocks persist at first touch there; the r14 eager form paid a
+    # blocking materialization job that cost more than the saved
+    # re-scan at bench scale (driver 2.8 → 3.7 s) while the plan's
+    # scan-reduction (lineitem 7× → 2×) is retained unchanged.
     dist = (l.select("l_returnflag", h.alias("h")).distinct()
-            .localCheckpoint())
+            .localCheckpoint(eager=False))
     topk = k_smallest(dist, ["l_returnflag"], "h", KMV_K)
     kmv = (topk.groupBy("l_returnflag")
            .agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("k"))
@@ -565,12 +582,12 @@ def q_kmv_sketch(spark, sf_dir):
         .cast("bigint")
     # localCheckpoint: the sample feeds the per-flag count AND the
     # cum_below pyramid (which derives three tables from it) — the
-    # md5 sample filter re-ran per consumer
+    # md5 sample filter re-ran per consumer.  Lazy: see `dist`.
     samp = (l.filter(hs < KMV_SAMPLE_THRESH).select(
         "l_returnflag",
         (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
         .cast("bigint").alias("cents"))
-        .localCheckpoint())
+        .localCheckpoint(eager=False))
     # median VALUE at rank ceil(n/2) is tie-break-free: the smallest
     # cents value whose cumulative count reaches the rank — read off
     # the prefix pyramid (every window partition ≤1024 rows) instead
@@ -821,7 +838,9 @@ def _curation_stages(spark, sf_dir, q, staging_key):
     # and kept honest, not a local win.)
     rep_ids = (sized.select("doc_id", F.row_number().over(w).alias("rn"))
                .filter(F.col("rn") == 1).select("doc_id")
-               .localCheckpoint())
+               # lazy (r15): all three consumers sit inside the
+               # caller's final action — no blocking job needed
+               .localCheckpoint(eager=False))
     repd = q.join(rep_ids, "doc_id")
 
     corpus = repd.filter(F.col("source") != "src0")
@@ -945,7 +964,9 @@ def q_llm_curation_lines(spark, sf_dir):
     cdocs = (d.drop("text")
              .join(rew.filter(F.col("n_kept") > 0)
                    .select("doc_id", F.col("cleaned").alias("text")),
-                   "doc_id").localCheckpoint())
+                   # lazy (r15): materializes under the staged
+                   # minhash write — the first action that reads it
+                   "doc_id").localCheckpoint(eager=False))
     ntok = F.size(F.split(F.lower(F.trim("text")), " "))
     q = cdocs.filter(ntok.between(CURATE_TOK_MIN, CURATE_TOK_MAX))
 
