@@ -817,6 +817,49 @@ def winnow_fingerprints(df, id_col: str = "doc_id",
             .select(id_col, F.explode(fps).alias("fp")))
 
 
+def winnow_pairs(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Near-duplicate pairs from winnowing fingerprints — the batch
+    pair query's body (registry_ext18.q_llm_winnow_pairs documents
+    the selection rule and the scale argument), split out so the
+    skewed-fp guard is testable on arbitrary fixtures.
+
+    GROUPED pair expansion (the lsh_neardup_pairs lesson): one
+    aggregate per fp collects the sorted doc list and the
+    upper-triangle pairs expand with an output-proportional array
+    transform — each shared fp contributes each unordered pair once.
+
+    r15 skew guard (VERDICT item 5): the df cap is decided by a
+    CHEAP count aggregate (map-side combined, bytes per fp) and
+    applied as a semi-join BEFORE collect_list — the r14 form
+    collected the full posting list first and filtered on size(ids)
+    afterwards, which buffers a stop-word-grade fingerprint's
+    millions of doc ids into ONE aggregation buffer at corpus scale.
+    Fingerprints are distinct per doc, so count(*) IS the document
+    frequency; the pair multiset is unchanged (df < 2 produced no
+    pairs, df > WIN_MAXDF was dropped).  The collect_list aggregate
+    reuses the semi-join's hash partitioning on fp, so the full
+    posting data still crosses the wire once
+    (tests/test_winnow_skew_guard.py pins shape and behavior)."""
+    # lazy checkpoint: the fingerprint table feeds the df-count pass
+    # AND the bounded collect — one winnow/md5 pass, both consumers
+    # read blocks (materialized under the single action)
+    fpl = (winnow_fingerprints(df, id_col, text_col)
+           .localCheckpoint(eager=False))
+    keep = (fpl.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+            .filter((F.col("df") >= 2) & (F.col("df") <= WIN_MAXDF)))
+    grp = (fpl.join(keep, "fp", "semi")
+           .groupBy("fp")
+           .agg(F.sort_array(F.collect_list(id_col)).alias("ids")))
+    pairs = (grp.select(F.explode(F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x AS doc_a, y AS doc_b))))")).alias("p"))
+        .select("p.doc_a", "p.doc_b"))
+    return (pairs.groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= WIN_T))
+
+
 def winnow_cross_flags(inc_fps, store_fps, min_shared: int = WIN_T,
                        max_df: int = WIN_MAXDF):
     """Flag incoming documents near-duplicating a fingerprint STORE:

@@ -154,29 +154,8 @@ def q_llm_winnow_pairs(spark, sf_dir):
     k+w-1 words degrade to one whole-doc window (the min of all
     their gram hashes) — MOSS's natural boundary case.  Short docs
     (< k words) have no grams and no fingerprints."""
-    d = _t(spark, sf_dir, "documents")
-    fpl = winnow_fingerprints(d)
-    # GROUPED pair expansion (the lsh_neardup_pairs lesson): the old
-    # keep-join + fp self-join consumed the fingerprint subtree THREE
-    # times (Catalyst specializes each copy — the md5/winnow pass ran
-    # 3× end to end) and shuffled fpl twice.  One aggregate per fp
-    # collects the sorted doc list, the df cap becomes a size filter
-    # on that list (fingerprints are distinct per doc, so size(ids)
-    # IS the document frequency), and the upper-triangle pairs expand
-    # with an output-proportional array transform.  Identical pair
-    # multiset — each shared fp contributes each unordered pair once.
-    grp = (fpl.groupBy("fp")
-           .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-           .filter((F.size("ids") >= 2)
-                   & (F.size("ids") <= WIN_MAXDF)))
-    pairs = (grp.select(F.explode(F.expr(
-        "flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, size(ids)), "
-        "y -> struct(x AS doc_a, y AS doc_b))))")).alias("p"))
-        .select("p.doc_a", "p.doc_b"))
-    return (pairs.groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("n_shared"))
-            .filter(F.col("n_shared") >= WIN_T))
+    from .llm.dedup import winnow_pairs
+    return winnow_pairs(_t(spark, sf_dir, "documents"))
 
 
 SQL_LLM_WINNOW_PAIRS = f"""
