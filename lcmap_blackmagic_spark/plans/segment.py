@@ -10,10 +10,17 @@ Reference shape: merlin assembles 10,000 pixel time series per chip
 Spark shape:
 - A2 assembly: posexplode of the chip raster → (pixel, acquisition)
   rows → pivot bands → one shuffle keyed (px, py), sorted arrays.
-- UD1 detection: ``applyInPandas`` over salted (cx, cy, bucket)
-  groups (~64 per chip — see detect()) — the Pool boundary becomes
-  the executor task boundary; a single chip spreads across
-  executors, a tile run is 2500 chips in one job.
+- UD1 detection: ``mapInPandas`` over the assembly aggregate's
+  existing partitioning (see detect() — pixels are independent, so
+  Arrow batches replace the former salted grouping and its payload
+  shuffle) — the Pool boundary becomes the executor task boundary;
+  a single chip spreads across executors, a tile run is 2500 chips
+  in one job.  Parallelism note for PLUGGABLE (slow, PyCCD-like)
+  detectors: the stage width is the assembly's post-AQE partition
+  count, which AQE may coalesce low on a small single-chip job —
+  repartition the assembly output first when plugging a detector
+  whose per-pixel cost dwarfs a shuffle (the stub path is cheap
+  enough not to care).
 - P1 projection: plain select; defaults handled by the detector
   contract (a pixel with no fitted model yields one default segment,
   sday=eday=bday=0001-01-01 — segment.py:52-53, 68-70).

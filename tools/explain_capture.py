@@ -45,12 +45,31 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     for name in names:
         df = QUERIES[name]["fn"](spark, sf)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted")
+        plan = _formatted_plan(df)
         path = os.path.join(outdir, f"{name}_{suffix}.txt")
         with open(path, "w") as fh:
             fh.write(plan)
         print(f"wrote {path} ({len(plan)} chars)")
+
+
+def _formatted_plan(df) -> str:
+    """df.explain('formatted') as a string, without reaching into
+    JVM internals when avoidable: prefer capturing explain()'s
+    stdout (public API, works under Spark Connect), fall back to
+    the classic py4j path on any failure (ADVICE r14)."""
+    import contextlib
+    import io
+    buf = io.StringIO()
+    try:
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        text = buf.getvalue()
+        if text.strip():
+            return text
+    except Exception:  # noqa: BLE001 — fall back to the py4j path
+        pass
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
 
 
 if __name__ == "__main__":
